@@ -1,0 +1,172 @@
+"""The sentiment kernel: deterministic lexicon scoring, score fusion, and
+3-way classification.
+
+Reference provenance (SURVEY.md §2.9, §2.7):
+  U1 VADER compound     dags/sentiment_analysis_dag.py:59,72
+  U2 TextBlob polarity  dags/sentiment_analysis_dag.py:73
+  F8 score fusion       dags/sentiment_analysis_dag.py:75  (avg of the two)
+  F9 classify ±0.1      dags/sentiment_analysis_dag.py:76-81
+  F10 confidence=abs    dags/sentiment_analysis_dag.py:91
+  F11 sentiment struct  dags/sentiment_analysis_dag.py:89-94
+
+Design divergence (documented, SURVEY.md §7 risks): the reference wraps the
+vaderSentiment / textblob Python libraries; neither ships in this
+environment, and a row-at-a-time Python lexicon would be the slow path
+anyway. This engine implements the same *shape* of computation -- two
+independent lexicon analyzers fused by mean and thresholded at ±0.1 -- as
+pure Spark SQL column expressions:
+
+  vader_compound    := s / sqrt(s*s + 15)  where s = Σ(+1 pos hit, -1 neg hit)
+                       -- VADER's published normalization (Hutto & Gilbert
+                       2014, alpha=15) over unit valences.
+  textblob_polarity := mean(lexicon weight of matched tokens), 0.0 if none
+                       -- TextBlob's PatternAnalyzer averaging.
+
+Everything is JVM-side, codegen'd, and oracle-checkable: lexicon weights are
+dyadic rationals (k/16) so sums are EXACT doubles regardless of evaluation
+order, and the final ops (sqrt, one division, mean) are single IEEE ops --
+bit-identical between Spark and DuckDB.
+
+A pandas-UDF variant of the same kernel lives in `pandas_kernel` to
+demonstrate the Arrow-vectorized plumbing used when a real model (or the
+actual VADER lib) is available; the native path is the default.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from . import dialect as D
+from .text import tokenize
+
+# Polarity lexicon. All weights are multiples of 1/16 => every partial sum is
+# an exact double; cross-engine aggregation order cannot change the result.
+LEXICON: dict[str, float] = {
+    # general sentiment vocabulary
+    "good": 0.5, "great": 0.75, "excellent": 0.9375, "best": 1.0, "nice": 0.5,
+    "love": 0.75, "happy": 0.75, "awesome": 0.875, "win": 0.5, "success": 0.5,
+    "improve": 0.375, "gain": 0.375, "positive": 0.5, "fresh": 0.25,
+    "bad": -0.5, "terrible": -0.875, "worst": -1.0, "hate": -0.75,
+    "sad": -0.75, "fail": -0.625, "error": -0.5, "crash": -0.75,
+    "broken": -0.5, "bug": -0.375, "loss": -0.375, "negative": -0.5,
+    "slow": -0.4375, "stale": -0.25, "dup": -0.3125,
+    # domain vocabulary present in the synthetic corpus
+    "fast": 0.4375, "big": 0.1875, "small": -0.1875,
+}
+
+POSITIVE = sorted(w for w, s in LEXICON.items() if s > 0)
+NEGATIVE = sorted(w for w, s in LEXICON.items() if s < 0)
+
+CLASSIFY_THRESHOLD = 0.1  # dags/sentiment_analysis_dag.py:76-81 / .env:42
+VADER_ALPHA = 15  # normalization constant from the VADER paper
+
+
+def _weight_case(d: str) -> str:
+    whens = " ".join(f"when t = '{w}' then {s!r}" for w, s in sorted(LEXICON.items()))
+    return f"case {whens} else 0.0 end"
+
+
+def _sign_case(d: str) -> str:
+    pos = D.arr_literal(d, POSITIVE)
+    neg = D.arr_literal(d, NEGATIVE)
+    return (
+        f"case when {D.arr_contains(d, pos, 't')} then 1.0 "
+        f"when {D.arr_contains(d, neg, 't')} then -1.0 else 0.0 end"
+    )
+
+
+def vader_compound(d: str, tokens_expr: str) -> str:
+    """U1: signed-hit sum normalized by s/sqrt(s^2+alpha)."""
+    s = D.arr_sum_double(d, D.arr_transform(d, tokens_expr, f"t -> {_sign_case(d)}"))
+    return f"(({s}) / sqrt(({s}) * ({s}) + {VADER_ALPHA}.0))"
+
+
+def textblob_polarity(d: str, tokens_expr: str) -> str:
+    """U2: mean lexicon weight over matched tokens; 0.0 when nothing matches."""
+    matched = D.arr_filter(d, tokens_expr, f"t -> ({_weight_case(d)}) <> 0.0")
+    total = D.arr_sum_double(d, D.arr_transform(d, matched, f"t -> {_weight_case(d)}"))
+    n = D.arr_size(d, matched)
+    return f"(case when {n} = 0 then 0.0 else ({total}) / cast({n} as double) end)"
+
+
+def avg_score(vader_col: str = "vader_compound", tb_col: str = "textblob_polarity") -> str:
+    """F8: (vader + textblob) / 2 -- identical text in both dialects."""
+    return f"(({vader_col} + {tb_col}) / 2.0)"
+
+
+def classify(avg_col: str) -> str:
+    """F9: >= 0.1 positive, <= -0.1 negative, else neutral."""
+    t = CLASSIFY_THRESHOLD
+    return (
+        f"case when {avg_col} >= {t} then 'positive' "
+        f"when {avg_col} <= -{t} then 'negative' else 'neutral' end"
+    )
+
+
+def confidence(avg_col: str) -> str:
+    """F10: abs(mean score)."""
+    return f"abs({avg_col})"
+
+
+def sentiment_select_sql(d: str, text_expr: str) -> dict[str, str]:
+    """The full kernel as named SQL fragments over a raw text expression.
+    Keys are the output column names used engine-wide."""
+    toks = tokenize(d, text_expr)
+    vc = vader_compound(d, toks)
+    tb = textblob_polarity(d, toks)
+    avg = f"(({vc} + {tb}) / 2.0)"
+    return {
+        "vader_compound": vc,
+        "textblob_polarity": tb,
+        "avg_score": avg,
+        "overall": classify(avg),
+        "confidence": confidence(avg),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized variant (U1/U2 plumbing for a real model / library).
+# Same math as the SQL kernel; used by tests to prove native == pandas paths.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = None
+
+
+def _py_tokens(s: str | None) -> list[str]:
+    import re
+
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        _TOKEN_RE = re.compile(r"[^a-z0-9 ]")
+    if s is None:
+        return []
+    cleaned = _TOKEN_RE.sub(" ", s.strip().lower())
+    return [t for t in cleaned.split() if t]
+
+
+def _py_kernel(s: str | None) -> tuple[float, float]:
+    toks = _py_tokens(s)
+    signed = sum(1.0 if LEXICON.get(t, 0.0) > 0 else -1.0 if LEXICON.get(t, 0.0) < 0 else 0.0 for t in toks)
+    vc = signed / math.sqrt(signed * signed + VADER_ALPHA)
+    matched = [LEXICON[t] for t in toks if t in LEXICON]
+    tb = (sum(matched) / len(matched)) if matched else 0.0
+    return vc, tb
+
+
+def pandas_kernel(series: pd.Series) -> pd.DataFrame:
+    """Batch (Arrow) kernel: text series -> DataFrame[vader_compound, textblob_polarity].
+
+    Wrapped by a pandas_udf at the call site (operators/sentiment-enrich
+    pandas path). Analyzer state (the lexicon) is module-level -- constructed
+    once per executor, not per row, mirroring how a real VADER
+    SentimentIntensityAnalyzer should be held (SURVEY.md §2.9 U1 note).
+    """
+    out = series.map(_py_kernel)
+    return pd.DataFrame(
+        {
+            "vader_compound": out.map(lambda t: t[0]),
+            "textblob_polarity": out.map(lambda t: t[1]),
+        }
+    )

@@ -1,0 +1,170 @@
+"""Text scalar functions: sanitize, assemble, truncate, tokenize, stats,
+language ID, quality score, fingerprints.
+
+Reference provenance (SURVEY.md §2.7):
+  F1  text assembly      dags/sentiment_analysis_dag.py:65-67
+  F2  truncation         dags/sentiment_analysis_dag.py:121
+  F4  sanitize           utilities/data_validator.py:41
+  F12 word/char stats    configs/elasticsearch_config.py:78-82 (declared there,
+                         never computed by the reference; computed for real here)
+  Q3  analyzed tokens    configs/elasticsearch_config.py:94-112 (english
+                         analyzer: lowercase + stopword removal)
+
+Every function emits SQL in both dialects (see dialect.py) so the DuckDB
+oracle runs literally the same computation. All are pure column expressions:
+JVM-side, whole-stage-codegen'd, zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from . import dialect as D
+
+# English stopword subset of the ES 'english' analyzer's default list
+# (reference configs/elasticsearch_config.py:100-104 uses the lucene english
+# stop set; this is the classic lucene list).
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that", "the",
+    "their", "then", "there", "these", "they", "this", "to", "was", "will", "with",
+]
+
+# Per-language marker words for the n-gram/stopword language-ID heuristic
+# (north-star text-analysis op; deterministic, SQL-expressible).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "es": ["el", "la", "los", "las", "de", "que", "es", "por"],
+    "fr": ["le", "la", "les", "des", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "zh": ["de5", "shi4", "bu4", "le5", "wo3", "ni3", "ta1", "men5"],
+}
+
+
+def sanitize(d: str, expr: str) -> str:
+    """F4: drop NUL bytes, trim whitespace (utilities/data_validator.py:41).
+
+    Spark SQL string literals process backslash escapes (so the regex needs
+    a doubled backslash); DuckDB literals do not.
+    """
+    pattern = "\\\\x00" if d == D.SPARK else "\\x00"
+    return f"trim({D.regexp_replace_all(d, expr, pattern, '')})"
+
+
+def assemble_text(d: str, title: str, description: str, content: str, content_cap: int = 500) -> str:
+    """F1: title + ' ' + description + ' ' + content[:500].
+
+    concat_ws skips NULLs in both dialects, matching the reference's
+    ``article.get(field, '')`` defaulting (dags/sentiment_analysis_dag.py:65-67).
+    Both Spark substring and DuckDB substr count codepoints, like the Python
+    slice ``content[:500]`` (SURVEY.md §7 parity note).
+    """
+    return f"concat_ws(' ', {title}, {description}, substring({content}, 1, {content_cap}))"
+
+
+def truncate(d: str, expr: str, n: int = 1000) -> str:
+    """F2: content[:1000] for the analytic doc (dags/sentiment_analysis_dag.py:121)."""
+    return f"substring({expr}, 1, {n})"
+
+
+def tokenize(d: str, expr: str) -> str:
+    """Lowercase, strip non-alphanumerics, split on whitespace, drop empties.
+
+    The engine's analyzer (SURVEY.md §2.8 Q3): replaces the ES english
+    analyzer's tokenization stage. Emits array<string>.
+    """
+    cleaned = D.regexp_replace_all(d, f"trim(lower({expr}))", "[^a-z0-9 ]", " ")
+    arr = D.split_ws(d, f"trim({cleaned})")
+    return D.arr_filter(d, arr, "t -> t <> ''")
+
+
+def analyzed_tokens(d: str, expr: str) -> str:
+    """Q3 analyzer: tokenize + stopword removal (configs/elasticsearch_config.py:94-112)."""
+    stop = D.arr_literal(d, STOPWORDS)
+    return D.arr_filter(d, tokenize(d, expr), f"t -> not {D.arr_contains(d, stop, 't')}")
+
+
+def word_count(d: str, expr: str) -> str:
+    """F12 stats.word_count: whitespace token count."""
+    return f"cast({D.arr_size(d, tokenize(d, expr))} as int)"
+
+
+def char_count(d: str, expr: str) -> str:
+    """F12 stats.char_count."""
+    return f"cast(length({expr}) as int)"
+
+
+def has_content(d: str, expr: str) -> str:
+    """F12 stats.has_content: non-null, non-blank."""
+    return f"({expr} is not null and trim({expr}) <> '')"
+
+
+def lang_scores(d: str, tokens_expr: str) -> dict[str, str]:
+    """Per-language marker-hit counts over a token array."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = D.arr_literal(d, markers)
+        out[lang] = D.arr_size(d, D.arr_filter(d, tokens_expr, f"t -> {D.arr_contains(d, lst, 't')}"))
+    return out
+
+
+def lang_id(d: str, tokens_expr: str) -> str:
+    """Deterministic argmax over marker-hit counts; ties broken by the fixed
+    language order; 'und' when no marker hits at all."""
+    scores = lang_scores(d, tokens_expr)
+    langs = list(LANG_MARKERS)
+    greatest = f"greatest({', '.join(scores[lang] for lang in langs)})"
+    whens = " ".join(f"when {scores[lang]} = __mx and __mx > 0 then '{lang}'" for lang in langs)
+    # Both dialects lack let-bindings in scalar expressions; inline the max.
+    expr = f"case {whens} else 'und' end"
+    return expr.replace("__mx", greatest)
+
+
+def punct_ratio(d: str, expr: str) -> str:
+    """Fraction of characters that are not [a-z0-9 ] after lowercasing.
+    Exact parity: single division of two exact ints."""
+    stripped = D.regexp_replace_all(d, f"lower({expr})", "[^a-z0-9 ]", "")
+    return (
+        f"case when length({expr}) = 0 or {expr} is null then 0.0 "
+        f"else cast(length({expr}) - length({stripped}) as double) / cast(length({expr}) as double) end"
+    )
+
+
+def stopword_ratio(d: str, expr: str) -> str:
+    stop = D.arr_literal(d, STOPWORDS)
+    toks = tokenize(d, expr)
+    hits = D.arr_size(d, D.arr_filter(d, toks, f"t -> {D.arr_contains(d, stop, 't')}"))
+    n = D.arr_size(d, toks)
+    return f"case when {n} = 0 then 0.0 else cast({hits} as double) / cast({n} as double) end"
+
+
+def quality_score(d: str, expr: str) -> str:
+    """Composite document-quality heuristic in [0,1] (north-star text-analysis
+    op): rewards reasonable length and some stopword mass, penalizes heavy
+    punctuation. Dyadic weights (0.5/0.25/0.25) keep cross-engine sums exact.
+    """
+    wc = word_count(d, expr)
+    len_term = f"least(cast({wc} as double) / 64.0, 1.0)"
+    stop_term = f"least({stopword_ratio(d, expr)} * 4.0, 1.0)"
+    punct_term = f"(1.0 - least({punct_ratio(d, expr)} * 4.0, 1.0))"
+    return f"(0.5 * {len_term} + 0.25 * {stop_term} + 0.25 * {punct_term})"
+
+
+def ngrams(d: str, tokens_expr: str, n: int = 3) -> str:
+    """Word n-gram (shingle) array from a token array: join of each window of
+    n consecutive tokens with '_'. Empty array when fewer than n tokens."""
+    size = D.arr_size(d, tokens_expr)
+    if d == D.SPARK:
+        seq = f"case when {size} >= {n} then sequence(1, {size} - {n - 1}) else array() end"
+        window = f"array_join(slice({tokens_expr}, cast(i as int), {n}), '_')"
+    else:
+        seq = f"case when {size} >= {n} then range(1, {size} - {n - 1} + 1) else cast([] as bigint[]) end"
+        window = f"list_aggregate(list_slice({tokens_expr}, i, i + {n - 1}), 'string_agg', '_')"
+    return D.arr_transform(d, seq, f"i -> {window}")
+
+
+def fingerprint(d: str, expr: str) -> str:
+    """Document fingerprint: md5 over the sorted distinct token set -- the
+    classic key-collapsing fingerprint (case/punct/word-order insensitive).
+    North-star text-analysis op; md5 is identical in both dialects."""
+    toks = D.arr_distinct(d, tokenize(d, expr))
+    sorted_toks = f"array_sort({toks})" if d == D.SPARK else f"list_sort({toks})"
+    return f"md5({D.arr_join(d, sorted_toks, ' ')})"

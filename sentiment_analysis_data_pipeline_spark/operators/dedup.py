@@ -1,0 +1,208 @@
+"""Deduplication operators: the reference's URL dedup plus the full
+LLM-data-pipeline near-dup suite.
+
+Reference provenance:
+  J1 batch anti-join vs processed   dags/sentiment_analysis_dag.py:36-46
+     (Python set-membership loop -> BroadcastHashJoin(LeftAnti) here)
+  J2 write-side existence check     database/mongodb_handler.py:53-58 +
+     unique index database/init-mongo.js:8 -> dropDuplicates + anti-join
+     inside foreachBatch (streaming/ingest.py)
+
+North-star extensions (exact, MinHash+LSH, SimHash, n-gram Jaccard):
+SURVEY.md §7 phase 7. All are expressed as DataFrame plans whose heavy
+lifting (candidate generation) happens through equi-joins on hash keys, so
+at 100 TB they shuffle only (key, id) pairs, never the documents themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dialect as D
+from ..functions import hashing, text
+
+
+def anti_join_new(raw: DataFrame, processed: DataFrame, key: str = "url") -> DataFrame:
+    """J1: keep raw rows whose key is not yet in `processed`.
+
+    Catalyst picks BroadcastHashJoin(LeftAnti) while the processed-key side
+    fits the broadcast threshold, SortMergeJoin beyond -- exactly the
+    adaptive behavior the reference's in-memory Python set cannot scale to.
+    """
+    return raw.join(processed.select(key).distinct(), on=key, how="left_anti")
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: survivor = min(id) per md5(content).
+
+    groupBy on the 128-bit hash, not the content: the shuffle carries
+    (32-byte key, id) instead of full documents -- at 100 TB this is the
+    difference between shuffling 100 TB and shuffling ~2% of it.
+    """
+    return (
+        df.select(F.md5(F.col(content_col).cast("string")).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _with_tokens(df: DataFrame, content_col: str) -> DataFrame:
+    return df.withColumn("_tokens", F.expr(text.tokenize(D.SPARK, content_col)))
+
+
+def minhash_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    ngram: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan shape (the scale-critical part):
+      1. per-doc, shuffle-free: tokens -> word-3-gram shingles -> k-minhash
+         signature -> `bands` band keys (all higher-order functions, one
+         projection, whole-stage codegen).
+      2. explode band keys -> self-equi-join on band key = candidate pairs.
+         Only docs agreeing on an entire band collide; the join key is a
+         35-byte hash, so the shuffle is (key, id, shingle-set) -- and the
+         shingle sets ride along only to score step 3 without a second join.
+      3. exact Jaccard on distinct shingle sets for candidates; filter.
+
+    At 100 TB: band-key join is an equi-shuffle on uniformly-distributed hash
+    keys (no skew); k/bands/rows tune the S-curve, not the plan shape.
+    """
+    shingled = (
+        _with_tokens(df, content_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.expr(D.arr_distinct(D.SPARK, text.ngrams(D.SPARK, "_tokens", ngram))).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
+    sig = shingled.withColumn(
+        "band_key",
+        F.explode(
+            F.expr(
+                hashing.band_keys(
+                    D.SPARK, hashing.minhash_signature(D.SPARK, "shingles", k), bands, rows
+                )
+            )
+        ),
+    )
+    a = sig.select(
+        F.col("band_key"),
+        F.col("doc").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sig.select(
+        F.col("band_key"),
+        F.col("doc").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Candidates = pairs sharing >= 1 shingle (explode -> self-join on shingle
+    -> distinct pair), then exact Jaccard from per-doc shingle counts and the
+    co-occurrence count -- no shingle-set arrays ride through the join, only
+    (shingle-hash, id, n). |A ∩ B| falls out of the group-count; |A ∪ B| =
+    |A| + |B| - |A ∩ B|.
+    """
+    shingled = (
+        _with_tokens(df, content_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(D.arr_distinct(D.SPARK, text.ngrams(D.SPARK, "_tokens", ngram)))
+            ).alias("shingle"),
+        )
+        # hash the shingle: equi-join on 32 bytes, not arbitrary-length text
+        .select("doc", F.md5("shingle").alias("sh"))
+    )
+    sizes = shingled.groupBy("doc").agg(F.count("*").alias("n"))
+    a = shingled.select(F.col("sh"), F.col("doc").alias("id_a"))
+    b = shingled.select(F.col("sh"), F.col("doc").alias("id_b"))
+    co = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per document (bit-string column). Near-dup pairs =
+    fingerprints within a small Hamming radius; see simhash_pairs."""
+    return _with_tokens(df, content_col).select(
+        F.col(id_col).alias("doc"),
+        F.expr(hashing.simhash(D.SPARK, "_tokens", bits)).alias("simhash"),
+    )
+
+
+def simhash_pairs(df: DataFrame, content_col: str, id_col: str, bits: int = 32, radius: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within Hamming `radius`, using the block trick
+    (Manku et al. 2007): split the fingerprint into radius+1 blocks; any pair
+    within the radius must agree exactly on >= 1 block, so candidates come
+    from equi-joins on block values -- never an all-pairs comparison.
+    """
+    blocks = radius + 1
+    width = bits // blocks
+    fp = simhash_fingerprints(df, content_col, id_col, bits)
+    block_cols = [
+        F.concat(F.lit(f"{i}|"), F.substring("simhash", i * width + 1, width)).alias("block")
+        for i in range(blocks)
+    ]
+    exploded = fp.select("doc", "simhash", F.explode(F.array(*block_cols)).alias("block"))
+    a = exploded.select("block", F.col("doc").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = exploded.select("block", F.col("doc").alias("id_b"), F.col("simhash").alias("fp_b"))
+    pairs = (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.expr(hashing.hamming_bits(D.SPARK, "fp_a", "fp_b", bits))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,711 @@
+"""The engine's query registry: every operator from SURVEY.md §2 (plus the
+north-star LLM-data-pipeline extensions) as a (Spark callable, DuckDB oracle
+SQL) pair for the driver's correctness gate.
+
+Parity strategy (see functions/dialect.py): delicate computations (the
+sentiment kernel, tokenization, hashing, vector folds) are generated for both
+dialects from one Python source, giving bit-identical doubles. Aggregates over
+doubles go through an exact decimal cast (`_dsum`) so cross-engine summation
+order cannot perturb results. All event-time math runs on epoch-nanosecond
+integers (events.parquet is timestamp[ns], which Spark reads via
+nanosAsLong as long -- DuckDB mirrors with epoch_ns(ts)), eliminating
+timezone/precision divergence entirely.
+
+Integer outputs are BIGINT on both sides; every computed column is aliased
+identically in Spark and oracle SQL (driver hashes after sorting columns by
+name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dialect as D
+from .functions import hashing as H
+from .functions import sentiment as S
+from .functions import text as TX
+from .functions import vectors as V
+from .operators import dedup, search, similarity, window_ops
+from .plans.pipeline import DOC_URL_SQL, flagship_terms_agg, processed_docs
+
+TEXT = "coalesce(text, '')"
+EMB_DIM = 64
+
+
+def _dsum(expr: str, alias: str, scale: int = 6) -> str:
+    """Exact cross-engine double sum: per-row double -> decimal -> exact sum
+    -> double. Identical in both dialects."""
+    return f"cast(sum(cast({expr} as decimal(18,{scale}))) as double) as {alias}"
+
+
+def _events_view(spark: SparkSession, sf_dir: str) -> None:
+    """Register `events` with ts as epoch-nanos BIGINT (see module docstring)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _ts_ns(d: str) -> str:
+    """events.ts as epoch nanos in either engine."""
+    return "ts" if d == D.SPARK else "epoch_ns(ts)"
+
+
+# =========================================================================
+# §2.9/§2.7 -- the sentiment kernel and flagship pipeline
+# =========================================================================
+
+
+def _flagship_sql(d: str) -> str:
+    frag = S.sentiment_select_sql(d, TEXT)
+    return f"""
+        WITH valid AS (
+            SELECT doc_id, {TEXT} AS text
+            FROM documents
+            WHERE trim({TEXT}) <> ''
+        ),
+        scored AS (SELECT {frag['overall']} AS key FROM valid)
+        SELECT key, cast(count(*) as bigint) AS doc_count
+        FROM scored GROUP BY key
+        ORDER BY doc_count DESC, key ASC LIMIT 10
+    """
+
+
+def q_sentiment_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship EP3: validate -> kernel -> classify -> terms agg (A4/O3)."""
+    return flagship_terms_agg(spark, sf_dir).select(
+        "key", F.col("doc_count").cast("long").alias("doc_count")
+    )
+
+
+def _sentiment_scores_sql(d: str) -> str:
+    frag = S.sentiment_select_sql(d, TEXT)
+    cols = ", ".join(f"{frag[k]} AS {k}" for k in ("vader_compound", "textblob_polarity", "avg_score", "overall", "confidence"))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2+F8-F11 per document, full corpus."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_sentiment_scores_sql(D.SPARK))
+
+
+# =========================================================================
+# §2.2 -- validation predicates (P1/P2/P7) and sanitize (P11/F4)
+# =========================================================================
+
+
+def _validate_sql(d: str) -> str:
+    url = DOC_URL_SQL[d]
+    # corrupt every 17th URL deterministically to exercise the P2 reject path
+    curl = f"case when doc_id % 17 = 0 then 'not a url' else {url} end"
+    pat = r"^https?://(?:[-\w.])+(?:[:\d]+)?(?:/(?:[\w/_.])*)?$"
+    if d == D.SPARK:
+        rx = f"regexp_like({curl}, '{pat.replace(chr(92), chr(92) * 2)}')"
+    else:
+        rx = f"regexp_matches({curl}, '{pat}')"
+    return f"""
+        SELECT doc_id, {curl} AS url
+        FROM documents
+        WHERE trim({TEXT}) <> '' AND {rx}
+    """
+
+
+def q_validate_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P7: required fields, URL regex, non-empty text."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_validate_sql(D.SPARK))
+
+
+def _sanitize_sql(d: str) -> str:
+    clean = TX.sanitize(d, "concat('  ', coalesce(text, ''), '  ')")
+    return f"SELECT doc_id, {clean} AS clean_text FROM documents"
+
+
+def q_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/F4: NUL-strip + trim (NULs synthesized via padding -- parquet text
+    contains none)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_sanitize_sql(D.SPARK))
+
+
+# =========================================================================
+# §2.3 -- joins (J1 anti-join dedup; general joins via TPC-H shapes)
+# =========================================================================
+
+
+def _anti_join_sql(d: str) -> str:
+    return """
+        SELECT doc_id FROM documents r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM documents p WHERE p.doc_id % 3 = 0 AND p.doc_id = r.doc_id
+        )
+    """
+
+
+def q_anti_join_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: raw-vs-processed anti-join (processed simulated as doc_id%3=0).
+    Catalyst: BroadcastHashJoin(LeftAnti) at this scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    processed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return dedup.anti_join_new(docs.select("doc_id"), processed, key="doc_id")
+
+
+def _top_revenue_sql(d: str) -> str:
+    return f"""
+        SELECT c.c_custkey, c.c_name,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+    """
+
+
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General equi-join chain + agg + top-k (engine join surface; SURVEY.md
+    §2.3 note). customer is broadcast -- small-dim join never shuffles the
+    fact table on the probe side."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.expr("cast(l_extendedprice * (1 - l_discount) as decimal(18,6))")
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_name")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# =========================================================================
+# §2.4/§2.5 -- aggregations, sort/limit/top-k, monitors
+# =========================================================================
+
+
+def _pricing_summary_sql(d: str) -> str:
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum("l_quantity", "sum_qty")},
+               {_dsum("l_extendedprice", "sum_base_price")},
+               {_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+               {_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+               cast(count(*) as bigint) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the engine's general groupBy/agg surface (partial
+    aggregation map-side; one shuffle of group rows only)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_pricing_summary_sql(D.SPARK))
+
+
+def _freshness_sql(d: str) -> str:
+    ts = _ts_ns(d)
+    return f"""
+        SELECT cast(count(*) as bigint) AS recent_count
+        FROM events
+        WHERE {ts} >= (SELECT max({ts}) FROM events) - 7200000000000
+    """
+
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P5/T6: freshness monitor -- rows in the trailing 2 h window
+    (anchored at max(ts) for determinism on a static corpus)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_freshness_sql(D.SPARK))
+
+
+def _quality_rate_sql(d: str) -> str:
+    return f"""
+        WITH agg AS (
+            SELECT cast(count(*) as bigint) AS total,
+                   cast(count(case when trim({TEXT}) = '' then 1 end) as bigint) AS missing
+            FROM documents
+        )
+        SELECT total, missing,
+               case when total = 0 then 0.0
+                    else (total - missing) * 100.0 / total end AS quality_rate
+        FROM agg
+    """
+
+
+def q_quality_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/P6/T6: single-pass total/missing/rate (reference does two Mongo
+    count round-trips, dags/data_quality.py:50-67)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_quality_rate_sql(D.SPARK))
+
+
+def _term_query_sql(d: str) -> str:
+    frag = S.sentiment_select_sql(d, TEXT)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, n_chars, {frag['overall']} AS overall FROM documents
+        )
+        SELECT doc_id, n_chars FROM scored
+        WHERE overall = 'positive'
+        ORDER BY n_chars DESC, doc_id ASC
+        LIMIT 50
+    """
+
+
+def q_term_query_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/O1/O2: term filter + sort desc + limit -> TakeOrderedAndProject
+    (top-k without a global sort)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_term_query_sql(D.SPARK))
+
+
+# =========================================================================
+# §2.7 -- scalar function suite (F1-F6, F12)
+# =========================================================================
+
+
+def _scalar_suite_sql(d: str) -> str:
+    url = DOC_URL_SQL[d]
+    title = f"substring({TEXT}, 1, 64)"
+    assembled = TX.assemble_text(d, title, "'synthetic'", TEXT)
+    return f"""
+        SELECT doc_id,
+               {assembled} AS assembled_text,
+               {TX.truncate(d, TEXT, 1000)} AS content_1000,
+               {H.md5_id(d, url, title)} AS es_doc_id,
+               concat('newsapi_', {url}) AS kafka_key,
+               {TX.word_count(d, TEXT)} AS word_count,
+               {TX.char_count(d, TEXT)} AS char_count,
+               {TX.has_content(d, 'text')} AS has_content
+        FROM documents
+    """
+
+
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (assembly), F2 (truncation), F3 (md5 id), F5 (key construction),
+    F12 (word/char/has_content stats) in one projection."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_scalar_suite_sql(D.SPARK))
+
+
+# =========================================================================
+# §2.8 -- search surface (Q2 above, Q3 keyword search)
+# =========================================================================
+
+SEARCH_QUERY = "spark window merge"
+
+
+def _keyword_search_sql(d: str) -> str:
+    terms = sorted(set(search._analyze_py(SEARCH_QUERY)))
+    terms_lit = D.arr_literal(d, terms)
+    toks = D.arr_distinct(d, TX.analyzed_tokens(d, TEXT))
+    score = D.arr_size(d, D.arr_intersect(d, toks, terms_lit))
+    return f"""
+        WITH scored AS (
+            SELECT doc_id AS doc, cast({score} as bigint) AS score FROM documents
+        )
+        SELECT doc, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc ASC
+        LIMIT 50
+    """
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: analyzed multi_match with overlap relevance + deterministic top-k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = search.keyword_search(docs, SEARCH_QUERY, content_col=TEXT)
+    return out.select("doc", F.col("score").cast("long").alias("score"))
+
+
+# =========================================================================
+# §2.10 -- event-time ops (batch forms of the streaming semantics)
+# =========================================================================
+
+HOUR_NS = 3_600_000_000_000
+
+
+def _hourly_window_sql(d: str) -> str:
+    ts = _ts_ns(d)
+    bucket = D.int_div(d, ts, str(HOUR_NS))
+    return f"""
+        SELECT cast({bucket} as bigint) AS hour_bucket,
+               cast(count(*) as bigint) AS n_events,
+               {_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY hour_bucket
+    """
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 batch analog: tumbling 1-h window counts + sums (bucket = epoch
+    hour index -- integer math, engine-neutral)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_hourly_window_sql(D.SPARK))
+
+
+def _json_extract_sql(d: str) -> str:
+    k = (
+        "cast(get_json_object(props, '$.k') as bigint)"
+        if d == D.SPARK
+        else "cast(props->>'$.k' as bigint)"
+    )
+    return f"""
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(sum({k}) as bigint) AS sum_k
+        FROM events
+        GROUP BY event_type
+    """
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (kafka envelope parsing analog -- SURVEY.md §2.7
+    note on to_json/from_json)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_json_extract_sql(D.SPARK))
+
+
+def _sessions_sql(d: str) -> str:
+    ts = _ts_ns(d)
+    gap_ns = 30 * 60 * 1_000_000_000
+    return f"""
+        WITH deltas AS (
+            SELECT user_id, event_id,
+                   case when lag({ts}) OVER (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC) IS NULL
+                             or {ts} - lag({ts}) OVER (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC) > {gap_ns}
+                        then 1 else 0 end AS new_s
+            FROM events
+        )
+        SELECT user_id, cast(sum(new_s) as bigint) AS n_sessions,
+               cast(count(*) as bigint) AS n_events
+        FROM deltas GROUP BY user_id
+    """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + running-sum windows over
+    one (user) partitioning -- a single shuffle."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_sessions_sql(D.SPARK))
+
+
+def _topk_per_type_sql(d: str) -> str:
+    return """
+        SELECT event_type, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events
+        ) t WHERE rnk <= 3
+    """
+
+
+def q_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (O-series generalization)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_topk_per_type_sql(D.SPARK))
+
+
+# =========================================================================
+# §2.6 -- set ops (multi-source union with schema reconciliation)
+# =========================================================================
+
+
+def _union_sources_sql(d: str) -> str:
+    # Missing columns are null-filled by unionByName; outputs coalesce them so
+    # no nullable-numeric column reaches the hash compare (pandas would coerce
+    # int64-with-nulls to float on the oracle side).
+    return """
+        SELECT doc_id, source, n_chars, 'missing' AS lang
+        FROM documents WHERE source IN ('src0', 'src1')
+        UNION ALL
+        SELECT doc_id, source, cast(-1 as bigint) AS n_chars, lang
+        FROM documents WHERE source NOT IN ('src0', 'src1')
+    """
+
+
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 union semantics: two producers with different field sets merged
+    via unionByName(allowMissingColumns=True)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("source").isin("src0", "src1")).select("doc_id", "source", "n_chars")
+    b = docs.filter(~F.col("source").isin("src0", "src1")).select("doc_id", "source", "lang")
+    merged = a.unionByName(b, allowMissingColumns=True)
+    return merged.select(
+        "doc_id",
+        "source",
+        F.coalesce("n_chars", F.lit(-1)).cast("long").alias("n_chars"),
+        F.coalesce("lang", F.lit("missing")).alias("lang"),
+    )
+
+
+# =========================================================================
+# North-star: dedup suite
+# =========================================================================
+
+
+def _exact_dedup_sql(d: str) -> str:
+    return f"""
+        SELECT md5({TEXT}) AS content_hash,
+               cast(min(doc_id) as bigint) AS keep_id,
+               cast(count(*) as bigint) AS dup_count
+        FROM documents
+        GROUP BY content_hash
+    """
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (shuffle carries 32-byte keys, not text)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    return out.select(
+        "content_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+def _minhash_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
+    sig = H.minhash_signature(d, "shingles", k=16)
+    bands = H.band_keys(d, "sig", bands=4, rows=4)
+    inter = D.arr_size(d, D.arr_intersect(d, "p.sh_a", "p.sh_b"))
+    explode = (
+        f"SELECT doc, shingles, explode(band_arr) AS band_key FROM bandarr"
+        if d == D.SPARK
+        else f"SELECT doc, shingles, unnest(band_arr) AS band_key FROM bandarr"
+    )
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id AS doc, {toks} AS toks FROM documents
+        ),
+        shingled AS (
+            SELECT doc, {shingles} AS shingles FROM tokd
+        ),
+        nonempty AS (
+            SELECT doc, shingles FROM shingled WHERE {D.arr_size(d, 'shingles')} > 0
+        ),
+        sigs AS (
+            SELECT doc, shingles, {sig} AS sig FROM nonempty
+        ),
+        bandarr AS (
+            SELECT doc, shingles, {bands} AS band_arr FROM sigs
+        ),
+        bands AS ({explode}),
+        pairs AS (
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM bands a JOIN bands b ON a.band_key = b.band_key
+            WHERE a.doc < b.doc
+        ),
+        scored AS (
+            SELECT id_a, id_b,
+                   cast({inter} as double) /
+                   (cast({D.arr_size(d, 'p.sh_a')} + {D.arr_size(d, 'p.sh_b')} as double) - cast({inter} as double)) AS jaccard
+            FROM (
+                SELECT pr.id_a, pr.id_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+                FROM pairs pr
+                JOIN nonempty sa ON sa.doc = pr.id_a
+                JOIN nonempty sb ON sb.doc = pr.id_b
+            ) p
+        )
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact Jaccard verification."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    out = dedup.minhash_pairs(docs, "text", "doc_id")
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def _ngram_jaccard_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
+    explode = "explode(shingles)" if d == D.SPARK else "unnest(shingles)"
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
+        inv2 AS (SELECT doc, md5(s) AS sh FROM (SELECT doc, {explode} AS s FROM shingled) u),
+        sizes AS (SELECT doc, cast(count(*) as bigint) AS n FROM inv2 GROUP BY doc),
+        co AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, cast(count(*) as bigint) AS inter
+            FROM inv2 a JOIN inv2 b ON a.sh = b.sh
+            WHERE a.doc < b.doc
+            GROUP BY a.doc, b.doc
+        )
+        SELECT co.id_a, co.id_b,
+               cast(co.inter as double) / cast(na.n + nb.n - co.inter as double) AS jaccard
+        FROM co
+        JOIN sizes na ON na.doc = co.id_a
+        JOIN sizes nb ON nb.doc = co.id_b
+        WHERE cast(co.inter as double) / cast(na.n + nb.n - co.inter as double) >= 0.5
+    """
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted shingle index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
+
+
+def _simhash_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    sim = H.simhash(d, "toks", bits=32)
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents)
+        SELECT doc, {sim} AS simhash FROM tokd
+    """
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints (bit-string form) per document."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_simhash_sql(D.SPARK))
+
+
+def _fingerprint_sql(d: str) -> str:
+    fp = TX.fingerprint(d, TEXT)
+    return f"""
+        SELECT {fp} AS fingerprint,
+               cast(count(*) as bigint) AS n_docs,
+               cast(min(doc_id) as bigint) AS min_doc
+        FROM documents
+        GROUP BY fingerprint
+    """
+
+
+def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fingerprint groups (word-order/punct-insensitive dup keys)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_fingerprint_sql(D.SPARK))
+
+
+# =========================================================================
+# North-star: text analysis
+# =========================================================================
+
+
+def _langid_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    pred = TX.lang_id(d, "toks")
+    return f"""
+        WITH tokd AS (SELECT doc_id, lang, {toks} AS toks FROM documents)
+        SELECT lang, {pred} AS predicted, cast(count(*) as bigint) AS n
+        FROM tokd GROUP BY lang, predicted
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker argmax) vs labeled lang."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_langid_sql(D.SPARK))
+
+
+def _quality_score_sql(d: str) -> str:
+    qs = TX.quality_score(d, TEXT)
+    return f"SELECT doc_id, {qs} AS quality_score FROM documents"
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic per doc (length/stopword/punct terms)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_quality_score_sql(D.SPARK))
+
+
+# =========================================================================
+# North-star: similarity search
+# =========================================================================
+
+
+def _cosine_topk_sql(d: str) -> str:
+    v = V.to_double_array(d, "embedding")
+    cos = V.cosine(d, "e.v", "q.v", EMB_DIM)
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        q AS (SELECT v FROM emb WHERE vec_id = 0)
+        SELECT e.vec_id, {cos} AS cosine
+        FROM emb e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec 0 (broadcast query row,
+    no corpus shuffle, TakeOrderedAndProject top-k)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, query_vec_id=0, k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "cosine"
+    )
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark callable, oracle SQL builder or None)
+REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    "sentiment_terms_agg": (q_sentiment_terms_agg, _flagship_sql),
+    "sentiment_scores": (q_sentiment_scores, _sentiment_scores_sql),
+    "validate_articles": (q_validate_articles, _validate_sql),
+    "sanitize": (q_sanitize, _sanitize_sql),
+    "anti_join_new_docs": (q_anti_join_new_docs, _anti_join_sql),
+    "top_customer_revenue": (q_top_customer_revenue, _top_revenue_sql),
+    "pricing_summary": (q_pricing_summary, _pricing_summary_sql),
+    "freshness": (q_freshness, _freshness_sql),
+    "quality_rate": (q_quality_rate, _quality_rate_sql),
+    "term_query_positive": (q_term_query_positive, _term_query_sql),
+    "scalar_suite": (q_scalar_suite, _scalar_suite_sql),
+    "keyword_search": (q_keyword_search, _keyword_search_sql),
+    "hourly_events": (q_hourly_events, _hourly_window_sql),
+    "json_extract": (q_json_extract, _json_extract_sql),
+    "sessionize": (q_sessionize, _sessions_sql),
+    "topk_per_type": (q_topk_per_type, _topk_per_type_sql),
+    "union_sources": (q_union_sources, _union_sources_sql),
+    "exact_dedup": (q_exact_dedup, _exact_dedup_sql),
+    "minhash_pairs": (q_minhash_pairs, _minhash_sql),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _ngram_jaccard_sql),
+    "simhash_fingerprints": (q_simhash_fingerprints, _simhash_sql),
+    "fingerprint_groups": (q_fingerprint_groups, _fingerprint_sql),
+    "lang_id": (q_lang_id, _langid_sql),
+    "quality_score": (q_quality_score, _quality_score_sql),
+    "cosine_topk": (q_cosine_topk, _cosine_topk_sql),
+}
+
+
+def spark_queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        name: builder(D.DUCKDB)
+        for name, (_, builder) in REGISTRY.items()
+        if builder is not None
+    }

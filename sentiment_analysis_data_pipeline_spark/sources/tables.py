@@ -1,0 +1,37 @@
+"""Parquet table access for the driver testdata star schema.
+
+Replaces the reference's MongoDB scans (find/find_one/count_documents at e.g.
+dags/sentiment_analysis_dag.py:36-43, dags/data_quality.py:30-32) with columnar
+parquet scans: Catalyst pushes predicates into the scan and prunes columns, so
+the manual projection-pushdown the reference hand-writes
+(find({}, {'article.url': 1}), dags/sentiment_analysis_dag.py:37) is free.
+
+At cluster scale the same loaders point at partitioned table roots
+(partitionBy(date) -- SURVEY.md §4) instead of single files; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Plain parquet scan -- no driver-side I/O."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
