@@ -1,0 +1,85 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+   "sf": ..., "rows": {name: n}}
+
+Baseline context (BASELINE.md): the reference publishes no benchmark numbers;
+its operating envelope tops out at ~0.67 rows/s ingest and an hourly batch of
+<=1,200 articles. Anything here beats that by orders of magnitude -- the
+driver target is therefore staying within 2x of the recorded per-round
+baseline at the same scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship pipeline + the heaviest representatives of each
+# operator family (joins/aggs, windows, dedup, similarity, search).
+BENCH_QUERIES = [
+    "sentiment_terms_agg",
+    "sentiment_scores",
+    "pricing_summary",
+    "top_customer_revenue",
+    "hourly_events",
+    "sessionize",
+    "topk_per_type",
+    "keyword_search",
+    "exact_dedup",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "cosine_topk",
+    "quality_score",
+]
+
+
+def main() -> None:
+    from sentiment_analysis_data_pipeline_spark.queries import spark_queries
+    from sentiment_analysis_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = spark_queries()
+
+    # JVM/codegen/scan/shuffle warmup outside the timed region (constant
+    # session-init costs, not engine scaling properties)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    warm.repartition(4).groupBy("source").count().collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        out = qs[name](spark, SF_DIR)
+        n = len(out.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        rows[name] = n
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "rows": rows,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,41 +27,71 @@ def md5_id(d: str, url_expr: str, title_expr: str) -> str:
     return f"md5(coalesce(nullif({url_expr}, ''), {title_expr}, ''))"
 
 
-def minhash_element(d: str, shingle_var: str, seed: int) -> str:
-    """One hash-family member: first HEX_WIDTH hex chars of md5(seed || '_' || shingle)."""
-    return f"substring(md5(concat('{seed}_', {shingle_var})), 1, {HEX_WIDTH})"
+def hex_to_bigint(d: str, hex_expr: str, ndigits: int) -> str:
+    """Parse a fixed-width lowercase-hex substring into BIGINT, portably.
+
+    Spark has conv(); DuckDB has neither conv nor 0x-string casts, so the
+    shared form is an unrolled positional polynomial over strpos -- identical
+    surface in both dialects, pure integer ops.
+    """
+    # power-of-16 literals must be BIGINT: small powers fit int32 and
+    # int32 * digit overflows under ANSI mode
+    terms = " + ".join(
+        f"({hex_digit_val(d, f'substring({hex_expr}, {j + 1}, 1)')}) * cast({16 ** (ndigits - 1 - j)} as bigint)"
+        for j in range(ndigits)
+    )
+    return f"({terms})"
 
 
-def minhash_signature(d: str, shingles_expr: str, k: int = 16) -> str:
-    """MinHash signature: array of k per-seed minima over the shingle set.
+def md5_array(d: str, arr_expr: str) -> str:
+    """One md5 hex per array element -- compute ONCE upstream, reuse below."""
+    return D.arr_transform(d, arr_expr, "s -> md5(s)")
+
+
+def hash_halves_cols(d: str, hex_col: str = "h") -> tuple[str, str]:
+    """(h1, h2) scalar expressions over one md5-hex COLUMN: the two 56-bit
+    integer halves, the inputs to Kirsch-Mitzenmacher double hashing.
+
+    Column (not array-lambda) form on purpose: scalar projections run inside
+    whole-stage codegen; Spark evaluates higher-order-function lambdas
+    interpreted, ~10x slower for this polynomial (measured at sf0.1).
+    """
+    return (
+        hex_to_bigint(d, hex_col, 14),
+        hex_to_bigint(d, f"substring({hex_col}, 15, 14)", 14),
+    )
+
+
+def km_minhash_aggs(k: int = 16) -> list[str]:
+    """MinHash signature as k aggregate expressions over exploded
+    (doc, h1, h2) rows: min(h1 + i*h2) AS m{i}.
 
     Broder's MinHash (Broder 1997, 'On the resemblance and containment of
-    documents'): P[min_h(A) = min_h(B)] = Jaccard(A, B). k independent hash
-    family members are simulated by seeding md5.
+    documents'): P[min_h(A) = min_h(B)] = Jaccard(A, B). The k family members
+    use Kirsch-Mitzenmacher double hashing (Kirsch & Mitzenmacher 2006):
+    g_i(x) = h1(x) + i*h2(x) -- ONE md5 per shingle total, then k integer
+    combinations. h1 < 2^56 and i*h2 <= 15*2^56 < 2^60: far from BIGINT
+    overflow (ANSI mode would throw).
 
-    Returns array<string> of length k (elements null iff shingle set empty --
-    filter empties upstream). Computed entirely with higher-order functions:
-    no explode, no shuffle, no Python.
+    Aggregate (not array-fold) form on purpose: min() gets map-side partial
+    aggregation, so the groupBy(doc) shuffle moves one row per doc per
+    partition -- the scale-correct shape -- and the arithmetic stays inside
+    whole-stage codegen. Identical SQL text works in both dialects.
     """
-    members = ", ".join(
-        D.arr_min(d, D.arr_transform(d, shingles_expr, f"s -> {minhash_element(d, 's', seed)}"))
-        for seed in range(k)
-    )
-    return f"array({members})" if d == D.SPARK else f"[{members}]"
+    return [f"min(h1 + {i} * h2) AS m{i}" for i in range(k)]
 
 
-def band_keys(d: str, signature_expr: str, bands: int, rows: int) -> str:
-    """LSH banding: split the k=bands*rows signature into `bands` groups and
-    hash each group to one bucket key 'b<i>|<md5 of the band slice>'.
-
-    Docs sharing >= 1 band key become candidate pairs; with k=16, b=4, r=4
-    the usual S-curve puts the match threshold around j ~ (1/b)^(1/r) ~ 0.7.
-    """
-    keys = ", ".join(
-        f"concat('b{b}|', md5({D.arr_join(d, D.arr_slice(d, signature_expr, b * rows + 1, rows), ',')}))"
-        for b in range(bands)
-    )
-    return f"array({keys})" if d == D.SPARK else f"[{keys}]"
+def band_keys_from_members(d: str, bands: int, rows: int) -> str:
+    """LSH band-key array over signature columns m0..m{bands*rows-1}:
+    'b<i>|' || md5 of the comma-joined band slice. Docs sharing >= 1 band key
+    become candidate pairs; k=16, b=4, r=4 puts the Jaccard S-curve threshold
+    near (1/b)^(1/r) ~ 0.7."""
+    cast_t = "string" if d == D.SPARK else "varchar"
+    keys = []
+    for b in range(bands):
+        joined = ", ".join(f"cast(m{b * rows + j} as {cast_t})" for j in range(rows))
+        keys.append(f"concat('b{b}|', md5(concat_ws(',', {joined})))")
+    return f"array({', '.join(keys)})" if d == D.SPARK else f"[{', '.join(keys)}]"
 
 
 def hex_digit_val(d: str, digit_expr: str) -> str:
@@ -70,28 +100,26 @@ def hex_digit_val(d: str, digit_expr: str) -> str:
     return f"({D.str_pos(d, chr(39) + '0123456789abcdef' + chr(39), digit_expr)} - 1)"
 
 
-def simhash(d: str, tokens_expr: str, bits: int = 32) -> str:
-    """SimHash (Charikar 2002) over a token array, `bits` wide (default 32 =
-    the first 8 hex digits of each token's md5).
+def simhash(d: str, hashes_expr: str, bits: int = 32) -> str:
+    """SimHash (Charikar 2002) over PRE-HASHED tokens (array of md5 hex
+    strings -- md5_array computed once upstream), `bits` wide (default 32 =
+    the first 8 hex digits of each token's hash).
 
     For each bit position i: sum over tokens of (+1 if bit set else -1); the
     fingerprint bit is 1 iff the sum is positive. Returned as a bit-string
     ('0'/'1' chars, fixed width) so Hamming distance is a simple
-    character-compare in both dialects.
+    character-compare in both dialects. Bit extraction is pure integer math
+    shared by both dialects: (hexdigit div 2^shift) % 2.
     """
     assert bits % 4 == 0
-    ndigits = bits // 4
-    # per token, per bit: ((hexdigit >> (3 - i % 4)) & 1) via arithmetic that
-    # both dialects share: (v div 2^shift) % 2
-    digit = f"substring(md5(t), {{pos}}, 1)"
     bit_exprs = []
     for i in range(bits):
         pos = i // 4 + 1
         shift = 3 - (i % 4)
-        dv = hex_digit_val(d, digit.format(pos=pos))
+        dv = hex_digit_val(d, f"substring(t, {pos}, 1)")
         bit = f"(({D.int_div(d, dv, str(2 ** shift))}) % 2)"
         contrib = f"case when {bit} = 1 then 1 else -1 end"
-        s = D.arr_sum_double(d, D.arr_transform(d, tokens_expr, f"t -> cast({contrib} as double)"))
+        s = D.arr_sum_double(d, D.arr_transform(d, hashes_expr, f"t -> cast({contrib} as double)"))
         bit_exprs.append(f"case when ({s}) > 0 then '1' else '0' end")
     return f"concat({', '.join(bit_exprs)})"
 

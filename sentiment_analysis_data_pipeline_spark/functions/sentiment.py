@@ -112,7 +112,8 @@ def confidence(avg_col: str) -> str:
 
 def sentiment_select_sql(d: str, text_expr: str) -> dict[str, str]:
     """The full kernel as named SQL fragments over a raw text expression.
-    Keys are the output column names used engine-wide."""
+    Keys are the output column names used engine-wide. (Inline form -- for
+    hot paths prefer the layered form below, which computes each sum once.)"""
     toks = tokenize(d, text_expr)
     vc = vader_compound(d, toks)
     tb = textblob_polarity(d, toks)
@@ -124,6 +125,59 @@ def sentiment_select_sql(d: str, text_expr: str) -> dict[str, str]:
         "overall": classify(avg),
         "confidence": confidence(avg),
     }
+
+
+# --- layered kernel: each intermediate computed exactly once per row -------
+
+
+def score_layers() -> list[dict[str, str]]:
+    """Dialect-free score formulas over the kernel sums (_ssum, _wsum, _nm):
+    the same single IEEE ops regardless of how the sums were produced (array
+    fold or lexicon-join aggregate -- both exact)."""
+    return [
+        {
+            "vader_compound": f"(_ssum / sqrt(_ssum * _ssum + {VADER_ALPHA}.0))",
+            "textblob_polarity": "(case when _nm = 0 then 0.0 else _wsum / cast(_nm as double) end)",
+        },
+        {"avg_score": "((vader_compound + textblob_polarity) / 2.0)"},
+        {"overall": classify("avg_score"), "confidence": confidence("avg_score")},
+    ]
+
+
+def kernel_layers(d: str, text_expr: str) -> list[dict[str, str]]:
+    """The kernel as a sequence of projection layers, each referencing only
+    columns defined in earlier layers -- so every intermediate (token array,
+    matched subset, sums) is computed exactly once per row in both engines.
+    The math is identical to the inline form: the same exact dyadic sums and
+    the same single IEEE ops.
+
+    NOTE: array-lambda form; Spark evaluates HOF lambdas interpreted, so for
+    hot paths prefer the lexicon-JOIN shape (lexicon_values_sql + explode +
+    broadcast join + partial agg), which stays inside whole-stage codegen and
+    produces bit-identical results (exact dyadic sums are order-free).
+    """
+    return [
+        {"_toks": tokenize(d, text_expr)},
+        {"_mtoks": D.arr_filter(d, "_toks", f"t -> ({_weight_case(d)}) <> 0.0")},
+        {
+            "_ssum": D.arr_sum_double(d, D.arr_transform(d, "_toks", f"t -> {_sign_case(d)}")),
+            "_wsum": D.arr_sum_double(d, D.arr_transform(d, "_mtoks", f"t -> {_weight_case(d)}")),
+            "_nm": f"cast({D.arr_size(d, '_mtoks')} as bigint)",
+        },
+        *score_layers(),
+    ]
+
+
+def lexicon_values_sql(d: str) -> str:
+    """The lexicon as an inline VALUES relation `(word, w, sgn)` -- the
+    broadcast side of the join-shaped kernel. Explicit double casts: DuckDB
+    parses bare decimal literals as DECIMAL, Spark as double; the cast pins
+    both to the same exact dyadic doubles."""
+    rows = ", ".join(
+        f"('{w}', cast({s!r} as double), cast({1.0 if s > 0 else -1.0} as double))"
+        for w, s in sorted(LEXICON.items())
+    )
+    return f"(VALUES {rows}) AS _lex(word, w, sgn)"
 
 
 # ---------------------------------------------------------------------------

@@ -64,17 +64,21 @@ def minhash_pairs(
     """MinHash + LSH near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Plan shape (the scale-critical part):
-      1. per-doc, shuffle-free: tokens -> word-3-gram shingles -> k-minhash
-         signature -> `bands` band keys (all higher-order functions, one
-         projection, whole-stage codegen).
-      2. explode band keys -> self-equi-join on band key = candidate pairs.
-         Only docs agreeing on an entire band collide; the join key is a
-         35-byte hash, so the shuffle is (key, id, shingle-set) -- and the
-         shingle sets ride along only to score step 3 without a second join.
-      3. exact Jaccard on distinct shingle sets for candidates; filter.
+      1. tokens -> word-3-gram shingles per doc; explode to (doc, shingle)
+         rows so hashing runs as plain codegen'd projections (Spark evaluates
+         array-lambda HOFs interpreted -- measured ~10x slower here): ONE md5
+         per shingle, split into 56-bit halves h1/h2.
+      2. signature = groupBy(doc).agg(min(h1 + i*h2) for i in 0..k-1)
+         (Kirsch-Mitzenmacher double hashing). min() gets map-side partial
+         aggregation: the shuffle carries ~one row per doc, not per shingle.
+      3. band keys from the k mins -> explode -> self-equi-join on band key
+         carrying ONLY (band_key, id); distinct (id, id) candidate pairs.
+      4. join shingle sets back by id (two hash joins against the slim
+         per-doc shingle table), exact Jaccard, filter.
 
-    At 100 TB: band-key join is an equi-shuffle on uniformly-distributed hash
-    keys (no skew); k/bands/rows tune the S-curve, not the plan shape.
+    At 100 TB: both shuffles (doc-id agg, band-key join) are equi-shuffles on
+    uniformly distributed keys (no skew); k/bands/rows tune the S-curve, not
+    the plan shape.
     """
     shingled = (
         _with_tokens(df, content_col)
@@ -83,37 +87,40 @@ def minhash_pairs(
             F.expr(D.arr_distinct(D.SPARK, text.ngrams(D.SPARK, "_tokens", ngram))).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
+        # consumed by three branches (signature build + both jaccard
+        # re-joins): persist instead of recomputing tokenization 3x. At
+        # production scale this is "write the shingle/signature table once".
+        .persist()
     )
-    sig = shingled.withColumn(
-        "band_key",
-        F.explode(
-            F.expr(
-                hashing.band_keys(
-                    D.SPARK, hashing.minhash_signature(D.SPARK, "shingles", k), bands, rows
-                )
-            )
-        ),
+    h1, h2 = hashing.hash_halves_cols(D.SPARK, "h")
+    exploded = (
+        shingled.select("doc", F.explode("shingles").alias("s"))
+        .select("doc", F.md5("s").alias("h"))
+        .select("doc", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
     )
-    a = sig.select(
-        F.col("band_key"),
-        F.col("doc").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+    sig = exploded.groupBy("doc").agg(
+        *[F.expr(a.split(" AS ")[0]).alias(f"m{i}") for i, a in enumerate(hashing.km_minhash_aggs(k))]
     )
-    b = sig.select(
-        F.col("band_key"),
-        F.col("doc").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    banded = sig.select(
+        "doc",
+        F.explode(F.expr(hashing.band_keys_from_members(D.SPARK, bands, rows))).alias("band_key"),
+    ).persist()  # both sides of the self-join read this
+    a = banded.select("band_key", F.col("doc").alias("id_a"))
+    b = banded.select("band_key", F.col("doc").alias("id_b"))
     pairs = (
         a.join(b, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sh_a = shingled.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -172,9 +179,13 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint per document (bit-string column). Near-dup pairs =
     fingerprints within a small Hamming radius; see simhash_pairs."""
-    return _with_tokens(df, content_col).select(
-        F.col(id_col).alias("doc"),
-        F.expr(hashing.simhash(D.SPARK, "_tokens", bits)).alias("simhash"),
+    return (
+        _with_tokens(df, content_col)
+        .withColumn("_hs", F.expr(hashing.md5_array(D.SPARK, "_tokens")))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.expr(hashing.simhash(D.SPARK, "_hs", bits)).alias("simhash"),
+        )
     )
 
 

@@ -35,7 +35,9 @@ DOC_URL_SQL = {
 def documents_as_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the documents table to the article-envelope surface (P10 analog):
     doc_id, url, title (leading slice), text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..sources.tables import scattered
+
+    docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         "doc_id",
         F.expr(DOC_URL_SQL[D.SPARK]).alias("url"),
@@ -47,23 +49,45 @@ def documents_as_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sentiment_enrich(df: DataFrame, text_expr: str = "text") -> DataFrame:
-    """U1+U2+F8-F11: append the sentiment columns, all native expressions.
+def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """U1+U2+F8-F11: append the sentiment columns, all native operations, in
+    the kernel's scale shape: explode tokens -> broadcast-join the 31-row
+    lexicon -> per-doc sums (map-side combine: the shuffle carries one row
+    per doc) -> left-join back -> score formulas.
 
-    Layered selects keep each score computed once (vs naive re-inlining);
-    Catalyst collapses the projections into a single codegen stage.
+    Equivalent to a per-row lexicon loop but fully whole-stage-codegen
+    (Spark's array-lambda HOFs evaluate interpreted, ~10x slower here), and
+    exact: dyadic lexicon weights make the sums order-independent doubles.
+    `id_col` must be unique per row (it keys the join-back).
     """
-    # tokenize once, reuse for both analyzers
-    step1 = df.withColumn("_toks", F.expr(TX.tokenize(D.SPARK, text_expr)))
-    step2 = step1.withColumn(
-        "vader_compound", F.expr(S.vader_compound(D.SPARK, "_toks"))
-    ).withColumn("textblob_polarity", F.expr(S.textblob_polarity(D.SPARK, "_toks")))
-    step3 = step2.withColumn("avg_score", F.expr(S.avg_score()))
-    return (
-        step3.withColumn("overall", F.expr(S.classify("avg_score")))
-        .withColumn("confidence", F.expr(S.confidence("avg_score")))
-        .drop("_toks")
+    spark = df.sparkSession
+    # lexicon as a SQL VALUES relation: stays entirely JVM-side
+    # (createDataFrame would route 31 rows through a Python RDD and spin
+    # Python workers into an otherwise pure-JVM plan)
+    lex = spark.sql(f"SELECT * FROM {S.lexicon_values_sql(D.SPARK)}")
+    ex = df.select(
+        F.col(id_col), F.explode(F.expr(TX.tokenize(D.SPARK, text_expr))).alias("t")
     )
+    sums = (
+        ex.join(F.broadcast(lex), ex.t == lex.word)
+        .groupBy(id_col)
+        .agg(
+            F.sum("sgn").alias("s_ssum"),
+            F.sum("w").alias("s_wsum"),
+            F.count("*").alias("s_nm"),
+        )
+    )
+    out = (
+        df.join(sums, on=id_col, how="left")
+        .withColumn("_ssum", F.coalesce("s_ssum", F.lit(0.0)))
+        .withColumn("_wsum", F.coalesce("s_wsum", F.lit(0.0)))
+        .withColumn("_nm", F.coalesce("s_nm", F.lit(0)).cast("long"))
+        .drop("s_ssum", "s_wsum", "s_nm")
+    )
+    for layer in S.score_layers():
+        for name, expr in layer.items():
+            out = out.withColumn(name, F.expr(expr))
+    return out.drop("_ssum", "_wsum", "_nm")
 
 
 def processed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,9 +47,20 @@ def _events_view(spark: SparkSession, sf_dir: str) -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
 
 
+# CPU-heavy per-row tables worth scattering across cores; the agg-bound
+# TPC-H tables are NOT scattered -- for them the repartition shuffle costs
+# more than the single-pass aggregation saves (measured at sf0.1).
+_SCATTER_TABLES = {"documents", "embeddings"}
+
+
 def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    from .sources.tables import scattered
+
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n in _SCATTER_TABLES:
+            df = scattered(spark, df)
+        df.createOrReplaceTempView(n)
 
 
 def _ts_ns(d: str) -> str:
@@ -57,37 +68,82 @@ def _ts_ns(d: str) -> str:
     return "ts" if d == D.SPARK else "epoch_ns(ts)"
 
 
+def _layered_sql(base: str, layers: list[dict[str, str]], final: str, suffix: str = "") -> str:
+    """Nested-SELECT application of projection layers: each layer sees the
+    previous layers' aliases exactly once (no lateral-alias reliance, works
+    in both dialects). `final` is the outer SELECT list; `suffix` holds
+    WHERE/ORDER BY/LIMIT over the layer aliases."""
+    inner = base
+    for i, layer in enumerate(layers):
+        cols = ", ".join(f"{expr} AS {name}" for name, expr in layer.items())
+        inner = f"SELECT *, {cols} FROM ({inner}) AS _l{i}"
+    return f"{final} FROM ({inner}) AS _fin {suffix}"
+
+
 # =========================================================================
 # §2.9/§2.7 -- the sentiment kernel and flagship pipeline
 # =========================================================================
 
 
-def _flagship_sql(d: str) -> str:
-    frag = S.sentiment_select_sql(d, TEXT)
-    return f"""
-        WITH valid AS (
-            SELECT doc_id, {TEXT} AS text
-            FROM documents
-            WHERE trim({TEXT}) <> ''
+def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "") -> str:
+    """The sentiment kernel in its scale shape, in either dialect:
+    explode tokens -> join the (broadcastable) lexicon VALUES relation ->
+    per-doc partial-aggregated sums -> left-join back -> score layers.
+
+    Bit-identical to the array-fold kernel: the sums are exact dyadic doubles
+    (order-free), the score formulas are the same single IEEE ops. But the
+    whole plan stays inside whole-stage codegen -- no interpreted lambdas --
+    and the shuffle carries one row per doc (map-side combine).
+    """
+    toks = TX.tokenize(d, "text")
+    ex = "explode(_toks)" if d == D.SPARK else "unnest(_toks)"
+    scored_base = f"""
+        WITH base AS ({base}),
+        tokd AS (SELECT {id_col}, {toks} AS _toks FROM base),
+        ex AS (SELECT {id_col}, {ex} AS t FROM tokd),
+        sums AS (
+            SELECT e.{id_col},
+                   sum(_lex.sgn) AS s_ssum, sum(_lex.w) AS s_wsum,
+                   cast(count(*) as bigint) AS s_nm
+            FROM ex e JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
+            GROUP BY e.{id_col}
         ),
-        scored AS (SELECT {frag['overall']} AS key FROM valid)
+        joined AS (
+            SELECT b.*, coalesce(s.s_ssum, 0.0) AS _ssum,
+                   coalesce(s.s_wsum, 0.0) AS _wsum,
+                   cast(coalesce(s.s_nm, 0) as bigint) AS _nm
+            FROM base b LEFT JOIN sums s ON b.{id_col} = s.{id_col}
+        )
+        SELECT * FROM joined
+    """
+    return _layered_sql(scored_base, S.score_layers(), final, suffix)
+
+
+def _flagship_sql(d: str) -> str:
+    base = f"SELECT doc_id, {TEXT} AS text FROM documents WHERE trim({TEXT}) <> ''"
+    scored = _kernel_join_sql(d, base, "doc_id", "SELECT overall AS key")
+    return f"""
         SELECT key, cast(count(*) as bigint) AS doc_count
-        FROM scored GROUP BY key
+        FROM ({scored}) s GROUP BY key
         ORDER BY doc_count DESC, key ASC LIMIT 10
     """
 
 
 def q_sentiment_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship EP3: validate -> kernel -> classify -> terms agg (A4/O3)."""
-    return flagship_terms_agg(spark, sf_dir).select(
-        "key", F.col("doc_count").cast("long").alias("doc_count")
-    )
+    """Flagship EP3: validate -> kernel -> classify -> terms agg (A4/O3).
+    (The equivalent DataFrame-API pipeline lives in plans/pipeline.py and is
+    exercised by tests; the SQL template keeps driver parity structural.)"""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_flagship_sql(D.SPARK))
 
 
 def _sentiment_scores_sql(d: str) -> str:
-    frag = S.sentiment_select_sql(d, TEXT)
-    cols = ", ".join(f"{frag[k]} AS {k}" for k in ("vader_compound", "textblob_polarity", "avg_score", "overall", "confidence"))
-    return f"SELECT doc_id, {cols} FROM documents"
+    return _kernel_join_sql(
+        d,
+        f"SELECT doc_id, {TEXT} AS text FROM documents",
+        "doc_id",
+        "SELECT doc_id, vader_compound, textblob_polarity, avg_score, overall, confidence",
+    )
 
 
 def q_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,16 +309,13 @@ def q_quality_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _term_query_sql(d: str) -> str:
-    frag = S.sentiment_select_sql(d, TEXT)
-    return f"""
-        WITH scored AS (
-            SELECT doc_id, n_chars, {frag['overall']} AS overall FROM documents
-        )
-        SELECT doc_id, n_chars FROM scored
-        WHERE overall = 'positive'
-        ORDER BY n_chars DESC, doc_id ASC
-        LIMIT 50
-    """
+    return _kernel_join_sql(
+        d,
+        f"SELECT doc_id, n_chars, {TEXT} AS text FROM documents",
+        "doc_id",
+        "SELECT doc_id, n_chars",
+        "WHERE overall = 'positive' ORDER BY n_chars DESC, doc_id ASC LIMIT 50",
+    )
 
 
 def q_term_query_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +378,9 @@ def _keyword_search_sql(d: str) -> str:
 
 def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3: analyzed multi_match with overlap relevance + deterministic top-k."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .sources.tables import scattered
+
+    docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
     out = search.keyword_search(docs, SEARCH_QUERY, content_col=TEXT)
     return out.select("doc", F.col("score").cast("long").alias("score"))
 
@@ -482,13 +537,19 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql(d: str) -> str:
     toks = TX.tokenize(d, TEXT)
     shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
-    sig = H.minhash_signature(d, "shingles", k=16)
-    bands = H.band_keys(d, "sig", bands=4, rows=4)
+    h1, h2 = H.hash_halves_cols(d, "h")
+    aggs = ", ".join(H.km_minhash_aggs(16))
+    bands = H.band_keys_from_members(d, bands=4, rows=4)
     inter = D.arr_size(d, D.arr_intersect(d, "p.sh_a", "p.sh_b"))
-    explode = (
-        f"SELECT doc, shingles, explode(band_arr) AS band_key FROM bandarr"
+    explode_sh = (
+        "SELECT doc, explode(shingles) AS s FROM nonempty"
         if d == D.SPARK
-        else f"SELECT doc, shingles, unnest(band_arr) AS band_key FROM bandarr"
+        else "SELECT doc, unnest(shingles) AS s FROM nonempty"
+    )
+    explode_bands = (
+        "SELECT doc, explode(band_arr) AS band_key FROM bandarr"
+        if d == D.SPARK
+        else "SELECT doc, unnest(band_arr) AS band_key FROM bandarr"
     )
     return f"""
         WITH tokd AS (
@@ -500,13 +561,20 @@ def _minhash_sql(d: str) -> str:
         nonempty AS (
             SELECT doc, shingles FROM shingled WHERE {D.arr_size(d, 'shingles')} > 0
         ),
+        exploded AS ({explode_sh}),
+        hashed AS (
+            SELECT doc, md5(s) AS h FROM exploded
+        ),
+        halves AS (
+            SELECT doc, {h1} AS h1, {h2} AS h2 FROM hashed
+        ),
         sigs AS (
-            SELECT doc, shingles, {sig} AS sig FROM nonempty
+            SELECT doc, {aggs} FROM halves GROUP BY doc
         ),
         bandarr AS (
-            SELECT doc, shingles, {bands} AS band_arr FROM sigs
+            SELECT doc, {bands} AS band_arr FROM sigs
         ),
-        bands AS ({explode}),
+        bands AS ({explode_bands}),
         pairs AS (
             SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
             FROM bands a JOIN bands b ON a.band_key = b.band_key
@@ -529,7 +597,9 @@ def _minhash_sql(d: str) -> str:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact Jaccard verification."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    from .sources.tables import scattered
+
+    docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     out = dedup.minhash_pairs(docs, "text", "doc_id")
@@ -564,7 +634,9 @@ def _ngram_jaccard_sql(d: str) -> str:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted shingle index."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    from .sources.tables import scattered
+
+    docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
         "text", F.coalesce("text", F.lit(""))
     )
     out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id")
@@ -573,10 +645,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql(d: str) -> str:
     toks = TX.tokenize(d, TEXT)
-    sim = H.simhash(d, "toks", bits=32)
+    sim = H.simhash(d, "hs", bits=32)
     return f"""
-        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents)
-        SELECT doc, {sim} AS simhash FROM tokd
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        hashed AS (SELECT doc, {H.md5_array(d, 'toks')} AS hs FROM tokd)
+        SELECT doc, {sim} AS simhash FROM hashed
     """
 
 

@@ -27,6 +27,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def scattered(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a low-partition-count scan across the cluster before CPU-heavy
+    per-row work.
+
+    Why: the testdata tables are single small parquet files, so the scan
+    yields ONE input partition and every downstream projection runs on one
+    core. At production scale tables arrive in many files/row-groups and this
+    is a no-op-shaped guard; at test scale it is the difference between 1x
+    and Nx cores on tokenization/hashing-bound plans. An EXPLICIT partition
+    count is used because AQE's advisory coalescing would fold a few hundred
+    KB right back into one partition.
+    """
+    # No partition-count probe: df.rdd materializes an RDD conversion that
+    # costs more than the unconditional tiny-table shuffle it would avoid.
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
