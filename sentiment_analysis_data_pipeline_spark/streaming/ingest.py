@@ -1,0 +1,161 @@
+"""Structured Streaming ingest: the reference's Kafka producer/consumer
+processes (EP1/EP2, SURVEY.md §3) as one streaming plan.
+
+Reference behavior replaced here:
+  S3/S4  per-message Kafka produce/consume loops
+         (producers/base_producer.py:25-33, consumers/mongodb_consumer.py:62-81)
+         -> readStream/writeStream with checkpointing: the at-least-once
+         auto-commit consumer (configs/kafka_config.py:22-24) becomes
+         exactly-once into idempotent sinks.
+  S5/J2/T5  read-before-write URL dedup + unique-index backstop
+         (database/mongodb_handler.py:53-58, database/init-mongo.js:8)
+         -> foreachBatch MERGE: dropDuplicates within the batch + left-anti
+         join against the sink table. The reference's check-then-insert race
+         disappears: the anti-join and append are one batch transaction per
+         epoch.
+  T1     5-minute producer cadence (scripts/start_producers.py:42-43)
+         -> trigger(processingTime="5 minutes"); tests use availableNow.
+  T3/T4  1-hour lookback that silently drops late data
+         (dags/sentiment_analysis_dag.py:40-43) -> explicit watermark policy;
+         the backlog anti-join actually FIXES the reference's late-data loss
+         (documented divergence, SURVEY.md §2.10 T4).
+
+No Kafka broker exists in the test environment: the Kafka entry points
+construct the exact reader/writer configuration (so the code path is real)
+but tests exercise the same pipeline through the file source with
+Trigger.AvailableNow -- the two sources are interchangeable behind
+``from_json`` envelope parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ENVELOPE_SCHEMA
+
+TOPIC_NEWS_RAW = "news-raw"  # scripts/create_topics.sh:13-19
+
+
+def kafka_article_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = TOPIC_NEWS_RAW,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S4: Kafka envelope stream -> typed columns.
+
+    Mirrors the consumer config (configs/kafka_config.py:19-25): subscribe,
+    earliest offsets; group semantics are replaced by the checkpoint. One
+    input task per topic partition (3 in the reference topology).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return _parse_envelopes(raw.selectExpr("CAST(value AS STRING) AS json"))
+
+
+def file_article_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Test-rig source: JSON envelope files dropped into a directory -- the
+    same envelope parsing as the Kafka path (SURVEY.md §7 phase 5)."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(source_dir)
+        .withColumnRenamed("value", "json")
+    )
+    return _parse_envelopes(raw)
+
+
+def _parse_envelopes(json_df: DataFrame) -> DataFrame:
+    """P3 envelope-shape validation via from_json: corrupt rows parse to null
+    and are filtered (consumers/mongodb_consumer.py:42-47 semantics)."""
+    parsed = json_df.select(F.from_json("json", ENVELOPE_SCHEMA).alias("env"))
+    return (
+        parsed.filter(
+            F.col("env").isNotNull()
+            & F.col("env.source_api").isNotNull()
+            & F.col("env.article").isNotNull()
+        )
+        .select("env.*")
+        .withColumn("url", F.col("article.url"))
+    )
+
+
+def kafka_envelope_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """S3: producer-side writeStream options (acks etc. are broker-side
+    defaults; the reference's 3-retries/sync-send loop is replaced by the
+    checkpointed epoch)."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def merge_into_parquet(target_path: str, key: str = "url"):
+    """S5/J2/T5: idempotent MERGE-style sink for foreachBatch.
+
+    Per epoch: dedup within the batch (source duplicates -- the same article
+    re-fetched every poll), then left-anti join against the current sink
+    content (cross-history duplicates), then append. With checkpointing this
+    gives exactly-once landing; the reference's read-check-insert race
+    (database/mongodb_handler.py:53-58) cannot occur because each epoch is a
+    single append.
+
+    On Delta this would be ``MERGE WHEN NOT MATCHED THEN INSERT`` (no Delta
+    jars in this environment -- parquet + anti-join expresses the same
+    semantics; SURVEY.md §2.1 S5).
+    """
+
+    def do_merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        deduped = batch.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(target_path).select(key).distinct()
+            fresh = deduped.join(existing, on=key, how="left_anti")
+        except Exception:
+            fresh = deduped  # first epoch: sink does not exist yet
+        fresh.write.mode("append").parquet(target_path)
+
+    return do_merge
+
+
+def run_file_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "5 minutes",
+):
+    """EP1+EP2 end-to-end: envelope stream -> validate -> MERGE sink.
+
+    available_now=True drains the backlog and stops (test/CI mode; also the
+    faithful analog of the reference's scheduled incremental batch, T3);
+    otherwise runs continuously on the reference's 5-minute cadence (T1).
+    """
+    stream = file_article_stream(spark, source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(merge_into_parquet(target_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_freshness(stream: DataFrame, ts_col: str = "fetched_at") -> DataFrame:
+    """T5/T6 streaming form: tumbling 1-hour ingest counts with a 1-hour
+    watermark -- the explicit version of the reference's silent 1-h lookback
+    (late rows beyond the watermark are dropped BY POLICY, not by accident).
+    """
+    return (
+        stream.withWatermark(ts_col, "1 hour")
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_articles"))
+        .select(F.col("w.start").alias("window_start"), "n_articles")
+    )

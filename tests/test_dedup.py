@@ -1,0 +1,60 @@
+"""Dedup suite tests: exact, anti-join, MinHash+LSH, n-gram Jaccard, SimHash
+on a crafted corpus with known duplicate structure."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentiment_analysis_data_pipeline_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and merges sorted runs"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one token changed
+FAR = "completely different content about embeddings vectors and cosine similarity search"
+
+
+def _docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR), (4, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 1 identical
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_anti_join(spark):
+    docs = _docs(spark).select("doc_id")
+    processed = docs.filter("doc_id in (0, 2)")
+    left = dedup.anti_join_new(docs, processed, key="doc_id").collect()
+    assert sorted(r["doc_id"] for r in left) == [1, 3, 4]
+
+
+def test_minhash_finds_identical_and_near(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.minhash_pairs(_docs(spark), "text", "doc_id").collect()}
+    assert pairs.get((0, 1)) == 1.0  # identical docs always collide
+    # the near pair shares most shingles; LSH at j~0.7 threshold should see it
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert not any(3 in p for p in pairs)  # FAR never pairs
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(_docs(spark), "text", "doc_id").collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_pairs(spark):
+    fp = {r["doc"]: r["simhash"] for r in dedup.simhash_fingerprints(_docs(spark), "text", "doc_id").collect()}
+    assert fp[0] == fp[1]  # identical text -> identical fingerprint
+    assert len(fp[0]) == 32 and set(fp[0]) <= {"0", "1"}
+    ham02 = sum(a != b for a, b in zip(fp[0], fp[2]))
+    ham03 = sum(a != b for a, b in zip(fp[0], fp[3]))
+    assert ham02 < ham03  # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(_docs(spark), "text", "doc_id", radius=3).collect()}
+    assert (0, 1) in pairs

@@ -1,0 +1,39 @@
+"""Multimodal plumbing tests: the decode is stubbed (no imaging libs in this
+environment), the Spark-side schema/batching/explode shapes are real."""
+
+from __future__ import annotations
+
+import pytest
+
+from sentiment_analysis_data_pipeline_spark.operators import multimodal
+
+
+def test_extract_features_schema_and_determinism(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    out = multimodal.extract_features(media)
+    rows = out.collect()
+    assert out.schema.simpleString() == multimodal.FEATURES_SCHEMA.simpleString()
+    assert len(rows) == 12
+    by_id = {r["media_id"]: r for r in rows}
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert by_id["m0000"]["features"] == again["m0000"]["features"]
+
+
+def test_decode_stub_is_explicit():
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pd.Series([b"x"]))
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    # only video rows expand; 5000 ms duration -> 5 frames (0..4999 step 1000)
+    videos = media.filter("kind = 'video'").count()
+    assert len(rows) == videos * 5
+    assert {r["frame_ts_ms"] for r in rows} == {0, 1000, 2000, 3000, 4000}

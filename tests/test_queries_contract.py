@@ -1,0 +1,39 @@
+"""Driver-contract smoke: every registry entry runs and returns rows with a
+stable schema; oracle coverage is complete."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert df.columns == ["key", "doc_count"]
+
+
+def test_oracle_coverage():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 25
+    # every oracle is syntactically runnable duckdb SQL
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'")
+    for name, sql in oracles.items():
+        con.sql(sql)  # raises on syntax/semantic errors
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_query_runs(spark, sf_dir, name):
+    df = E.queries()[name](spark, sf_dir)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
+    if name not in ("keyword_search",):  # search may legitimately be small
+        assert len(rows) > 0

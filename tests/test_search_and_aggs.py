@@ -1,0 +1,81 @@
+"""Search surface (Q2/Q3) + aggregation/monitor (A1-A4, T6) tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_pipeline_spark.operators import aggregates, search
+from sentiment_analysis_data_pipeline_spark.plans.monitors import run_monitors
+
+
+def _corpus(spark):
+    rows = [
+        (0, "spark merge of sorted partitions"),
+        (1, "the window functions of spark"),
+        (2, "window merge spark pipelines"),  # matches all three terms
+        (3, "nothing relevant here"),
+        (4, "merge merge merge"),  # repeated term counts once
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_keyword_search_ranking(spark):
+    out = search.keyword_search(_corpus(spark), "Spark WINDOW merge!", size=10).collect()
+    scores = {r["doc"]: r["score"] for r in out}
+    assert scores[2] == 3
+    assert scores[0] == 2  # spark + merge
+    assert scores[4] == 1  # distinct overlap, not term frequency
+    assert 3 not in scores
+    assert out[0]["doc"] == 2  # ranked first
+
+
+def test_keyword_search_empty_query(spark):
+    assert search.keyword_search(_corpus(spark), "the and of", size=10).count() == 0
+
+
+def test_term_query_sort_limit(spark):
+    df = spark.createDataFrame(
+        [(i, "positive" if i % 2 == 0 else "negative", i * 10) for i in range(10)],
+        "id long, label string, score long",
+    )
+    out = search.term_query(df, "label", "positive", sort_col="score", tiebreak="id", size=3).collect()
+    assert [r["id"] for r in out] == [8, 6, 4]
+
+
+def test_terms_agg_top_buckets(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b" if i < 8 else "c") for i in range(10)],
+        "id long, k string",
+    )
+    out = aggregates.terms_agg(df, "k", size=2).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("a", 5), ("b", 3)]
+
+
+def test_quality_and_freshness_monitors(spark):
+    now = F.lit(datetime.datetime(2024, 1, 2, 0, 0, 0))
+    raw = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 23, 30),), (datetime.datetime(2024, 1, 1, 10, 0),)],
+        "fetched_at timestamp",
+    )
+    processed = spark.createDataFrame(
+        [(1, "positive"), (2, "negative"), (3, None)],
+        "id long, sentiment string",
+    )
+    report = run_monitors(raw, processed, now=now, threshold=90.0)
+    assert report.fresh_count == 1
+    assert report.quality_rate == pytest.approx(200 / 3)
+    assert not report.passed and "quality" in report.failures[0]
+
+    ok = run_monitors(raw, processed, now=now, threshold=50.0)
+    assert ok.passed
+
+
+def test_strict_monitor_raises(spark):
+    now = F.lit(datetime.datetime(2024, 1, 2))
+    stale = spark.createDataFrame([(datetime.datetime(2023, 1, 1),)], "fetched_at timestamp")
+    processed = spark.createDataFrame([(1, "positive")], "id long, sentiment string")
+    with pytest.raises(AssertionError, match="freshness"):
+        run_monitors(stale, processed, now=now, strict=True)
