@@ -6,10 +6,10 @@ Parity strategy (see functions/dialect.py): delicate computations (the
 sentiment kernel, tokenization, hashing, vector folds) are generated for both
 dialects from one Python source, giving bit-identical doubles. Aggregates over
 doubles go through an exact decimal cast (`_dsum`) so cross-engine summation
-order cannot perturb results. All event-time math runs on epoch-nanosecond
-integers (events.parquet is timestamp[ns], which Spark reads via
-nanosAsLong as long -- DuckDB mirrors with epoch_ns(ts)), eliminating
-timezone/precision divergence entirely.
+order cannot perturb results. All event-time math runs on epoch-microsecond
+integers (events.parquet is timestamp[ns]: Spark reads it via nanosAsLong
+and divides to us; DuckDB mirrors with epoch_us(ts) since its TIMESTAMP is
+us-precision), eliminating timezone/precision divergence entirely.
 
 Integer outputs are BIGINT on both sides; every computed column is aliased
 identically in Spark and oracle SQL (driver hashes after sorting columns by
@@ -63,9 +63,12 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(n)
 
 
-def _ts_ns(d: str) -> str:
-    """events.ts as epoch nanos in either engine."""
-    return "ts" if d == D.SPARK else "epoch_ns(ts)"
+def _ts_us(d: str) -> str:
+    """events.ts as epoch MICROseconds in either engine. Microseconds, not
+    nanos: DuckDB's TIMESTAMP is us-precision internally, so epoch_ns() on a
+    ns-parquet column returns us-truncated values -- Spark (nanosAsLong)
+    would keep full ns and raw-value outputs would hash-mismatch."""
+    return "(ts div 1000)" if d == D.SPARK else "epoch_us(ts)"
 
 
 def _layered_sql(base: str, layers: list[dict[str, str]], final: str, suffix: str = "") -> str:
@@ -272,11 +275,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _freshness_sql(d: str) -> str:
-    ts = _ts_ns(d)
+    ts = _ts_us(d)
     return f"""
         SELECT cast(count(*) as bigint) AS recent_count
         FROM events
-        WHERE {ts} >= (SELECT max({ts}) FROM events) - 7200000000000
+        WHERE {ts} >= (SELECT max({ts}) FROM events) - 7200000000
     """
 
 
@@ -389,12 +392,12 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.10 -- event-time ops (batch forms of the streaming semantics)
 # =========================================================================
 
-HOUR_NS = 3_600_000_000_000
+HOUR_US = 3_600_000_000
 
 
 def _hourly_window_sql(d: str) -> str:
-    ts = _ts_ns(d)
-    bucket = D.int_div(d, ts, str(HOUR_NS))
+    ts = _ts_us(d)
+    bucket = D.int_div(d, ts, str(HOUR_US))
     return f"""
         SELECT cast({bucket} as bigint) AS hour_bucket,
                cast(count(*) as bigint) AS n_events,
@@ -434,13 +437,13 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sessions_sql(d: str) -> str:
-    ts = _ts_ns(d)
-    gap_ns = 30 * 60 * 1_000_000_000
+    ts = _ts_us(d)
+    gap_us = 30 * 60 * 1_000_000
     return f"""
         WITH deltas AS (
             SELECT user_id, event_id,
                    case when lag({ts}) OVER (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC) IS NULL
-                             or {ts} - lag({ts}) OVER (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC) > {gap_ns}
+                             or {ts} - lag({ts}) OVER (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC) > {gap_us}
                         then 1 else 0 end AS new_s
             FROM events
         )
@@ -736,6 +739,184 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# =========================================================================
+# Extended relational surface: rollup, pivot, running windows, as-of join,
+# distinct sets -- the general-analytics layer the engine ships beyond the
+# reference's own operators (SURVEY.md §2.4 note, §2.6).
+# =========================================================================
+
+
+def _distinct_sources_sql(d: str) -> str:
+    return "SELECT DISTINCT source FROM documents"
+
+
+def q_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distributed distinct-set (the reference collects all processed
+    URLs into a Python set, dags/sentiment_analysis_dag.py:36-38; this stays
+    distributed -- partial distinct before the shuffle)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_distinct_sources_sql(D.SPARK))
+
+
+def _rollup_sql(d: str) -> str:
+    return f"""
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               {_dsum("l_quantity", "sum_qty")},
+               cast(count(*) as bigint) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (grouping-sets family; one pass,
+    partial aggregation per grouping set). Null grouping keys are labeled so
+    no nullable column reaches the hash compare."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_rollup_sql(D.SPARK))
+
+
+def _pivot_sql(d: str) -> str:
+    # dialect-neutral pivot: explicit conditional aggregation (Spark's PIVOT
+    # clause and DuckDB's PIVOT both rewrite to exactly this)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = ",\n               ".join(
+        f"cast(count(case when o_orderpriority = '{p}' then 1 end) as bigint) AS p{i + 1}"
+        for i, p in enumerate(prios)
+    )
+    return f"""
+        SELECT o_orderstatus,
+               {cols}
+        FROM orders
+        GROUP BY o_orderstatus
+    """
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status x priority via the DataFrame pivot API
+    (Catalyst rewrites to the same conditional aggregation as the oracle)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    renamed = out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"p{i + 1}") for i, p in enumerate(prios)],
+    )
+    return renamed
+
+
+def _running_revenue_sql(d: str) -> str:
+    return """
+        SELECT o_custkey, o_orderkey,
+               cast(sum(cast(o_totalprice as decimal(18,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+        FROM orders
+    """
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer revenue: window aggregate over one (custkey)
+    shuffle. The decimal cast inside the frame keeps the running sums exact,
+    so cross-engine accumulation order cannot drift."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_running_revenue_sql(D.SPARK))
+
+
+def _asof_sql(d: str) -> str:
+    ts = _ts_us(d)
+    return f"""
+        SELECT event_id,
+               coalesce(max(case when event_type = 'signup' then {ts} end)
+                        OVER (PARTITION BY user_id ORDER BY {ts} ASC
+                              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        cast(-1 as bigint)) AS last_signup_us,
+               event_type
+        FROM events
+    """
+
+
+def _asof_outer_sql(d: str) -> str:
+    return f"""
+        SELECT event_id, last_signup_us
+        FROM ({_asof_sql(d)}) t
+        WHERE event_type = 'purchase'
+    """
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one -- SURVEY.md §4 / guide pattern):
+    each purchase matched to the user's most recent signup at-or-before its
+    event time, via a RANGE-framed window over epoch-nanos -- one shuffle on
+    user_id, no per-row subqueries. -1 = no prior signup (null-free output).
+    """
+    _events_view(spark, sf_dir)
+    return spark.sql(_asof_outer_sql(D.SPARK))
+
+
+def _ann_planes() -> list[list[float]]:
+    """Deterministic hyperplanes shared by both engines: md5-derived dyadic
+    values (computed driver-side once, embedded as literals -- recomputing
+    md5 per row per component would be pure waste)."""
+    import hashlib
+
+    planes = []
+    for p in range(8):
+        row = []
+        for i in range(1, EMB_DIM + 1):
+            digit = int(hashlib.md5(f"h{p}_{i}".encode()).hexdigest()[0], 16)
+            row.append(digit / 16.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def _ann_lsh_sql(d: str) -> str:
+    v = V.to_double_array(d, "embedding")
+    planes = _ann_planes()
+    sign_cols = []
+    for p, plane in enumerate(planes):
+        lit = ", ".join(repr(x) for x in plane)
+        arr = f"array({lit})" if d == D.SPARK else f"[{lit}]"
+        sign_cols.append(
+            f"case when {V.dot(d, 'v', arr, EMB_DIM)} >= 0.0 then '1' else '0' end"
+        )
+    bucket = f"concat({', '.join(sign_cols)})"
+    cos = V.cosine(d, "c.v", "q.v", EMB_DIM)
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        keyed AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+        q AS (SELECT vec_id AS q_id, v, bucket FROM keyed WHERE vec_id < 5),
+        cand AS (
+            SELECT q.q_id, c.vec_id, {cos} AS cosine
+            FROM keyed c JOIN q ON c.bucket = q.bucket
+            WHERE c.vec_id <> q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+            FROM cand
+        )
+        SELECT q_id, vec_id, cosine, cast(rnk as bigint) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors at scale: random-hyperplane LSH buckets
+    both sides, candidates meet via a bucket equi-join (skew-free hash keys),
+    exact cosine only within buckets, ranked per query. The brute-force
+    baseline is q_cosine_topk; this is the 100 TB path."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_ann_lsh_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -769,6 +950,12 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "lang_id": (q_lang_id, _langid_sql),
     "quality_score": (q_quality_score, _quality_score_sql),
     "cosine_topk": (q_cosine_topk, _cosine_topk_sql),
+    "distinct_sources": (q_distinct_sources, _distinct_sources_sql),
+    "rollup_summary": (q_rollup_summary, _rollup_sql),
+    "pivot_status_priority": (q_pivot_status_priority, _pivot_sql),
+    "running_revenue": (q_running_revenue, _running_revenue_sql),
+    "asof_last_signup": (q_asof_last_signup, _asof_outer_sql),
+    "ann_lsh": (q_ann_lsh, _ann_lsh_sql),
 }
 
 
