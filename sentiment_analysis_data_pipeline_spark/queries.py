@@ -917,6 +917,59 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ann_lsh_sql(D.SPARK))
 
 
+
+
+def _token_counts_sql(d: str) -> str:
+    # GPT-2-style pretokenizer approximation: letter runs | digit runs |
+    # single non-alnum-non-space. Simple enough to behave identically in
+    # Java regex (Spark) and RE2 (DuckDB).
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    if d == D.SPARK:
+        bpe = f"size(regexp_extract_all({TEXT}, '{pat}', 0))"
+    else:
+        bpe = f"len(regexp_extract_all({TEXT}, '{pat}'))"
+    return f"""
+        SELECT doc_id,
+               {TX.word_count(d, TEXT)} AS ws_tokens,
+               cast({bpe} as int) AS bpe_tokens,
+               {TX.char_count(d, TEXT)} AS chars
+        FROM documents
+    """
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text-analysis op): whitespace tokens plus a
+    BPE-style pretokenizer count (letter/digit runs + punctuation singles) --
+    the cheap proxy for LLM token budgeting over a corpus."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_token_counts_sql(D.SPARK))
+
+
+def _label_centroids_sql(d: str) -> str:
+    v = V.to_double_array(d, "embedding")
+    if d == D.SPARK:
+        ex = "SELECT label, posexplode(v) AS (idx, x) FROM emb"
+    else:
+        ex = "SELECT label, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x FROM emb"
+    return f"""
+        WITH emb AS (SELECT label, {v} AS v FROM embeddings),
+        ex AS ({ex})
+        SELECT cast(label as bigint) AS label, cast(idx as bigint) AS idx,
+               cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS centroid
+        FROM ex GROUP BY label, idx
+    """
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the building block for IVF-style ANN
+    partitioning and class prototypes): posexplode to (label, dim, value)
+    rows -> partial-aggregated sums per (label, dim). The decimal cast makes
+    the float sums order-independent, so the result is exact at any
+    parallelism."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_label_centroids_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -956,6 +1009,8 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "running_revenue": (q_running_revenue, _running_revenue_sql),
     "asof_last_signup": (q_asof_last_signup, _asof_outer_sql),
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql),
+    "token_counts": (q_token_counts, _token_counts_sql),
+    "label_centroids": (q_label_centroids, _label_centroids_sql),
 }
 
 
