@@ -970,6 +970,64 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_label_centroids_sql(D.SPARK))
 
 
+
+
+def _ivf_ann_sql(d: str) -> str:
+    """IVF-style ANN: coarse-quantize the corpus into cells (here the label
+    column's exact centroids stand in for a k-means codebook), then search
+    only within the query's cell -- the classic inverted-file trade of recall
+    for a ~nlist-fold candidate reduction."""
+    v = V.to_double_array(d, "embedding")
+    if d == D.SPARK:
+        ex = "SELECT label, posexplode(v) AS (idx, x) FROM emb"
+        agg_cv = "transform(array_sort(collect_list(struct(idx, c))), s -> s.c)"
+    else:
+        ex = "SELECT label, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x FROM emb"
+        agg_cv = "list(c ORDER BY idx)"
+    cos_assign = V.cosine(d, "e.v", "c.cv", EMB_DIM)
+    cos_cand = V.cosine(d, "a.v", "q.qv", EMB_DIM)
+    return f"""
+        WITH emb AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+        ex AS ({ex}),
+        cent AS (
+            SELECT label, idx,
+                   cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS c
+            FROM ex GROUP BY label, idx
+        ),
+        centv AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
+        assign AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.label AS cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_assign} DESC, c.label ASC) AS rn
+                FROM emb e CROSS JOIN centv c
+            ) t WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assign WHERE vec_id < 5),
+        cand AS (
+            SELECT q.q_id, a.vec_id, {cos_cand} AS cosine
+            FROM assign a JOIN q ON a.cell = q.cell
+            WHERE a.vec_id <> q.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+            FROM cand
+        )
+        SELECT q_id, vec_id, cosine, cast(rnk as bigint) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-file ANN (complements the hyperplane-LSH path): exact
+    centroid codebook (decimal-sum exact, so the cells are deterministic at
+    any parallelism), cell equi-join restricts candidates to ~1/nlist of the
+    corpus, exact cosine re-rank within the cell."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_ivf_ann_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1011,6 +1069,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "ann_lsh": (q_ann_lsh, _ann_lsh_sql),
     "token_counts": (q_token_counts, _token_counts_sql),
     "label_centroids": (q_label_centroids, _label_centroids_sql),
+    "ivf_ann": (q_ivf_ann, _ivf_ann_sql),
 }
 
 
