@@ -1,4 +1,4 @@
-from . import aggregates, dedup, multimodal, search, similarity, validate, window_ops
+from . import aggregates, dedup, multimodal, search, similarity, skew, validate, window_ops
 
 __all__ = [
     "aggregates",
@@ -6,6 +6,7 @@ __all__ = [
     "multimodal",
     "search",
     "similarity",
+    "skew",
     "validate",
     "window_ops",
 ]

@@ -116,3 +116,27 @@ def processed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 end-to-end, returning the sentiment-distribution terms agg (A4)."""
     return terms_agg(processed_docs(spark, sf_dir), "sentiment.overall")
+
+
+def write_processed(spark: SparkSession, sf_dir: str, target_path: str) -> None:
+    """S7/S8: land the processed corpus as a date-partitioned, token-enriched
+    analytic table -- the engine's replacement for the ES index + Mongo
+    processed_news pair (SURVEY.md §2.1).
+
+    Partitioning by processed_date gives partition pruning for the
+    time-range monitors (P4/P5) -- the analog of the reference's
+    fetched_at/processed_at secondary indexes (database/init-mongo.js:8-14);
+    the pre-tokenized `tokens` column is the materialized analyzer output
+    (Q3) so search queries never re-tokenize.
+    """
+    from ..operators.search import with_tokens
+
+    docs = processed_docs(spark, sf_dir)
+    enriched = with_tokens(docs, "text").withColumn(
+        "processed_date", F.to_date(F.current_timestamp())
+    )
+    (
+        enriched.write.mode("overwrite")
+        .partitionBy("processed_date")
+        .parquet(target_path)
+    )

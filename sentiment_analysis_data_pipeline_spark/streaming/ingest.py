@@ -159,3 +159,14 @@ def windowed_freshness(stream: DataFrame, ts_col: str = "fetched_at") -> DataFra
         .agg(F.count("*").alias("n_articles"))
         .select(F.col("w.start").alias("window_start"), "n_articles")
     )
+
+
+def with_stream_dedup(envelopes: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5 in-stream form: watermark-scoped URL dedup
+    (dropDuplicatesWithinWatermark) -- bounds the dedup state to the
+    watermark horizon instead of growing forever, which is what makes
+    streaming dedup viable at 100 TB/day. Cross-history duplicates beyond
+    the horizon are still caught by the MERGE sink's anti-join; the two
+    layers together reproduce the reference's unique-index guarantee
+    (database/init-mongo.js:8) with bounded state."""
+    return envelopes.withWatermark("fetched_at", watermark).dropDuplicatesWithinWatermark(["url"])

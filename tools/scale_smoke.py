@@ -1,0 +1,80 @@
+"""Scale-up smoke: synthetically multiply the documents corpus Nx (unique
+texts, stable dup structure) and measure the heavy per-row operators --
+evidence for the 'would this hold at 1000x' question the small-SF bench
+can't answer.
+
+Usage: python tools/scale_smoke.py [multiplier=40]
+Writes nothing to the repo; uses /tmp for the inflated corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_pipeline_spark.operators import dedup
+from sentiment_analysis_data_pipeline_spark.plans.pipeline import sentiment_enrich
+from sentiment_analysis_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    spark = get_spark("scale-smoke")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    n_base = base.count()
+
+    # inflate with per-copy token interleaving: a copy marker inserted
+    # between every pair of words makes the copies' shingle sets disjoint,
+    # so this measures per-row THROUGHPUT scaling, not pair explosion.
+    # (The suffix-only variant keeps copies near-identical and becomes a
+    # dedup-heavy workload: 40x sf0.1 -> 4.1M verified near-dup pairs.)
+    inflated = (
+        base.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {mult - 1})")).alias("copy"),
+            "text",
+        )
+        .select(
+            (F.col("doc_id") * mult + F.col("copy")).alias("doc_id"),
+            F.expr("replace(coalesce(text, ''), ' ', concat(' c', cast(copy as string), ' '))").alias("text"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="scale-smoke-")
+    inflated.write.mode("overwrite").parquet(out)
+    docs = spark.read.parquet(out).withColumn("text", F.coalesce("text", F.lit("")))
+    n = docs.count()
+
+    timings = {}
+    t0 = time.perf_counter()
+    sentiment_enrich(docs, "text").groupBy("overall").count().collect()
+    timings["sentiment_kernel"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_pairs(docs, "text", "doc_id").count()
+    timings["minhash_pairs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    dedup.exact_dedup(docs, "text", "doc_id").count()
+    timings["exact_dedup"] = round(time.perf_counter() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "multiplier": mult,
+                "rows": n,
+                "base_rows": n_base,
+                "timings_sec": timings,
+                "minhash_pairs_found": pairs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
