@@ -1028,6 +1028,48 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ivf_ann_sql(D.SPARK))
 
 
+
+
+def _simhash_pairs_sql(d: str) -> str:
+    """SimHash near-dup pairs via the Manku block trick: any pair within
+    Hamming radius r must agree exactly on >= 1 of r+1 blocks, so candidates
+    come from equi-joins on block values -- never all-pairs."""
+    toks = TX.tokenize(d, TEXT)
+    sim = H.simhash(d, "hs", bits=32)
+    ham = H.hamming_bits(d, "fa.f", "fb.f", bits=32)
+    blocks = ", ".join(
+        f"concat('{i}|', substring(f, {i * 8 + 1}, 8))" for i in range(4)
+    )
+    arr = f"array({blocks})" if d == D.SPARK else f"[{blocks}]"
+    ex = "explode(barr)" if d == D.SPARK else "unnest(barr)"
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        hashed AS (SELECT doc, {H.md5_array(d, 'toks')} AS hs FROM tokd),
+        fp AS (SELECT doc, {sim} AS f FROM hashed),
+        barr AS (SELECT doc, {arr} AS barr FROM fp),
+        blocks AS (SELECT doc, {ex} AS block FROM barr),
+        pairs AS (
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM blocks a JOIN blocks b ON a.block = b.block
+            WHERE a.doc < b.doc
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b, cast({ham} as bigint) AS hamming
+            FROM pairs p
+            JOIN fp fa ON fa.doc = p.id_a
+            JOIN fp fb ON fb.doc = p.id_b
+        )
+        SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+    """
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming radius 3 (32-bit
+    fingerprints, 4-block candidate generation)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_simhash_pairs_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1070,6 +1112,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "token_counts": (q_token_counts, _token_counts_sql),
     "label_centroids": (q_label_centroids, _label_centroids_sql),
     "ivf_ann": (q_ivf_ann, _ivf_ann_sql),
+    "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql),
 }
 
 
