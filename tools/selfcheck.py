@@ -56,12 +56,21 @@ def value_hash(rows: list[dict]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--default-session"]
+    default_session = "--default-session" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from sentiment_analysis_data_pipeline_spark.session import get_spark
+    if default_session:
+        # simulate the driver: vanilla session, no UTC/AQE/shuffle tuning
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("selfcheck")
+        spark = SparkSession.builder.master("local[8]").appName("selfcheck-default").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from sentiment_analysis_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("selfcheck")
 
     con = duckdb.connect()
     for t in TABLES:
