@@ -1070,6 +1070,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_pairs_sql(D.SPARK))
 
 
+
+
+def _regional_revenue_sql(d: str) -> str:
+    return f"""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation n    ON c.c_nationkey = n.n_nationkey
+        JOIN region r    ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= timestamp '1994-01-01 00:00:00'
+        GROUP BY r.r_name, n.n_name
+    """
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table join chain. The three dimension joins
+    (customer/nation/region) broadcast; only the fact-to-orders join can
+    shuffle -- the plan every star-schema query should compile to."""
+    _view(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return spark.sql(_regional_revenue_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1113,6 +1138,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "label_centroids": (q_label_centroids, _label_centroids_sql),
     "ivf_ann": (q_ivf_ann, _ivf_ann_sql),
     "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql),
+    "regional_revenue": (q_regional_revenue, _regional_revenue_sql),
 }
 
 

@@ -4,7 +4,10 @@ from .ingest import (
     kafka_envelope_sink_options,
     merge_into_parquet,
     run_file_ingest,
+    run_sentiment_stream,
+    split_valid_corrupt,
     windowed_freshness,
+    with_stream_dedup,
 )
 
 __all__ = [
@@ -13,5 +16,8 @@ __all__ = [
     "kafka_envelope_sink_options",
     "merge_into_parquet",
     "run_file_ingest",
+    "run_sentiment_stream",
+    "split_valid_corrupt",
     "windowed_freshness",
+    "with_stream_dedup",
 ]

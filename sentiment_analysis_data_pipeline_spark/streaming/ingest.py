@@ -170,3 +170,91 @@ def with_stream_dedup(envelopes: DataFrame, watermark: str = "1 hour") -> DataFr
     layers together reproduce the reference's unique-index guarantee
     (database/init-mongo.js:8) with bounded state."""
     return envelopes.withWatermark("fetched_at", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+def split_valid_corrupt(json_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Batch quarantine path (SURVEY.md §1 Spark-mapping row: schemaless +
+    point validation -> explicit schema + _corrupt_record routing): rows that
+    fail envelope parsing or shape checks go to a rejects relation with the
+    raw payload preserved for replay -- instead of the reference's silent
+    per-row drop (consumers/mongodb_consumer.py:49-54)."""
+    parsed = json_df.withColumn("env", F.from_json("json", ENVELOPE_SCHEMA))
+    ok = (
+        F.col("env").isNotNull()
+        & F.col("env.source_api").isNotNull()
+        & F.col("env.article").isNotNull()
+    )
+    valid = parsed.filter(ok).select("env.*").withColumn("url", F.col("article.url"))
+    rejects = parsed.filter(~ok).select(F.col("json").alias("raw_payload"))
+    return valid, rejects
+
+
+def run_sentiment_stream(
+    spark: SparkSession,
+    source_dir: str,
+    raw_path: str,
+    processed_path: str,
+    checkpoint_dir: str,
+):
+    """EP1+EP2+EP3 as ONE streaming pipeline: envelope stream -> MERGE-land
+    raw -> sentiment-score the epoch's fresh rows -> append processed.
+
+    This is the full reference system (two producers, a consumer, and an
+    hourly Airflow DAG -- four processes, four serialization boundaries)
+    as a single checkpointed query: each epoch lands only never-seen URLs
+    and scores exactly those, so the reference's re-scan + Python anti-join
+    per hour disappears entirely.
+    """
+    from ..plans.pipeline import sentiment_enrich
+
+    def epoch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        deduped = batch.dropDuplicates(["url"])
+        try:
+            seen = sp.read.parquet(raw_path).select("url").distinct()
+            fresh = deduped.join(seen, on="url", how="left_anti")
+        except Exception:
+            fresh = deduped
+        # Truncate lineage NOW (eager localCheckpoint): the anti-join must be
+        # evaluated against the sink's pre-append contents. persist() is NOT
+        # enough -- appending to raw_path invalidates every cached plan that
+        # references that path (CacheManager.recacheByPath), so a merely
+        # cached anti-join would be recomputed against the post-append file
+        # list and see its own rows as already-seen, scoring nothing.
+        fresh = fresh.localCheckpoint(eager=True)
+        try:
+            fresh.write.mode("append").parquet(raw_path)
+            scored = sentiment_enrich(
+                fresh.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.col("article.title"),
+                        F.col("article.description"),
+                        F.substring(F.col("article.content"), 1, 500),
+                    ),
+                ),
+                "text",
+                id_col="url",
+            )
+            processed = scored.select(
+                F.md5("url").alias("doc_id"),
+                "source_api",
+                "fetched_at",
+                F.current_timestamp().alias("processed_at"),
+                "url",
+                F.struct("overall", "confidence", "vader_compound", "textblob_polarity").alias("sentiment"),
+            )
+            processed.write.mode("append").parquet(processed_path)
+        finally:
+            # checkpoint blocks are freed when the epoch's DataFrame is GC'd
+            pass
+
+    stream = file_article_stream(spark, source_dir)
+    return (
+        stream.writeStream.foreachBatch(epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
