@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis): invariants that hold for ARBITRARY
+input text, not just fixtures -- the SURVEY.md §5 property-test leg.
+
+Each example runs a Spark job, so example counts are kept small; the
+properties are chosen so a single counterexample would indicate a real
+parity/invariant bug, not a flake.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_pipeline_spark.functions import dialect as D
+from sentiment_analysis_data_pipeline_spark.functions import text as TX
+from sentiment_analysis_data_pipeline_spark.functions.sentiment import _py_kernel, _py_tokens
+from sentiment_analysis_data_pipeline_spark.plans.pipeline import sentiment_enrich
+
+# ASCII-ish corpus: printable chars the analyzer is defined over. (Unicode
+# case-mapping parity between JVM/Python/DuckDB is out of scope -- the
+# engine's corpora are BMP/ASCII per FIXTURES.md.)
+TEXTS = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_tokenizer_parity_spark_vs_python(spark, texts):
+    """The Python reimplementation used by the pandas kernel and the SQL
+    tokenizer must agree on arbitrary printable input."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", F.expr(TX.tokenize(D.SPARK, "coalesce(t, '')")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_tokens(t), repr(t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_kernel_invariants(spark, texts):
+    """Scores bounded, confidence = |avg|, label consistent with threshold,
+    and native == python kernel on arbitrary input."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = sentiment_enrich(df, "coalesce(text, '')").collect()
+    for r in rows:
+        assert -1.0 <= r["vader_compound"] <= 1.0
+        assert -1.0 <= r["textblob_polarity"] <= 1.0
+        assert r["confidence"] == abs(r["avg_score"])
+        expected = (
+            "positive" if r["avg_score"] >= 0.1 else "negative" if r["avg_score"] <= -0.1 else "neutral"
+        )
+        assert r["overall"] == expected
+        vc, tb = _py_kernel(texts[r["doc_id"]])
+        assert r["vader_compound"] == vc and r["textblob_polarity"] == tb
+
+
+@settings(max_examples=6, deadline=None)
+@given(TEXTS)
+def test_quality_score_bounded(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = df.select(F.expr(TX.quality_score(D.SPARK, "coalesce(text, '')")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
