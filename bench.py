@@ -30,15 +30,19 @@ BENCH_QUERIES = [
     "sentiment_scores",
     "pricing_summary",
     "top_customer_revenue",
+    "regional_revenue",
     "hourly_events",
     "sessionize",
     "topk_per_type",
+    "asof_last_signup",
     "keyword_search",
     "exact_dedup",
     "minhash_pairs",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "cosine_topk",
+    "ann_lsh",
+    "ivf_ann",
     "quality_score",
 ]
 
@@ -63,13 +67,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # best-of-2: machine timing noise here is +/-50% per single run; the
+    # minimum is the stable "what the engine actually costs" figure
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        out = qs[name](spark, SF_DIR)
-        n = len(out.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = qs[name](spark, SF_DIR)
+            n = len(out.collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
         rows[name] = n
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
