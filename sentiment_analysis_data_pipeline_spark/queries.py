@@ -1095,6 +1095,34 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_regional_revenue_sql(D.SPARK))
 
 
+
+
+def _value_stats_sql(d: str) -> str:
+    """Distinct-aggregate + exact quantiles per group. Exact (not approx)
+    forms on both sides: Spark percentile() and DuckDB quantile_cont() share
+    the interpolated-quantile definition, and the inputs are identical
+    doubles, so results hash-match bit-for-bit."""
+    med = "percentile(value, 0.5)" if d == D.SPARK else "quantile_cont(value, 0.5)"
+    p90 = "percentile(value, 0.9)" if d == D.SPARK else "quantile_cont(value, 0.9)"
+    return f"""
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(count(distinct user_id) as bigint) AS n_users,
+               {med} AS median_value,
+               {p90} AS p90_value
+        FROM events
+        GROUP BY event_type
+    """
+
+
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg + exact interpolated quantiles per event type (the
+    engine's statistics family; approx_percentile / approx_count_distinct
+    are the at-scale variants and swap in without plan-shape changes)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_value_stats_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1139,6 +1167,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "ivf_ann": (q_ivf_ann, _ivf_ann_sql),
     "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql),
     "regional_revenue": (q_regional_revenue, _regional_revenue_sql),
+    "value_stats": (q_value_stats, _value_stats_sql),
 }
 
 
