@@ -976,7 +976,11 @@ def _ivf_ann_sql(d: str) -> str:
     """IVF-style ANN: coarse-quantize the corpus into cells (here the label
     column's exact centroids stand in for a k-means codebook), then search
     only within the query's cell -- the classic inverted-file trade of recall
-    for a ~nlist-fold candidate reduction."""
+    for a ~nlist-fold candidate reduction.
+
+    Norms are hoisted into the per-vector/per-centroid CTEs (computed once
+    each); cosine at join time is dot/(n1*n2) -- one fold per pair instead
+    of three."""
     v = V.to_double_array(d, "embedding")
     if d == D.SPARK:
         ex = "SELECT label, posexplode(v) AS (idx, x) FROM emb"
@@ -984,28 +988,36 @@ def _ivf_ann_sql(d: str) -> str:
     else:
         ex = "SELECT label, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x FROM emb"
         agg_cv = "list(c ORDER BY idx)"
-    cos_assign = V.cosine(d, "e.v", "c.cv", EMB_DIM)
-    cos_cand = V.cosine(d, "a.v", "q.qv", EMB_DIM)
+    nv = V.norm(d, "v", EMB_DIM)
+    ncv = V.norm(d, "cv", EMB_DIM)
+    dot_assign = V.dot(d, "e.v", "c.cv", EMB_DIM)
+    dot_cand = V.dot(d, "a.v", "q.qv", EMB_DIM)
     return f"""
-        WITH emb AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+        WITH emb0 AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, label, v, {nv} AS nv FROM emb0),
         ex AS ({ex}),
         cent AS (
             SELECT label, idx,
                    cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS c
             FROM ex GROUP BY label, idx
         ),
-        centv AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
+        centv0 AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
+        centv AS (SELECT label, cv, {ncv} AS ncv FROM centv0),
         assign AS (
-            SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, c.label AS cell,
+            SELECT vec_id, v, nv, cell FROM (
+                SELECT e.vec_id, e.v, e.nv, c.label AS cell,
                        row_number() OVER (PARTITION BY e.vec_id
-                                          ORDER BY {cos_assign} DESC, c.label ASC) AS rn
+                                          ORDER BY (case when e.nv = 0.0 or c.ncv = 0.0 then 0.0
+                                                    else {dot_assign} / (e.nv * c.ncv) end) DESC,
+                                          c.label ASC) AS rn
                 FROM emb e CROSS JOIN centv c
             ) t WHERE rn = 1
         ),
-        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assign WHERE vec_id < 5),
+        q AS (SELECT vec_id AS q_id, v AS qv, nv AS qnv, cell FROM assign WHERE vec_id < 5),
         cand AS (
-            SELECT q.q_id, a.vec_id, {cos_cand} AS cosine
+            SELECT q.q_id, a.vec_id,
+                   (case when a.nv = 0.0 or q.qnv = 0.0 then 0.0
+                         else {dot_cand} / (a.nv * q.qnv) end) AS cosine
             FROM assign a JOIN q ON a.cell = q.cell
             WHERE a.vec_id <> q.q_id
         ),
