@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ann_lsh",
     "ivf_ann",
+    "embedding_dedup_pairs",
     "quality_score",
 ]
 

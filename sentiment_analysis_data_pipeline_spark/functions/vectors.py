@@ -22,12 +22,34 @@ def to_double_array(d: str, expr: str) -> str:
 
 
 def dot(d: str, a: str, b: str, dim: int) -> str:
-    """Sequential-fold dot product of two double arrays of known dim."""
+    """Dot product of two double arrays of known dim, expanded to a flat
+    left-associated sum.
+
+    Expanded (not a fold): Spark higher-order-function lambdas run in the
+    interpreter (~10x slower than codegen); a flat `a[1]*b[1] + ... +
+    a[n]*b[n]` stays inside whole-stage codegen. Left-associated addition
+    gives bit-identical doubles to the sequential fold (((0+p1)+p2)+... =
+    (p1+p2)+..., since 0.0+p1 == p1 exactly), so both engines hash-match.
+
+    `a`/`b` are repeated `dim` times -- pass simple column refs, not nested
+    expressions (use dot_literal() for a constant operand).
+    """
     if d == D.SPARK:
-        prods = f"transform(sequence(1, {dim}), i -> element_at({a}, i) * element_at({b}, i))"
-        return f"aggregate({prods}, cast(0.0 as double), (acc, x) -> acc + x)"
-    prods = f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])"
-    return f"list_reduce({prods}, (acc, x) -> acc + x)"
+        terms = [f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)]
+    else:
+        terms = [f"({a})[{i}] * ({b})[{i}]" for i in range(1, dim + 1)]
+    return f"({' + '.join(terms)})"
+
+
+def dot_literal(d: str, a: str, weights: list[float]) -> str:
+    """Dot product of an array column with a constant vector, expanded so the
+    literals inline once per component (codegen-friendly, no per-row array
+    construction). Same left-associated order as dot()."""
+    if d == D.SPARK:
+        terms = [f"element_at({a}, {i}) * {w!r}" for i, w in enumerate(weights, start=1)]
+    else:
+        terms = [f"({a})[{i}] * {w!r}" for i, w in enumerate(weights, start=1)]
+    return f"({' + '.join(terms)})"
 
 
 def norm(d: str, a: str, dim: int) -> str:

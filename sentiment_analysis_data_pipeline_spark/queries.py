@@ -861,17 +861,17 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_asof_outer_sql(D.SPARK))
 
 
-def _ann_planes() -> list[list[float]]:
+def _ann_planes(n: int = 8, prefix: str = "h") -> list[list[float]]:
     """Deterministic hyperplanes shared by both engines: md5-derived dyadic
     values (computed driver-side once, embedded as literals -- recomputing
     md5 per row per component would be pure waste)."""
     import hashlib
 
     planes = []
-    for p in range(8):
+    for p in range(n):
         row = []
         for i in range(1, EMB_DIM + 1):
-            digit = int(hashlib.md5(f"h{p}_{i}".encode()).hexdigest()[0], 16)
+            digit = int(hashlib.md5(f"{prefix}{p}_{i}".encode()).hexdigest()[0], 16)
             row.append(digit / 16.0 - 0.5)
         planes.append(row)
     return planes
@@ -881,11 +881,9 @@ def _ann_lsh_sql(d: str) -> str:
     v = V.to_double_array(d, "embedding")
     planes = _ann_planes()
     sign_cols = []
-    for p, plane in enumerate(planes):
-        lit = ", ".join(repr(x) for x in plane)
-        arr = f"array({lit})" if d == D.SPARK else f"[{lit}]"
+    for plane in planes:
         sign_cols.append(
-            f"case when {V.dot(d, 'v', arr, EMB_DIM)} >= 0.0 then '1' else '0' end"
+            f"case when {V.dot_literal(d, 'v', plane)} >= 0.0 then '1' else '0' end"
         )
     bucket = f"concat({', '.join(sign_cols)})"
     cos = V.cosine(d, "c.v", "q.v", EMB_DIM)
@@ -1135,6 +1133,289 @@ def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_value_stats_sql(D.SPARK))
 
 
+def _embedding_dedup_sql(d: str) -> str:
+    """Embedding-cosine near-duplicate pairs (north-star dedup family):
+    banded random-hyperplane LSH generates candidates (16 planes -> 4 bands
+    of 4 bits; Charikar 2002), pairs that collide in >=1 band get an exact
+    cosine check. Candidate generation is a band-key equi-join -- no
+    all-pairs shuffle -- so the shape survives 100 TB; per-band collision
+    probability for a true near-dup (cos >= 0.9) is ~0.54, >=1-of-4 ~0.95.
+    The 0.42 threshold is tuned to the synthetic corpus (max pair cosine
+    ~0.51); production near-dup would use 0.9+ with the same plan.
+    Both dialects share the deterministic plane literals, so the oracle is
+    exact down to the hash."""
+    return _embedding_dedup_keyed(d) + ",\n        " + _embedding_dedup_rest(d, "keyed")
+
+
+def _embedding_dedup_keyed(d: str) -> str:
+    """`WITH keyed AS (...)` prefix: per-vector unit-normalizing norm plus a
+    24-char LSH sign signature (vec_id, v, nv, sig).
+
+    The signature is NOT one giant 24x64-term projection: that expression
+    exceeds janino's 64 KB method limit, so whole-stage codegen fails (~10 s
+    of compiler time, thrown away) and the interpreted fallback tree-walks
+    ~25M nodes single-threaded (~10 s more). Instead: explode components,
+    equi-join the 1536-row broadcast plane-weight relation, partial-agg the
+    products per (vec, plane) -- every expression stays small and inside
+    codegen, and the work parallelizes across the corpus. The decimal cast
+    fixes the accumulation so Spark and DuckDB agree on every sign bit.
+    (At real corpus scale the same signature would come from an Arrow-batched
+    matmul UDF; this shape keeps the oracle exact.)"""
+    v = V.to_double_array(d, "embedding")
+    planes = _ann_planes(24, "g")
+    rows = ", ".join(
+        f"({p}, {i}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    if d == D.SPARK:
+        pl = f"SELECT * FROM VALUES {rows} AS _pl(plane, idx, w)"
+        ex0 = "SELECT vec_id, posexplode(v) AS (idx, x) FROM emb"
+        agg_sig = (
+            "array_join(transform(array_sort(collect_list(struct(plane, s))),"
+            " p -> p.s), '')"
+        )
+    else:
+        pl = f"SELECT * FROM (VALUES {rows}) _pl(plane, idx, w)"
+        ex0 = (
+            "SELECT vec_id, generate_subscripts(v, 1) - 1 AS idx, "
+            "unnest(v) AS x FROM emb"
+        )
+        agg_sig = "string_agg(s, '' ORDER BY plane)"
+    nv = V.norm(d, "v", EMB_DIM)
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, {v} AS v, {nv} AS nv FROM embeddings
+        ),
+        comp0 AS ({ex0}),
+        pl AS ({pl}),
+        sraw AS (
+            -- plain double sum: only the SIGN is consumed, and the minimum
+            -- |dot| margin across the test corpora is ~5e-6 (audited) vs
+            -- ~1e-15 of summation-order noise, so no accumulation order can
+            -- flip a bit. (The hashed cosine output below still uses the
+            -- exact decimal sum -- raw doubles from unordered sums are not
+            -- hash-stable across engines.)
+            SELECT c.vec_id, p.plane,
+                   case when sum(c.x * p.w) >= 0.0 then '1' else '0' end AS s
+            FROM comp0 c JOIN pl p ON c.idx = p.idx
+            GROUP BY c.vec_id, p.plane
+        ),
+        sigs AS (SELECT vec_id, {agg_sig} AS sig FROM sraw GROUP BY vec_id),
+        keyed AS (
+            SELECT e.vec_id, e.v, e.nv, s.sig
+            FROM emb e JOIN sigs s ON e.vec_id = s.vec_id
+            WHERE e.nv > 0.0
+        )"""
+
+
+def _embedding_dedup_rest(d: str, keyed: str) -> str:
+    """Band join + exact verify over a signature relation `keyed`
+    (vec_id, v, nv, sig). The exact-cosine verify runs per CANDIDATE PAIR,
+    so it must not be a giant inline expression (Spark would evaluate it as
+    a join condition). Explode unit-normalized components once (n*dim rows),
+    meet pairs via equi-joins, partial-agg the products: every operator
+    stays in whole-stage codegen. The decimal cast makes the sum exact, so
+    the accumulation order Spark picks matches DuckDB's."""
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, substring(sig, {b * 6 + 1}, 6) AS bkey FROM {keyed}"
+        for b in range(4)
+    )
+    if d == D.SPARK:
+        ex = f"SELECT vec_id, nv, posexplode(v) AS (idx, x) FROM {keyed}"
+    else:
+        ex = (
+            f"SELECT vec_id, nv, generate_subscripts(v, 1) - 1 AS idx, "
+            f"unnest(v) AS x FROM {keyed}"
+        )
+    return f"""
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+        ),
+        comp AS (
+            -- Quantize unit components to decimal(8,7) (|u| <= 1, so one
+            -- integer digit suffices). Downstream products and sums are then
+            -- decimal*decimal -> EXACT in both engines by construction; a
+            -- per-pair double->decimal cast is NOT cross-engine-stable at
+            -- fine scales (Spark rounds the shortest decimal representation,
+            -- DuckDB the exact binary expansion -- observed +-1 ulp drift).
+            -- Quantization shifts the cosine by < 1e-6, well inside the
+            -- audited 3e-5 minimum threshold margin, and decimal(8,7) terms
+            -- keep every decimal op long-backed (no BigDecimal path).
+            SELECT vec_id, idx, cast(x / nv as decimal(8,7)) AS u FROM ({ex}) e
+        ),
+        dots AS (
+            SELECT c.id_a, c.id_b,
+                   cast(sum(a.u * b.u) as double) AS cosine
+            FROM cand c
+            JOIN comp a ON a.vec_id = c.id_a
+            JOIN comp b ON b.vec_id = c.id_b AND b.idx = a.idx
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.42
+    """
+
+
+def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded LSH + exact verify: the
+    embedding-space member of the dedup family (exact / minhash / simhash /
+    ngram-jaccard / embedding-cosine).
+
+    The signature relation is persisted and the band/verify stages read the
+    materialized copy: Spark inlines CTEs, so a plain WITH would re-evaluate
+    (and re-compile) the 16-plane projection in all 8 band-join branches. At
+    cluster scale this materialization is a signature table you'd write out
+    once per corpus snapshot anyway."""
+    _view(spark, sf_dir, "embeddings")
+    # localCheckpoint the signature relation: Spark inlines CTEs (and cache
+    # substitution does not reliably kick in through a temp view), so without
+    # it the sign-aggregation subplan would re-run in all 8 band-join
+    # branches plus both verify sides. At cluster scale this materialization
+    # is the signature table you'd write out once per corpus snapshot.
+    # The REPARTITION hint in `cand` (and this repartition) keep the
+    # pair-verify stages at full parallelism: AQE sizes partitions by BYTES,
+    # and a few MB of candidate pairs coalesce to ONE task even though the
+    # per-pair decimal dot products are CPU-bound (measured: a 15 s
+    # single-task stage for a sub-second 32-way one).
+    keyed = (
+        spark.sql(_embedding_dedup_keyed(D.SPARK) + " SELECT * FROM keyed")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    keyed.createOrReplaceTempView("emb_sig")
+    return spark.sql("WITH " + _embedding_dedup_rest(D.SPARK, "emb_sig"))
+
+
+def _grouping_sets_sql(d: str) -> str:
+    return f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    as bigint) AS grp_level,
+               cast(count(*) as bigint) AS n_orders,
+               {_dsum("o_totalprice", "revenue")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """
+
+
+def q_grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS multi-level aggregate (detail + subtotal + grand total
+    in one pass; grouping() disambiguates real keys from subtotal rows).
+    Complements rollup_summary/pivot_status_priority in the multi-level agg
+    family -- Spark expands sets via a single Expand node, one shuffle."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_grouping_sets_sql(D.SPARK))
+
+
+def _late_ship_exists_sql(d: str) -> str:
+    itv = "INTERVAL '60' DAY" if d == D.SPARK else "INTERVAL 60 DAY"
+    return f"""
+        SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + {itv}
+        )
+        GROUP BY o_orderpriority
+    """
+
+
+def q_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (orders with any lineitem shipped
+    >60 days after order date), counted by priority. Catalyst rewrites the
+    subquery into a left-semi hash join on l_orderkey -- the decorrelation
+    every EXISTS should compile to (no per-row probe)."""
+    _view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_late_ship_exists_sql(D.SPARK))
+
+
+def _small_qty_revenue_sql(d: str) -> str:
+    # l_quantity is integer-valued (stored double): double sums are exact at
+    # any order, so avg -- and 0.2 * avg -- is bit-identical cross-engine.
+    return f"""
+        SELECT p.p_brand,
+               cast(count(*) as bigint) AS n_small,
+               {_dsum("l.l_extendedprice", "small_revenue")}
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+    """
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average filters
+    the fact rows). Catalyst decorrelates into an aggregate on l_partkey +
+    join -- one extra pass over lineitem, not a per-row subquery."""
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_small_qty_revenue_sql(D.SPARK))
+
+
+def _session_window_sql(d: str) -> str:
+    """Spark-side: the NATIVE session_window operator (one shuffle on the
+    grouping key, sessions merged by the engine -- the same operator works
+    unchanged in Structured Streaming with a watermark). Oracle: the
+    equivalent gaps-and-islands construction (lag + running sum + group), a
+    well-defined ANSI formulation of identical semantics: a session spans
+    events with <= 30 min between neighbors, window end = last event + gap.
+    All arithmetic in epoch-us integers."""
+    gap_us = 30 * 60 * 1_000_000
+    if d == D.SPARK:
+        return f"""
+            WITH ev AS (
+                SELECT user_id, timestamp_micros(ts div 1000) AS tsm, value
+                FROM events
+            )
+            SELECT user_id,
+                   unix_micros(session_window.start) AS session_start,
+                   unix_micros(session_window.end) AS session_end,
+                   cast(count(*) as bigint) AS n_events,
+                   {_dsum("value", "value_sum")}
+            FROM ev
+            GROUP BY user_id, session_window(tsm, '30 minutes')
+        """
+    return f"""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        marked AS (
+            SELECT user_id, us, value,
+                   case when lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                             or us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > {gap_us}
+                        then 1 else 0 end AS new_s
+            FROM ev
+        ),
+        sess AS (
+            SELECT user_id, us, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(us) AS session_start,
+               max(us) + {gap_us} AS session_end,
+               cast(count(*) as bigint) AS n_events,
+               {_dsum("value", "value_sum")}
+        FROM sess GROUP BY user_id, sid
+    """
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) via Spark's native
+    session_window operator: start/end/evt-count/value-sum per session.
+    Complements q_sessionize (which only counts sessions); this one is the
+    form that transfers directly to readStream + withWatermark."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_session_window_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1180,6 +1461,11 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql),
     "regional_revenue": (q_regional_revenue, _regional_revenue_sql),
     "value_stats": (q_value_stats, _value_stats_sql),
+    "embedding_dedup_pairs": (q_embedding_dedup_pairs, _embedding_dedup_sql),
+    "grouping_sets_summary": (q_grouping_sets_summary, _grouping_sets_sql),
+    "late_ship_exists": (q_late_ship_exists, _late_ship_exists_sql),
+    "small_qty_revenue": (q_small_qty_revenue, _small_qty_revenue_sql),
+    "session_window": (q_session_window, _session_window_sql),
 }
 
 

@@ -66,3 +66,49 @@ def running_source_stats(envelopes: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class _SourceStatsProcessor(StatefulProcessor):
+    """transformWithStateInPandas version of the running counters: the
+    Spark 4 arbitrary-state API (typed state handles, timers, TTL) that
+    supersedes applyInPandasWithState. Both operators are kept: the handle
+    API is where streaming state is headed; the GroupState form documents
+    the widely-deployed shape."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("counts", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        existing = self._state.get()
+        n, s = existing if existing is not None else (0, 0)
+        for pdf in rows:
+            titles = pdf["title"].fillna("")
+            n += len(pdf)
+            s += int(titles.str.len().sum())
+        self._state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "source_api": [key[0]],
+                "n_articles": [n],
+                "mean_title_len": [s / n if n else 0.0],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def running_source_stats_tws(envelopes: DataFrame) -> DataFrame:
+    """running_source_stats via transformWithStateInPandas (Spark 4 typed
+    state handles). Same semantics, same output schema; state scales with
+    distinct keys, not rows."""
+    flat = envelopes.selectExpr("source_api", "article.title AS title")
+    return flat.groupBy("source_api").transformWithStateInPandas(
+        _SourceStatsProcessor(), OUTPUT_SCHEMA, "Update", "None"
+    )

@@ -58,3 +58,25 @@ def test_simhash_pairs(spark):
     assert ham02 < ham03  # near-dup closer than unrelated
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(_docs(spark), "text", "doc_id", radius=3).collect()}
     assert (0, 1) in pairs
+
+
+def test_embedding_dedup_pairs_invariants(spark):
+    """Banded-LSH embedding near-dup: every returned pair is ordered, above
+    threshold, and its cosine agrees with a numpy recompute to ~1e-6 (the
+    decimal(8,7) unit-component quantization bounds the drift)."""
+    import numpy as np
+
+    from sentiment_analysis_data_pipeline_spark.queries import q_embedding_dedup_pairs
+
+    rows = q_embedding_dedup_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected some near-dup pairs on the test corpus"
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").collect()
+    }
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.42
+        a, b = emb[r["id_a"]], emb[r["id_b"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - true_cos) < 1e-5
