@@ -1416,6 +1416,91 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_session_window_sql(D.SPARK))
 
 
+def _doc_set_ops_sql(d: str) -> str:
+    """INTERSECT / EXCEPT (the §2.6 set-op family beyond UNION): English docs
+    split by whether they are also long-form. Both engines implement ANSI
+    distinct set semantics, so results align structurally."""
+    return """
+        SELECT 'en_and_long' AS which, doc_id FROM (
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            INTERSECT
+            SELECT doc_id FROM documents WHERE n_chars >= 200
+        ) a
+        UNION ALL
+        SELECT 'en_only' AS which, doc_id FROM (
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            EXCEPT
+            SELECT doc_id FROM documents WHERE n_chars >= 200
+        ) b
+    """
+
+
+def q_doc_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT over document subsets. Spark plans both as hash
+    joins (left-semi / left-anti after aggregate) -- one shuffle each on the
+    already-narrow doc_id column."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_doc_set_ops_sql(D.SPARK))
+
+
+def _value_ranks_sql(d: str) -> str:
+    """Ranking-window family: ntile / percent_rank / cume_dist. All three
+    derive from integer rank arithmetic over a total order (value, event_id),
+    so the doubles are exact ratios -- bit-identical across engines."""
+    return """
+        SELECT event_id, event_type,
+               cast(ntile(4) OVER w as bigint) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """
+
+
+def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist per event type: one shuffle on the
+    grouping key, one sort within partitions -- the standard distribution-
+    rank plan."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_value_ranks_sql(D.SPARK))
+
+
+def _value_band_totals_sql(d: str) -> str:
+    """Non-equi dimension join: assign each event to a value band via a
+    range predicate against an inline band relation (the SCD/date-dimension
+    join shape). Spark broadcasts the 5-row side and evaluates the range in
+    a BroadcastNestedLoopJoin -- with a broadcast dim this is scan-speed at
+    any fact size (the alternative, a case-when ladder, cannot express
+    bands that live in a TABLE)."""
+    if d == D.SPARK:
+        bands = (
+            "SELECT * FROM VALUES ('b0_tiny', 0.0, 10.0), ('b1_small', 10.0, 50.0),"
+            " ('b2_mid', 50.0, 100.0), ('b3_large', 100.0, 250.0),"
+            " ('b4_huge', 250.0, 1000.0) AS _b(band, lo, hi)"
+        )
+    else:
+        bands = (
+            "SELECT * FROM (VALUES ('b0_tiny', 0.0, 10.0), ('b1_small', 10.0, 50.0),"
+            " ('b2_mid', 50.0, 100.0), ('b3_large', 100.0, 250.0),"
+            " ('b4_huge', 250.0, 1000.0)) _b(band, lo, hi)"
+        )
+    return f"""
+        WITH bands AS ({bands})
+        SELECT b.band,
+               cast(count(*) as bigint) AS n_events,
+               {_dsum("e.value", "value_sum")}
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """
+
+
+def q_value_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join of the events fact against a broadcast band
+    dimension, then aggregate per band."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_value_band_totals_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1466,6 +1551,9 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "late_ship_exists": (q_late_ship_exists, _late_ship_exists_sql),
     "small_qty_revenue": (q_small_qty_revenue, _small_qty_revenue_sql),
     "session_window": (q_session_window, _session_window_sql),
+    "doc_set_ops": (q_doc_set_ops, _doc_set_ops_sql),
+    "value_ranks": (q_value_ranks, _value_ranks_sql),
+    "value_band_totals": (q_value_band_totals, _value_band_totals_sql),
 }
 
 

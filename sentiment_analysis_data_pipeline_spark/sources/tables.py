@@ -52,3 +52,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql queries."""
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist a DataFrame as a bucketed (hash-clustered) managed parquet
+    table -- the co-located-join primitive.
+
+    Two fact tables bucketed by the same key into the same bucket count join
+    WITHOUT any Exchange: each task reads matching bucket files from both
+    sides (sortBy additionally pre-orders rows so SortMergeJoin can skip its
+    sort). At 100 TB this turns the recurring orderkey-join shuffle --
+    usually the single largest wire cost in the pipeline -- into a one-time
+    cost paid at ingest. tests/test_bucketed.py asserts the shuffle-free
+    plan."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)

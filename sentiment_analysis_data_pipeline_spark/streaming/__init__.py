@@ -6,6 +6,7 @@ from .ingest import (
     run_file_ingest,
     run_sentiment_stream,
     split_valid_corrupt,
+    sessionized_activity,
     windowed_freshness,
     with_stream_dedup,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "run_file_ingest",
     "run_sentiment_stream",
     "split_valid_corrupt",
+    "sessionized_activity",
     "windowed_freshness",
     "with_stream_dedup",
 ]

@@ -161,6 +161,33 @@ def windowed_freshness(stream: DataFrame, ts_col: str = "fetched_at") -> DataFra
     )
 
 
+def sessionized_activity(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T3 session form: per-key session windows (gap-merged by the engine)
+    with a watermark. In append mode a session is emitted exactly once, when
+    the watermark passes its end -- late events inside the horizon extend or
+    merge sessions, later ones are dropped by policy. State per key is the
+    set of OPEN sessions only, so it scales with active keys, not history.
+    The batch twin (same operator, same semantics) is queries.q_session_window.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(F.col(ts_col), gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def with_stream_dedup(envelopes: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T5 in-stream form: watermark-scoped URL dedup
     (dropDuplicatesWithinWatermark) -- bounds the dedup state to the

@@ -1,0 +1,34 @@
+"""Bucketed co-located joins: same key, same bucket count -> join plans with
+NO Exchange on either side (the at-scale answer to recurring fact-fact
+shuffles; see sources/tables.write_bucketed)."""
+
+from __future__ import annotations
+
+from sentiment_analysis_data_pipeline_spark.sources.tables import load_table, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    write_bucketed(load_table(spark, SF, "lineitem"), "bkt_lineitem", "l_orderkey", 8)
+    write_bucketed(load_table(spark, SF, "orders"), "bkt_orders", "o_orderkey", 8)
+    try:
+        # MERGE hint: at sf0.001 the orders side is broadcast-sized, which
+        # would ALSO be shuffle-free but wouldn't exercise bucketing; at real
+        # fact-fact scale SMJ is what the planner picks unhinted.
+        joined = spark.sql(
+            """SELECT /*+ MERGE(l) */ l.l_orderkey, o.o_orderkey, l.l_extendedprice
+               FROM bkt_lineitem l JOIN bkt_orders o
+                 ON l.l_orderkey = o.o_orderkey"""
+        )
+        plan = joined._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+        li, od = load_table(spark, SF, "lineitem"), load_table(spark, SF, "orders")
+        n_plain = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
+        assert joined.count() == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")

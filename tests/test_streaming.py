@@ -74,3 +74,58 @@ def test_envelope_typing(spark, dirs):
     assert row["source_api"] in ("newsapi", "gnews")
     assert row["article"]["title"] == "title 7"
     assert row["fetched_at"] is not None  # parsed to a real timestamp
+
+
+def test_streaming_session_window(spark):
+    """Append-mode session windows: a session is emitted exactly once, after
+    the watermark passes its end; still-open recent sessions stay in state."""
+    from sentiment_analysis_data_pipeline_spark.streaming import sessionized_activity
+
+    root = Path(tempfile.mkdtemp(prefix="sess-stream-"))
+    try:
+        src = root / "src"
+        src.mkdir()
+        out = str(root / "out")
+
+        def _evt(user, ts):
+            return json.dumps({"user_id": user, "ts": ts})
+
+        # batch 1: an old burst for user 1 (session: 00:00 - 00:40)
+        (src / "a.json").write_text(
+            "\n".join(
+                [
+                    _evt(1, "2024-01-01T00:00:00Z"),
+                    _evt(1, "2024-01-01T00:10:00Z"),
+                    _evt(2, "2024-01-01T00:05:00Z"),
+                ]
+            )
+            + "\n"
+        )
+        # batch 2: much later event -> watermark jumps past the old sessions
+        (src / "b.json").write_text(_evt(1, "2024-01-01T10:00:00Z") + "\n")
+
+        stream = (
+            spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            sessionized_activity(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        rows = {(r["user_id"], r["n_events"]) for r in spark.read.parquet(out).collect()}
+        got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+        # both old sessions finalized; the 10:00 session is still open
+        assert (1, 2) in rows and (2, 1) in rows and len(rows) == 2
+        s1 = got[1]
+        assert (s1["session_end"] - s1["session_start"]).total_seconds() == 40 * 60
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
