@@ -1501,6 +1501,57 @@ def q_value_band_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_value_band_totals_sql(D.SPARK))
 
 
+def _events_calendar_sql(d: str) -> str:
+    """Calendar/date-function family (F6/F7 depth): truncation, day-of-week,
+    hour-of-day rollup. Day boundaries via date_trunc in UTC; outputs are
+    epoch-us integers + small ints, so parity is structural. DOW normalized
+    to 0..6 Sunday-based: Spark's extract(dow) is 1-based, DuckDB's 0-based
+    (verified empirically -- the docs are easy to misread here)."""
+    if d == D.SPARK:
+        day = "unix_micros(date_trunc('day', tsm))"
+        base = "SELECT timestamp_micros(ts div 1000) AS tsm, value FROM events"
+        dow = "extract(dow from tsm) - 1"
+    else:
+        day = "epoch_us(date_trunc('day', tsm))"
+        base = "SELECT to_timestamp(epoch_us(ts) / 1000000.0) AS tsm, value FROM events"
+        dow = "extract(dow from tsm)"
+    return f"""
+        WITH ev AS ({base})
+        SELECT {day} AS day_us,
+               cast({dow} as bigint) AS dow,
+               cast(extract(hour from tsm) as bigint) AS hour,
+               cast(count(*) as bigint) AS n_events,
+               {_dsum("value", "value_sum")}
+        FROM ev GROUP BY 1, 2, 3
+    """
+
+
+def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day/dow/hour calendar rollup over event time: one shuffle on the
+    composite calendar key; all keys derived in the scan projection."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_events_calendar_sql(D.SPARK))
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family: approx_count_distinct (HyperLogLog++) and
+    approx_percentile (KLL-style) per event type -- the constant-memory,
+    mergeable at-scale forms of value_stats' exact aggregates. No DuckDB
+    oracle (sketch estimates are engine-specific by design; the driver
+    records the weaker rows-only check): the exact twin `value_stats` IS the
+    hash-checked form, and tests bound the estimation error instead."""
+    _events_view(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               cast(approx_count_distinct(user_id) as bigint) AS approx_users,
+               approx_percentile(value, 0.5) AS approx_median,
+               approx_percentile(value, 0.9) AS approx_p90
+        FROM events GROUP BY event_type
+        """
+    )
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1554,6 +1605,8 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "doc_set_ops": (q_doc_set_ops, _doc_set_ops_sql),
     "value_ranks": (q_value_ranks, _value_ranks_sql),
     "value_band_totals": (q_value_band_totals, _value_band_totals_sql),
+    "events_calendar": (q_events_calendar, _events_calendar_sql),
+    "approx_stats": (q_approx_stats, None),
 }
 
 
