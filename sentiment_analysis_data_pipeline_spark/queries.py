@@ -1270,23 +1270,76 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale this materialization is a signature table you'd write out
     once per corpus snapshot anyway."""
     _view(spark, sf_dir, "embeddings")
-    # localCheckpoint the signature relation: Spark inlines CTEs (and cache
-    # substitution does not reliably kick in through a temp view), so without
-    # it the sign-aggregation subplan would re-run in all 8 band-join
-    # branches plus both verify sides. At cluster scale this materialization
-    # is the signature table you'd write out once per corpus snapshot.
-    # The REPARTITION hint in `cand` (and this repartition) keep the
-    # pair-verify stages at full parallelism: AQE sizes partitions by BYTES,
-    # and a few MB of candidate pairs coalesce to ONE task even though the
-    # per-pair decimal dot products are CPU-bound (measured: a 15 s
+    # Spark-side plan differs from the oracle SQL's structure (parity is by
+    # VALUE): one grouped aggregation computes each 6-bit band key directly
+    # (filtered sums per plane slot), skipping the per-plane row explosion ->
+    # string re-aggregation -> join-back of the literal CTE translation.
+    # Both relations are localCheckpoint-ed: Spark inlines CTEs (and cache
+    # substitution does not reliably kick in through a temp view), so a
+    # recomputing lineage would re-run the signature aggregation in all band
+    # branches and both verify sides. At cluster scale these are the
+    # signature/component tables you'd write out once per corpus snapshot.
+    # The repartition + the REPARTITION hint in the candidate join keep the
+    # CPU-bound stages at full parallelism: AQE sizes partitions by BYTES and
+    # collapses a few MB of candidates to ONE task (measured: 15 s
     # single-task stage for a sub-second 32-way one).
-    keyed = (
-        spark.sql(_embedding_dedup_keyed(D.SPARK) + " SELECT * FROM keyed")
-        .repartition(32)
-        .localCheckpoint()
+    v = V.to_double_array(D.SPARK, "embedding")
+    nv = V.norm(D.SPARK, "v", EMB_DIM)
+    planes = _ann_planes(24, "g")
+    pl_rows = ", ".join(
+        f"({p}, {i}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
     )
-    keyed.createOrReplaceTempView("emb_sig")
-    return spark.sql("WITH " + _embedding_dedup_rest(D.SPARK, "emb_sig"))
+    sums = ", ".join(
+        f"sum(case when plane % 6 = {i} then x * w end) AS s{i}" for i in range(6)
+    )
+    signs = ", ".join(
+        f"case when s{i} >= 0.0 then '1' else '0' end" for i in range(6)
+    )
+    bands = spark.sql(
+        f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        comp0 AS (SELECT vec_id, posexplode(v) AS (idx, x) FROM emb),
+        pl AS (SELECT * FROM VALUES {pl_rows} AS _pl(plane, idx, w)),
+        g AS (
+            SELECT vec_id, plane div 6 AS band, {sums}
+            FROM comp0 c JOIN pl p ON c.idx = p.idx
+            GROUP BY vec_id, plane div 6
+        )
+        SELECT vec_id, band, concat({signs}) AS bkey FROM g
+        """
+    ).repartition(32).localCheckpoint()
+    bands.createOrReplaceTempView("emb_bands")
+    comp = spark.sql(
+        f"""
+        WITH emb AS (
+            SELECT vec_id, v, nv FROM
+                (SELECT vec_id, {v} AS v, {nv} AS nv FROM embeddings) n
+            WHERE nv > 0.0
+        )
+        SELECT vec_id, idx, cast(x / nv as decimal(8,7)) AS u
+        FROM (SELECT vec_id, nv, posexplode(v) AS (idx, x) FROM emb) e
+        """
+    ).repartition(32).localCheckpoint()
+    comp.createOrReplaceTempView("emb_comp")
+    return spark.sql(
+        """
+        WITH cand AS (
+            SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM emb_bands a JOIN emb_bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+        ),
+        dots AS (
+            SELECT c.id_a, c.id_b, cast(sum(a.u * b.u) as double) AS cosine
+            FROM cand c
+            JOIN emb_comp a ON a.vec_id = c.id_a
+            JOIN emb_comp b ON b.vec_id = c.id_b AND b.idx = a.idx
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.42
+        """
+    )
 
 
 def _grouping_sets_sql(d: str) -> str:
