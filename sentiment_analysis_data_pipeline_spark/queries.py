@@ -1135,11 +1135,11 @@ def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_dedup_sql(d: str) -> str:
     """Embedding-cosine near-duplicate pairs (north-star dedup family):
-    banded random-hyperplane LSH generates candidates (16 planes -> 4 bands
-    of 4 bits; Charikar 2002), pairs that collide in >=1 band get an exact
+    banded random-hyperplane LSH generates candidates (24 planes -> 4 bands
+    of 6 bits; Charikar 2002), pairs that collide in >=1 band get an exact
     cosine check. Candidate generation is a band-key equi-join -- no
     all-pairs shuffle -- so the shape survives 100 TB; per-band collision
-    probability for a true near-dup (cos >= 0.9) is ~0.54, >=1-of-4 ~0.95.
+    probability for a true near-dup (cos >= 0.9) is ~0.39, >=1-of-4 ~0.87.
     The 0.42 threshold is tuned to the synthetic corpus (max pair cosine
     ~0.51); production near-dup would use 0.9+ with the same plan.
     Both dialects share the deterministic plane literals, so the oracle is
@@ -1264,11 +1264,9 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space member of the dedup family (exact / minhash / simhash /
     ngram-jaccard / embedding-cosine).
 
-    The signature relation is persisted and the band/verify stages read the
-    materialized copy: Spark inlines CTEs, so a plain WITH would re-evaluate
-    (and re-compile) the 16-plane projection in all 8 band-join branches. At
-    cluster scale this materialization is a signature table you'd write out
-    once per corpus snapshot anyway."""
+    Two checkpointed relations (band keys; quantized unit components) feed
+    the candidate join and the verify -- see the inline comments for why the
+    plan is shaped this way."""
     _view(spark, sf_dir, "embeddings")
     # Spark-side plan differs from the oracle SQL's structure (parity is by
     # VALUE): one grouped aggregation computes each 6-bit band key directly
