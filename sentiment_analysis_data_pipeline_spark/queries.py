@@ -1584,6 +1584,36 @@ def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_events_calendar_sql(D.SPARK))
 
 
+def _binary_metadata_sql(d: str) -> str:
+    """Multimodal binary-column surface in the driver contract: documents
+    carry an opaque binary payload (here: the UTF-8 text bytes -- the env has
+    no media files) with typed metadata derived engine-side. Byte length and
+    md5 digest are byte-exact in both engines, so the oracle hashes clean;
+    the decode/feature-extract stage over such payloads lives in
+    operators/multimodal.py (mapInPandas, tested)."""
+    if d == D.SPARK:
+        nb = f"octet_length(cast({TEXT} as binary))"
+        dg = f"md5(cast({TEXT} as binary))"
+    else:
+        nb = f"octet_length(encode({TEXT}))"
+        dg = f"md5({TEXT})"
+    return f"""
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum({nb}) as bigint) AS total_bytes,
+               min({dg}) AS min_digest
+        FROM documents
+        GROUP BY source
+    """
+
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata per source: the queries() face of the
+    multimodal column family (payload bytes + digests + grouped stats)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_binary_metadata_sql(D.SPARK))
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch family: approx_count_distinct (HyperLogLog++) and
     approx_percentile (KLL-style) per event type -- the constant-memory,
@@ -1658,6 +1688,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "value_band_totals": (q_value_band_totals, _value_band_totals_sql),
     "events_calendar": (q_events_calendar, _events_calendar_sql),
     "approx_stats": (q_approx_stats, None),
+    "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
 }
 
 
