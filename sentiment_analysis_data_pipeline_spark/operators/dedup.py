@@ -217,3 +217,57 @@ def simhash_pairs(df: DataFrame, content_col: str, id_col: str, bits: int = 32, 
         .filter(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: (node, component) where
+    component = min node id reachable -- the step that turns any pair emitter
+    (minhash/simhash/ngram/embedding) into dedup groups with one keeper each.
+
+    Spark SQL has no recursive CTE, so this is iterative min-label
+    propagation: each round every node takes the min label among itself and
+    its neighbors; converges in O(graph diameter) rounds (near-dup graphs
+    are shallow -- chains of edits, not long paths). Each round is one
+    equi-join + groupBy-min, localCheckpoint-ed to cut the growing lineage;
+    the driver only ever collects a 1-row convergence flag. The result is
+    independent of iteration count/partitioning, which is what lets a
+    DuckDB `WITH RECURSIVE` transitive closure serve as the oracle
+    (queries.q_dedup_clusters).
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    und = und.localCheckpoint()
+    labels = (
+        und.select("a")
+        .union(und.select(F.col("b").alias("a")))
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = und.join(labels, und["b"] == labels["node"]).select(
+            und["a"].alias("node"), F.col("comp")
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -1584,6 +1584,45 @@ def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_events_calendar_sql(D.SPARK))
 
 
+def _dedup_clusters_sql(d: str) -> str:
+    """Oracle for q_dedup_clusters (DuckDB dialect only): transitive closure
+    of the simhash near-dup edge set via WITH RECURSIVE, component = min
+    reachable doc id. Spark has no recursive CTE -- its side runs iterative
+    min-label propagation (operators/dedup.connected_components), whose
+    fixpoint is the same mathematical object, so values hash-match."""
+    edges = _simhash_pairs_sql(d)
+    return f"""
+        WITH RECURSIVE edges AS ({edges}),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b AS a, id_a AS b FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: simhash radius-3 pairs -> connected components ->
+    (doc_id, component). The missing last step of every dedup pipeline --
+    pairs become keeper groups (keep min doc_id per component, drop the
+    rest)."""
+    from .operators.dedup import connected_components
+
+    _view(spark, sf_dir, "documents")
+    edges = spark.sql(_simhash_pairs_sql(D.SPARK))
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def _binary_metadata_sql(d: str) -> str:
     """Multimodal binary-column surface in the driver contract: documents
     carry an opaque binary payload (here: the UTF-8 text bytes -- the env has
@@ -1689,6 +1728,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "events_calendar": (q_events_calendar, _events_calendar_sql),
     "approx_stats": (q_approx_stats, None),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql),
 }
 
 

@@ -80,3 +80,15 @@ def test_embedding_dedup_pairs_invariants(spark):
         a, b = emb[r["id_a"]], emb[r["id_b"]]
         true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cosine"] - true_cos) < 1e-5
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b-c plus an isolated pair collapse to min-id components in
+    <= diameter rounds; result independent of iteration order."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
