@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ivf_ann",
     "embedding_dedup_pairs",
     "quality_score",
+    "corpus_prep",
 ]
 
 

@@ -1584,6 +1584,52 @@ def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_events_calendar_sql(D.SPARK))
 
 
+def _corpus_prep_sql(d: str) -> str:
+    """End-to-end training-data prep chain composed from the text-analysis
+    fragments: non-empty filter -> language ID (keep predicted-English) ->
+    quality threshold -> order-insensitive exact dedup (fingerprint, keep
+    min doc_id) -> per-label counts and token budget. One scan, one window
+    shuffle on the dedup key, one final agg -- the corpus-cleaning recipe
+    every LLM data pipeline runs, here as a single declarative plan."""
+    toks = TX.tokenize(d, "text")
+    pred = TX.lang_id(d, "toks")
+    fp = TX.fingerprint(d, "text")
+    q = TX.quality_score(d, "text")
+    wc = TX.word_count(d, "text")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, {TEXT} AS text
+            FROM documents WHERE trim({TEXT}) <> ''
+        ),
+        feat AS (
+            SELECT doc_id, lang, {fp} AS fp, {q} AS q, {wc} AS toks_n,
+                   {pred} AS pred
+            FROM (SELECT doc_id, lang, text, {toks} AS toks FROM base) t
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT f.*,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id ASC) AS rn
+                FROM feat f
+                WHERE pred = 'en' AND q >= 0.5
+            ) w WHERE rn = 1
+        )
+        SELECT lang,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(toks_n) as bigint) AS total_tokens,
+               {_dsum("q", "quality_sum")}
+        FROM kept GROUP BY lang
+    """
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus preparation pipeline over documents (language filter +
+    quality gate + exact dedup + token accounting) as one Catalyst plan."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_corpus_prep_sql(D.SPARK))
+
+
 def _dedup_clusters_sql(d: str) -> str:
     """Oracle for q_dedup_clusters (DuckDB dialect only): transitive closure
     of the simhash near-dup edge set via WITH RECURSIVE, component = min
@@ -1729,6 +1775,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "approx_stats": (q_approx_stats, None),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql),
+    "corpus_prep": (q_corpus_prep, _corpus_prep_sql),
 }
 
 
