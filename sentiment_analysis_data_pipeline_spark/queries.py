@@ -878,23 +878,40 @@ def _ann_planes(n: int = 8, prefix: str = "h") -> list[list[float]]:
 
 
 def _ann_lsh_sql(d: str) -> str:
+    """Banded OR-construction: a single 8-bit bucket has ~cos^8 collision
+    probability -- near zero recall in this corpus's weak-similarity regime
+    (measured 0/3 for query 0). Four independent 4-bit bands, candidate =
+    collide in ANY band, trades a ~4x larger candidate set for recall that
+    actually survives the similarity level the data has; candidates still
+    meet only through band-key equi-joins."""
     v = V.to_double_array(d, "embedding")
-    planes = _ann_planes()
-    sign_cols = []
-    for plane in planes:
-        sign_cols.append(
-            f"case when {V.dot_literal(d, 'v', plane)} >= 0.0 then '1' else '0' end"
-        )
-    bucket = f"concat({', '.join(sign_cols)})"
+    planes = _ann_planes(16, "h")
+    sign = [
+        f"case when {V.dot_literal(d, 'v', p)} >= 0.0 then '1' else '0' end"
+        for p in planes
+    ]
+    band_cols = ", ".join(
+        f"concat({', '.join(sign[b * 4:(b + 1) * 4])}) AS bk{b}" for b in range(4)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, bk{b} AS bkey FROM keyed" for b in range(4)
+    )
     cos = V.cosine(d, "c.v", "q.v", EMB_DIM)
     return f"""
         WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
-        keyed AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
-        q AS (SELECT vec_id AS q_id, v, bucket FROM keyed WHERE vec_id < 5),
+        keyed AS (SELECT vec_id, v, {band_cols} FROM emb),
+        bands AS ({band_rows}),
+        qb AS (SELECT vec_id AS q_id, band, bkey FROM bands WHERE vec_id < 5),
+        pairs AS (
+            SELECT DISTINCT qb.q_id, b.vec_id
+            FROM bands b JOIN qb ON b.band = qb.band AND b.bkey = qb.bkey
+            WHERE b.vec_id <> qb.q_id
+        ),
         cand AS (
-            SELECT q.q_id, c.vec_id, {cos} AS cosine
-            FROM keyed c JOIN q ON c.bucket = q.bucket
-            WHERE c.vec_id <> q.q_id
+            SELECT p.q_id, p.vec_id, {cos} AS cosine
+            FROM pairs p
+            JOIN keyed c ON c.vec_id = p.vec_id
+            JOIN keyed q ON q.vec_id = p.q_id
         ),
         ranked AS (
             SELECT q_id, vec_id, cosine,
@@ -907,12 +924,74 @@ def _ann_lsh_sql(d: str) -> str:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors at scale: random-hyperplane LSH buckets
-    both sides, candidates meet via a bucket equi-join (skew-free hash keys),
-    exact cosine only within buckets, ranked per query. The brute-force
-    baseline is q_cosine_topk; this is the 100 TB path."""
+    """Approximate nearest neighbors at scale: banded random-hyperplane LSH
+    buckets both sides, candidates meet via band-key equi-joins (skew-free
+    hash keys), exact cosine only for candidates, ranked per query. The
+    brute-force baseline is q_cosine_topk; this is the 100 TB path.
+    tests/test_windows_similarity.py measures recall@3 against brute force.
+
+    Spark-side plan diverges from the oracle SQL's structure (parity is by
+    value, and the h-plane sign margins are audited >= 5e-6 vs ~1e-15 sum-
+    order noise): signatures come from an explode + broadcast plane join +
+    filtered-sum aggregation -- a 1024-term inline projection costs ~11 s of
+    janino compile per session and re-inlines into every referencing branch
+    -- and the band relation is checkpointed once."""
     _view(spark, sf_dir, "embeddings")
-    return spark.sql(_ann_lsh_sql(D.SPARK))
+    v = V.to_double_array(D.SPARK, "embedding")
+    planes = _ann_planes(16, "h")
+    pl_rows = ", ".join(
+        f"({p}, {i}, {w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    sums = ", ".join(
+        f"sum(case when plane % 4 = {i} then x * w end) AS s{i}" for i in range(4)
+    )
+    signs = ", ".join(
+        f"case when s{i} >= 0.0 then '1' else '0' end" for i in range(4)
+    )
+    bands = spark.sql(
+        f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        comp0 AS (SELECT vec_id, posexplode(v) AS (idx, x) FROM emb),
+        pl AS (SELECT * FROM VALUES {pl_rows} AS _pl(plane, idx, w)),
+        g AS (
+            SELECT vec_id, plane div 4 AS band, {sums}
+            FROM comp0 c JOIN pl p ON c.idx = p.idx
+            GROUP BY vec_id, plane div 4
+        )
+        SELECT vec_id, band, concat({signs}) AS bkey FROM g
+        """
+    ).repartition(32).localCheckpoint()
+    bands.createOrReplaceTempView("annlsh_bands")
+    cos = V.cosine(D.SPARK, "c.v", "q.v", EMB_DIM)
+    return spark.sql(
+        f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        qb AS (SELECT vec_id AS q_id, band, bkey FROM annlsh_bands
+               WHERE vec_id < 5),
+        pairs AS (
+            SELECT DISTINCT qb.q_id, b.vec_id
+            FROM annlsh_bands b JOIN qb
+              ON b.band = qb.band AND b.bkey = qb.bkey
+            WHERE b.vec_id <> qb.q_id
+        ),
+        cand AS (
+            SELECT p.q_id, p.vec_id, {cos} AS cosine
+            FROM pairs p
+            JOIN emb c ON c.vec_id = p.vec_id
+            JOIN emb q ON q.vec_id = p.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rnk
+            FROM cand
+        )
+        SELECT q_id, vec_id, cosine, cast(rnk as bigint) AS rnk
+        FROM ranked WHERE rnk <= 3
+        """
+    )
 
 
 
@@ -1001,19 +1080,24 @@ def _ivf_ann_sql(d: str) -> str:
         ),
         centv0 AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
         centv AS (SELECT label, cv, {ncv} AS ncv FROM centv0),
-        assign AS (
-            SELECT vec_id, v, nv, cell FROM (
-                SELECT e.vec_id, e.v, e.nv, c.label AS cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                                          ORDER BY (case when e.nv = 0.0 or c.ncv = 0.0 then 0.0
-                                                    else {dot_assign} / (e.nv * c.ncv) end) DESC,
-                                          c.label ASC) AS rn
-                FROM emb e CROSS JOIN centv c
-            ) t WHERE rn = 1
+        assign0 AS (
+            SELECT e.vec_id, e.v, e.nv, c.label AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY (case when e.nv = 0.0 or c.ncv = 0.0 then 0.0
+                                                else {dot_assign} / (e.nv * c.ncv) end) DESC,
+                                      c.label ASC) AS rn
+            FROM emb e CROSS JOIN centv c
         ),
-        q AS (SELECT vec_id AS q_id, v AS qv, nv AS qnv, cell FROM assign WHERE vec_id < 5),
+        assign AS (SELECT vec_id, v, nv, cell FROM assign0 WHERE rn = 1),
+        -- multi-probe: the QUERY searches its top-3 cells (corpus rows stay
+        -- single-cell). Single-probe recall@3 measured 0/3 here: with weakly
+        -- clustered vectors the true NN routinely lands one cell over.
+        q AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS qnv, cell
+            FROM assign0 WHERE vec_id < 5 AND rn <= 3
+        ),
         cand AS (
-            SELECT q.q_id, a.vec_id,
+            SELECT DISTINCT q.q_id, a.vec_id,
                    (case when a.nv = 0.0 or q.qnv = 0.0 then 0.0
                          else {dot_cand} / (a.nv * q.qnv) end) AS cosine
             FROM assign a JOIN q ON a.cell = q.cell
