@@ -60,3 +60,47 @@ def run_monitors(
     if row["total"] > 0 and rate < threshold:
         failures.append(f"quality: {rate:.2f}% < {threshold}%")
     return MonitorReport(n, rate, not failures, failures)
+
+
+class BatchMetricsListener:
+    """A5/T6 streaming form: per-microbatch run counters captured from the
+    engine's own progress events (rows in, rows/sec, batch id, sink), the
+    restart-safe replacement for the reference's operational log counters
+    (dags/sentiment_analysis_dag.py:98-129). Attach with
+    spark.streams.addListener(listener); `records` accumulates one dict per
+    completed batch -- feed them to run_monitors cadence decisions or ship
+    them to any metrics sink.
+
+    Implemented against pyspark's StreamingQueryListener interface; import
+    is deferred so the module stays importable on stripped runtimes.
+    """
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Listener(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.records: list[dict] = []
+
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                self.records.append(
+                    {
+                        "query_id": str(p.id),
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "rows_per_sec": p.processedRowsPerSecond,
+                        "timestamp": p.timestamp,
+                    }
+                )
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+        return _Listener()

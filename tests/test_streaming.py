@@ -129,3 +129,38 @@ def test_streaming_session_window(spark):
         assert (s1["session_end"] - s1["session_start"]).total_seconds() == 40 * 60
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_batch_metrics_listener(spark):
+    """The listener captures per-batch counters from real progress events."""
+    from sentiment_analysis_data_pipeline_spark.plans.monitors import BatchMetricsListener
+    from sentiment_analysis_data_pipeline_spark.streaming import file_article_stream
+
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    root = Path(tempfile.mkdtemp(prefix="metrics-test-"))
+    try:
+        src = root / "src"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(_envelope(i) for i in range(5)) + "\n"
+        )
+        q = (
+            file_article_stream(spark, str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time as _t
+
+        for _ in range(20):  # listener events arrive asynchronously
+            if any(r["num_input_rows"] == 5 for r in listener.records):
+                break
+            _t.sleep(0.5)
+        assert any(r["num_input_rows"] == 5 for r in listener.records)
+        assert all("batch_id" in r for r in listener.records)
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(root, ignore_errors=True)
