@@ -1668,6 +1668,40 @@ def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_events_calendar_sql(D.SPARK))
 
 
+def _stratified_sample_sql(d: str) -> str:
+    """Deterministic stratified sampling for corpus curation: per-language
+    keep-rates applied via hash-mod buckets (md5 of a salted key). Unlike
+    Bernoulli sampleBy, the sample is a pure function of the row -- stable
+    under repartitioning, re-runs, and engine choice -- which is what makes
+    curated training mixes reproducible (and lets DuckDB hash-match it)."""
+    key = (
+        "concat('smp1|', cast(doc_id as string))"
+        if d == D.SPARK
+        else "concat('smp1|', cast(doc_id as varchar))"
+    )
+    bucket = f"{H.hex_to_bigint(d, f'md5({key})', 8)} % 100"
+    rates = (
+        "SELECT * FROM VALUES ('en', 60), ('de', 30), ('fr', 30) AS _r(rlang, rate)"
+        if d == D.SPARK
+        else "SELECT * FROM (VALUES ('en', 60), ('de', 30), ('fr', 30)) _r(rlang, rate)"
+    )
+    return f"""
+        WITH keyed AS (SELECT doc_id, lang, {bucket} AS bucket FROM documents),
+        rates AS ({rates})
+        SELECT k.doc_id, k.lang
+        FROM keyed k LEFT JOIN rates r ON k.lang = r.rlang
+        WHERE k.bucket < coalesce(r.rate, 10)
+    """
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling via deterministic hash buckets (60% en,
+    30% de/fr, 10% everything else): broadcast rate dim, scan-speed filter,
+    reproducible sample membership at any scale."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_stratified_sample_sql(D.SPARK))
+
+
 def _corpus_prep_sql(d: str) -> str:
     """End-to-end training-data prep chain composed from the text-analysis
     fragments: non-empty filter -> language ID (keep predicted-English) ->
@@ -1860,6 +1894,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql),
     "corpus_prep": (q_corpus_prep, _corpus_prep_sql),
+    "stratified_sample": (q_stratified_sample, _stratified_sample_sql),
 }
 
 
