@@ -1668,6 +1668,49 @@ def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_events_calendar_sql(D.SPARK))
 
 
+def _sequence_packing_sql(d: str) -> str:
+    """Greedy sequence packing: assign docs to fixed token-budget bins (4096
+    BPE-ish tokens) by running-sum position, independently within each of 8
+    hash shards. Per-shard packing is the scale shape -- a global running sum
+    would serialize the window into one partition; sharded, each task packs
+    its own stream and bins stay balanced because the shard key is uniform.
+    Integer arithmetic end to end, so both engines agree exactly."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    if d == D.SPARK:
+        bpe = f"size(regexp_extract_all({TEXT}, '{pat}', 0))"
+        key = "concat('pack1|', cast(doc_id as string))"
+        bindiv = "div 4096"
+    else:
+        bpe = f"len(regexp_extract_all({TEXT}, '{pat}'))"
+        key = "concat('pack1|', cast(doc_id as varchar))"
+        bindiv = "// 4096"
+    shard = f"{H.hex_to_bigint(d, f'md5({key})', 8)} % 8"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, cast({bpe} as bigint) AS n, {shard} AS shard
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, doc_id, n,
+                   (sum(n) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) - n) {bindiv} AS bin
+            FROM toks
+        )
+        SELECT cast(shard as bigint) AS shard, cast(bin as bigint) AS bin,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n) as bigint) AS bin_tokens
+        FROM packed GROUP BY shard, bin
+    """
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (4096-token bins, 8 shards): the step
+    between a cleaned corpus and fixed-length training sequences. One window
+    shuffle on the shard key, one aggregation."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_sequence_packing_sql(D.SPARK))
+
+
 def _stratified_sample_sql(d: str) -> str:
     """Deterministic stratified sampling for corpus curation: per-language
     keep-rates applied via hash-mod buckets (md5 of a salted key). Unlike
@@ -1895,6 +1938,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql),
     "corpus_prep": (q_corpus_prep, _corpus_prep_sql),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql),
+    "sequence_packing": (q_sequence_packing, _sequence_packing_sql),
 }
 
 
