@@ -16,7 +16,7 @@ at 100 TB they shuffle only (key, id) pairs, never the documents themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import dialect as D
@@ -132,6 +132,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     ngram: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 1024,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -140,6 +141,17 @@ def ngram_jaccard_pairs(
     co-occurrence count -- no shingle-set arrays ride through the join, only
     (shingle-hash, id, n). |A ∩ B| falls out of the group-count; |A ∪ B| =
     |A| + |B| - |A ∩ B|.
+
+    Scale guard: a shingle appearing in d documents emits ~d^2/2 candidate
+    rows on ONE join key (hot-boilerplate shingles -- headers, license
+    blocks -- are a cartesian bomb plus shuffle skew at corpus scale), so
+    shingles with document frequency > `max_shingle_df` are dropped from the
+    vocabulary BEFORE sizes and the self-join. Jaccard is then exact over
+    the capped vocabulary: both |A ∩ B| and |A|,|B| exclude the same hot
+    shingles, which carry the least discrimination anyway (they are shared
+    by ~everything). The default bounds any single shingle's pre-agg output
+    to ~max_df^2/2 ≈ 5e5 rows; at the test SFs (max df ≈ 25) results are
+    bit-identical to the uncapped operator.
     """
     shingled = (
         _with_tokens(df, content_col)
@@ -151,6 +163,15 @@ def ngram_jaccard_pairs(
         )
         # hash the shingle: equi-join on 32 bytes, not arbitrary-length text
         .select("doc", F.md5("shingle").alias("sh"))
+    )
+    # df cap via a count window over the shingle key: one shuffle on sh that
+    # the self-join below reuses (same partitioning), no extra agg+join pass.
+    shingled = (
+        shingled.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("sh"))
+        )
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df")
     )
     sizes = shingled.groupBy("doc").agg(F.count("*").alias("n"))
     a = shingled.select(F.col("sh"), F.col("doc").alias("id_a"))

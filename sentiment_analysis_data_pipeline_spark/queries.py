@@ -18,6 +18,7 @@ name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -298,8 +299,9 @@ def _quality_rate_sql(d: str) -> str:
             FROM documents
         )
         SELECT total, missing,
-               case when total = 0 then 0.0
-                    else (total - missing) * 100.0 / total end AS quality_rate
+               cast(case when total = 0 then 0.0
+                         else (total - missing) * 100.0 / total end
+                    as double) AS quality_rate
         FROM agg
     """
 
@@ -619,10 +621,17 @@ def _ngram_jaccard_sql(d: str) -> str:
         WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
         shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
         inv2 AS (SELECT doc, md5(s) AS sh FROM (SELECT doc, {explode} AS s FROM shingled) u),
-        sizes AS (SELECT doc, cast(count(*) as bigint) AS n FROM inv2 GROUP BY doc),
+        -- hot-shingle df cap (mirrors operators/dedup.py ngram_jaccard_pairs):
+        -- shingles in > 1024 docs are dropped before sizes AND the self-join
+        inv AS (
+            SELECT doc, sh FROM (
+                SELECT doc, sh, count(*) OVER (PARTITION BY sh) AS df_ FROM inv2
+            ) c WHERE df_ <= 1024
+        ),
+        sizes AS (SELECT doc, cast(count(*) as bigint) AS n FROM inv GROUP BY doc),
         co AS (
             SELECT a.doc AS id_a, b.doc AS id_b, cast(count(*) as bigint) AS inter
-            FROM inv2 a JOIN inv2 b ON a.sh = b.sh
+            FROM inv a JOIN inv b ON a.sh = b.sh
             WHERE a.doc < b.doc
             GROUP BY a.doc, b.doc
         )
@@ -1668,13 +1677,27 @@ def q_events_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_events_calendar_sql(D.SPARK))
 
 
-def _sequence_packing_sql(d: str) -> str:
+def pack_shards() -> int:
+    """Shard count for sequence packing == window parallelism. Sized from the
+    harness core count (SPARK_GRAFT_CPUS, the driver's local[N]) rather than a
+    constant, so the running-sum window stage scales with the cluster instead
+    of capping at a fixed task count. Deterministic (env, not session state)
+    because the DuckDB oracle must shard identically for hashes to match."""
+    try:
+        return max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def _sequence_packing_sql(d: str, shards: int | None = None) -> str:
     """Greedy sequence packing: assign docs to fixed token-budget bins (4096
-    BPE-ish tokens) by running-sum position, independently within each of 8
-    hash shards. Per-shard packing is the scale shape -- a global running sum
-    would serialize the window into one partition; sharded, each task packs
-    its own stream and bins stay balanced because the shard key is uniform.
-    Integer arithmetic end to end, so both engines agree exactly."""
+    BPE-ish tokens) by running-sum position, independently within each of
+    `shards` hash shards (default: pack_shards(), one per core). Per-shard
+    packing is the scale shape -- a global running sum would serialize the
+    window into one partition; sharded, each task packs its own stream and
+    bins stay balanced because the shard key is uniform. Integer arithmetic
+    end to end, so both engines agree exactly."""
+    shards = pack_shards() if shards is None else shards
     pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     if d == D.SPARK:
         bpe = f"size(regexp_extract_all({TEXT}, '{pat}', 0))"
@@ -1684,7 +1707,7 @@ def _sequence_packing_sql(d: str) -> str:
         bpe = f"len(regexp_extract_all({TEXT}, '{pat}'))"
         key = "concat('pack1|', cast(doc_id as varchar))"
         bindiv = "// 4096"
-    shard = f"{H.hex_to_bigint(d, f'md5({key})', 8)} % 8"
+    shard = f"{H.hex_to_bigint(d, f'md5({key})', 8)} % {shards}"
     return f"""
         WITH toks AS (
             SELECT doc_id, cast({bpe} as bigint) AS n, {shard} AS shard

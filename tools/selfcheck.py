@@ -44,6 +44,26 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def _num_kind(v) -> str | None:
+    """Classify a cell's numeric representation kind; cross-engine results
+    must agree per-column (decimal vs float hashes differently driver-side)."""
+    import decimal
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    return "other"
+
+
 def value_hash(rows: list[dict]) -> str:
     lines = sorted(
         "|".join(f"{k}={norm_cell(r[k])}" for k in sorted(r)) for r in rows
@@ -106,12 +126,25 @@ def main() -> int:
         ok_schema = scols == dcols
         sh, dh = value_hash(srows), value_hash(drows)
         ok_hash = sh == dh
-        status = "PASS" if (ok_rows and ok_schema and ok_hash) else "FAIL"
+        # Strict numeric-kind parity: the driver's normalizer hashes Decimal
+        # and float differently, so a Spark decimal vs DuckDB double column
+        # (or vice versa) must fail HERE even though norm_cell coerces both.
+        type_mismatches = []
+        if ok_schema and srows and drows:
+            for col in scols:
+                skinds = {_num_kind(r[col]) for r in srows} - {None}
+                dkinds = {_num_kind(r[col]) for r in drows} - {None}
+                if skinds != dkinds:
+                    type_mismatches.append(f"{col}: spark={sorted(skinds)} duck={sorted(dkinds)}")
+        ok_types = not type_mismatches
+        status = "PASS" if (ok_rows and ok_schema and ok_hash and ok_types) else "FAIL"
         print(
-            f"{status} {name}: rows {len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash} ({time.time()-t0:.1f}s)"
+            f"{status} {name}: rows {len(srows)}/{len(drows)} schema={ok_schema} hash={ok_hash} types={ok_types} ({time.time()-t0:.1f}s)"
         )
         if status == "FAIL":
             failures.append(name)
+            for tm in type_mismatches:
+                print("   type mismatch:", tm)
             if not ok_schema:
                 print(f"   spark cols: {scols}\n   duck cols: {dcols}")
             if ok_schema and not ok_hash:
