@@ -29,12 +29,28 @@ Trigger.AvailableNow -- the two sources are interchangeable behind
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import ENVELOPE_SCHEMA
 
 TOPIC_NEWS_RAW = "news-raw"  # scripts/create_topics.sh:13-19
+
+
+def _existing_keys_or_none(spark: SparkSession, path: str, *cols: str) -> DataFrame | None:
+    """Distinct key column(s) of a parquet sink, or None if the sink does not
+    exist yet. ONLY AnalysisException (missing path / empty dir with no
+    inferable schema -- the first-epoch cases) maps to None; any other read
+    failure (corrupt footer, permissions, transient FS error) PROPAGATES so
+    the checkpoint retries the batch. Swallowing those would silently disable
+    the anti-join dedup for the epoch and double-land rows, breaking the
+    unique-URL guarantee the sink exists to reproduce."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    return df.select(*cols).distinct()
 
 
 def kafka_article_stream(
@@ -111,11 +127,8 @@ def merge_into_parquet(target_path: str, key: str = "url"):
     def do_merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         deduped = batch.dropDuplicates([key])
-        try:
-            existing = spark.read.parquet(target_path).select(key).distinct()
-            fresh = deduped.join(existing, on=key, how="left_anti")
-        except Exception:
-            fresh = deduped  # first epoch: sink does not exist yet
+        existing = _existing_keys_or_none(spark, target_path, key)
+        fresh = deduped if existing is None else deduped.join(existing, on=key, how="left_anti")
         fresh.write.mode("append").parquet(target_path)
 
     return do_merge
@@ -231,17 +244,24 @@ def run_sentiment_stream(
     as a single checkpointed query: each epoch lands only never-seen URLs
     and scores exactly those, so the reference's re-scan + Python anti-join
     per hour disappears entirely.
+
+    Crash safety across the TWO appends (non-atomic: plain parquet, no
+    transaction log): the processed table commits FIRST and is itself
+    idempotent (anti-join on doc_id against its own contents), the raw table
+    commits LAST. A replayed epoch therefore recomputes the same `fresh` set
+    (raw unchanged until the final append), re-scores it, and the doc_id
+    anti-join drops whatever already landed -- exactly-once on BOTH tables
+    under checkpoint replay. The raw-first ordering this replaces was
+    at-most-once on processed: a crash between the appends made the replay's
+    URL anti-join see its own rows as already-seen and silently skip scoring.
     """
     from ..plans.pipeline import sentiment_enrich
 
     def epoch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         deduped = batch.dropDuplicates(["url"])
-        try:
-            seen = sp.read.parquet(raw_path).select("url").distinct()
-            fresh = deduped.join(seen, on="url", how="left_anti")
-        except Exception:
-            fresh = deduped
+        seen = _existing_keys_or_none(sp, raw_path, "url")
+        fresh = deduped if seen is None else deduped.join(seen, on="url", how="left_anti")
         # Truncate lineage NOW (eager localCheckpoint): the anti-join must be
         # evaluated against the sink's pre-append contents. persist() is NOT
         # enough -- appending to raw_path invalidates every cached plan that
@@ -249,33 +269,32 @@ def run_sentiment_stream(
         # cached anti-join would be recomputed against the post-append file
         # list and see its own rows as already-seen, scoring nothing.
         fresh = fresh.localCheckpoint(eager=True)
-        try:
-            fresh.write.mode("append").parquet(raw_path)
-            scored = sentiment_enrich(
-                fresh.withColumn(
-                    "text",
-                    F.concat_ws(
-                        " ",
-                        F.col("article.title"),
-                        F.col("article.description"),
-                        F.substring(F.col("article.content"), 1, 500),
-                    ),
-                ),
+        scored = sentiment_enrich(
+            fresh.withColumn(
                 "text",
-                id_col="url",
-            )
-            processed = scored.select(
-                F.md5("url").alias("doc_id"),
-                "source_api",
-                "fetched_at",
-                F.current_timestamp().alias("processed_at"),
-                "url",
-                F.struct("overall", "confidence", "vader_compound", "textblob_polarity").alias("sentiment"),
-            )
-            processed.write.mode("append").parquet(processed_path)
-        finally:
-            # checkpoint blocks are freed when the epoch's DataFrame is GC'd
-            pass
+                F.concat_ws(
+                    " ",
+                    F.col("article.title"),
+                    F.col("article.description"),
+                    F.substring(F.col("article.content"), 1, 500),
+                ),
+            ),
+            "text",
+            id_col="url",
+        )
+        processed = scored.select(
+            F.md5("url").alias("doc_id"),
+            "source_api",
+            "fetched_at",
+            F.current_timestamp().alias("processed_at"),
+            "url",
+            F.struct("overall", "confidence", "vader_compound", "textblob_polarity").alias("sentiment"),
+        )
+        landed = _existing_keys_or_none(sp, processed_path, "doc_id")
+        if landed is not None:
+            processed = processed.join(landed, on="doc_id", how="left_anti")
+        processed.write.mode("append").parquet(processed_path)
+        fresh.write.mode("append").parquet(raw_path)
 
     stream = file_article_stream(spark, source_dir)
     return (

@@ -49,6 +49,53 @@ def test_full_stream_pipeline(spark):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_sentiment_stream_replay_after_partial_commit(spark):
+    """Crash between the two appends: processed landed, raw did not. The
+    replay must re-score the batch and land raw WITHOUT duplicating the
+    already-committed processed rows (processed-first + doc_id anti-join +
+    raw-last ordering)."""
+    root = Path(tempfile.mkdtemp(prefix="replaystream-"))
+    try:
+        (root / "src").mkdir()
+        raw, proc = str(root / "raw"), str(root / "proc")
+        (root / "src" / "a.json").write_text(
+            "\n".join([_env(0, "great excellent best"), _env(1, "terrible worst hate")]) + "\n"
+        )
+        run_sentiment_stream(spark, str(root / "src"), raw, proc, str(root / "ckpt1")).awaitTermination(120)
+        assert spark.read.parquet(proc).count() == 2
+
+        # simulate the torn epoch: processed committed, raw lost pre-commit
+        shutil.rmtree(raw)
+        run_sentiment_stream(spark, str(root / "src"), raw, proc, str(root / "ckpt2")).awaitTermination(120)
+        assert spark.read.parquet(proc).count() == 2  # no duplicate scoring landed
+        assert spark.read.parquet(raw).count() == 2  # raw recovered on replay
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_sink_transient_read_error_raises(spark):
+    """A non-missing-path read failure (corrupt footer standing in for any
+    transient FS error) must FAIL the batch -- not silently skip the
+    anti-join and double-land rows."""
+    import pytest
+
+    from sentiment_analysis_data_pipeline_spark.streaming.ingest import merge_into_parquet
+
+    root = Path(tempfile.mkdtemp(prefix="corrupt-sink-"))
+    try:
+        sink = root / "sink"
+        sink.mkdir()
+        (sink / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+        batch = spark.createDataFrame([("https://e.com/1", 1)], "url string, x int")
+        with pytest.raises(Exception) as ei:
+            merge_into_parquet(str(sink))(batch, 0)
+        from pyspark.errors import AnalysisException
+
+        assert not isinstance(ei.value, AnalysisException)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_split_valid_corrupt(spark):
     rows = [(_env(1, "ok"),), ("not json at all",), ('{"source_api": "x"}',)]
     df = spark.createDataFrame(rows, "json string")
