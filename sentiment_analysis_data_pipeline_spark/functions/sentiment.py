@@ -56,6 +56,82 @@ LEXICON: dict[str, float] = {
     "fast": 0.4375, "big": 0.1875, "small": -0.1875,
 }
 
+# Extended vocabulary toward the published VADER lexicon (Hutto & Gilbert
+# 2014, vader_lexicon.txt -- mean valences on a [-4, 4] scale). Weights here
+# are valence/4 rounded to the nearest 1/16: dyadic, so sums stay exact in
+# both engines while token coverage approaches the real library's. Values
+# are stored as integer sixteenths to make exactness unmissable in review.
+_EXTENDED_SIXTEENTHS: dict[str, int] = {
+    # --- positive ---
+    "accomplish": 8, "achievement": 10, "admire": 9, "adore": 12,
+    "advantage": 7, "agree": 6, "amazing": 11, "amuse": 7, "appreciate": 8,
+    "approval": 8, "attract": 6, "award": 10, "bargain": 6, "beautiful": 12,
+    "benefit": 8, "better": 8, "bless": 9, "bliss": 12, "bonus": 8,
+    "boost": 7, "brave": 9, "bright": 8, "brilliant": 11, "calm": 5,
+    "care": 8, "celebrate": 11, "champion": 10, "charming": 10,
+    "cheerful": 10, "cherish": 9, "clean": 7, "clever": 8, "comfort": 6,
+    "comfortable": 7, "confident": 9, "congratulations": 12, "cool": 5,
+    "courage": 9, "creative": 8, "cute": 8, "delicious": 10, "delight": 12,
+    "divine": 10, "dream": 6, "eager": 6, "easy": 8, "ecstatic": 12,
+    "effective": 8, "efficient": 7, "elegant": 8, "encourage": 9,
+    "energetic": 8, "enjoy": 9, "enthusiastic": 11, "exceptional": 10,
+    "excited": 9, "fair": 7, "faith": 8, "famous": 7, "fantastic": 10,
+    "favorite": 8, "festive": 9, "fine": 3, "flawless": 12, "fortune": 9,
+    "free": 9, "freedom": 12, "friendly": 9, "fun": 9, "generous": 9,
+    "genius": 10, "gentle": 8, "gift": 8, "glad": 8, "glory": 10,
+    "graceful": 8, "grand": 9, "grateful": 10, "greatest": 13, "handsome": 9,
+    "happiness": 11, "heal": 8, "healthy": 7, "heaven": 12, "helpful": 8,
+    "hero": 10, "honest": 9, "honor": 10, "hope": 8, "hopeful": 8, "hug": 8,
+    "humor": 6, "ideal": 8, "impressive": 9, "incredible": 10,
+    "innovative": 8, "inspire": 10, "intelligent": 10, "interesting": 7,
+    "joy": 11, "kind": 10, "laugh": 10, "loyal": 9, "lucky": 10,
+    "magnificent": 12, "marvelous": 12, "masterpiece": 12, "merry": 10,
+    "miracle": 11, "optimistic": 9, "outstanding": 12, "paradise": 13,
+    "peace": 10, "perfect": 11, "pleasant": 9, "pleased": 9, "pleasure": 11,
+    "popular": 8, "powerful": 8, "pretty": 6, "productive": 8, "profit": 8,
+    "progress": 7, "promising": 8, "protect": 6, "proud": 8, "reliable": 8,
+    "relief": 8, "rescue": 8, "reward": 10, "rich": 10, "safe": 8,
+    "satisfied": 8, "secure": 7, "smart": 8, "smile": 8, "smooth": 6,
+    "special": 7, "splendid": 12, "stable": 4, "strength": 8, "strong": 9,
+    "succeed": 10, "superb": 12, "superior": 9, "support": 7, "sweet": 8,
+    "talent": 8, "terrific": 10, "thank": 8, "thrilled": 11, "triumph": 11,
+    "trust": 9, "useful": 8, "valuable": 8, "vibrant": 9, "victory": 11,
+    "warm": 6, "wealth": 9, "welcome": 8, "wise": 8, "wonder": 7,
+    "wonderful": 11, "worthy": 8,
+    # --- negative ---
+    "abuse": -13, "afraid": -9, "angry": -9, "annoy": -8, "anxious": -8,
+    "attack": -8, "awful": -8, "betray": -11, "bitter": -7, "blame": -6,
+    "bore": -5, "boring": -5, "brutal": -10, "burden": -6, "chaos": -8,
+    "cheat": -10, "collapse": -7, "complain": -6, "conflict": -6,
+    "confuse": -5, "corrupt": -11, "costly": -4, "cruel": -11, "cry": -8,
+    "damage": -8, "danger": -10, "dead": -12, "death": -12, "decline": -5,
+    "defeat": -8, "delay": -4, "deny": -5, "depress": -9, "desperate": -8,
+    "destroy": -10, "dirty": -7, "disappoint": -8, "disaster": -12,
+    "disease": -8, "disgust": -11, "dishonest": -10, "dismal": -8,
+    "disrupt": -6, "doubt": -5, "dreadful": -12, "dull": -5, "dumb": -9,
+    "enemy": -10, "evil": -12, "expensive": -4, "fake": -8, "fatal": -11,
+    "fear": -9, "fight": -6, "filthy": -10, "fool": -8, "fraud": -11,
+    "frustrate": -8, "greed": -10, "grief": -9, "gross": -8, "guilt": -8,
+    "harm": -10, "harsh": -8, "hell": -14, "horrible": -10, "horror": -11,
+    "hostile": -9, "hurt": -10, "ignorant": -8, "ill": -7, "inferior": -8,
+    "injury": -8, "insane": -7, "insult": -9, "jealous": -8, "kill": -12,
+    "lazy": -7, "lie": -7, "lonely": -8, "lose": -7, "mad": -9, "mess": -6,
+    "miserable": -11, "mistake": -7, "murder": -13, "nasty": -10,
+    "neglect": -8, "nervous": -6, "offend": -8, "pain": -9, "panic": -9,
+    "pathetic": -8, "poison": -10, "poor": -8, "problem": -7, "punish": -9,
+    "rage": -10, "reject": -8, "risk": -4, "rotten": -9, "rude": -8,
+    "ruin": -8, "scam": -8, "scare": -8, "shame": -8, "sick": -9,
+    "sorrow": -10, "steal": -9, "stress": -8, "struggle": -6, "stupid": -10,
+    "suffer": -10, "suspicious": -6, "threat": -8, "tired": -6,
+    "tragedy": -12, "trouble": -8, "ugly": -10, "unfair": -8, "unhappy": -8,
+    "upset": -8, "useless": -8, "victim": -5, "violence": -12, "war": -12,
+    "waste": -7, "weak": -8, "weep": -8, "wicked": -10, "worry": -8,
+    "worse": -8, "wound": -8, "wrong": -8,
+}
+
+assert not set(_EXTENDED_SIXTEENTHS) & set(LEXICON), "duplicate lexicon entry"
+LEXICON.update({w: k / 16.0 for w, k in _EXTENDED_SIXTEENTHS.items()})
+
 POSITIVE = sorted(w for w, s in LEXICON.items() if s > 0)
 NEGATIVE = sorted(w for w, s in LEXICON.items() if s < 0)
 

@@ -51,7 +51,7 @@ def documents_as_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_id") -> DataFrame:
     """U1+U2+F8-F11: append the sentiment columns, all native operations, in
-    the kernel's scale shape: explode tokens -> broadcast-join the 31-row
+    the kernel's scale shape: explode tokens -> broadcast-join the ~290-row
     lexicon -> per-doc sums (map-side combine: the shuffle carries one row
     per doc) -> left-join back -> score formulas.
 

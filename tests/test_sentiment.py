@@ -85,6 +85,36 @@ def test_lexicon_weights_are_dyadic():
         assert (s * 16) == int(s * 16), w
 
 
+def test_realistic_sentences(spark):
+    """Realistic-text goldens over the extended (published-VADER-derived)
+    lexicon: label-level pins on sentences shaped like actual news/reviews,
+    plus exact native==pandas agreement on each."""
+    texts = [
+        "The film was absolutely wonderful, a brilliant and beautiful story",
+        "A horrible disaster: the project was a complete failure and a waste",
+        "Markets closed mixed on Tuesday as investors awaited the report",
+        "Customers praised the helpful staff and excellent friendly service",
+        "The scandal triggered outrage, fear and panic among shareholders",
+        "Analysts expect strong profit growth and impressive progress this year",
+        "War and violence destroy communities and cause terrible suffering",
+    ]
+    expected = ["positive", "negative", "neutral", "positive", "negative", "positive", "negative"]
+    rows = _enrich_rows(spark, texts)
+    assert [r["overall"] for r in rows] == expected
+    for row, text in zip(rows, texts):
+        vc, tb = _py_kernel(text)
+        assert row["vader_compound"] == vc, text
+        assert row["textblob_polarity"] == tb, text
+
+
+def test_extended_lexicon_coverage():
+    """The embedded lexicon must stay at published-library scale (the round-1
+    gap was a ~30-word vocabulary) and keep both polarities well represented."""
+    assert len(LEXICON) >= 250
+    assert sum(1 for s in LEXICON.values() if s > 0) >= 100
+    assert sum(1 for s in LEXICON.values() if s < 0) >= 100
+
+
 def test_full_table_distribution(spark, sf_dir):
     """Flagship distribution on sf0.001 is a stable golden."""
     from sentiment_analysis_data_pipeline_spark.queries import q_sentiment_terms_agg
