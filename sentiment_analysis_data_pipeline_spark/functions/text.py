@@ -76,10 +76,53 @@ def tokenize(d: str, expr: str) -> str:
     return D.arr_filter(d, arr, "t -> t <> ''")
 
 
+# Suffix-strip stemmer rules: a Porter subset (steps 1a, 1b, 5a) applied as
+# a sequential regexp_replace chain, identical in both engines. Each tuple is
+# (pattern, keep-group?) -- the replacement keeps capture group 1 (dialect
+# syntax differs: Java's $1 vs RE2's \1) plus the literal tail given.
+# Covers the high-frequency inflections the ES english analyzer's stemmer
+# normalizes (configs/elasticsearch_config.py:94-112): plurals (-sses, -ies,
+# -s), participles with a vowel-bearing stem (-ing, -ed), and the final -e
+# (so "merging", "merges", "merged", "merge" all stem to "merg"). Full
+# Porter's measure/cvc refinements are intentionally out of scope -- both
+# engines (and the driver-side query analyzer) run this exact chain, so
+# search parity is structural.
+STEM_RULES: list[tuple[str, str]] = [
+    ("sses$", "'ss'"),  # classes -> class
+    ("([a-z])ies$", "G1i"),  # stories -> stori
+    ("([a-rt-z0-9])s$", "G1"),  # windows -> window (not -ss)
+    ("([a-z]*[aeiou][a-z]*)ing$", "G1"),  # merging -> merg (king stays)
+    ("([a-z]*[aeiou][a-z]*)ed$", "G1"),  # merged -> merg (red stays)
+    ("([a-z][a-z][a-z]+)e$", "G1"),  # merge -> merg (the stays)
+]
+
+
+def stem(d: str, expr: str) -> str:
+    """One analyzed token -> its stem, as a nested regexp_replace chain."""
+    g1 = "$1" if d == D.SPARK else "\\1"
+    e = expr
+    for pat, rep in STEM_RULES:
+        lit = rep.replace("G1", g1) if rep.startswith("G1") else rep.strip("'")
+        e = f"regexp_replace({e}, '{pat}', '{lit}')"
+    return e
+
+
+def stem_py(t: str) -> str:
+    """Driver-side mirror of `stem` (for tiny query strings)."""
+    import re
+
+    for pat, rep in STEM_RULES:
+        t = re.sub(pat, rep.replace("G1", "\\1").strip("'"), t)
+    return t
+
+
 def analyzed_tokens(d: str, expr: str) -> str:
-    """Q3 analyzer: tokenize + stopword removal (configs/elasticsearch_config.py:94-112)."""
+    """Q3 analyzer: tokenize + stopword removal + stemming -- the three
+    stages of the reference's ES english analyzer
+    (configs/elasticsearch_config.py:94-112)."""
     stop = D.arr_literal(d, STOPWORDS)
-    return D.arr_filter(d, tokenize(d, expr), f"t -> not {D.arr_contains(d, stop, 't')}")
+    filtered = D.arr_filter(d, tokenize(d, expr), f"t -> not {D.arr_contains(d, stop, 't')}")
+    return D.arr_transform(d, filtered, f"t -> {stem(d, 't')}")
 
 
 def word_count(d: str, expr: str) -> str:

@@ -6,8 +6,9 @@
   Q4/A4 terms agg                     database/elasticsearch_handler.py:82-93
 
 Q3: no inverted index in Spark -- the engine tokenizes once into a
-`tokens` array column (analyzer parity: lowercase + stopword removal,
-configs/elasticsearch_config.py:94-112) and scores relevance as
+`tokens` array column (analyzer parity: lowercase + stopword removal +
+suffix-strip stemming, configs/elasticsearch_config.py:94-112) and scores
+relevance as
 |query_terms ∩ tokens| (the reference never reads ES _score, so overlap
 count is a faithful, deterministic stand-in). sort+limit compiles to
 TakeOrderedAndProject: top-k per partition then a k-row merge at the driver,
@@ -67,8 +68,11 @@ def keyword_search(
 
 
 def _analyze_py(s: str) -> list[str]:
-    """Driver-side copy of the analyzer for the (tiny) query string."""
+    """Driver-side copy of the analyzer for the (tiny) query string:
+    lowercase + stopword removal + the same stem chain documents get."""
     import re
 
     cleaned = re.sub(r"[^a-z0-9 ]", " ", s.strip().lower())
-    return [t for t in cleaned.split() if t and t not in set(text.STOPWORDS)]
+    return [
+        text.stem_py(t) for t in cleaned.split() if t and t not in set(text.STOPWORDS)
+    ]

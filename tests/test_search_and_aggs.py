@@ -36,6 +36,51 @@ def test_keyword_search_empty_query(spark):
     assert search.keyword_search(_corpus(spark), "the and of", size=10).count() == 0
 
 
+def test_keyword_search_stemming(spark):
+    """The analyzer stems both sides: a query for 'merge' must match docs
+    that only contain inflected forms (english-analyzer stemmer parity,
+    configs/elasticsearch_config.py:94-112)."""
+    rows = [
+        (0, "merging sorted runs"),
+        (1, "the table was merged yesterday"),
+        (2, "three merges completed"),
+        (3, "unrelated content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = search.keyword_search(df, "merge", size=10).collect()
+    assert {r["doc"] for r in out} == {0, 1, 2}
+
+
+def test_stem_chain_examples():
+    """Pin the suffix-strip subset's behavior on representative forms."""
+    from sentiment_analysis_data_pipeline_spark.functions.text import stem_py
+
+    assert stem_py("merging") == stem_py("merged") == stem_py("merges") == stem_py("merge")
+    assert stem_py("classes") == "class"
+    assert stem_py("stories") == "stori"
+    assert stem_py("windows") == "window"
+    assert stem_py("king") == "king"  # no vowel-bearing stem before -ing
+    assert stem_py("red") == "red"
+    assert stem_py("the") == "the"  # too short for -e strip
+    assert stem_py("class") == "class"  # -ss never stripped
+
+
+def test_stem_sql_matches_python(spark):
+    """The SQL stem chain (Spark dialect) agrees with the driver-side mirror
+    token for token."""
+    from sentiment_analysis_data_pipeline_spark.functions import dialect as D
+    from sentiment_analysis_data_pipeline_spark.functions.text import stem, stem_py
+
+    words = [
+        "merging", "merged", "merges", "merge", "classes", "stories",
+        "windows", "king", "red", "the", "class", "running", "used",
+        "ties", "houses", "2020s", "ing", "agreed", "hopes",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = [r["s"] for r in df.selectExpr(f"{stem(D.SPARK, 't')} AS s").collect()]
+    assert got == [stem_py(w) for w in words]
+
+
 def test_term_query_sort_limit(spark):
     df = spark.createDataFrame(
         [(i, "positive" if i % 2 == 0 else "negative", i * 10) for i in range(10)],
