@@ -1853,6 +1853,78 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_keep_sql(d: str) -> str:
+    """Oracle for q_dedup_keep (DuckDB dialect only, same recursive-closure
+    core as _dedup_clusters_sql): keeper corpus = min doc per component plus
+    every unclustered singleton, each with its cluster size."""
+    edges = _simhash_pairs_sql(d)
+    return f"""
+        WITH RECURSIVE edges AS ({edges}),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b AS a, id_a AS b FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        sizes AS (
+            SELECT component, cast(count(*) as bigint) AS cluster_size
+            FROM comp GROUP BY component
+        ),
+        clustered_keepers AS (
+            SELECT c.doc_id, c.component, s.cluster_size
+            FROM comp c JOIN sizes s ON c.component = s.component
+            WHERE c.doc_id = c.component
+        ),
+        singletons AS (
+            SELECT d.doc_id, d.doc_id AS component, cast(1 as bigint) AS cluster_size
+            FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+            WHERE comp.doc_id IS NULL
+        )
+        SELECT doc_id, component, cluster_size FROM clustered_keepers
+        UNION ALL
+        SELECT doc_id, component, cluster_size FROM singletons
+    """
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-drop materialization -- the step a real dedup pipeline actually
+    writes out: from near-dup components, keep exactly one doc per cluster
+    (min doc_id) plus all unclustered docs, annotated with cluster_size so
+    downstream sampling can reweight.
+
+    Scale shape: connected components touch only the docs that appear in a
+    near-dup pair (a small fraction of the corpus); the full corpus joins in
+    once via a left-anti on that small relation to recover singletons. No
+    step ever holds the corpus as graph state."""
+    from .operators.dedup import connected_components
+
+    _view(spark, sf_dir, "documents")
+    edges = spark.sql(_simhash_pairs_sql(D.SPARK))
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    clustered_keepers = (
+        comp.filter(F.col("doc_id") == F.col("component")).join(sizes, "component")
+        .select("doc_id", "component", "cluster_size")
+    )
+    docs = spark.table("documents").select("doc_id")
+    singletons = docs.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("component"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return clustered_keepers.unionByName(singletons)
+
+
 def _binary_metadata_sql(d: str) -> str:
     """Multimodal binary-column surface in the driver contract: documents
     carry an opaque binary payload (here: the UTF-8 text bytes -- the env has
@@ -1959,6 +2031,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "approx_stats": (q_approx_stats, None),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_sql),
+    "dedup_keep": (q_dedup_keep, _dedup_keep_sql),
     "corpus_prep": (q_corpus_prep, _corpus_prep_sql),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql),
     "sequence_packing": (q_sequence_packing, _sequence_packing_sql),
