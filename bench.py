@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "embedding_dedup_pairs",
     "quality_score",
     "corpus_prep",
+    "stratified_sample",
+    "sequence_packing",
 ]
 
 
@@ -69,19 +71,23 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2: machine timing noise here is +/-50% per single run; the
-    # minimum is the stable "what the engine actually costs" figure
+    # median-of-3: machine timing noise here is +/-50% per single run; the
+    # median is robust to one outlier in either direction, which makes
+    # round-over-round regressions detectable (best-of-N hides slowdowns
+    # whenever one lucky run sneaks in)
+    from statistics import median
+
+    runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        best, n = None, 0
-        for _ in range(2):
+        samples, n = [], 0
+        for _ in range(runs):
             t0 = time.perf_counter()
             out = qs[name](spark, SF_DIR)
             n = len(out.collect())
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(median(samples), 4)
         rows[name] = n
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -124,6 +124,38 @@ def simhash(d: str, hashes_expr: str, bits: int = 32) -> str:
     return f"concat({', '.join(bit_exprs)})"
 
 
+def simhash_sum_aggs(d: str, token_hash_col: str = "th", bits: int = 64) -> list[str]:
+    """SimHash bit-plane sums as aggregate expressions over EXPLODED
+    (doc, token-md5-hex) rows: sum over tokens of +1/-1 per bit position.
+
+    This is the scale shape of `simhash`: the fragment form runs one
+    interpreted array-lambda pass per bit (32-64 full passes over the token
+    array per document under Spark's HOF evaluation); this form is a single
+    explode + one groupBy(doc) with `bits` integer sum aggregates -- all
+    whole-stage codegen, map-side partial aggregation, one row per doc on
+    the shuffle. Integer sums, so cross-engine exactness is trivial."""
+    out = []
+    for i in range(bits):
+        pos = i // 4 + 1
+        shift = 3 - (i % 4)
+        dv = hex_digit_val(d, f"substring({token_hash_col}, {pos}, 1)")
+        bit = f"(({D.int_div(d, dv, str(2 ** shift))}) % 2)"
+        out.append(f"sum(case when {bit} = 1 then 1 else -1 end) AS sb{i}")
+    return out
+
+
+def simhash_from_sums(bits: int = 64, prefix: str = "sb") -> str:
+    """Assemble the bit-string fingerprint from the sb{i} sum columns.
+    coalesce(0) keeps zero-token documents (which never reach the exploded
+    aggregation and re-enter via a left join) on the all-zeros fingerprint
+    the fragment form gives them."""
+    parts = ", ".join(
+        f"case when coalesce({prefix}{i}, 0) > 0 then '1' else '0' end"
+        for i in range(bits)
+    )
+    return f"concat({parts})"
+
+
 def hamming_bits(d: str, a: str, b: str, bits: int = 32) -> str:
     """Hamming distance between two equal-width '0'/'1' bit-strings."""
     terms = " + ".join(

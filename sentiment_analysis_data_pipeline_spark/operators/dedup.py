@@ -197,7 +197,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str, bits: int = 32) -> DataFrame:
+def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document (bit-string column). Near-dup pairs =
     fingerprints within a small Hamming radius; see simhash_pairs."""
     return (
@@ -210,7 +210,7 @@ def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str, bits: int
     )
 
 
-def simhash_pairs(df: DataFrame, content_col: str, id_col: str, bits: int = 32, radius: int = 3) -> DataFrame:
+def simhash_pairs(df: DataFrame, content_col: str, id_col: str, bits: int = 64, radius: int = 3) -> DataFrame:
     """SimHash near-dup pairs within Hamming `radius`, using the block trick
     (Manku et al. 2007): split the fingerprint into radius+1 blocks; any pair
     within the radius must agree exactly on >= 1 block, so candidates come
@@ -260,6 +260,10 @@ def connected_components(
     DuckDB `WITH RECURSIVE` transitive closure serve as the oracle
     (queries.q_dedup_clusters).
     """
+    # Checkpoint the edge relation first: `und` references it twice (both
+    # orientations), and an expensive un-materialized edge plan would run
+    # twice in the union's single job.
+    edges = edges.localCheckpoint(eager=True)
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )

@@ -655,9 +655,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
 
 
+# 64-bit fingerprints, 4 x 16-bit blocks for radius-3 candidates. 32-bit/
+# 8-bit-block simhash has only 256 possible values per block position: at
+# corpus scale EVERY block value is hot and the candidate equi-join goes
+# quadratic (the same hot-key bomb as uncapped shingles). 16-bit blocks give
+# 65k values per position, and 64 bit-planes make radius-3 agreement mean
+# something (at 32 bits, 3.3% of ALL sf0.1 doc pairs were within radius 3;
+# at 64 bits near-dup pairs are actual near-dups).
+SIMHASH_BITS = 64
+
+
 def _simhash_sql(d: str) -> str:
     toks = TX.tokenize(d, TEXT)
-    sim = H.simhash(d, "hs", bits=32)
+    sim = H.simhash(d, "hs", bits=SIMHASH_BITS)
     return f"""
         WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
         hashed AS (SELECT doc, {H.md5_array(d, 'toks')} AS hs FROM tokd)
@@ -665,10 +675,37 @@ def _simhash_sql(d: str) -> str:
     """
 
 
-def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 32-bit fingerprints (bit-string form) per document."""
+def _simhash_fp_df(spark: SparkSession, sf_dir: str, out_col: str = "f") -> DataFrame:
+    """Spark-side simhash fingerprints in the scale shape: explode tokens ->
+    md5 once per token -> ONE groupBy(doc) carrying 64 integer sum aggregates
+    (map-side combine, whole-stage codegen) -> assemble the bit-string.
+
+    The fragment form (_simhash_sql / H.simhash) runs one interpreted
+    array-lambda pass per bit -- 64 full passes over each doc's token array
+    under Spark's HOF evaluation; it stays as the DuckDB oracle's
+    single-statement twin (list lambdas are cheap there). Zero-token docs
+    re-enter via the left join on the all-zeros fingerprint, matching the
+    fragment's sum-over-empty-array behavior."""
     _view(spark, sf_dir, "documents")
-    return spark.sql(_simhash_sql(D.SPARK))
+    toks = TX.tokenize(D.SPARK, TEXT)
+    aggs = ", ".join(H.simhash_sum_aggs(D.SPARK, "th", SIMHASH_BITS))
+    return spark.sql(
+        f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        ex AS (
+            SELECT doc, md5(t) AS th
+            FROM (SELECT doc, explode(toks) AS t FROM tokd) e
+        ),
+        sums AS (SELECT doc, {aggs} FROM ex GROUP BY doc)
+        SELECT d.doc_id AS doc, {H.simhash_from_sums(SIMHASH_BITS)} AS {out_col}
+        FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc
+        """
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (bit-string form) per document."""
+    return _simhash_fp_df(spark, sf_dir, out_col="simhash")
 
 
 def _fingerprint_sql(d: str) -> str:
@@ -1138,10 +1175,11 @@ def _simhash_pairs_sql(d: str) -> str:
     Hamming radius r must agree exactly on >= 1 of r+1 blocks, so candidates
     come from equi-joins on block values -- never all-pairs."""
     toks = TX.tokenize(d, TEXT)
-    sim = H.simhash(d, "hs", bits=32)
-    ham = H.hamming_bits(d, "fa.f", "fb.f", bits=32)
+    width = SIMHASH_BITS // 4
+    sim = H.simhash(d, "hs", bits=SIMHASH_BITS)
+    ham = H.hamming_bits(d, "fa.f", "fb.f", bits=SIMHASH_BITS)
     blocks = ", ".join(
-        f"concat('{i}|', substring(f, {i * 8 + 1}, 8))" for i in range(4)
+        f"concat('{i}|', substring(f, {i * width + 1}, {width}))" for i in range(4)
     )
     arr = f"array({blocks})" if d == D.SPARK else f"[{blocks}]"
     ex = "explode(barr)" if d == D.SPARK else "unnest(barr)"
@@ -1166,11 +1204,47 @@ def _simhash_pairs_sql(d: str) -> str:
     """
 
 
+def _simhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side simhash pairs with the fingerprint relation materialized
+    ONCE. The single-statement form (_simhash_pairs_sql) references the fp
+    CTE three times (block explode + both verify-join sides) and Spark
+    re-inlines CTEs per branch, so the HOF-heavy per-doc fingerprint ran 3x
+    (~20 s of the 39 s dedup-cluster wall at sf0.1). localCheckpoint cuts
+    the lineage so all three references scan the materialized 2-column
+    relation instead. Value-identical to the oracle's single statement.
+    (The fingerprint itself comes from _simhash_fp_df's explode+sum-agg
+    shape, not the per-bit HOF fragment.)"""
+    fp = _simhash_fp_df(spark, sf_dir)
+    fp.localCheckpoint(eager=True).createOrReplaceTempView("simhash_fp")
+    width = SIMHASH_BITS // 4
+    ham = H.hamming_bits(D.SPARK, "fa.f", "fb.f", bits=SIMHASH_BITS)
+    blocks = ", ".join(
+        f"concat('{i}|', substring(f, {i * width + 1}, {width}))" for i in range(4)
+    )
+    return spark.sql(
+        f"""
+        WITH barr AS (SELECT doc, array({blocks}) AS barr FROM simhash_fp),
+        blocks AS (SELECT doc, explode(barr) AS block FROM barr),
+        pairs AS (
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM blocks a JOIN blocks b ON a.block = b.block
+            WHERE a.doc < b.doc
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b, cast({ham} as bigint) AS hamming
+            FROM pairs p
+            JOIN simhash_fp fa ON fa.doc = p.id_a
+            JOIN simhash_fp fb ON fb.doc = p.id_b
+        )
+        SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+        """
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs within Hamming radius 3 (32-bit
     fingerprints, 4-block candidate generation)."""
-    _view(spark, sf_dir, "documents")
-    return spark.sql(_simhash_pairs_sql(D.SPARK))
+    return _simhash_pairs_df(spark, sf_dir)
 
 
 
@@ -1845,8 +1919,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest)."""
     from .operators.dedup import connected_components
 
-    _view(spark, sf_dir, "documents")
-    edges = spark.sql(_simhash_pairs_sql(D.SPARK))
+    edges = _simhash_pairs_df(spark, sf_dir)
     comp = connected_components(edges)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
@@ -1907,7 +1980,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
 
     _view(spark, sf_dir, "documents")
-    edges = spark.sql(_simhash_pairs_sql(D.SPARK))
+    edges = _simhash_pairs_df(spark, sf_dir)
     comp = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -52,7 +52,7 @@ def test_ngram_jaccard_exact_pairs(spark):
 def test_simhash_pairs(spark):
     fp = {r["doc"]: r["simhash"] for r in dedup.simhash_fingerprints(_docs(spark), "text", "doc_id").collect()}
     assert fp[0] == fp[1]  # identical text -> identical fingerprint
-    assert len(fp[0]) == 32 and set(fp[0]) <= {"0", "1"}
+    assert len(fp[0]) == 64 and set(fp[0]) <= {"0", "1"}
     ham02 = sum(a != b for a, b in zip(fp[0], fp[2]))
     ham03 = sum(a != b for a, b in zip(fp[0], fp[3]))
     assert ham02 < ham03  # near-dup closer than unrelated
