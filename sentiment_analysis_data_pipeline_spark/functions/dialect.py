@@ -28,6 +28,31 @@ def regexp_replace_all(d: str, expr: str, pattern: str, replacement: str) -> str
     return f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
 
 
+def rx(d: str, pattern: str) -> str:
+    """Quoted SQL string literal holding a regex. Spark's parser processes
+    backslash escapes inside single-quoted literals (escapedStringLiterals
+    defaults to false), DuckDB's does not -- so Spark needs each regex
+    backslash doubled in the literal to survive parsing."""
+    body = pattern.replace("\\", "\\\\") if d == SPARK else pattern
+    return f"'{body}'"
+
+
+def regexp_replace_rx(d: str, expr: str, pattern: str, replacement: str) -> str:
+    """regexp_replace of ALL matches where `pattern` may contain backslash
+    classes (\\d, \\b, ...); renders the literal per-dialect via rx()."""
+    if d == SPARK:
+        return f"regexp_replace({expr}, {rx(d, pattern)}, '{replacement}')"
+    return f"regexp_replace({expr}, {rx(d, pattern)}, '{replacement}', 'g')"
+
+
+def regexp_count(d: str, expr: str, pattern: str) -> str:
+    """Number of non-overlapping regex matches in expr, as BIGINT. Spark has
+    regexp_count natively; DuckDB counts the extract_all list."""
+    if d == SPARK:
+        return f"cast(regexp_count({expr}, {rx(d, pattern)}) as bigint)"
+    return f"cast(len(regexp_extract_all({expr}, {rx(d, pattern)})) as bigint)"
+
+
 def split_ws(d: str, expr: str) -> str:
     """Split on runs of whitespace. Caller should trim() first."""
     if d == SPARK:

@@ -2048,6 +2048,166 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# North-star: training-data curation, round 2 -- eval-set decontamination,
+# PII redaction, repetition-quality metrics, batch similarity join. Beyond
+# the reference's own surface (it scores and stores articles; these are the
+# steps a 100 TB pretraining pipeline runs on the same corpus).
+# =========================================================================
+
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" membership
+CONTAM_NGRAM = 5  # contamination shingle width (words)
+
+
+def _decontaminate_sql(d: str) -> str:
+    """Test-set decontamination: flag training docs sharing >= 1 word
+    {CONTAM_NGRAM}-gram with the held-out eval split (the standard n-gram
+    overlap check run before pretraining). Scale shape: the eval shingle set
+    is tiny next to the corpus -- distinct it, BROADCAST it, and count hits
+    per training doc with a map-side partial agg; the 100 TB training side
+    is never shuffled. The two CTE branches carry disjoint doc_id % filters,
+    so Spark's CTE re-inlining pushes each filter to its own scan and every
+    document is tokenized exactly once."""
+    toks = TX.tokenize(d, TEXT)
+    sh = D.arr_distinct(d, TX.ngrams(d, "toks", CONTAM_NGRAM))
+    explode = "explode(sh)" if d == D.SPARK else "unnest(sh)"
+    hint = "/*+ BROADCAST(ev) */ " if d == D.SPARK else ""
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        shingled AS (SELECT doc, {sh} AS sh FROM tokd),
+        inv AS (SELECT doc, md5(s) AS h FROM (SELECT doc, {explode} AS s FROM shingled) u),
+        ev AS (SELECT DISTINCT h FROM inv WHERE doc % {EVAL_MOD} = 0),
+        tr AS (SELECT doc, h FROM inv WHERE doc % {EVAL_MOD} <> 0)
+        SELECT {hint}tr.doc AS doc_id, cast(count(*) as bigint) AS eval_ngram_hits
+        FROM tr JOIN ev ON tr.h = ev.h
+        GROUP BY tr.doc
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by eval-split n-gram overlap, with hit
+    counts (broadcast eval shingle set, zero training-side shuffle)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_decontaminate_sql(D.SPARK))
+
+
+# PII patterns (portable across Java regex and RE2): the redaction pass a
+# pretraining pipeline runs before anything else sees the text.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d-]{7,}\d"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_redact_sql(d: str) -> str:
+    """PII scrub: count + redact emails/phones/IPv4 per document. The corpus
+    text is synthetic word-soup, so deterministic PII is synthesized from
+    doc_id first (both engines identically) -- the regex pass then has real
+    work to do and nonzero counts to hash. Pure per-row projection: no
+    shuffle, whole-stage codegen, scales linearly."""
+    synth = (
+        f"concat({TEXT}, ' contact user', cast(doc_id as string), "
+        f"'@mail.example.com or +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), "
+        f"' ip 10.0.', cast(doc_id % 256 as string), '.7')"
+    )
+    red = "pii_text"
+    for pat, tag in ((PII_EMAIL, "[EMAIL]"), (PII_PHONE, "[PHONE]"), (PII_IP, "[IP]")):
+        red = D.regexp_replace_rx(d, red, pat, tag)
+    return f"""
+        WITH synth AS (SELECT doc_id, {synth} AS pii_text FROM documents)
+        SELECT doc_id,
+               {D.regexp_count(d, "pii_text", PII_EMAIL)} AS n_emails,
+               {D.regexp_count(d, "pii_text", PII_PHONE)} AS n_phones,
+               {D.regexp_count(d, "pii_text", PII_IP)} AS n_ips,
+               {red} AS redacted
+        FROM synth
+    """
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + redacted text (email/phone/IPv4)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_pii_redact_sql(D.SPARK))
+
+
+def _repetition_sql(d: str) -> str:
+    """Gopher-style repetition/quality signals per document: token count,
+    distinct-token ratio, top-token frequency fraction, mean token length.
+    Scale shape: explode -> two-level hash aggregation (doc,token then doc),
+    both with map-side partial agg under codegen; ratios are exact int/int
+    double divisions so cross-engine hashes match bit-for-bit."""
+    toks = TX.tokenize(d, TEXT)
+    explode = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        ex AS (SELECT doc, {explode} AS t FROM tokd),
+        tc AS (SELECT doc, t, count(*) AS c FROM ex GROUP BY doc, t),
+        per AS (
+            SELECT doc,
+                   cast(sum(c) as bigint) AS n_tokens,
+                   cast(count(*) as bigint) AS n_distinct,
+                   cast(max(c) as bigint) AS top_count,
+                   cast(sum(c * length(t)) as bigint) AS n_token_chars
+            FROM tc GROUP BY doc
+        )
+        SELECT d.doc_id AS doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               coalesce(p.n_distinct, 0) AS n_distinct,
+               case when p.n_tokens is null then 0.0
+                    else cast(p.n_distinct as double) / cast(p.n_tokens as double) end AS distinct_ratio,
+               case when p.n_tokens is null then 0.0
+                    else cast(p.top_count as double) / cast(p.n_tokens as double) end AS top_token_frac,
+               case when p.n_tokens is null then 0.0
+                    else cast(p.n_token_chars as double) / cast(p.n_tokens as double) end AS mean_token_len
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.doc
+    """
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition/quality metrics (Gopher-rule signals)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_repetition_sql(D.SPARK))
+
+
+KNN_QUERY_MOD = 50  # vec_id % KNN_QUERY_MOD == 0 -> query batch member
+KNN_K = 5
+
+
+def _knn_batch_sql(d: str) -> str:
+    """Batch brute-force kNN: top-{KNN_K} cosine neighbors for every vector
+    in a query batch, in ONE pass (the multi-query generalization of
+    cosine_topk). Scale shape: the query batch broadcasts (nested-loop join
+    against the corpus -- the intended N x Q brute force, the exactness
+    baseline the ANN queries are measured against); norms are hoisted and
+    computed once per row, not once per (row, query); ties broken by vec_id
+    so ranks are deterministic cross-engine."""
+    v = V.to_double_array(d, "embedding")
+    nv = V.norm(d, "v", EMB_DIM)
+    dotp = V.dot(d, "e.v", "q.v", EMB_DIM)
+    cos = f"case when e.nv = 0.0 or q.nv = 0.0 then 0.0 else ({dotp}) / (e.nv * q.nv) end"
+    hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
+    return f"""
+        WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, v, {nv} AS nv FROM emb0),
+        q AS (SELECT vec_id AS qid, v, nv FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+        scored AS (
+            SELECT {hint}q.qid, e.vec_id, {cos} AS cosine
+            FROM emb e JOIN q ON e.vec_id <> q.qid
+        ),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT qid, vec_id, cosine, cast(rk as bigint) AS rk FROM ranked WHERE rk <= {KNN_K}
+    """
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for a batch of query vectors in one pass."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_knn_batch_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -2108,6 +2268,10 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "corpus_prep": (q_corpus_prep, _corpus_prep_sql),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql),
     "sequence_packing": (q_sequence_packing, _sequence_packing_sql),
+    "decontaminate": (q_decontaminate, _decontaminate_sql),
+    "pii_redact": (q_pii_redact, _pii_redact_sql),
+    "repetition_metrics": (q_repetition_metrics, _repetition_sql),
+    "knn_batch": (q_knn_batch, _knn_batch_sql),
 }
 
 

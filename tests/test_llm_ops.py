@@ -1,0 +1,78 @@
+"""Semantic tests for the round-2 training-data curation operators:
+decontamination, PII redaction, repetition metrics, batch kNN. The
+oracle-parity side is covered by tools/selfcheck.py; these pin the
+*meaning* on hand-built rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_data_pipeline_spark import queries as Q
+
+
+def _docs_view(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+
+
+def test_decontaminate_flags_overlap(spark):
+    # doc 0 is eval (0 % 20 == 0); doc 1 copies a 5-gram from it; doc 2 shares
+    # nothing. Only doc 1 should be flagged, with exactly 1 distinct hit.
+    _docs_view(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+            (1, "intro alpha beta gamma delta epsilon outro words here", "en", "s", 1),
+            (2, "totally different content with no shared spans at all", "en", "s", 1),
+        ],
+    )
+    out = {r["doc_id"]: r["eval_ngram_hits"] for r in spark.sql(Q._decontaminate_sql(Q.D.SPARK)).collect()}
+    assert out == {1: 1}  # exactly the copied 'alpha..epsilon' 5-gram
+
+
+def test_pii_redact_counts_and_scrub(spark):
+    _docs_view(spark, [(7, "hello world", "en", "s", 1)])
+    row = spark.sql(Q._pii_redact_sql(Q.D.SPARK)).collect()[0]
+    assert row["n_emails"] == 1 and row["n_phones"] == 1 and row["n_ips"] == 1
+    red = row["redacted"]
+    assert "[EMAIL]" in red and "[PHONE]" in red and "[IP]" in red
+    assert "@" not in red and "10.0." not in red
+
+
+def test_repetition_metrics_values(spark):
+    # 'spam spam spam ham': 4 tokens, 2 distinct, top fraction 3/4,
+    # mean token length (3*4 + 3)/4 chars; empty doc -> zeros.
+    _docs_view(spark, [(1, "spam spam spam ham", "en", "s", 1), (2, "", "en", "s", 0)])
+    out = {r["doc_id"]: r for r in spark.sql(Q._repetition_sql(Q.D.SPARK)).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4 and r1["n_distinct"] == 2
+    assert r1["distinct_ratio"] == 0.5 and r1["top_token_frac"] == 0.75
+    assert r1["mean_token_len"] == (4 * 3 + 3) / 4
+    r2 = out[2]
+    assert r2["n_tokens"] == 0 and r2["distinct_ratio"] == 0.0
+
+
+def test_knn_batch_ranks_and_self_exclusion(spark, sf_dir):
+    out = Q.q_knn_batch(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r["vec_id"] != r["qid"]
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rk"] for r in rows) == [1, 2, 3, 4, 5]
+        ranked = sorted(rows, key=lambda r: r["rk"])
+        cos = [r["cosine"] for r in ranked]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_knn_batch_matches_single_query_topk(spark, sf_dir):
+    """Batch result for qid=0 must agree with the single-query brute-force
+    operator (same metric, same tie-break)."""
+    from sentiment_analysis_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    single = similarity.brute_force_topk(emb, query_vec_id=0, k=5).collect()
+    batch = [r for r in Q.q_knn_batch(spark, sf_dir).collect() if r["qid"] == 0]
+    batch = sorted(batch, key=lambda r: r["rk"])
+    assert [r["vec_id"] for r in batch] == [r["vec_id"] for r in single]
