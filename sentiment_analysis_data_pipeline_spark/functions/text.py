@@ -209,6 +209,19 @@ def ngrams(d: str, tokens_expr: str, n: int = 3) -> str:
     return D.arr_transform(d, seq, f"i -> {window}")
 
 
+# PII patterns (portable across Java regex and RE2): the redaction pass a
+# pretraining pipeline runs before anything else sees the text. Used by both
+# the oracle-checked pii_redact query and the batch/streaming scrub operator.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d-]{7,}\d"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_TAGS: list[tuple[str, str]] = [
+    (PII_EMAIL, "[EMAIL]"),
+    (PII_PHONE, "[PHONE]"),
+    (PII_IP, "[IP]"),
+]
+
+
 def fingerprint(d: str, expr: str) -> str:
     """Document fingerprint: md5 over the sorted distinct token set -- the
     classic key-collapsing fingerprint (case/punct/word-order insensitive).

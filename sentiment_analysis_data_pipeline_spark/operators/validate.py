@@ -59,6 +59,23 @@ def sanitize_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
+def scrub_pii(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Redact emails/phones/IPv4 in the given string columns (the pass a
+    training pipeline runs before text is stored anywhere). Pure projection:
+    works identically on batch and streaming DataFrames and stays inside
+    whole-stage codegen; the patterns are the oracle-checked ones from
+    queries.pii_redact (functions/text.py PII_TAGS)."""
+    from ..functions.text import PII_TAGS
+
+    out = df
+    for c in cols:
+        col = F.col(c)
+        for pat, tag in PII_TAGS:
+            col = F.regexp_replace(col, pat, tag)
+        out = out.withColumn(c, col)
+    return out
+
+
 def validate_articles(df: DataFrame, title: str = "title", url: str = "url", published_at: str = "publishedAt") -> DataFrame:
     """P1+P2 combined, as the producers apply them before publishing."""
     return df.filter(

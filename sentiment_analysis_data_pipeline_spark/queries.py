@@ -2090,11 +2090,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_decontaminate_sql(D.SPARK))
 
 
-# PII patterns (portable across Java regex and RE2): the redaction pass a
-# pretraining pipeline runs before anything else sees the text.
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE = r"\+?\d[\d-]{7,}\d"
-PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# PII patterns live beside the other text fragments (functions/text.py);
+# re-exported here for the oracle builder below.
+PII_EMAIL, PII_PHONE, PII_IP = TX.PII_EMAIL, TX.PII_PHONE, TX.PII_IP
 
 
 def _pii_redact_sql(d: str) -> str:

@@ -1,0 +1,44 @@
+"""JSONL / CSV round-trips: write the documents table out in each format,
+read it back with a declared schema, and require exact row equality --
+including text with embedded commas, quotes, and newlines for CSV."""
+
+from __future__ import annotations
+
+from sentiment_analysis_data_pipeline_spark.sources import files
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    files.write_jsonl(docs, path)
+    back = files.read_jsonl(spark, path, DOC_SCHEMA)
+    assert _sorted_rows(back) == _sorted_rows(docs)
+
+
+def test_csv_roundtrip_with_hostile_text(spark, tmp_path):
+    rows = [
+        (1, 'comma, "quoted", done', "en", "s1", 21),
+        (2, "line one\nline two", "en", "s2", 17),
+        (3, None, "de", "s3", 0),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    path = str(tmp_path / "docs_csv")
+    files.write_csv(df, path)
+    back = files.read_csv(spark, path, DOC_SCHEMA)
+    assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_jsonl_corrupt_line_tolerated(spark, tmp_path):
+    good = '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}'
+    bad = "{this is not json"
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(good + "\n" + bad + "\n")
+    back = files.read_jsonl(spark, str(p), DOC_SCHEMA)
+    rows = [r for r in back.collect() if r["doc_id"] is not None]
+    assert len(rows) == 1 and rows[0]["text"] == "ok"

@@ -164,3 +164,30 @@ def test_batch_metrics_listener(spark):
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_pii_scrub(spark, dirs):
+    """scrub_pii applied inside the stream: landed titles carry redaction
+    tags, never raw emails/phones (pure projection -> stream-safe)."""
+    from sentiment_analysis_data_pipeline_spark.operators.validate import scrub_pii
+    from sentiment_analysis_data_pipeline_spark.streaming.ingest import file_article_stream
+
+    src = dirs / "src"
+    env = json.loads(_envelope(4))
+    env["article"]["title"] = "leak bob@corp.example.net or call +1-555-867-5309 now"
+    _drop(dirs, "a.json", [json.dumps(env)])
+
+    stream = file_article_stream(spark, str(src))
+    flat = stream.selectExpr("article.url AS url", "article.title AS title")
+    scrubbed = scrub_pii(flat, ["title"])
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("pii_scrub_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM pii_scrub_sink").collect()
+    assert len(rows) == 1
+    t = rows[0]["title"]
+    assert t == "leak [EMAIL] or call [PHONE] now"
