@@ -156,6 +156,22 @@ def simhash_from_sums(bits: int = 64, prefix: str = "sb") -> str:
     return f"concat({parts})"
 
 
+def packed_from_sums(bits: int = 64, prefix: str = "sb") -> str:
+    """Spark-only: assemble the fingerprint as ONE packed BIGINT from the
+    sb{i} sum columns (bit i set <=> sb{i} > 0, same bit<->position mapping
+    as simhash_from_sums' bit-string: string position i+1 == bit i). Bitwise
+    shiftleft/OR only -- no arithmetic, so ANSI overflow rules never apply
+    even for bit 63 (the sign bit). The packed form exists for the pair
+    phase: hamming = bit_count(a ^ b) instead of 2*bits substring compares,
+    and candidate blocks are shift+mask ints instead of string concats. The
+    DuckDB oracle keeps the bit-string form; parity is by value."""
+    terms = " | ".join(
+        f"(case when coalesce({prefix}{i}, 0) > 0 then shiftleft(cast(1 as bigint), {i}) else cast(0 as bigint) end)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
 def hamming_bits(d: str, a: str, b: str, bits: int = 32) -> str:
     """Hamming distance between two equal-width '0'/'1' bit-strings."""
     terms = " + ".join(

@@ -675,7 +675,9 @@ def _simhash_sql(d: str) -> str:
     """
 
 
-def _simhash_fp_df(spark: SparkSession, sf_dir: str, out_col: str = "f") -> DataFrame:
+def _simhash_fp_df(
+    spark: SparkSession, sf_dir: str, out_col: str = "f", packed: bool = False
+) -> DataFrame:
     """Spark-side simhash fingerprints in the scale shape: explode tokens ->
     md5 once per token -> ONE groupBy(doc) carrying 64 integer sum aggregates
     (map-side combine, whole-stage codegen) -> assemble the bit-string.
@@ -689,6 +691,11 @@ def _simhash_fp_df(spark: SparkSession, sf_dir: str, out_col: str = "f") -> Data
     _view(spark, sf_dir, "documents")
     toks = TX.tokenize(D.SPARK, TEXT)
     aggs = ", ".join(H.simhash_sum_aggs(D.SPARK, "th", SIMHASH_BITS))
+    fp = (
+        H.packed_from_sums(SIMHASH_BITS)
+        if packed
+        else H.simhash_from_sums(SIMHASH_BITS)
+    )
     return spark.sql(
         f"""
         WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
@@ -697,7 +704,7 @@ def _simhash_fp_df(spark: SparkSession, sf_dir: str, out_col: str = "f") -> Data
             FROM (SELECT doc, explode(toks) AS t FROM tokd) e
         ),
         sums AS (SELECT doc, {aggs} FROM ex GROUP BY doc)
-        SELECT d.doc_id AS doc, {H.simhash_from_sums(SIMHASH_BITS)} AS {out_col}
+        SELECT d.doc_id AS doc, {fp} AS {out_col}
         FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc
         """
     )
@@ -1213,13 +1220,20 @@ def _simhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage so all three references scan the materialized 2-column
     relation instead. Value-identical to the oracle's single statement.
     (The fingerprint itself comes from _simhash_fp_df's explode+sum-agg
-    shape, not the per-bit HOF fragment.)"""
-    fp = _simhash_fp_df(spark, sf_dir)
+    shape in PACKED BIGINT form: candidate blocks are shift+mask integers
+    -- bits [j*16, j*16+16) == the oracle's substring block j -- and the
+    verify step is bit_count(fa ^ fb), one xor+popcount per candidate
+    instead of 2*64 substring compares. Value-identical to the oracle's
+    bit-string arithmetic.)"""
+    fp = _simhash_fp_df(spark, sf_dir, out_col="fi", packed=True)
     fp.localCheckpoint(eager=True).createOrReplaceTempView("simhash_fp")
     width = SIMHASH_BITS // 4
-    ham = H.hamming_bits(D.SPARK, "fa.f", "fb.f", bits=SIMHASH_BITS)
+    mask = (1 << width) - 1
+    # shiftright() function form: the `>>` operator inside array(...) trips
+    # Spark's parser (lexes as a nested-generic-type closer)
     blocks = ", ".join(
-        f"concat('{i}|', substring(f, {i * width + 1}, {width}))" for i in range(4)
+        f"cast({i} as bigint) * {mask + 1} + (shiftright(fi, {i * width}) & {mask})"
+        for i in range(4)
     )
     return spark.sql(
         f"""
@@ -1231,7 +1245,7 @@ def _simhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE a.doc < b.doc
         ),
         scored AS (
-            SELECT p.id_a, p.id_b, cast({ham} as bigint) AS hamming
+            SELECT p.id_a, p.id_b, cast(bit_count(fa.fi ^ fb.fi) as bigint) AS hamming
             FROM pairs p
             JOIN simhash_fp fa ON fa.doc = p.id_a
             JOIN simhash_fp fb ON fb.doc = p.id_b
