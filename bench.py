@@ -48,6 +48,11 @@ BENCH_QUERIES = [
     "corpus_prep",
     "stratified_sample",
     "sequence_packing",
+    "decontaminate",
+    "pii_redact",
+    "repetition_metrics",
+    "knn_batch",
+    "simhash_pairs",
 ]
 
 
