@@ -66,3 +66,37 @@ def test_quality_score_bounded(spark, texts):
     rows = df.select(F.expr(TX.quality_score(D.SPARK, "coalesce(text, '')")).alias("q")).collect()
     for r in rows:
         assert 0.0 <= r["q"] <= 1.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(TEXTS)
+def test_pii_scrub_cross_engine_parity(spark, texts):
+    """PII redaction (counts + scrubbed text) agrees between Spark and
+    DuckDB on arbitrary printable text with synthetic PII spliced in --
+    the regex dialects (Java vs RE2) must behave identically over the
+    patterns the engine uses."""
+    import duckdb
+
+    salted = [
+        f"{t} reach me at u{i}@ex.org / +1-555-000-{1000 + i} from 10.1.{i % 256}.9"
+        for i, t in enumerate(texts)
+    ]
+
+    def one(d: str, s: str) -> str:
+        lit = s.replace("'", "''")
+        if d == D.SPARK:
+            lit = lit.replace("\\", "\\\\")
+        red = f"'{lit}'"
+        for pat, tag in TX.PII_TAGS:
+            red = D.regexp_replace_rx(d, red, pat, tag)
+        counts = ", ".join(
+            D.regexp_count(d, f"'{lit}'", pat) + f" AS c{j}"
+            for j, (pat, _) in enumerate(TX.PII_TAGS)
+        )
+        return f"SELECT {red} AS red, {counts}"
+
+    con = duckdb.connect()
+    for s in salted:
+        srow = spark.sql(one(D.SPARK, s)).collect()[0]
+        drow = con.sql(one(D.DUCKDB, s)).fetchone()
+        assert (srow["red"], srow["c0"], srow["c1"], srow["c2"]) == drow, repr(s)
