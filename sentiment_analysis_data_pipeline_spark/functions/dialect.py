@@ -126,6 +126,11 @@ def str_pos(d: str, haystack: str, needle: str) -> str:
     return f"strpos({haystack}, {needle})"
 
 
+def cast_str(d: str, expr: str) -> str:
+    """Cast to the engine's string type (Spark: string, DuckDB: varchar)."""
+    return f"cast({expr} as {'string' if d == SPARK else 'varchar'})"
+
+
 def int_div(d: str, a: str, b: str) -> str:
     return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
 

@@ -2179,6 +2179,67 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_repetition_sql(D.SPARK))
 
 
+def _url_normalize_sql(d: str) -> str:
+    """URL canonicalization + per-host rollup: the dedup-key step for crawl
+    corpora (two fetches of one page must canonicalize identically before
+    any URL-keyed dedup can work). Messy-but-deterministic URLs are
+    synthesized from doc_id (mixed-case scheme/host, default ports, www,
+    utm params, fragments, trailing slashes), then canonicalized:
+      1. strip fragment            2. strip utm_* params (+ dangling ?/&)
+      3. lowercase scheme://host[:port] (path case preserved)
+      4. drop default ports (:443 https / :80 http)   5. drop www.
+      6. strip one trailing /
+    Pure per-row regex projection + one host aggregate: no joins, map-side
+    combine, linear at any corpus size."""
+    g1 = "$1" if d == D.SPARK else "\\1"
+    ds = D.cast_str(d, "doc_id")
+    raw = f"""concat(
+        case when doc_id % 3 = 0 then 'HTTPS://' when doc_id % 3 = 1 then 'https://' else 'http://' end,
+        case when doc_id % 2 = 0 then 'WWW.' else '' end,
+        source, '.Example.COM',
+        case when doc_id % 5 = 0 then (case when doc_id % 3 = 2 then ':80' else ':443' end) else '' end,
+        '/Articles/', {ds},
+        case when doc_id % 4 = 0 then '/' else '' end,
+        case when doc_id % 2 = 1 then concat('?utm_source=feed&utm_campaign=x&ref=', {D.cast_str(d, 'doc_id % 7')}) else '' end,
+        case when doc_id % 7 = 0 then '#section-2' else '' end
+    )"""
+    u1 = D.regexp_replace_rx(d, "url", r"#.*$", "")
+    u2 = D.regexp_replace_rx(d, "u1", r"utm_[A-Za-z]+=[^&#]*&?", "")
+    u3 = D.regexp_replace_rx(d, "u2", r"[?&]$", "")
+    # p = scheme://host[:port] (everything before the first /?# after //)
+    p = f"regexp_extract(u3, {D.rx(d, r'^[A-Za-z]+://[^/?#]*')}, 0)"
+    lp1 = D.regexp_replace_rx(d, "lower(p)", r"^(https://[^/:]*):443$", g1)
+    lp2 = D.regexp_replace_rx(d, "lp1", r"^(http://[^/:]*):80$", g1)
+    lp3 = D.regexp_replace_rx(d, "lp2", r"^(https?://)www\.", f"{g1}")
+    cu = "concat(lp3, substring(u3, length(p) + 1))"
+    final = D.regexp_replace_rx(d, "cu0", r"/$", "")
+    host = f"regexp_extract(canonical_url, {D.rx(d, r'^https?://([^/:?#]+)')}, 1)"
+    return f"""
+        WITH raw AS (SELECT doc_id, {raw} AS url FROM documents),
+        s1 AS (SELECT doc_id, {u1} AS u1 FROM raw),
+        s2 AS (SELECT doc_id, {u2} AS u2 FROM s1),
+        s3 AS (SELECT doc_id, {u3} AS u3 FROM s2),
+        s4 AS (SELECT doc_id, u3, {p} AS p FROM s3),
+        s5 AS (SELECT doc_id, u3, p, {lp1} AS lp1 FROM s4),
+        s6 AS (SELECT doc_id, u3, p, {lp2} AS lp2 FROM s5),
+        s7 AS (SELECT doc_id, u3, p, {lp3} AS lp3 FROM s6),
+        s8 AS (SELECT doc_id, {cu} AS cu0 FROM s7),
+        canon AS (SELECT doc_id, {final} AS canonical_url FROM s8)
+        SELECT {host} AS host,
+               cast(count(*) as bigint) AS n_docs,
+               cast(count(DISTINCT canonical_url) as bigint) AS n_urls,
+               min(canonical_url) AS sample_url
+        FROM canon
+        GROUP BY {host}
+    """
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize synthesized crawl URLs and roll up per host."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_url_normalize_sql(D.SPARK))
+
+
 KNN_QUERY_MOD = 50  # vec_id % KNN_QUERY_MOD == 0 -> query batch member
 KNN_K = 5
 
@@ -2284,6 +2345,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "pii_redact": (q_pii_redact, _pii_redact_sql),
     "repetition_metrics": (q_repetition_metrics, _repetition_sql),
     "knn_batch": (q_knn_batch, _knn_batch_sql),
+    "url_normalize": (q_url_normalize, _url_normalize_sql),
 }
 
 

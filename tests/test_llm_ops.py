@@ -76,3 +76,32 @@ def test_knn_batch_matches_single_query_topk(spark, sf_dir):
     batch = [r for r in Q.q_knn_batch(spark, sf_dir).collect() if r["qid"] == 0]
     batch = sorted(batch, key=lambda r: r["rk"])
     assert [r["vec_id"] for r in batch] == [r["vec_id"] for r in single]
+
+
+def test_url_normalize_canonicalization(spark):
+    """Pin the exact canonical forms: case, default ports, www, utm,
+    fragments, and trailing slashes all collapse; path case survives."""
+    # doc_id 0: HTTPS:// + WWW. + :443 + trailing slash + #fragment
+    # doc_id 1: https:// + utm params (+ surviving ref=1)
+    # doc_id 2: http:// + WWW. (2%2=0) ... doc 2: scheme http, www, no port
+    _docs_view(
+        spark,
+        [(0, "x", "en", "SrcA", 1), (1, "x", "en", "SrcA", 1), (2, "x", "en", "srcb", 1)],
+    )
+    rows = spark.sql(Q._url_normalize_sql(Q.D.SPARK)).collect()
+    by_host = {r["host"]: r for r in rows}
+    assert set(by_host) == {"srca.example.com", "srcb.example.com"}
+    a = by_host["srca.example.com"]
+    assert a["n_docs"] == 2 and a["n_urls"] == 2
+    # doc 0: scheme+host lowercased, :443/www/fragment/trailing-slash gone,
+    # path case preserved
+    assert a["sample_url"] in (
+        "https://srca.example.com/Articles/0",
+        "https://srca.example.com/Articles/1?ref=1",
+    )
+    assert min(
+        "https://srca.example.com/Articles/0",
+        "https://srca.example.com/Articles/1?ref=1",
+    ) == a["sample_url"]
+    b = by_host["srcb.example.com"]
+    assert b["sample_url"] == "http://srcb.example.com/Articles/2"
