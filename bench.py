@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "repetition_metrics",
     "knn_batch",
     "simhash_pairs",
+    "url_normalize",
+    "bm25_search",
 ]
 
 

@@ -2179,6 +2179,85 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_repetition_sql(D.SPARK))
 
 
+# BM25 (Lucene practical scoring, k1/b defaults) in FIXED POINT: both idf
+# and the per-(doc,term) tf factor are quantized to 2^-20 via floor() before
+# the per-doc sum, so the distributed aggregation runs on exact BIGINTs --
+# order-free, partial-agg-safe, and bit-identical across engines. Every
+# pre-floor double is produced by single IEEE ops on exact-rational operands
+# (dyadic 0.75/0.25 folds, int-derived ratios, one ln), so the two engines
+# floor the same values. Resolution 1e-6 per factor: far beyond ranking
+# fidelity needs. The ES backend the reference runs on scores with exactly
+# this formula (configs/elasticsearch_config.py index + Lucene defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_Q = 1 << 20
+
+
+def _bm25_body(d: str, ex_def: str) -> str:
+    """BM25 pipeline over an `ex(doc_id, t)` exploded analyzed-token
+    relation, whose definition is supplied by `ex_def` (inline CTE for the
+    single-statement oracle; a materialized temp view Spark-side so the
+    stemmer-regex tokenization runs once, not once per CTE reference)."""
+    from .operators import search as _search
+
+    terms = sorted(set(_search._analyze_py(SEARCH_QUERY)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    idf_arg = (
+        "(1.0 + ((cast(s.n_docs as double) - cast(df.df as double)) + 0.5)"
+        " / (cast(df.df as double) + 0.5))"
+    )
+    idf_q = f"cast(floor(ln({idf_arg}) * {float(_BM25_Q)!r}) as bigint)"
+    tf_factor = (
+        f"(cast(tf.tf as double) * {BM25_K1 + 1.0!r})"
+        f" / (cast(tf.tf as double) + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+        f" + ({BM25_B!r} * cast(dl.dl * s.n_docs as double)) / cast(s.sum_dl as double)))"
+    )
+    tf_q = f"cast(floor(({tf_factor}) * {float(_BM25_Q)!r}) as bigint)"
+    return f"""
+        WITH {ex_def}
+        dl AS (SELECT doc_id, cast(count(*) as bigint) AS dl FROM ex GROUP BY doc_id),
+        s AS (SELECT (SELECT cast(count(*) as bigint) FROM documents) AS n_docs,
+                     (SELECT cast(count(*) as bigint) FROM ex) AS sum_dl),
+        tf AS (
+            SELECT doc_id, t, cast(count(*) as bigint) AS tf
+            FROM ex WHERE t IN ({in_list}) GROUP BY doc_id, t
+        ),
+        df AS (SELECT t, cast(count(*) as bigint) AS df FROM tf GROUP BY t),
+        idf AS (SELECT df.t, {idf_q} AS idf_q FROM df CROSS JOIN s),
+        contrib AS (
+            SELECT tf.doc_id, idf.idf_q * {tf_q} AS cq
+            FROM tf
+            JOIN idf ON tf.t = idf.t
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN s
+        ),
+        scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY doc_id)
+        SELECT doc_id, cast(sq as double) / {float(1 << 40)!r} AS bm25
+        FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """
+
+
+def _bm25_sql(d: str) -> str:
+    toks = TX.analyzed_tokens(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    ex_def = f"""tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT doc_id, {ex} AS t FROM tokd),"""
+    return _bm25_body(d, ex_def)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the engine's standing search query. The exploded
+    analyzed-token relation is materialized once (localCheckpoint): the
+    single-statement form references `ex` three times (doc lengths, corpus
+    length, term frequencies) and Spark's CTE re-inlining would run the
+    stemmer-chain tokenization three times."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.analyzed_tokens(D.SPARK, TEXT)
+    ex = spark.sql(f"SELECT doc_id, explode({toks}) AS t FROM documents")
+    ex.localCheckpoint(eager=True).createOrReplaceTempView("bm25_ex")
+    return spark.sql(_bm25_body(D.SPARK, "ex AS (SELECT * FROM bm25_ex),"))
+
+
 def _url_normalize_sql(d: str) -> str:
     """URL canonicalization + per-host rollup: the dedup-key step for crawl
     corpora (two fetches of one page must canonicalize identically before
@@ -2346,6 +2425,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "repetition_metrics": (q_repetition_metrics, _repetition_sql),
     "knn_batch": (q_knn_batch, _knn_batch_sql),
     "url_normalize": (q_url_normalize, _url_normalize_sql),
+    "bm25_search": (q_bm25_search, _bm25_sql),
 }
 
 

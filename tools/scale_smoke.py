@@ -45,9 +45,16 @@ def main() -> None:
             F.expr("replace(coalesce(text, ''), ' ', concat(' c', cast(copy as string), ' '))").alias("text"),
         )
     )
+    # write as <dir>/documents.parquet so registry queries can treat the
+    # inflated corpus as an sf_dir
     out = tempfile.mkdtemp(prefix="scale-smoke-")
-    inflated.write.mode("overwrite").parquet(out)
-    docs = spark.read.parquet(out).withColumn("text", F.coalesce("text", F.lit("")))
+    inflated = inflated.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    ).withColumn("n_chars", F.length("text"))
+    inflated.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    docs = spark.read.parquet(f"{out}/documents.parquet").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     n = docs.count()
 
     timings = {}
@@ -63,6 +70,16 @@ def main() -> None:
     dedup.exact_dedup(docs, "text", "doc_id").count()
     timings["exact_dedup"] = round(time.perf_counter() - t0, 2)
 
+    # round-2 curation ops straight from the registry over the inflated dir
+    from sentiment_analysis_data_pipeline_spark.queries import spark_queries
+
+    qs = spark_queries()
+    extra_counts = {}
+    for name in ("decontaminate", "repetition_metrics", "url_normalize", "simhash_pairs"):
+        t0 = time.perf_counter()
+        extra_counts[name] = qs[name](spark, out).count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -71,6 +88,7 @@ def main() -> None:
                 "base_rows": n_base,
                 "timings_sec": timings,
                 "minhash_pairs_found": pairs,
+                "r2_counts": extra_counts,
             }
         )
     )
