@@ -2359,6 +2359,137 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_knn_batch_sql(D.SPARK))
 
 
+def _value_histogram_sql(d: str) -> str:
+    """Equi-width histogram (16 bins) of `value` per event type, with the
+    bin range taken from the corpus min/max (uncorrelated scalar subqueries
+    -- one extra agg pass, decorrelated by both engines). The bin index is
+    floor((v - lo) * n / (hi - lo)) capped to n-1: subtraction, multiply,
+    divide, floor -- four IEEE ops on identical operands, so the integer
+    bins agree cross-engine exactly. One groupBy shuffle on (type, bin)."""
+    bin_expr = (
+        "least(15, cast(floor((value - s.lo) * 16.0 / (s.hi - s.lo)) as bigint))"
+    )
+    return f"""
+        WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        SELECT event_type, {bin_expr} AS bin,
+               cast(count(*) as bigint) AS n_events
+        FROM events CROSS JOIN s
+        WHERE value IS NOT NULL
+        GROUP BY event_type, bin
+    """
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin equi-width value histogram per event type."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_value_histogram_sql(D.SPARK))
+
+
+def _value_correlations_sql(d: str) -> str:
+    """Pearson correlation + sample covariance of (value, hour-of-day) per
+    event type, cross-engine exact: inputs are quantized to INTEGER
+    milli-units (floor(value*1000) -- one multiply + floor on identical
+    doubles), all five moments accumulate as scale-0 decimals (exact,
+    order-free, partial-agg-safe), and the final formula is a handful of
+    IEEE ops on identically-rounded operands. Scale-0 decimal -> double is
+    a SINGLE rounding in both engines (no 10^-scale division), which is
+    what makes the hash stable; native corr()/covar_samp() accumulate
+    doubles in partition order and are not reproducible across engines --
+    same reason value sums engine-wide go through _dsum."""
+    ts = _ts_us(d)
+    hr = f"cast(({D.int_div(d, ts, str(HOUR_US))}) % 24 as bigint)"
+    xi = "cast(floor(value * 1000.0) as bigint)"
+    dec = "decimal(38,0)"
+    return f"""
+        WITH q AS (
+            SELECT event_type, cast({xi} as {dec}) AS x, cast({hr} as {dec}) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type,
+                   cast(count(*) as {dec}) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM q GROUP BY event_type
+        )
+        SELECT event_type,
+               cast(n as bigint) AS n,
+               (cast(n * sxy - sx * sy as double)
+                / (cast(n as double) * (cast(n as double) - 1.0))) / 1000.0 AS covar_samp,
+               case when cast(n * sxx - sx * sx as double) = 0.0
+                         or cast(n * syy - sy * sy as double) = 0.0 then 0.0
+                    else cast(n * sxy - sx * sy as double)
+                         / (sqrt(cast(n * sxx - sx * sx as double))
+                            * sqrt(cast(n * syy - sy * sy as double))) end AS pearson_r
+        FROM m
+    """
+
+
+def q_value_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment covariance/correlation of (value, hour-of-day)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_value_correlations_sql(D.SPARK))
+
+
+def _event_deltas_sql(d: str) -> str:
+    """lag()-window deltas: per-user consecutive value changes ordered by
+    event time (tie-broken by event_id for cross-engine determinism). One
+    window shuffle on user_id; the subtraction is a single IEEE op on
+    identical doubles. First event per user (no predecessor) is filtered
+    so no nullable double column reaches the driver hash."""
+    ts = _ts_us(d)
+    return f"""
+        WITH w AS (
+            SELECT user_id, event_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY {ts}, event_id) AS prev_value
+            FROM events
+        )
+        SELECT user_id, event_id, value, prev_value,
+               (value - prev_value) AS delta
+        FROM w WHERE prev_value IS NOT NULL
+    """
+
+
+def q_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-value deltas (lag window)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_event_deltas_sql(D.SPARK))
+
+
+def _scd_upsert_sql(d: str) -> str:
+    """Batch MERGE / upsert semantics (the warehouse-side twin of the
+    streaming MERGE sink, SURVEY §2.1 S5): apply a deterministic changeset
+    (updates for custkey % 10 = 0, inserts keyed above the base range for
+    custkey % 97 = 0) to `customer` via FULL OUTER JOIN + coalesce -- the
+    exact relational algebra Delta/Iceberg MERGE lowers to (one shuffle on
+    the merge key both sides; at scale the base side is bucketed on the key
+    so only the changeset shuffles)."""
+    name_u = "concat(c_name, ' (updated)')"
+    name_i = "concat('NEW ', c_name)"
+    return f"""
+        WITH changes AS (
+            SELECT c_custkey AS k, {name_u} AS name, 'updated' AS status
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000 AS k, {name_i} AS name, 'inserted' AS status
+            FROM customer WHERE c_custkey % 97 = 0
+        ),
+        merged AS (
+            SELECT coalesce(ch.k, c.c_custkey) AS c_custkey,
+                   coalesce(ch.name, c.c_name) AS c_name,
+                   coalesce(ch.status, 'unchanged') AS status
+            FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+        )
+        SELECT c_custkey, c_name, status FROM merged
+    """
+
+
+def q_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: base table + changeset -> upserted table."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_scd_upsert_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -2426,6 +2557,10 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "knn_batch": (q_knn_batch, _knn_batch_sql),
     "url_normalize": (q_url_normalize, _url_normalize_sql),
     "bm25_search": (q_bm25_search, _bm25_sql),
+    "value_histogram": (q_value_histogram, _value_histogram_sql),
+    "value_correlations": (q_value_correlations, _value_correlations_sql),
+    "event_deltas": (q_event_deltas, _event_deltas_sql),
+    "scd_upsert": (q_scd_upsert, _scd_upsert_sql),
 }
 
 

@@ -1,0 +1,52 @@
+"""Round-2 relational additions: histogram, exact-moment correlation,
+lag deltas, batch MERGE semantics."""
+
+from __future__ import annotations
+
+from sentiment_analysis_data_pipeline_spark import queries as Q
+
+
+def test_value_histogram_partitions_all_events(spark, sf_dir):
+    rows = Q.q_value_histogram(spark, sf_dir).collect()
+    assert all(0 <= r["bin"] <= 15 for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    Q._events_view(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM events WHERE value IS NOT NULL").collect()[0]["n"]
+    assert total == n
+
+
+def test_value_correlations_bounded(spark, sf_dir):
+    rows = Q.q_value_correlations(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        assert r["n"] > 1
+
+
+def test_event_deltas_consistent(spark, sf_dir):
+    rows = Q.q_event_deltas(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["delta"] == r["value"] - r["prev_value"]
+
+
+def test_scd_upsert_merge_semantics(spark, sf_dir):
+    out = {r["c_custkey"]: r for r in Q.q_scd_upsert(spark, sf_dir).collect()}
+    base = {
+        r["c_custkey"]: r["c_name"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    n_upd = sum(1 for k in base if k % 10 == 0)
+    n_ins = sum(1 for k in base if k % 97 == 0)
+    assert len(out) == len(base) + n_ins
+    statuses = {}
+    for k, r in out.items():
+        statuses[r["status"]] = statuses.get(r["status"], 0) + 1
+        if r["status"] == "updated":
+            assert r["c_name"] == base[k] + " (updated)"
+        elif r["status"] == "inserted":
+            assert k >= 10000000 and r["c_name"].startswith("NEW ")
+        else:
+            assert r["c_name"] == base[k]
+    assert statuses.get("updated", 0) == n_upd
+    assert statuses.get("inserted", 0) == n_ins
