@@ -2359,6 +2359,69 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_knn_batch_sql(D.SPARK))
 
 
+def _vocab_topk_sql(d: str) -> str:
+    """Corpus vocabulary table: top-100 tokens by collection frequency with
+    document frequency -- the counting pass a BPE/WordPiece vocab build
+    starts from. Explode -> (token, doc) partial agg -> token agg; the final
+    top-k is a TakeOrderedAndProject (per-partition top-k then a 100-row
+    merge), never a global sort of the vocabulary."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT doc_id, {ex} AS t FROM tokd),
+        per_doc AS (
+            SELECT t, doc_id, cast(count(*) as bigint) AS tf
+            FROM ex GROUP BY t, doc_id
+        ),
+        vocab AS (
+            SELECT t AS token,
+                   cast(sum(tf) as bigint) AS collection_freq,
+                   cast(count(*) as bigint) AS doc_freq
+            FROM per_doc GROUP BY t
+        )
+        SELECT token, collection_freq, doc_freq
+        FROM vocab
+        ORDER BY collection_freq DESC, token ASC
+        LIMIT 100
+    """
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with collection + document frequency."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_vocab_topk_sql(D.SPARK))
+
+
+def _doc_length_percentiles_sql(d: str) -> str:
+    """Exact token-length percentiles per language -- the stats that size
+    sequence-packing bins and length-bucketed batching. Integer lengths,
+    interpolated exact percentiles (Spark percentile() / DuckDB
+    quantile_cont() share the definition; the lerp runs on identical
+    operands -- same parity argument as value_stats)."""
+    toks = TX.tokenize(d, TEXT)
+    n = D.arr_size(d, toks)
+    pc = "percentile" if d == D.SPARK else "quantile_cont"
+    return f"""
+        WITH lens AS (
+            SELECT lang, cast({n} as bigint) AS n_tokens FROM documents
+        )
+        SELECT lang,
+               cast(count(*) as bigint) AS n_docs,
+               {pc}(n_tokens, 0.5) AS p50,
+               {pc}(n_tokens, 0.9) AS p90,
+               {pc}(n_tokens, 0.99) AS p99,
+               cast(max(n_tokens) as bigint) AS max_tokens
+        FROM lens GROUP BY lang
+    """
+
+
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-length percentiles (packing planning)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_doc_length_percentiles_sql(D.SPARK))
+
+
 def _value_histogram_sql(d: str) -> str:
     """Equi-width histogram (16 bins) of `value` per event type, with the
     bin range taken from the corpus min/max (uncorrelated scalar subqueries
@@ -2561,6 +2624,8 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "value_correlations": (q_value_correlations, _value_correlations_sql),
     "event_deltas": (q_event_deltas, _event_deltas_sql),
     "scd_upsert": (q_scd_upsert, _scd_upsert_sql),
+    "vocab_topk": (q_vocab_topk, _vocab_topk_sql),
+    "doc_length_percentiles": (q_doc_length_percentiles, _doc_length_percentiles_sql),
 }
 
 
