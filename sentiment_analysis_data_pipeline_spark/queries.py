@@ -2553,6 +2553,189 @@ def q_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_scd_upsert_sql(D.SPARK))
 
 
+# Curation gate thresholds (Gopher-style rules over the repetition metrics
+# plus the engine's quality heuristic). Lenient enough that the synthetic
+# word-soup corpus retains a meaningful kept set at every SF.
+CURATION_MIN_QUALITY = 0.5
+CURATION_MIN_DISTINCT_RATIO = 0.25
+CURATION_MAX_TOP_TOKEN_FRAC = 0.5
+
+
+def _curation_body(d: str, tokd_def: str) -> str:
+    """The full training-data curation chain over a `tokd(doc_id, lang,
+    text, toks)` relation (inline CTE for the single-statement oracle; a
+    materialized temp view Spark-side -- `tokd` is referenced by three
+    branches and Spark's CTE re-inlining would re-run the regex tokenizer
+    per branch):
+
+      language ID -> quality gate -> repetition (Gopher) gates ->
+      eval-split n-gram decontamination -> fingerprint dedup -> kept corpus.
+
+    This is `corpus_prep`'s big sibling: every per-document signal the
+    engine computes, composed into ONE Catalyst plan the way a real
+    pretraining pipeline runs them. Scale shape: two exploded partial aggs
+    (doc-token counts, shingle inverted index), the tiny eval shingle set
+    broadcast into a NOT-EXISTS anti-join (training side never shuffles for
+    decontamination), one window shuffle on the dedup fingerprint. All
+    gates are exact int/int divisions -- bit-identical cross-engine."""
+    pred = TX.lang_id(d, "toks")
+    q = TX.quality_score(d, "text")
+    fp = TX.fingerprint(d, "text")
+    sh = D.arr_distinct(d, TX.ngrams(d, "toks", CONTAM_NGRAM))
+    ex_t = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    ex_s = "explode(sh)" if d == D.SPARK else "unnest(sh)"
+    hint = "/*+ BROADCAST(ev) */ " if d == D.SPARK else ""
+    return f"""
+        WITH {tokd_def}
+        feat AS (
+            SELECT doc_id, lang, {pred} AS pred, {q} AS q, {fp} AS fp
+            FROM tokd
+        ),
+        ex AS (SELECT doc_id, {ex_t} AS t FROM tokd),
+        tc AS (SELECT doc_id, t, count(*) AS c FROM ex GROUP BY doc_id, t),
+        rep AS (
+            SELECT doc_id,
+                   cast(sum(c) as bigint) AS n_tokens,
+                   cast(count(*) as bigint) AS n_distinct,
+                   cast(max(c) as bigint) AS top_count
+            FROM tc GROUP BY doc_id
+        ),
+        inv AS (
+            SELECT doc_id, md5(s) AS h
+            FROM (SELECT doc_id, {ex_s} AS s
+                  FROM (SELECT doc_id, {sh} AS sh FROM tokd) g) u
+        ),
+        ev AS (SELECT DISTINCT h FROM inv WHERE doc_id % {EVAL_MOD} = 0),
+        contam AS (
+            SELECT {hint}DISTINCT i.doc_id
+            FROM inv i JOIN ev ON i.h = ev.h
+            WHERE i.doc_id % {EVAL_MOD} <> 0
+        ),
+        gated AS (
+            SELECT f.doc_id, f.lang, f.fp, f.q, r.n_tokens,
+                   cast(r.n_distinct as double) / cast(r.n_tokens as double) AS distinct_ratio,
+                   cast(r.top_count as double) / cast(r.n_tokens as double) AS top_token_frac
+            FROM feat f JOIN rep r ON f.doc_id = r.doc_id
+            WHERE f.doc_id % {EVAL_MOD} <> 0
+              AND f.pred = 'en'
+              AND f.q >= {CURATION_MIN_QUALITY!r}
+              AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = f.doc_id)
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT g.*,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+                FROM gated g
+                WHERE g.distinct_ratio >= {CURATION_MIN_DISTINCT_RATIO!r}
+                  AND g.top_token_frac <= {CURATION_MAX_TOP_TOKEN_FRAC!r}
+            ) w WHERE rn = 1
+        )
+        SELECT doc_id, lang, n_tokens, distinct_ratio, top_token_frac, q
+        FROM kept
+    """
+
+
+def _curation_pipeline_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    tokd_def = f"""tokd AS (
+            SELECT doc_id, lang, {TEXT} AS text, {toks} AS toks
+            FROM documents WHERE trim({TEXT}) <> ''
+        ),"""
+    return _curation_body(d, tokd_def)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: language + quality + repetition gates, eval
+    decontamination, fingerprint dedup -- the kept training corpus with its
+    per-document signals. The token relation is materialized once
+    (localCheckpoint) because three plan branches consume it."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    tokd = spark.sql(
+        f"SELECT doc_id, lang, {TEXT} AS text, {toks} AS toks "
+        f"FROM documents WHERE trim({TEXT}) <> ''"
+    )
+    tokd.localCheckpoint(eager=True).createOrReplaceTempView("curation_tokd")
+    return spark.sql(_curation_body(D.SPARK, "tokd AS (SELECT * FROM curation_tokd),"))
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def _funnel_sql(d: str) -> str:
+    """Ordered conversion funnel view -> click -> purchase: a user advances a
+    stage only with an event STRICTLY AFTER their entry into the previous
+    stage (min-timestamp cascade -- the standard product-analytics funnel,
+    not mere set intersection). Scale shape: every groupBy/join keys on
+    user_id, so after the first shuffle the remaining stages reuse the same
+    hash partitioning (Exchange reuse); per-stage relations shrink
+    monotonically. Rates are single int/int double divisions -- exact
+    cross-engine."""
+    t = _ts_us(d)
+    return f"""
+        WITH e AS (SELECT user_id, event_type, {t} AS t FROM events),
+        v AS (
+            SELECT user_id, min(t) AS t_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.t) AS t_click
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.t > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.t) AS t_purchase
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.t > c.t_click
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT (SELECT cast(count(*) as bigint) FROM v) AS n_view,
+                   (SELECT cast(count(*) as bigint) FROM c) AS n_click,
+                   (SELECT cast(count(*) as bigint) FROM p) AS n_purchase
+        )
+        SELECT n_view, n_click, n_purchase,
+               case when n_view = 0 then 0.0
+                    else cast(n_click as double) / cast(n_view as double) end AS view_to_click,
+               case when n_click = 0 then 0.0
+                    else cast(n_purchase as double) / cast(n_click as double) end AS click_to_purchase
+        FROM counts
+    """
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel with conversion rates."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_funnel_sql(D.SPARK))
+
+
+def _retention_sql(d: str) -> str:
+    """Cohort retention triangle: users grouped by first-seen day, counted on
+    each later active day offset. Day indices are integer epoch-microsecond
+    divisions (no date/timezone parity surface). Scale shape: one groupBy
+    for cohort assignment, one distinct + count keyed on user_id -- the
+    cohort dimension rides along, no extra shuffle; output is bounded by
+    days^2/2 regardless of corpus size."""
+    day = D.int_div(d, _ts_us(d), str(US_PER_DAY))
+    return f"""
+        WITH e AS (SELECT user_id, {day} AS day FROM events),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        act AS (
+            SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS day_offset
+            FROM e JOIN f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, day_offset, cast(count(*) as bigint) AS n_users
+        FROM act GROUP BY cohort_day, day_offset
+    """
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-day cohorts x active-day offsets -> retained user counts."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_retention_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -2626,6 +2809,9 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "scd_upsert": (q_scd_upsert, _scd_upsert_sql),
     "vocab_topk": (q_vocab_topk, _vocab_topk_sql),
     "doc_length_percentiles": (q_doc_length_percentiles, _doc_length_percentiles_sql),
+    "curation_pipeline": (q_curation_pipeline, _curation_pipeline_sql),
+    "funnel_conversion": (q_funnel_conversion, _funnel_sql),
+    "retention_cohorts": (q_retention_cohorts, _retention_sql),
 }
 
 

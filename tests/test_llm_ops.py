@@ -78,6 +78,33 @@ def test_knn_batch_matches_single_query_topk(spark, sf_dir):
     assert [r["vec_id"] for r in batch] == [r["vec_id"] for r in single]
 
 
+def test_curation_pipeline_gates(spark):
+    """One doc per curation gate: the kept set must be exactly the clean
+    English doc, with every dropped doc removed by a *different* rule."""
+    _docs_view(
+        spark,
+        [
+            # eval-split member (20 % 20 == 0): contributes shingles, never kept
+            (20, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+            # clean English doc -> KEPT
+            (1, "the cat sat on the mat and the dog is happy today", "en", "s", 1),
+            # quotes a 5-gram from the eval doc -> decontaminated
+            (2, "the story quotes alpha beta gamma delta epsilon and the end is here", "en", "s", 1),
+            # same distinct-token set as doc 1 -> fingerprint-deduped (1 wins)
+            (3, "today the dog is happy and the cat sat on the mat", "en", "s", 1),
+            # 7/12 tokens are 'the' -> top_token_frac gate
+            (4, "the the the the the the the spam and is to of", "en", "s", 1),
+            # French markers dominate -> language gate
+            (5, "le chat est dans la maison pour les amis des gens", "fr", "s", 1),
+        ],
+    )
+    rows = spark.sql(Q._curation_pipeline_sql(Q.D.SPARK)).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    r = rows[0]
+    assert r["n_tokens"] == 12 and r["distinct_ratio"] == 10 / 12
+    assert r["top_token_frac"] == 3 / 12 and r["q"] >= 0.5
+
+
 def test_url_normalize_canonicalization(spark):
     """Pin the exact canonical forms: case, default ports, www, utm,
     fragments, and trailing slashes all collapse; path case survives."""
