@@ -1417,20 +1417,24 @@ def _embedding_dedup_rest(d: str, keyed: str) -> str:
               ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
         ),
         comp AS (
-            -- Quantize unit components to decimal(8,7) (|u| <= 1, so one
-            -- integer digit suffices). Downstream products and sums are then
-            -- decimal*decimal -> EXACT in both engines by construction; a
-            -- per-pair double->decimal cast is NOT cross-engine-stable at
-            -- fine scales (Spark rounds the shortest decimal representation,
-            -- DuckDB the exact binary expansion -- observed +-1 ulp drift).
-            -- Quantization shifts the cosine by < 1e-6, well inside the
-            -- audited 3e-5 minimum threshold margin, and decimal(8,7) terms
-            -- keep every decimal op long-backed (no BigDecimal path).
-            SELECT vec_id, idx, cast(x / nv as decimal(8,7)) AS u FROM ({ex}) e
+            -- Quantize unit components to 1e-7 BIGINT fixed point:
+            -- floor((x/nv) * 1e7) is one IEEE division + one exact
+            -- multiply-floor, bit-identical across engines, and all
+            -- downstream arithmetic is LONG (exact, order-free, and much
+            -- faster than decimal in Spark's agg loop). |u_i| <= 1e7 so a
+            -- pair product is <= 1e14 and a dim-length sum <= ~1.5e17 --
+            -- inside BIGINT. Quantization shifts the cosine by < 1e-6,
+            -- well inside the audited 3e-5 minimum threshold margin. (A
+            -- per-pair double->decimal cast is NOT cross-engine-stable:
+            -- Spark rounds the shortest decimal representation, DuckDB the
+            -- exact binary expansion -- observed +-1 ulp drift.)
+            SELECT vec_id, idx,
+                   cast(floor((x / nv) * 10000000.0) as bigint) AS u
+            FROM ({ex}) e
         ),
         dots AS (
             SELECT c.id_a, c.id_b,
-                   cast(sum(a.u * b.u) as double) AS cosine
+                   cast(sum(a.u * b.u) as double) / 1e14 AS cosine
             FROM cand c
             JOIN comp a ON a.vec_id = c.id_a
             JOIN comp b ON b.vec_id = c.id_b AND b.idx = a.idx
@@ -1490,28 +1494,45 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).repartition(32).localCheckpoint()
     bands.createOrReplaceTempView("emb_bands")
+    # Candidates first, THEN components: only pair members ever reach the
+    # verify join, so the component explode is semi-join-filtered to
+    # candidate vec_ids before paying the n*dim row blowup + decimal casts.
+    # At 100 TB this is the difference between exploding the whole corpus
+    # (the oracle SQL's literal shape) and exploding the ~0.1% of vectors
+    # LSH actually surfaced. cand is checkpointed (tiny) because three
+    # consumers read it; comp likewise for its two join sides.
+    cand = spark.sql(
+        """
+        SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM emb_bands a JOIN emb_bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+        """
+    ).localCheckpoint()
+    cand.createOrReplaceTempView("emb_cand")
     comp = spark.sql(
         f"""
-        WITH emb AS (
+        WITH ids AS (
+            SELECT id_a AS vec_id FROM emb_cand
+            UNION SELECT id_b FROM emb_cand
+        ),
+        emb AS (
             SELECT vec_id, v, nv FROM
                 (SELECT vec_id, {v} AS v, {nv} AS nv FROM embeddings) n
             WHERE nv > 0.0
+              AND vec_id IN (SELECT vec_id FROM ids)
         )
-        SELECT vec_id, idx, cast(x / nv as decimal(8,7)) AS u
+        SELECT vec_id, idx,
+               cast(floor((x / nv) * 10000000.0) as bigint) AS u
         FROM (SELECT vec_id, nv, posexplode(v) AS (idx, x) FROM emb) e
         """
-    ).repartition(32).localCheckpoint()
+    ).localCheckpoint()
     comp.createOrReplaceTempView("emb_comp")
     return spark.sql(
         """
-        WITH cand AS (
-            SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM emb_bands a JOIN emb_bands b
-              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-        ),
-        dots AS (
-            SELECT c.id_a, c.id_b, cast(sum(a.u * b.u) as double) AS cosine
-            FROM cand c
+        WITH dots AS (
+            SELECT c.id_a, c.id_b,
+                   cast(sum(a.u * b.u) as double) / 1e14 AS cosine
+            FROM emb_cand c
             JOIN emb_comp a ON a.vec_id = c.id_a
             JOIN emb_comp b ON b.vec_id = c.id_b AND b.idx = a.idx
             GROUP BY c.id_a, c.id_b
