@@ -2757,6 +2757,233 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_retention_sql(D.SPARK))
 
 
+# Unigram-LM surprisal quantum (same 2^-20 fixed point as BM25): the
+# per-token log-probability is floored to an exact BIGINT once per VOCAB
+# ENTRY, so the per-document aggregation is an order-free integer sum --
+# partial-agg-safe at any parallelism, bit-identical across engines.
+_SURPRISAL_Q = 1 << 20
+
+
+def _surprisal_body(d: str, ex_def: str) -> str:
+    """Mean unigram surprisal per document over an `ex(doc_id, t)` exploded
+    token relation: train the unigram LM on the corpus itself (token ->
+    collection frequency), then score each doc by the mean negative
+    log-probability of its tokens -- the classic cheap LM-quality proxy
+    (boilerplate/repetitive text scores low, rare-token soup scores high)
+    used to rank documents before expensive model-based filtering.
+
+    Scale shape: the LM is a (token, count) aggregate -- vocabulary-sized,
+    not corpus-sized -- joined back to per-doc term frequencies on the
+    uniformly-distributed token key. Every pre-floor double is one cast +
+    one division + one ln() on exact-integer operands (same single-IEEE-op
+    parity argument as BM25's idf)."""
+    return f"""
+        WITH {ex_def}
+        lm AS (SELECT t, cast(count(*) as bigint) AS c FROM ex GROUP BY t),
+        s AS (SELECT cast(sum(c) as bigint) AS total FROM lm),
+        lp AS (
+            SELECT lm.t,
+                   cast(floor(ln(cast(s.total as double) / cast(lm.c as double))
+                              * {float(_SURPRISAL_Q)!r}) as bigint) AS sp_q
+            FROM lm CROSS JOIN s
+        ),
+        tf AS (
+            SELECT doc_id, t, cast(count(*) as bigint) AS tf
+            FROM ex GROUP BY doc_id, t
+        ),
+        agg AS (
+            SELECT tf.doc_id,
+                   cast(sum(tf.tf) as bigint) AS n_tokens,
+                   cast(sum(tf.tf * lp.sp_q) as bigint) AS sq
+            FROM tf JOIN lp ON tf.t = lp.t
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               cast(sq as double)
+                   / (cast(n_tokens as double) * {float(_SURPRISAL_Q)!r}) AS mean_surprisal
+        FROM agg
+    """
+
+
+def _unigram_surprisal_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    ex_def = f"""tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT doc_id, {ex} AS t FROM tokd),"""
+    return _surprisal_body(d, ex_def)
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (nats/token) under the corpus's
+    own unigram LM. The exploded token relation is materialized once
+    (localCheckpoint): the statement references `ex` twice (LM counts,
+    per-doc term frequencies) and CTE re-inlining would tokenize twice."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    ex = spark.sql(f"SELECT doc_id, explode({toks}) AS t FROM documents")
+    ex.localCheckpoint(eager=True).createOrReplaceTempView("surprisal_ex")
+    return spark.sql(_surprisal_body(D.SPARK, "ex AS (SELECT * FROM surprisal_ex),"))
+
+
+HOP_US = 900_000_000  # 15-minute hop
+SLIDE_HOPS = 4  # 1-hour window = 4 hops
+
+
+def _sliding_window_sql(d: str) -> str:
+    """Hopping (sliding) 1-hour window with a 15-minute hop over the event
+    stream -- the batch twin of Structured Streaming's
+    `window(ts, '1 hour', '15 minutes')`, expressed as pure integer
+    arithmetic on epoch-us: an event at hop index h = t div 900s belongs to
+    exactly the {SLIDE_HOPS} windows starting at (h-3..h)*900s, so a
+    {SLIDE_HOPS}-row explode + one groupBy replaces any self-join or range
+    predicate. Scale shape: the explode is a constant {SLIDE_HOPS}x row
+    multiplier (not data-dependent), the aggregate partial-combines
+    map-side, and the shuffle key (window_start_us) is uniformly
+    distributed. Partial leading windows are kept (standard hop
+    semantics). The value sum goes through the exact decimal cast
+    (`_dsum`) so summation order cannot perturb the hash."""
+    t = _ts_us(d)
+    seq = D.sequence(d, 0, SLIDE_HOPS - 1)
+    ex = f"explode({seq})" if d == D.SPARK else f"unnest({seq})"
+    hop_idx = D.int_div(d, "t", str(HOP_US))
+    return f"""
+        WITH e AS (
+            SELECT user_id, value, {t} AS t FROM events WHERE value IS NOT NULL
+        ),
+        hops AS (SELECT user_id, value, t, {ex} AS i FROM e),
+        win AS (
+            SELECT user_id, value,
+                   (({hop_idx}) - i) * {HOP_US} AS window_start_us
+            FROM hops
+        )
+        SELECT window_start_us,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(DISTINCT user_id) as bigint) AS n_users,
+               {_dsum("value", "sum_value")}
+        FROM win GROUP BY window_start_us
+    """
+
+
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 15 minutes: event/user counts + exact
+    value sums per window."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_sliding_window_sql(D.SPARK))
+
+
+def _hourly_anomaly_sql(d: str) -> str:
+    """Hourly event-count anomalies by population z-score, cross-engine
+    exact: hourly counts are integers, the three moments (n, sum, sum of
+    squares) accumulate as scale-0 decimals (exact, order-free,
+    partial-agg-safe -- same machinery as value_correlations), and both the
+    z-score and the anomaly flag derive from the integer identity
+        z = (n*c - sum) / sqrt(n*sumsq - sum^2)      [population z * n/n]
+    so the flag |z| > 2 is decided in EXACT decimal arithmetic
+    ((n*c - sum)^2 > 4*(n*sumsq - sum^2)) -- no float comparison sits on
+    the decision boundary -- while the reported z is a cast + sqrt +
+    divide on identically-rounded operands. Scale shape: one (hour)
+    groupBy, a scalar moment row broadcast back; the decimal moments keep
+    exactness to ~1e19 hourly counts."""
+    t = _ts_us(d)
+    hour = D.int_div(d, t, str(HOUR_US))
+    dec = "decimal(38,0)"
+    return f"""
+        WITH hc AS (
+            SELECT cast({hour} as bigint) AS hour_idx,
+                   cast(count(*) as bigint) AS c
+            FROM events GROUP BY cast({hour} as bigint)
+        ),
+        m AS (
+            SELECT cast(count(*) as {dec}) AS n,
+                   sum(cast(c as {dec})) AS sc,
+                   sum(cast(c as {dec}) * cast(c as {dec})) AS scc
+            FROM hc
+        )
+        SELECT hc.hour_idx * {HOUR_US} AS hour_start_us,
+               hc.c AS n_events,
+               case when cast(m.n * m.scc - m.sc * m.sc as double) = 0.0 then 0.0
+                    else cast(m.n * cast(hc.c as {dec}) - m.sc as double)
+                         / sqrt(cast(m.n * m.scc - m.sc * m.sc as double)) end AS zscore,
+               ((m.n * cast(hc.c as {dec}) - m.sc) * (m.n * cast(hc.c as {dec}) - m.sc)
+                > 4 * (m.n * m.scc - m.sc * m.sc)) AS is_anomaly
+        FROM hc CROSS JOIN m
+    """
+
+
+def q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count z-scores with an exact-arithmetic anomaly flag."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_hourly_anomaly_sql(D.SPARK))
+
+
+TFIDF_K = 3
+
+
+def _tfidf_body(d: str, ex_def: str) -> str:
+    """Top-{TFIDF_K} TF-IDF terms per document over an `ex(doc_id, t)`
+    exploded token relation: tfidf = (tf/dl) * ln(N/df), with the idf
+    floored to 2^-20 fixed point once per VOCAB ENTRY (one ln on
+    exact-integer-derived operands -- BM25's parity argument) so the
+    per-(doc,term) score is the exact rational (tf * idf_q) / (dl * 2^20):
+    one integer multiply, one exact power-of-two scale, ONE IEEE division.
+    Identical doubles => identical row_number order in both engines
+    (ties broken by token text). Scale shape: df/tf/dl are all partial
+    aggregates on uniformly-hashed keys; the per-doc top-k is a window
+    over the doc_id shuffle, never a global sort."""
+    return f"""
+        WITH {ex_def}
+        dl AS (SELECT doc_id, cast(count(*) as bigint) AS dl FROM ex GROUP BY doc_id),
+        s AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS n_docs FROM ex),
+        tf AS (
+            SELECT doc_id, t, cast(count(*) as bigint) AS tf
+            FROM ex GROUP BY doc_id, t
+        ),
+        df AS (SELECT t, cast(count(*) as bigint) AS df FROM tf GROUP BY t),
+        idf AS (
+            SELECT df.t,
+                   cast(floor(ln(cast(s.n_docs as double) / cast(df.df as double))
+                              * {float(_SURPRISAL_Q)!r}) as bigint) AS idf_q
+            FROM df CROSS JOIN s
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.t AS token,
+                   cast(tf.tf * idf.idf_q as double)
+                       / (cast(dl.dl as double) * {float(_SURPRISAL_Q)!r}) AS tfidf
+            FROM tf
+            JOIN idf ON tf.t = idf.t
+            JOIN dl ON dl.doc_id = tf.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, cast(rk as bigint) AS rk
+        FROM ranked WHERE rk <= {TFIDF_K}
+    """
+
+
+def _tfidf_topk_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    ex_def = f"""tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT doc_id, {ex} AS t FROM tokd),"""
+    return _tfidf_body(d, ex_def)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction). The exploded
+    token relation is materialized once (localCheckpoint): four CTE
+    references (dl, corpus size, tf, df) would each re-run tokenization
+    under Spark's CTE re-inlining."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    ex = spark.sql(f"SELECT doc_id, explode({toks}) AS t FROM documents")
+    ex.localCheckpoint(eager=True).createOrReplaceTempView("tfidf_ex")
+    return spark.sql(_tfidf_body(D.SPARK, "ex AS (SELECT * FROM tfidf_ex),"))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -2833,6 +3060,10 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "curation_pipeline": (q_curation_pipeline, _curation_pipeline_sql),
     "funnel_conversion": (q_funnel_conversion, _funnel_sql),
     "retention_cohorts": (q_retention_cohorts, _retention_sql),
+    "unigram_surprisal": (q_unigram_surprisal, _unigram_surprisal_sql),
+    "sliding_window_agg": (q_sliding_window_agg, _sliding_window_sql),
+    "hourly_anomaly": (q_hourly_anomaly, _hourly_anomaly_sql),
+    "tfidf_topk": (q_tfidf_topk, _tfidf_topk_sql),
 }
 
 

@@ -132,3 +132,40 @@ def test_url_normalize_canonicalization(spark):
     ) == a["sample_url"]
     b = by_host["srcb.example.com"]
     assert b["sample_url"] == "http://srcb.example.com/Articles/2"
+
+
+def test_unigram_surprisal_ranks_rarity(spark):
+    """A doc of corpus-frequent tokens must score lower mean surprisal than
+    a doc of corpus-rare tokens; scores are non-negative."""
+    _docs_view(
+        spark,
+        [
+            (1, "common common common common common common", "en", "s", 1),
+            (2, "common common common common common common", "en", "s", 1),
+            (3, "rare1 rare2 rare3 rare4 rare5 rare6", "en", "s", 1),
+        ],
+    )
+    out = {r["doc_id"]: r for r in spark.sql(Q._unigram_surprisal_sql(Q.D.SPARK)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["mean_surprisal"] == out[2]["mean_surprisal"]
+    assert 0.0 <= out[1]["mean_surprisal"] < out[3]["mean_surprisal"]
+
+
+def test_tfidf_topk_prefers_distinctive_tokens(spark):
+    """A token shared by every doc has idf ln(1)=0; each doc's top term must
+    be its unique token, and ranks stay within the top-k."""
+    _docs_view(
+        spark,
+        [
+            (1, "shared shared apple apple", "en", "s", 1),
+            (2, "shared shared banana banana", "en", "s", 1),
+            (3, "shared shared cherry cherry", "en", "s", 1),
+        ],
+    )
+    rows = spark.sql(Q._tfidf_topk_sql(Q.D.SPARK)).collect()
+    assert all(1 <= r["rk"] <= Q.TFIDF_K for r in rows)
+    top = {r["doc_id"]: r["token"] for r in rows if r["rk"] == 1}
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    shared = {r["doc_id"]: r["tfidf"] for r in rows if r["token"] == "shared"}
+    assert all(v == 0.0 for v in shared.values())

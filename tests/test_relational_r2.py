@@ -50,3 +50,23 @@ def test_scd_upsert_merge_semantics(spark, sf_dir):
             assert r["c_name"] == base[k]
     assert statuses.get("updated", 0) == n_upd
     assert statuses.get("inserted", 0) == n_ins
+
+
+def test_sliding_window_covers_each_event_four_times(spark, sf_dir):
+    rows = Q.q_sliding_window_agg(spark, sf_dir).collect()
+    Q._events_view(spark, sf_dir)
+    n = spark.sql("SELECT count(*) AS n FROM events WHERE value IS NOT NULL").collect()[0]["n"]
+    assert sum(r["n_events"] for r in rows) == Q.SLIDE_HOPS * n
+    starts = [r["window_start_us"] for r in rows]
+    assert len(set(starts)) == len(starts)
+    assert all(s % Q.HOP_US == 0 for s in starts)
+
+
+def test_hourly_anomaly_flag_matches_zscore(spark, sf_dir):
+    rows = Q.q_hourly_anomaly(spark, sf_dir).collect()
+    assert rows
+    # z numerators sum to zero => mean z is ~0
+    assert abs(sum(r["zscore"] for r in rows)) < 1e-6 * len(rows)
+    for r in rows:
+        if abs(abs(r["zscore"]) - 2.0) > 1e-9:  # off the exact boundary
+            assert r["is_anomaly"] == (abs(r["zscore"]) > 2.0)
