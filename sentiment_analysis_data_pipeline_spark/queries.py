@@ -2984,6 +2984,102 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tfidf_body(D.SPARK, "ex AS (SELECT * FROM tfidf_ex),"))
 
 
+PMI_TOP_K = 50
+
+
+def _pmi_body(d: str, tokd_def: str) -> str:
+    """Top-{PMI_TOP_K} bigram collocations by frequency, scored with PMI
+    over a `tokd(doc_id, toks)` token relation: PMI = ln(N * c_ab /
+    (c_a * c_b)) with unigram counts c_a/c_b, bigram count c_ab, and N
+    total bigrams. The multiword-expression detector a tokenizer/phrase
+    vocabulary build runs ("new_york" merges, "of_the" doesn't).
+
+    Parity: counts are exact integers; the ln argument is one division of
+    two exact int-product casts, and the score is floored to 2^-20 fixed
+    point (BM25's argument) then scaled back -- the output double is a
+    dyadic rational both engines compute identically. Scale shape: unigram
+    and bigram counts are vocabulary-sized aggregates with map-side
+    combine; the top-k is TakeOrderedAndProject; the two unigram joins hit
+    the k-row relation, not the corpus."""
+    if d == D.SPARK:
+        left, right = ("element_at(split(bg, '_'), 1)", "element_at(split(bg, '_'), 2)")
+    else:
+        left, right = ("split_part(bg, '_', 1)", "split_part(bg, '_', 2)")
+    ex_t = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    bgs = TX.ngrams(d, "toks", 2)
+    ex_b = "explode(bgs)" if d == D.SPARK else "unnest(bgs)"
+    pmi_arg = (
+        "cast(s.n_bigrams * top.c_ab as double)"
+        " / cast(ua.c * ub.c as double)"
+    )
+    pmi_q = f"cast(floor(ln({pmi_arg}) * {float(_SURPRISAL_Q)!r}) as bigint)"
+    return f"""
+        WITH {tokd_def}
+        uni AS (
+            SELECT t, cast(count(*) as bigint) AS c
+            FROM (SELECT {ex_t} AS t FROM tokd) u GROUP BY t
+        ),
+        bg AS (
+            SELECT bg, cast(count(*) as bigint) AS c_ab
+            FROM (SELECT {ex_b} AS bg
+                  FROM (SELECT {bgs} AS bgs FROM tokd) g) u
+            GROUP BY bg
+        ),
+        s AS (SELECT cast(sum(c_ab) as bigint) AS n_bigrams FROM bg),
+        top AS (
+            SELECT bg, c_ab, {left} AS w_left, {right} AS w_right
+            FROM bg ORDER BY c_ab DESC, bg ASC LIMIT {PMI_TOP_K}
+        )
+        SELECT top.bg AS bigram, top.c_ab AS n_pairs,
+               cast({pmi_q} as double) / {float(_SURPRISAL_Q)!r} AS pmi
+        FROM top
+        JOIN uni ua ON ua.t = top.w_left
+        JOIN uni ub ON ub.t = top.w_right
+        CROSS JOIN s
+    """
+
+
+def _pmi_collocations_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    return _pmi_body(d, f"tokd AS (SELECT doc_id, {toks} AS toks FROM documents),")
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored top bigram collocations. The token relation is
+    materialized once (localCheckpoint): unigram and bigram branches both
+    consume it and CTE re-inlining would tokenize twice."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    tokd = spark.sql(f"SELECT doc_id, {toks} AS toks FROM documents")
+    tokd.localCheckpoint(eager=True).createOrReplaceTempView("pmi_tokd")
+    return spark.sql(_pmi_body(D.SPARK, "tokd AS (SELECT * FROM pmi_tokd),"))
+
+
+BPE_N_MERGES = 30
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge table learned from the document corpus: word
+    frequencies (one corpus-sized aggregate) -> iterative pair-merge
+    training over the vocabulary-sized state (operators/bpe.py). Genuinely
+    iterative -- no single-statement SQL oracle exists, so the driver
+    records the weaker rows-only check; the golden test
+    (tests/test_bpe.py) pins the full learned sequence against a
+    pure-Python replica of the reference algorithm."""
+    from .operators.bpe import bpe_merges
+
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    words = spark.sql(
+        f"""
+        SELECT word, cast(count(*) as bigint) AS freq
+        FROM (SELECT explode({toks}) AS word FROM documents) t
+        GROUP BY word
+        """
+    )
+    return bpe_merges(spark, words, n_merges=BPE_N_MERGES)
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3064,6 +3160,8 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "sliding_window_agg": (q_sliding_window_agg, _sliding_window_sql),
     "hourly_anomaly": (q_hourly_anomaly, _hourly_anomaly_sql),
     "tfidf_topk": (q_tfidf_topk, _tfidf_topk_sql),
+    "pmi_collocations": (q_pmi_collocations, _pmi_collocations_sql),
+    "bpe_merges": (q_bpe_merges, None),
 }
 
 
