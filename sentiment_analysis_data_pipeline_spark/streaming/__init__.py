@@ -2,6 +2,7 @@ from .ingest import (
     file_article_stream,
     kafka_article_stream,
     kafka_envelope_sink_options,
+    hopping_activity,
     merge_into_parquet,
     run_file_ingest,
     run_sentiment_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "file_article_stream",
     "kafka_article_stream",
     "kafka_envelope_sink_options",
+    "hopping_activity",
     "merge_into_parquet",
     "run_file_ingest",
     "run_sentiment_stream",

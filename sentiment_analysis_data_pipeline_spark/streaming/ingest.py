@@ -174,6 +174,28 @@ def windowed_freshness(stream: DataFrame, ts_col: str = "fetched_at") -> DataFra
     )
 
 
+def hopping_activity(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    hop: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T3 hopping (sliding) form: overlapping windows via the engine's
+    native `window(ts, windowDuration, slideDuration)` -- each event lands
+    in window/hop windows, counted once per window. Append mode emits a
+    window exactly once, when the watermark passes its end; state is the
+    set of OPEN windows (bounded by watermark + window length, independent
+    of history). The batch twin with identical integer-hop semantics is
+    queries.q_sliding_window_agg."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, hop).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def sessionized_activity(
     stream: DataFrame,
     ts_col: str = "ts",

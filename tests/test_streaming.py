@@ -191,3 +191,49 @@ def test_streaming_pii_scrub(spark, dirs):
     assert len(rows) == 1
     t = rows[0]["title"]
     assert t == "leak [EMAIL] or call [PHONE] now"
+
+
+def test_streaming_hopping_window(spark):
+    """Append-mode hopping windows: an event is counted in window/hop
+    overlapping windows; closed windows emit exactly once."""
+    from sentiment_analysis_data_pipeline_spark.streaming import hopping_activity
+
+    root = Path(tempfile.mkdtemp(prefix="hop-stream-"))
+    try:
+        src = root / "src"
+        src.mkdir()
+        out = str(root / "out")
+
+        def _evt(user, ts):
+            return json.dumps({"user_id": user, "ts": ts})
+
+        # one event at 01:05 -> member of the 4 hour-long windows starting
+        # 00:15, 00:30, 00:45, 01:00
+        (src / "a.json").write_text(_evt(1, "2024-01-01T01:05:00Z") + "\n")
+        # much later event pushes the watermark past all of them
+        (src / "b.json").write_text(_evt(1, "2024-01-01T12:00:00Z") + "\n")
+
+        stream = (
+            spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            hopping_activity(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["window_start"].hour, r["window_start"].minute): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == {(0, 15): 1, (0, 30): 1, (0, 45): 1, (1, 0): 1}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
