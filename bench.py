@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "url_normalize",
     "bm25_search",
+    "curation_pipeline",
+    "unigram_surprisal",
+    "tfidf_topk",
+    "pmi_collocations",
 ]
 
 

@@ -75,7 +75,16 @@ def main() -> None:
 
     qs = spark_queries()
     extra_counts = {}
-    for name in ("decontaminate", "repetition_metrics", "url_normalize", "simhash_pairs"):
+    for name in (
+        "decontaminate",
+        "repetition_metrics",
+        "url_normalize",
+        "simhash_pairs",
+        "curation_pipeline",
+        "unigram_surprisal",
+        "tfidf_topk",
+        "pmi_collocations",
+    ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
         timings[name] = round(time.perf_counter() - t0, 2)
