@@ -51,6 +51,44 @@ def _with_tokens(df: DataFrame, content_col: str) -> DataFrame:
     return df.withColumn("_tokens", F.expr(text.tokenize(D.SPARK, content_col)))
 
 
+def _band_keys_from_shingled(shingled: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
+    """(doc, shingles) -> exploded (doc, band_key) LSH banding relation."""
+    h1, h2 = hashing.hash_halves_cols(D.SPARK, "h")
+    exploded = (
+        shingled.select("doc", F.explode("shingles").alias("s"))
+        .select("doc", F.md5("s").alias("h"))
+        .select("doc", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
+    )
+    sig = exploded.groupBy("doc").agg(
+        *[F.expr(a.split(" AS ")[0]).alias(f"m{i}") for i, a in enumerate(hashing.km_minhash_aggs(k))]
+    )
+    return sig.select(
+        "doc",
+        F.explode(F.expr(hashing.band_keys_from_members(D.SPARK, bands, rows))).alias("band_key"),
+    )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """The (doc, band_key) LSH signature relation by itself -- what a 100 TB
+    deployment WRITES ONCE per corpus snapshot (bucketed by band_key) and
+    reuses across dedup runs: candidate generation against a bucketed
+    signature table is a zero-Exchange sort-merge self-join
+    (tests/test_bucketed.py asserts the shuffle-free plan)."""
+    shingled = _with_tokens(df, content_col).select(
+        F.col(id_col).alias("doc"),
+        F.expr(D.arr_distinct(D.SPARK, text.ngrams(D.SPARK, "_tokens", ngram))).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    return _band_keys_from_shingled(shingled, k, bands, rows)
+
+
 def minhash_pairs(
     df: DataFrame,
     content_col: str,
@@ -92,19 +130,8 @@ def minhash_pairs(
         # production scale this is "write the shingle/signature table once".
         .persist()
     )
-    h1, h2 = hashing.hash_halves_cols(D.SPARK, "h")
-    exploded = (
-        shingled.select("doc", F.explode("shingles").alias("s"))
-        .select("doc", F.md5("s").alias("h"))
-        .select("doc", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
-    )
-    sig = exploded.groupBy("doc").agg(
-        *[F.expr(a.split(" AS ")[0]).alias(f"m{i}") for i, a in enumerate(hashing.km_minhash_aggs(k))]
-    )
-    banded = sig.select(
-        "doc",
-        F.explode(F.expr(hashing.band_keys_from_members(D.SPARK, bands, rows))).alias("band_key"),
-    ).persist()  # both sides of the self-join read this
+    banded = _band_keys_from_shingled(shingled, k, bands, rows).persist()
+    # both sides of the self-join read `banded`
     a = banded.select("band_key", F.col("doc").alias("id_a"))
     b = banded.select("band_key", F.col("doc").alias("id_b"))
     pairs = (

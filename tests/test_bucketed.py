@@ -32,3 +32,34 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_bucketed_band_key_candidate_join_is_shuffle_free(spark):
+    """The dedup-at-scale staging SCALE.md describes: write the LSH
+    signature relation ONCE, bucketed by band_key; candidate generation is
+    then a zero-Exchange sort-merge self-join over bucket files."""
+    from sentiment_analysis_data_pipeline_spark.operators.dedup import minhash_band_keys
+
+    docs = load_table(spark, SF, "documents")
+    write_bucketed(minhash_band_keys(docs, "text", "doc_id"), "bkt_bands", "band_key", 8)
+    try:
+        joined = spark.sql(
+            """SELECT /*+ MERGE(a) */ a.doc AS id_a, b.doc AS id_b
+               FROM bkt_bands a JOIN bkt_bands b ON a.band_key = b.band_key
+               WHERE a.doc < b.doc"""
+        )
+        plan = joined._jdf.queryExecution().sparkPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan, f"bucketed candidate join still shuffles:\n{plan}"
+        # same candidate set as the in-memory self-join
+        banded = minhash_band_keys(docs, "text", "doc_id")
+        n_mem = (
+            banded.alias("a")
+            .join(banded.alias("b"), "band_key")
+            .where("a.doc < b.doc")
+            .count()
+        )
+        assert joined.count() == n_mem > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_bands")
