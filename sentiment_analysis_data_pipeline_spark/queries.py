@@ -3080,6 +3080,99 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(spark, words, n_merges=BPE_N_MERGES)
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _column_profile_sql(d: str) -> str:
+    """One-pass column profiling of the documents table: per column, null
+    count and distinct cardinality (plus total rows) -- the data-quality
+    census a pipeline runs before trusting a new snapshot (the generalized
+    form of the reference's missing-sentiment check,
+    dags/data_quality.py:56-63). ONE scan computes every statistic: the
+    count-distincts share a single Expand-based aggregate, then the wide
+    row unpivots to (column, stat) rows -- profiling cost is one pass
+    regardless of column count, never a scan per column."""
+    aggs = ", ".join(
+        f"cast(count(*) - count({c}) as bigint) AS nn_{c}, "
+        f"cast(count(DISTINCT {c}) as bigint) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    if d == D.SPARK:
+        args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+        unpivot = f"""
+            SELECT n_rows, stack({len(_PROFILE_COLS)}, {args})
+                   AS (column_name, n_nulls, n_distinct)
+            FROM wide"""
+    else:
+        unpivot = "\n            UNION ALL".join(
+            f"""
+            SELECT n_rows, '{c}' AS column_name, nn_{c} AS n_nulls,
+                   nd_{c} AS n_distinct FROM wide"""
+            for c in _PROFILE_COLS
+        )
+    return f"""
+        WITH wide AS (
+            SELECT cast(count(*) as bigint) AS n_rows, {aggs}
+            FROM documents
+        ),
+        up AS ({unpivot})
+        SELECT column_name, n_rows, n_nulls, n_distinct,
+               case when n_rows = 0 then 0.0
+                    else cast(n_nulls as double) / cast(n_rows as double) end AS null_rate
+        FROM up
+    """
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct census of `documents` in one scan."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_column_profile_sql(D.SPARK))
+
+
+SKEW_TOP_K = 20
+
+
+def _key_skew_sql(d: str) -> str:
+    """Join-key skew report: the top-{SKEW_TOP_K} heaviest keys and their
+    frequency share for the two join columns that matter at scale
+    (events.user_id -- the window/funnel/retention shuffle key -- and
+    lineitem.l_suppkey -- the supplier fan-in). This is the diagnostic
+    that decides between plain shuffle, AQE skew-join, and salting BEFORE
+    a 100 TB run; the engine's skew machinery itself is exercised in
+    tests/test_skew.py. Scale shape: per-key counts partial-agg map-side;
+    the totals are 1-row broadcasts; top-k is TakeOrderedAndProject."""
+    return f"""
+        WITH ek AS (
+            SELECT user_id AS key, cast(count(*) as bigint) AS n
+            FROM events GROUP BY user_id
+        ),
+        es AS (SELECT cast(sum(n) as bigint) AS total FROM ek),
+        lk AS (
+            SELECT l_suppkey AS key, cast(count(*) as bigint) AS n
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        ls AS (SELECT cast(sum(n) as bigint) AS total FROM lk),
+        etop AS (
+            SELECT 'events.user_id' AS key_col, key, n,
+                   cast(n as double) / cast(total as double) AS share
+            FROM ek CROSS JOIN es ORDER BY n DESC, key ASC LIMIT {SKEW_TOP_K}
+        ),
+        ltop AS (
+            SELECT 'lineitem.l_suppkey' AS key_col, key, n,
+                   cast(n as double) / cast(total as double) AS share
+            FROM lk CROSS JOIN ls ORDER BY n DESC, key ASC LIMIT {SKEW_TOP_K}
+        )
+        SELECT * FROM etop UNION ALL SELECT * FROM ltop
+    """
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top heavy-hitter keys + frequency share for the hot join columns."""
+    _events_view(spark, sf_dir)
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_key_skew_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3162,6 +3255,8 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "tfidf_topk": (q_tfidf_topk, _tfidf_topk_sql),
     "pmi_collocations": (q_pmi_collocations, _pmi_collocations_sql),
     "bpe_merges": (q_bpe_merges, None),
+    "column_profile": (q_column_profile, _column_profile_sql),
+    "key_skew_report": (q_key_skew_report, _key_skew_sql),
 }
 
 

@@ -70,3 +70,25 @@ def test_hourly_anomaly_flag_matches_zscore(spark, sf_dir):
     for r in rows:
         if abs(abs(r["zscore"]) - 2.0) > 1e-9:  # off the exact boundary
             assert r["is_anomaly"] == (abs(r["zscore"]) > 2.0)
+
+
+def test_column_profile_census(spark, sf_dir):
+    rows = {r["column_name"]: r for r in Q.q_column_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(Q._PROFILE_COLS)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    r = rows["doc_id"]
+    assert r["n_nulls"] == 0 and r["n_distinct"] == n and r["null_rate"] == 0.0
+
+
+def test_key_skew_report_shares(spark, sf_dir):
+    rows = Q.q_key_skew_report(spark, sf_dir).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["key_col"], []).append(r)
+    assert set(by_col) == {"events.user_id", "lineitem.l_suppkey"}
+    for col_rows in by_col.values():
+        ns = [r["n"] for r in col_rows]
+        assert ns == sorted(ns, reverse=True)
+        assert all(0.0 < r["share"] <= 1.0 for r in col_rows)
+        assert sum(r["share"] for r in col_rows) <= 1.0 + 1e-9
