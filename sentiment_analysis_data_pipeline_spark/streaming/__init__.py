@@ -2,6 +2,7 @@ from .ingest import (
     file_article_stream,
     kafka_article_stream,
     kafka_envelope_sink_options,
+    enrich_with_dim,
     hopping_activity,
     merge_into_parquet,
     run_file_ingest,
@@ -16,6 +17,7 @@ __all__ = [
     "file_article_stream",
     "kafka_article_stream",
     "kafka_envelope_sink_options",
+    "enrich_with_dim",
     "hopping_activity",
     "merge_into_parquet",
     "run_file_ingest",

@@ -174,6 +174,18 @@ def windowed_freshness(stream: DataFrame, ts_col: str = "fetched_at") -> DataFra
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment: broadcast-join a slowly-changing dimension
+    into a stream (the reference's analog is the per-source metadata the
+    consumer stamps on each article, consumers/mongodb_consumer.py). The
+    static side re-resolves per micro-batch, so a dim refresh is picked up
+    without restarting the query; broadcasting keeps the stream side
+    shuffle-free -- the right shape for any dim that fits an executor.
+    Left join: events with no dim row pass through (enrichment must never
+    drop stream rows)."""
+    return stream.join(F.broadcast(dim), on=key, how="left")
+
+
 def hopping_activity(
     stream: DataFrame,
     ts_col: str = "ts",

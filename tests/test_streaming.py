@@ -237,3 +237,35 @@ def test_streaming_hopping_window(spark):
         assert got == {(0, 15): 1, (0, 30): 1, (0, 45): 1, (1, 0): 1}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_static_enrichment(spark):
+    """Broadcast stream-static join: every stream row survives (left join),
+    matched rows carry the dim attributes, and the static side is picked up
+    per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_data_pipeline_spark.streaming import enrich_with_dim
+
+    root = Path(tempfile.mkdtemp(prefix="enrich-stream-"))
+    try:
+        src = root / "src"
+        src.mkdir()
+        out = str(root / "out")
+        (src / "a.json").write_text(
+            json.dumps({"user_id": 1, "v": 10}) + "\n" + json.dumps({"user_id": 99, "v": 20}) + "\n"
+        )
+        dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+        stream = spark.readStream.schema("user_id LONG, v LONG").json(str(src))
+        q = (
+            enrich_with_dim(stream, dim, "user_id")
+            .writeStream.foreachBatch(lambda df, _b: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["user_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
+        assert rows == {1: "gold", 99: None}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
