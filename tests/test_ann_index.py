@@ -1,0 +1,52 @@
+"""Persisted IVF index: partition-pruned probes + exactness within the
+probed cells."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+from sentiment_analysis_data_pipeline_spark.operators.ann_index import (
+    _probe_cells,
+    build_ivf_index,
+    ivf_query,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_index_build_query_and_pruning(spark):
+    idx = tempfile.mkdtemp(prefix="ivf-idx-")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(spark, emb, idx)
+
+        qvec = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+        out = ivf_query(spark, idx, qvec, k=5, n_probe=2)
+
+        # the probe filter reaches the scan as a PARTITION filter (pruned
+        # directories), not a post-scan predicate
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+
+        rows = out.collect()
+        assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
+        assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] > 0.999
+
+        # exact within the probed cells: replicate brute-force in python
+        probes = set(_probe_cells(spark, idx, qvec, 2))
+        assign = spark.read.parquet(f"{idx}/assignments").collect()
+        qn = math.sqrt(sum(x * x for x in qvec))
+        scored = []
+        for r in assign:
+            if r["cell"] not in probes:
+                continue
+            cn = r["nv"]
+            cos = 0.0 if cn == 0.0 or qn == 0.0 else sum(a * b for a, b in zip(r["v"], qvec)) / (cn * qn)
+            scored.append((cos, r["vec_id"]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        want = [vid for _, vid in scored[:5]]
+        assert [r["vec_id"] for r in rows] == want
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
