@@ -3173,6 +3173,87 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_key_skew_sql(D.SPARK))
 
 
+WINNOW_K = 4  # token k-gram length
+WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+WINNOW_MIN_SHARED = 2  # shared-fingerprint threshold for a reported pair
+WINNOW_DF_CAP = 50  # drop fingerprints shared by more docs (boilerplate)
+
+
+def _winnow_body(d: str, tokd_def: str) -> str:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm) + overlap pairs: hash every token {WINNOW_K}-gram, keep
+    the MINIMUM hash of each window of {WINNOW_W} consecutive positions, and
+    report doc pairs sharing >= {WINNOW_MIN_SHARED} selected fingerprints.
+
+    This is the POSITION-SENSITIVE member of the dedup family: it detects
+    copied contiguous passages (quotes, plagiarism, template reuse) that the
+    set-based fingerprints (md5-of-sorted-tokens, MinHash over shingle SETS)
+    deliberately ignore, with guaranteed detection of any shared run of
+    {WINNOW_K}+{WINNOW_W}-1 tokens while storing ~2/(w+1) of the k-gram
+    hashes.
+
+    Scale shape: ONE window shuffle keyed on doc_id computes the sliding min
+    (w is a small constant); selected fingerprints are df-capped (same
+    hot-key reasoning as the shingle posting-list cap) before the pair
+    equi-join, so no boilerplate fingerprint can go quadratic. Hashes are
+    56-bit ints from md5 hex -- exact in both engines."""
+    kgs = TX.ngrams(d, "toks", WINNOW_K)
+    if d == D.SPARK:
+        ex = "SELECT doc_id, n, posexplode(kg) AS (pos, g) FROM kgd"
+    else:
+        ex = (
+            "SELECT doc_id, n, generate_subscripts(kg, 1) - 1 AS pos, "
+            "unnest(kg) AS g FROM kgd"
+        )
+    h = H.hex_to_bigint(d, "md5(g)", 14)
+    return f"""
+        WITH {tokd_def}
+        kgd AS (
+            SELECT doc_id, kg, {D.arr_size(d, "kg")} AS n
+            FROM (SELECT doc_id, {kgs} AS kg FROM tokd) g0
+            WHERE {D.arr_size(d, "kg")} >= 1
+        ),
+        pos AS ({ex}),
+        hs AS (SELECT doc_id, n, pos, {h} AS h FROM pos),
+        wmin AS (
+            SELECT doc_id, pos, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mh
+            FROM hs
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, mh
+            FROM wmin
+            WHERE pos + {WINNOW_W} <= n OR (pos = 0 AND n < {WINNOW_W})
+        ),
+        capped AS (
+            SELECT mh FROM fp GROUP BY mh
+            HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(count(*) as bigint) AS shared_fp
+            FROM fp a
+            JOIN capped c ON a.mh = c.mh
+            JOIN fp b ON b.mh = a.mh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, shared_fp
+        FROM pairs WHERE shared_fp >= {WINNOW_MIN_SHARED}
+    """
+
+
+def _winnow_pairs_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    return _winnow_body(d, f"tokd AS (SELECT doc_id, {toks} AS toks FROM documents),")
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (copied-passage detection)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_winnow_pairs_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3257,6 +3338,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "bpe_merges": (q_bpe_merges, None),
     "column_profile": (q_column_profile, _column_profile_sql),
     "key_skew_report": (q_key_skew_report, _key_skew_sql),
+    "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql),
 }
 
 

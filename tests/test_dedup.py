@@ -92,3 +92,25 @@ def test_connected_components_chain(spark):
         r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_winnow_pairs_position_sensitive(spark):
+    """Winnowing detects a copied contiguous passage but NOT a same-vocabulary
+    reordering -- the opposite selectivity of the set-based fingerprints."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    passage = "the quick brown fox jumps over the lazy dog tonight again"
+    spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} closing remarks", "en", "s", 1),
+            (2, f"different opening {passage} and other trailing text", "en", "s", 1),
+            # same token multiset as doc 1's passage, scrambled order
+            (3, "over lazy the dog quick again fox brown tonight jumps the", "en", "s", 1),
+            (4, "completely unrelated content about spark physical plans", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).createOrReplaceTempView("documents")
+    rows = spark.sql(Q._winnow_pairs_sql(Q.D.SPARK)).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fp"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= Q.WINNOW_MIN_SHARED
+    assert all(3 not in p and 4 not in p for p in pairs)
