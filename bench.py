@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "unigram_surprisal",
     "tfidf_topk",
     "pmi_collocations",
+    "winnow_pairs",
 ]
 
 
