@@ -3254,6 +3254,43 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_winnow_pairs_sql(D.SPARK))
 
 
+def _dedup_recall_sql(d: str) -> str:
+    """Dedup-approximation evaluation: MinHash+LSH pairs measured against
+    the exact n-gram-Jaccard ground truth at the same 0.5 threshold --
+    'measure, don't guess' applied to the approximation itself. Reuses both
+    production fragments verbatim as subqueries, so this report always
+    evaluates exactly what ships. Precision is 1.0 by construction (LSH
+    candidates are exact-Jaccard-verified); recall measures banding misses
+    (16 hashes, 4x4 bands) -- the number a deployment watches when tuning
+    the S-curve. Scale: both inputs are the already-bounded pair relations;
+    the FULL OUTER JOIN runs on pair keys (tiny)."""
+    return f"""
+        WITH truth AS (SELECT id_a, id_b FROM ({_ngram_jaccard_sql(d)}) t),
+        found AS (SELECT id_a, id_b FROM ({_minhash_sql(d)}) f),
+        j AS (
+            SELECT coalesce(t.id_a, f.id_a) AS id_a,
+                   (t.id_a IS NOT NULL) AS in_truth,
+                   (f.id_a IS NOT NULL) AS in_found
+            FROM truth t FULL OUTER JOIN found f
+              ON t.id_a = f.id_a AND t.id_b = f.id_b
+        )
+        SELECT cast(sum(case when in_truth then 1 else 0 end) as bigint) AS n_truth,
+               cast(sum(case when in_found then 1 else 0 end) as bigint) AS n_found,
+               cast(sum(case when in_truth and in_found then 1 else 0 end) as bigint) AS n_hit,
+               cast(sum(case when in_truth and in_found then 1 else 0 end) as double)
+                   / cast(sum(case when in_truth then 1 else 0 end) as double) AS recall,
+               cast(sum(case when in_truth and in_found then 1 else 0 end) as double)
+                   / cast(sum(case when in_found then 1 else 0 end) as double) AS precision
+        FROM j
+    """
+
+
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash+LSH dedup vs exact-Jaccard truth."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_dedup_recall_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3339,6 +3376,7 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "column_profile": (q_column_profile, _column_profile_sql),
     "key_skew_report": (q_key_skew_report, _key_skew_sql),
     "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql),
+    "dedup_recall_report": (q_dedup_recall_report, _dedup_recall_sql),
 }
 
 

@@ -114,3 +114,12 @@ def test_winnow_pairs_position_sensitive(spark):
     pairs = {(r["id_a"], r["id_b"]): r["shared_fp"] for r in rows}
     assert (1, 2) in pairs and pairs[(1, 2)] >= Q.WINNOW_MIN_SHARED
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_dedup_recall_report_bounds(spark):
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    r = Q.q_dedup_recall_report(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_hit"] <= r["n_truth"] and r["n_hit"] <= r["n_found"]
+    assert r["precision"] == 1.0  # LSH candidates are exact-verified
+    assert 0.5 <= r["recall"] <= 1.0  # banding S-curve keeps recall high
