@@ -56,3 +56,20 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
         .option("escape", '"')
         .csv(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """ORC -> DataFrame. Columnar like parquet (footer schema, predicate
+    pushdown, column pruning all apply), so no declared schema is required;
+    pass one to pin reader expectations across snapshots."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """ORC writer -- the interchange columnar format for Hive-ecosystem
+    consumers (parquet stays the engine-native table format)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").orc(path)

@@ -4,6 +4,10 @@ including text with embedded commas, quotes, and newlines for CSV."""
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+from pathlib import Path
+
 from sentiment_analysis_data_pipeline_spark.sources import files
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -42,3 +46,23 @@ def test_jsonl_corrupt_line_tolerated(spark, tmp_path):
     back = files.read_jsonl(spark, str(p), DOC_SCHEMA)
     rows = [r for r in back.collect() if r["doc_id"] is not None]
     assert len(rows) == 1 and rows[0]["text"] == "ok"
+
+
+def test_orc_round_trip_with_pushdown(spark):
+    from sentiment_analysis_data_pipeline_spark.sources.files import read_orc, write_orc
+
+    root = Path(tempfile.mkdtemp(prefix="orc-"))
+    try:
+        src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        write_orc(src, str(root / "o"))
+        back = read_orc(spark, str(root / "o"))
+        assert back.count() == src.count()
+        assert [f.name for f in back.schema.fields] == [f.name for f in src.schema.fields]
+        # predicate reaches the ORC scan like parquet
+        q = back.where("o_orderstatus = 'F'").select("o_orderkey")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "o_orderstatus" in plan
+        n_f = src.where("o_orderstatus = 'F'").count()
+        assert q.count() == n_f
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
