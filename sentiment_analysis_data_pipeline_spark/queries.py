@@ -3291,6 +3291,126 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dedup_recall_sql(D.SPARK))
 
 
+def _source_mix_sql(d: str) -> str:
+    """Training-data mixture report: per (source, lang), document and token
+    counts, token share of the corpus, and mean quality -- the table a
+    pretraining run's mixture weights are set from (and re-checked against
+    after every curation change). Exact: token counts are integers, the
+    share is one division of exact casts, mean quality = (sum of exact
+    decimal-cast scores) / count. Scale shape: one explode-free scan
+    (token counts from array length), one (source, lang) aggregate with
+    map-side combine, a 1-row total broadcast."""
+    toks = TX.tokenize(d, TEXT)
+    q = TX.quality_score(d, "text")
+    n = D.arr_size(d, "toks")
+    return f"""
+        WITH per AS (
+            SELECT source, lang, cast({n} as bigint) AS n_tokens, {q} AS q
+            FROM (SELECT source, lang, text, {toks} AS toks FROM documents) t0
+        ),
+        agg AS (
+            SELECT source, lang,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(n_tokens) as bigint) AS total_tokens,
+                   {_dsum("q", "q_sum")}
+            FROM per GROUP BY source, lang
+        ),
+        s AS (SELECT cast(sum(total_tokens) as bigint) AS corpus_tokens FROM agg)
+        SELECT source, lang, n_docs, total_tokens,
+               cast(total_tokens as double) / cast(corpus_tokens as double) AS token_share,
+               q_sum / cast(n_docs as double) AS mean_quality
+        FROM agg CROSS JOIN s
+    """
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) mixture report: docs, tokens, share, quality."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_source_mix_sql(D.SPARK))
+
+
+def _length_buckets_sql(d: str) -> str:
+    """Power-of-two token-length buckets with doc/token counts and the
+    padding waste each bucket implies -- the batching plan for fixed-shape
+    training batches (bucketed batching wastes `bucket_ceil - len` pad
+    tokens per doc; this quantifies it exactly per bucket). Bucket index =
+    floor(log2(len)) via length of the binary representation -- pure
+    integer ops, no float log. One scan, one small aggregate."""
+    toks = TX.tokenize(d, TEXT)
+    n = D.arr_size(d, "toks")
+    # bucket = bit-length of n (n>=1): 1..2 -> ceil 2, 3..4 -> ceil 4, ...
+    if d == D.SPARK:
+        bl = "length(conv(cast(n_tokens as string), 10, 2))"
+    else:
+        bl = "length(to_binary_string := printf('%b', n_tokens))" if False else "bit_length_ := 0"
+    # DuckDB: use bit_length of to_base? simpler shared form: floor(log2) via
+    # repeated comparison is ugly -- use string length of bin() equivalents.
+    if d != D.SPARK:
+        bl = "length(printf('%b', n_tokens))"
+    return f"""
+        WITH lens AS (
+            SELECT cast({n} as bigint) AS n_tokens
+            FROM (SELECT {toks} AS toks FROM documents) t0
+        ),
+        nz AS (SELECT n_tokens FROM lens WHERE n_tokens >= 1),
+        b AS (
+            SELECT n_tokens, cast({bl} as bigint) AS blen FROM nz
+        ),
+        bucketed AS (
+            SELECT n_tokens,
+                   cast(case when n_tokens = 1 then 1
+                        else cast(pow(2, blen - 1) as bigint) *
+                             (case when n_tokens = cast(pow(2, blen - 1) as bigint) then 1 else 2 end)
+                        end as bigint) AS bucket_ceil
+            FROM b
+        )
+        SELECT bucket_ceil,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_tokens) as bigint) AS real_tokens,
+               cast(count(*) * bucket_ceil - sum(n_tokens) as bigint) AS pad_tokens
+        FROM bucketed GROUP BY bucket_ceil
+    """
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length buckets with exact padding-waste accounting."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_length_buckets_sql(D.SPARK))
+
+
+def _dup_rate_by_source_sql(d: str) -> str:
+    """Per-source duplication report from the exact content fingerprint:
+    how much of each source is redundant (the crawl-health metric that
+    decides which feeds are worth re-fetching). A doc is a duplicate if
+    its fingerprint appeared under a lower doc_id anywhere in the corpus
+    (cross-source duplicates charge the LATER source). One fingerprint
+    window shuffle, one source aggregate."""
+    fp = TX.fingerprint(d, TEXT)
+    return f"""
+        WITH fps AS (
+            SELECT doc_id, source, {fp} AS fp FROM documents
+            WHERE trim({TEXT}) <> ''
+        ),
+        marked AS (
+            SELECT source,
+                   case when row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) > 1
+                        then 1 else 0 end AS is_dup
+            FROM fps
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(is_dup) as bigint) AS n_dups,
+               cast(sum(is_dup) as double) / cast(count(*) as double) AS dup_rate
+        FROM marked GROUP BY source
+    """
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fingerprint duplication rate per source."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_dup_rate_by_source_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
