@@ -57,15 +57,26 @@ def compact_parquet(
     Returns (files_before, files_after). No-op (returns equal counts)
     when the directory already has <= the target file count.
     """
+    staging = path.rstrip("/") + "._compact_staging"
+    old = path.rstrip("/") + "._compact_old"
+    # A leftover staging/old dir means a prior run crashed mid-swap; refuse
+    # to proceed until it is inspected (the old dir may hold the only copy
+    # of the table if the crash landed between the two renames).
+    for leftover in (staging, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"compact_parquet: leftover {leftover!r} from an interrupted "
+                "run; inspect/restore it before compacting again"
+            )
     n_before, total = dir_stats(path)
     n_target = max(1, math.ceil(total / target_bytes))
     if n_before <= n_target:
         return n_before, n_before
     df = spark.read.parquet(path)
     df = df.repartition(n_target) if shuffle else df.coalesce(n_target)
-    staging = path.rstrip("/") + "._compact_staging"
     df.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + "._compact_old"
+    # Note: the table path is briefly absent between these two renames;
+    # acceptable for a maintenance window, not for live readers on POSIX.
     os.rename(path, old)
     try:
         os.rename(staging, path)
