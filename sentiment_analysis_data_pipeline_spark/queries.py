@@ -3421,6 +3421,219 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dup_rate_by_source_sql(D.SPARK))
 
 
+def _readability_sql(d: str) -> str:
+    """Flesch reading-ease per document from three regexp counts: sentence
+    terminator runs, whitespace words, vowel-group syllable approximation
+    (the standard heuristic when no dictionary is available). Pure
+    projection -- no shuffle, no UDF; at 100 TB this is a map-only pass that
+    rides along with any scan. Parity: counts are exact integers; the score
+    is the same fixed sequence of IEEE double ops in both engines."""
+    ns = D.regexp_count(d, TEXT, "[.!?]+")
+    nw = f"cast({TX.word_count(d, TEXT)} as bigint)"
+    nsy = D.regexp_count(d, f"lower({TEXT})", "[aeiouy]+")
+    return f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   greatest({ns}, cast(1 as bigint)) AS n_sentences,
+                   greatest({nw}, cast(1 as bigint)) AS n_words,
+                   greatest({nsy}, cast(1 as bigint)) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+               cast(206.835
+                    - 1.015 * (cast(n_words as double) / cast(n_sentences as double))
+                    - 84.6 * (cast(n_syllables as double) / cast(n_words as double))
+                    as double) AS flesch
+        FROM counts
+    """
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scores (dictionary-free syllable heuristic) --
+    the classic text-quality signal alongside `quality_score`."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_readability_sql(D.SPARK))
+
+
+FUZZY_BLOCK_CAP = 1000  # drop blocking keys with more members than this
+
+
+def _fuzzy_join_sql(d: str) -> str:
+    """Blocked fuzzy self-join (entity resolution): candidate pairs meet only
+    inside a blocking key -- here the final word of the normalized part name
+    -- then a cheap length-band prefilter and an exact levenshtein <= 2
+    refine. NEVER all-pairs: the quadratic cost is bounded per block, and
+    blocks larger than FUZZY_BLOCK_CAP are dropped outright (a key shared by
+    that many entities carries no discriminating signal, same reasoning as
+    the shingle df-cap in ngram_jaccard_pairs) -- so one hot key cannot go
+    cartesian or skew the shuffle at 100 TB. Both engines ship the same
+    levenshtein definition, so distances are exact integers."""
+    name = "lower(p_name)"
+    key = (
+        f"regexp_extract({name}, '[a-z]+$', 0)"
+        if d == D.SPARK
+        else f"regexp_extract({name}, '[a-z]+$')"
+    )
+    return f"""
+        WITH named AS (
+            SELECT p_partkey AS id, {name} AS name, {key} AS bkey
+            FROM part WHERE trim(p_name) <> ''
+        ),
+        keyed AS (
+            SELECT id, name, bkey,
+                   cast(count(*) OVER (PARTITION BY bkey) as bigint) AS bsize
+            FROM named
+        ),
+        blocked AS (SELECT id, name, bkey FROM keyed WHERE bsize <= {FUZZY_BLOCK_CAP}),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+            FROM blocked a JOIN blocked b ON a.bkey = b.bkey
+            WHERE a.id < b.id
+              AND a.name <> b.name
+              AND abs(length(a.name) - length(b.name)) <= 2
+        )
+        SELECT id_a, id_b, name_a, name_b,
+               cast(levenshtein(name_a, name_b) as bigint) AS dist
+        FROM pairs
+        WHERE levenshtein(name_a, name_b) <= 2
+    """
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join over part names: last-word blocking +
+    length band + levenshtein refine (bounded-block, never all-pairs)."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(_fuzzy_join_sql(D.SPARK))
+
+
+RANGE_BIN_US = 3_600_000_000  # 1 h coarse bins for the interval join
+
+
+def _range_join_sql(d: str) -> str:
+    """Point-in-interval range join, the binned way: a naive `e.ts BETWEEN
+    w.lo AND w.hi` join has no equi-key, so Spark falls back to
+    broadcast-nested-loop/cartesian -- the classic range-join trap. Instead
+    each interval explodes into the coarse time bins it overlaps (<= 2 bins
+    for 1 h windows on 1 h bins, constant per row), events map to their single
+    bin, and candidates meet on an (event_type, bin) EQUI-join before the
+    exact refine predicate. Shuffle volume is O(events + 2*windows), grouped
+    on a sortable low-skew key -- the shape that survives 100 TB.
+
+    Windows: the 20 earliest events of each type each open a 1 h incident
+    window [ts, ts+1h); the query counts same-type events inside each
+    window. All timestamps are epoch-us integers (see _ts_us)."""
+    ts = _ts_us(d)
+    seq = (
+        "explode(sequence(lo div {w}, hi div {w}))"
+        if d == D.SPARK
+        else "unnest(range(lo // {w}, hi // {w} + 1))"
+    ).format(w=RANGE_BIN_US)
+    ebin = D.int_div(d, "ts_us", str(RANGE_BIN_US))
+    return f"""
+        WITH ev AS (
+            SELECT event_id, event_type, cast({ts} as bigint) AS ts_us
+            FROM events
+        ),
+        anchors AS (
+            SELECT event_id AS window_id, event_type, ts_us AS lo,
+                   ts_us + {RANGE_BIN_US} - 1 AS hi
+            FROM (
+                SELECT event_id, event_type, ts_us,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts_us ASC, event_id ASC) AS rn
+                FROM ev
+            ) r WHERE rn <= 20
+        ),
+        wbins AS (
+            SELECT window_id, event_type, lo, hi, {seq} AS bin
+            FROM anchors
+        ),
+        joined AS (
+            SELECT w.window_id, w.event_type, w.lo, e.event_id
+            FROM wbins w
+            JOIN (SELECT event_id, event_type, ts_us,
+                         {ebin} AS bin FROM ev) e
+              ON e.event_type = w.event_type AND e.bin = w.bin
+            WHERE e.ts_us >= w.lo AND e.ts_us <= w.hi
+        )
+        SELECT window_id, event_type, lo AS window_start_us,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(DISTINCT event_id) as bigint) AS n_distinct
+        FROM joined
+        GROUP BY window_id, event_type, lo
+    """
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned point-in-interval join: incident windows x same-type events via
+    coarse-bin equi-join + exact refine (no cartesian fallback)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_range_join_sql(D.SPARK))
+
+
+def _chi2_keywords_sql(d: str) -> str:
+    """Per-source discriminative keywords by chi-square association -- the
+    standard labeled-subset keyword extractor (what differs about THIS
+    source's text?). Counts come from one explode + two partial aggregates;
+    the 2x2 margins (a,b,c,d) are derived per (token, source) row with the
+    token and source totals joined in (token totals shuffle once on token;
+    source totals and the corpus total are tiny broadcasts). chi2 is computed
+    in doubles with one fixed op sequence -- deterministic cross-engine; the
+    ranking tie-breaks on the token so row_number is total."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH tokd AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+        ex AS (SELECT source, {ex} AS t FROM tokd),
+        ts_cnt AS (
+            SELECT t, source, cast(count(*) as bigint) AS a
+            FROM ex GROUP BY t, source
+        ),
+        t_tot AS (SELECT t, cast(sum(a) as bigint) AS t_all FROM ts_cnt GROUP BY t),
+        s_tot AS (SELECT source, cast(sum(a) as bigint) AS s_all FROM ts_cnt GROUP BY source),
+        n_tot AS (SELECT cast(sum(a) as bigint) AS n FROM ts_cnt),
+        cells AS (
+            SELECT c.t, c.source, c.a,
+                   t.t_all - c.a AS b,
+                   s.s_all - c.a AS c2,
+                   n.n - t.t_all - s.s_all + c.a AS d2,
+                   n.n AS n
+            FROM ts_cnt c
+            JOIN t_tot t ON t.t = c.t
+            JOIN s_tot s ON s.source = c.source
+            CROSS JOIN n_tot n
+        ),
+        scored AS (
+            SELECT t, source, a,
+                   (cast(n as double)
+                    * (cast(a as double) * cast(d2 as double)
+                       - cast(b as double) * cast(c2 as double))
+                    * (cast(a as double) * cast(d2 as double)
+                       - cast(b as double) * cast(c2 as double)))
+                   / (cast(a + b as double) * cast(c2 + d2 as double)
+                      * cast(a + c2 as double) * cast(b + d2 as double)) AS chi2
+            FROM cells
+            WHERE a >= 5 AND a + b > 0 AND c2 + d2 > 0 AND a + c2 > 0 AND b + d2 > 0
+        ),
+        ranked AS (
+            SELECT source, t AS token, a AS freq_in_source, chi2,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY chi2 DESC, t ASC) AS rnk
+            FROM scored
+        )
+        SELECT source, token, freq_in_source, cast(chi2 as double) AS chi2,
+               cast(rnk as bigint) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """
+
+
+def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 chi-square discriminative tokens per source (labeled-subset
+    keyword extraction)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_chi2_keywords_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -3468,6 +3681,10 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "source_mix": (q_source_mix, _source_mix_sql),
     "length_buckets": (q_length_buckets, _length_buckets_sql),
     "dup_rate_by_source": (q_dup_rate_by_source, _dup_rate_by_source_sql),
+    "readability": (q_readability, _readability_sql),
+    "fuzzy_join": (q_fuzzy_join, _fuzzy_join_sql),
+    "range_join": (q_range_join, _range_join_sql),
+    "chi2_keywords": (q_chi2_keywords, _chi2_keywords_sql),
     # --- proven-rotation fill to slot 50 (rows in r01/r02) ---
     "sentiment_terms_agg": (q_sentiment_terms_agg, _flagship_sql),
     "sentiment_scores": (q_sentiment_scores, _sentiment_scores_sql),
