@@ -56,6 +56,24 @@ def norm(d: str, a: str, dim: int) -> str:
     return f"sqrt({dot(d, a, a, dim)})"
 
 
+def l2sq(d: str, a: str, b: str, dim: int) -> str:
+    """Squared L2 distance of two double arrays of known dim, expanded flat
+    like dot() (same codegen + bit-parity rationale). Pass simple column
+    refs -- `a`/`b` are repeated 2*dim times."""
+    if d == D.SPARK:
+        terms = [
+            f"(element_at({a}, {i}) - element_at({b}, {i}))"
+            f" * (element_at({a}, {i}) - element_at({b}, {i}))"
+            for i in range(1, dim + 1)
+        ]
+    else:
+        terms = [
+            f"(({a})[{i}] - ({b})[{i}]) * (({a})[{i}] - ({b})[{i}])"
+            for i in range(1, dim + 1)
+        ]
+    return f"({' + '.join(terms)})"
+
+
 def cosine(d: str, a: str, b: str, dim: int) -> str:
     """cosine similarity; 0.0 for zero-norm vectors (ANSI-safe: no div by 0)."""
     na, nb = norm(d, a, dim), norm(d, b, dim)
