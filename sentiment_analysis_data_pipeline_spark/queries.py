@@ -3635,6 +3635,443 @@ def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Classic OLAP pack: TPC-H-derivative decision-support queries adapted to
+# the synthetic star schema (no partsupp table; no commit/receipt dates,
+# ship modes, phones or comments -- predicates are re-targeted onto the
+# columns that exist). These widen the engine's relational surface with the
+# canonical join/agg/subquery shapes a warehouse user expects (SURVEY.md
+# S2.3-S2.5 name the reference's query surface; everything here composes
+# the same scan/filter/join/agg/topk operators at realistic OLAP
+# complexity). Every revenue sum goes through _dsum (exact decimal
+# accumulation) so cross-engine summation order cannot perturb the hash.
+# =========================================================================
+
+
+def _itv(d: str, days: int) -> str:
+    """N-day interval literal (Spark quotes the count, DuckDB does not)."""
+    return f"INTERVAL '{days}' DAY" if d == D.SPARK else f"INTERVAL {days} DAY"
+
+
+def _fmt_month(d: str, expr: str) -> str:
+    """Timestamp -> 'YYYY-MM' string (stable cross-engine group key; raw
+    timestamp outputs would couple the hash to session-timezone handling)."""
+    if d == D.SPARK:
+        return f"date_format({expr}, 'yyyy-MM')"
+    return f"strftime({expr}, '%Y-%m')"
+
+
+def _fmt_day(d: str, expr: str) -> str:
+    if d == D.SPARK:
+        return f"date_format({expr}, 'yyyy-MM-dd')"
+    return f"strftime({expr}, '%Y-%m-%d')"
+
+
+def _ship_priority_sql(d: str) -> str:
+    return f"""
+        SELECT l.l_orderkey,
+               {_fmt_day(d, "o.o_orderdate")} AS orderdate,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-orders shipping priority. Plan: customer
+    (filtered on segment) broadcasts into orders, the result broadcasts or
+    shuffle-joins into lineitem on l_orderkey, one agg keyed on the order,
+    and the top-10 is TakeOrderedAndProject (per-partition heap + 10-row
+    merge, never a global sort). At 100 TB the only full shuffle is the
+    orderkey agg; both date filters reach the parquet scans."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_ship_priority_sql(D.SPARK))
+
+
+def _revenue_forecast_sql(d: str) -> str:
+    return f"""
+        SELECT cast(count(*) as bigint) AS n_lines,
+               {_dsum("l_extendedprice * l_discount", "discount_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: map-only filtered global sum (the what-if revenue
+    delta from dropping small discounts). No join, no group key: partial
+    sums per partition then a 1-row merge -- at 100 TB this is scan speed,
+    and all three predicates push into the parquet reader. The discount
+    bounds compare against exactly-representable doubles read from the
+    file, so the filter is bit-deterministic cross-engine."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_revenue_forecast_sql(D.SPARK))
+
+
+def _volume_shipping_sql(d: str) -> str:
+    return f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               cast(year(l.l_shipdate) as bigint) AS ship_year,
+               cast(count(*) as bigint) AS n_lines,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+           OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+        GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. supplier/nation/customer are broadcast dims; the nation-name
+    disjunction prunes to two nation keys BEFORE the fact join (Catalyst
+    pushes it through the dim joins), so at scale the lineitem rows that
+    survive are only those touching the two nations."""
+    _view(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    return spark.sql(_volume_shipping_sql(D.SPARK))
+
+
+def _market_share_sql(d: str) -> str:
+    return f"""
+        WITH base AS (
+            SELECT cast(year(o.o_orderdate) as bigint) AS order_year,
+                   cast(l.l_extendedprice * (1 - l.l_discount)
+                        as decimal(18,6)) AS rev,
+                   ns.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = nc.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        )
+        SELECT order_year,
+               cast(sum(case when supp_nation = 'NATION_3' then rev
+                             else cast(0 as decimal(18,6)) end) as double)
+                   AS nation_revenue,
+               cast(sum(rev) as double) AS total_revenue,
+               cast(cast(sum(case when supp_nation = 'NATION_3' then rev
+                                  else cast(0 as decimal(18,6)) end) as double)
+                    / cast(sum(rev) as double) as double) AS mkt_share
+        FROM base
+        GROUP BY order_year
+    """
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue in one part
+    type, by order year. Six broadcastable dims around one fact scan -- the
+    region and part-type filters prune through the dim joins before any
+    shuffle; the share is a conditional-sum / sum ratio computed in exact
+    decimals and divided once as doubles (deterministic cross-engine)."""
+    _view(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region", "part",
+    )
+    return spark.sql(_market_share_sql(D.SPARK))
+
+
+def _nation_profit_sql(d: str) -> str:
+    return f"""
+        SELECT ns.n_name AS nation,
+               cast(year(l.l_shipdate) as bigint) AS ship_year,
+               cast(count(*) as bigint) AS n_lines,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "profit")}
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY ns.n_name, year(l.l_shipdate)
+    """
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in this schema, so profit = discounted
+    revenue rather than revenue minus supply cost): per supplier-nation,
+    per ship-year profit on parts matching a name substring. part filters
+    by LIKE before broadcasting into the fact scan; one grouped shuffle on
+    (nation, year) whose cardinality is nations x years regardless of
+    corpus size."""
+    _view(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(_nation_profit_sql(D.SPARK))
+
+
+def _returned_items_sql(d: str) -> str:
+    return f"""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               cast(c.c_acctbal as double) AS c_acctbal,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "lost_revenue")}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        ORDER BY lost_revenue DESC, c_custkey ASC
+        LIMIT 20
+    """
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter. The quarter filter lands on the orders scan and the returnflag
+    filter on the lineitem scan (both pushed); the only large shuffle is
+    the customer-keyed agg, finished by a 20-row TakeOrderedAndProject."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_returned_items_sql(D.SPARK))
+
+
+def _priority_lateness_sql(d: str) -> str:
+    return f"""
+        SELECT o.o_orderpriority,
+               cast(sum(case when l.l_shipdate > o.o_orderdate + {_itv(d, 90)}
+                             then 1 else 0 end) as bigint) AS late_lines,
+               cast(count(*) as bigint) AS n_lines
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """
+
+
+def q_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no ship modes or receipt dates in this schema, so
+    lateness = shipped >90 days after order): late vs total line counts by
+    order priority. One fact-fact equi-join on l_orderkey, then a 5-group
+    agg -- the conditional count rides the join, no second pass."""
+    _view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_priority_lateness_sql(D.SPARK))
+
+
+def _order_distribution_sql(d: str) -> str:
+    return """
+        WITH counts AS (
+            SELECT c.c_custkey,
+                   cast(count(o.o_orderkey) as bigint) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, cast(count(*) as bigint) AS n_customers
+        FROM counts GROUP BY n_orders
+    """
+
+
+def q_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-order-count distribution, INCLUDING
+    zero-order customers (the LEFT JOIN + count(o_orderkey) null-skip is
+    the whole point). Two shuffles: custkey agg, then the tiny n_orders
+    histogram agg whose output is bounded by max orders-per-customer."""
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_order_distribution_sql(D.SPARK))
+
+
+def _promo_share_sql(d: str) -> str:
+    return f"""
+        SELECT {_fmt_month(d, "l.l_shipdate")} AS ship_month,
+               cast(sum(case when p.p_type = 'PROMO'
+                             then cast(l.l_extendedprice * (1 - l.l_discount)
+                                       as decimal(18,6))
+                             else cast(0 as decimal(18,6)) end) as double)
+                   AS promo_revenue,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "total_revenue")},
+               cast(cast(sum(case when p.p_type = 'PROMO'
+                                  then cast(l.l_extendedprice * (1 - l.l_discount)
+                                            as decimal(18,6))
+                                  else cast(0 as decimal(18,6)) end) as double)
+                    / cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                                    as decimal(18,6))) as double) as double)
+                   AS promo_share
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY {_fmt_month(d, "l.l_shipdate")}
+    """
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from promo-type parts.
+    part broadcasts into the date-pruned lineitem scan; conditional decimal
+    sums make the ratio exact until the single final division."""
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_promo_share_sql(D.SPARK))
+
+
+def _top_supplier_sql(d: str) -> str:
+    return """
+        WITH srev AS (
+            SELECT l_suppkey,
+                   sum(cast(l_extendedprice * (1 - l_discount)
+                            as decimal(18,6))) AS trev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, cast(srev.trev as double) AS total_revenue
+        FROM srev
+        JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+        WHERE srev.trev = (SELECT max(trev) FROM srev)
+    """
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarter revenue. The
+    max is taken over EXACT decimal sums, so the equality predicate (and
+    any ties) is deterministic cross-engine -- the reason TPC-H's view
+    formulation is notoriously flaky on floats. Catalyst computes srev
+    once per reference (two date-pruned scans), the scalar max broadcasts
+    back as a 1-row filter."""
+    _view(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_top_supplier_sql(D.SPARK))
+
+
+def _large_volume_sql(d: str) -> str:
+    return f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               {_fmt_day(d, "o.o_orderdate")} AS orderdate,
+               cast(o.o_totalprice as double) AS o_totalprice,
+               {_dsum("l.l_quantity", "sum_qty", 0)}
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(cast(l_quantity as decimal(18,0))) > 300
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """
+
+
+def q_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding orders over 300 total units. The
+    IN-subquery compiles to a left-semi join against a pre-aggregated
+    orderkey relation (the HAVING filter shrinks it drastically before the
+    semi-join); quantities are integer-valued so the 300 threshold is an
+    exact integer comparison in both engines."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_large_volume_sql(D.SPARK))
+
+
+def _brand_size_revenue_sql(d: str) -> str:
+    return f"""
+        SELECT cast(count(*) as bigint) AS n_lines,
+               {_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """
+
+
+def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate across a
+    part join, single global sum. Catalyst extracts the common p_partkey
+    equi-condition so this stays a hash join (not a nested-loop over the
+    OR); per-side conjuncts still push to their scans."""
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_brand_size_revenue_sql(D.SPARK))
+
+
+def _sole_late_supplier_sql(d: str) -> str:
+    return f"""
+        WITH per AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   max(case when l.l_shipdate > o.o_orderdate + {_itv(d, 60)}
+                            then 1 else 0 end) AS is_late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_orderkey, l.l_suppkey
+        ),
+        agg AS (
+            SELECT l_orderkey,
+                   cast(count(*) as bigint) AS n_suppliers,
+                   cast(sum(is_late) as bigint) AS n_late
+            FROM per GROUP BY l_orderkey
+        )
+        SELECT s.s_name,
+               cast(count(*) as bigint) AS n_orders_waiting
+        FROM per
+        JOIN agg ON agg.l_orderkey = per.l_orderkey
+        JOIN supplier s ON s.s_suppkey = per.l_suppkey
+        WHERE per.is_late = 1 AND agg.n_suppliers > 1 AND agg.n_late = 1
+        GROUP BY s.s_name
+        ORDER BY n_orders_waiting DESC, s_name ASC
+        LIMIT 10
+    """
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates, so late = shipped >60
+    days after order): suppliers who were the ONLY late shipper on
+    multi-supplier orders. Q21's double NOT-EXISTS is re-expressed as one
+    (orderkey, suppkey) agg plus one orderkey rollup joined back -- two
+    shuffles on the same key (AQE reuses the partitioning) instead of two
+    correlated subquery probes; identical semantics, set-based."""
+    _view(spark, sf_dir, "lineitem", "orders", "supplier")
+    return spark.sql(_sole_late_supplier_sql(D.SPARK))
+
+
+def _dormant_high_value_sql(d: str) -> str:
+    return f"""
+        WITH stats AS (
+            SELECT cast(count(*) as bigint) AS n_pos,
+                   cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS bal_sum
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT n.n_name AS nation,
+               cast(count(*) as bigint) AS n_customers,
+               {_dsum("c.c_acctbal", "total_balance", 2)}
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        CROSS JOIN stats
+        WHERE c.c_acctbal * cast(stats.n_pos as double) > stats.bal_sum
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY n.n_name
+    """
+
+
+def q_dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, by nation. The average-balance comparison is algebraically
+    rearranged to `bal * n > sum` so both sides are exact (count times a
+    2-decimal double, vs a decimal-exact sum) -- no float-average threshold
+    to flip borderline rows cross-engine. The NOT EXISTS decorrelates to a
+    left-anti join against date-pruned orders; stats is a 1-row broadcast."""
+    _view(spark, sf_dir, "customer", "nation", "orders")
+    return spark.sql(_dormant_high_value_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -3650,7 +4087,22 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r02.json and their code is regression-guarded by
 # tools/selfcheck.py, which always runs ALL entries).
 REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
-    # --- never driver-proven before round 3 (first 50 slots) ---
+    # --- new in round 4: classic OLAP pack (never driver-proven) ---
+    "ship_priority": (q_ship_priority, _ship_priority_sql),
+    "revenue_forecast": (q_revenue_forecast, _revenue_forecast_sql),
+    "volume_shipping": (q_volume_shipping, _volume_shipping_sql),
+    "market_share": (q_market_share, _market_share_sql),
+    "nation_profit": (q_nation_profit, _nation_profit_sql),
+    "returned_items": (q_returned_items, _returned_items_sql),
+    "priority_lateness": (q_priority_lateness, _priority_lateness_sql),
+    "order_distribution": (q_order_distribution, _order_distribution_sql),
+    "promo_share": (q_promo_share, _promo_share_sql),
+    "top_supplier": (q_top_supplier, _top_supplier_sql),
+    "large_volume": (q_large_volume, _large_volume_sql),
+    "brand_size_revenue": (q_brand_size_revenue, _brand_size_revenue_sql),
+    "sole_late_supplier": (q_sole_late_supplier, _sole_late_supplier_sql),
+    "dormant_high_value": (q_dormant_high_value, _dormant_high_value_sql),
+    # --- never driver-proven before round 3 (next slots) ---
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql),
     "sequence_packing": (q_sequence_packing, _sequence_packing_sql),
     "decontaminate": (q_decontaminate, _decontaminate_sql),
