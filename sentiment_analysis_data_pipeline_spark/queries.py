@@ -7,9 +7,10 @@ sentiment kernel, tokenization, hashing, vector folds) are generated for both
 dialects from one Python source, giving bit-identical doubles. Aggregates over
 doubles go through an exact decimal cast (`_dsum`) so cross-engine summation
 order cannot perturb results. All event-time math runs on epoch-microsecond
-integers (events.parquet is timestamp[ns]: Spark reads it via nanosAsLong
-and divides to us; DuckDB mirrors with epoch_us(ts) since its TIMESTAMP is
-us-precision), eliminating timezone/precision divergence entirely.
+integers (events.parquet ships as timestamp[ns] or timestamp[us] depending
+on driver vintage: _events_view normalizes either to BIGINT epoch-ns; DuckDB
+mirrors with epoch_us(ts) since its TIMESTAMP is us-precision), eliminating
+timezone/precision divergence entirely.
 
 Integer outputs are BIGINT on both sides; every computed column is aliased
 identically in Spark and oracle SQL (driver hashes after sorting columns by
@@ -43,9 +44,24 @@ def _dsum(expr: str, alias: str, scale: int = 6) -> str:
 
 
 def _events_view(spark: SparkSession, sf_dir: str) -> None:
-    """Register `events` with ts as epoch-nanos BIGINT (see module docstring)."""
+    """Register `events` with ts as epoch-nanos BIGINT (see module docstring).
+
+    Handles either physical encoding of the driver's events.parquet:
+    timestamp[ns] (read as BIGINT nanos via nanosAsLong) or timestamp[us]
+    (read as TIMESTAMP_NTZ, converted to BIGINT nanos here). The NTZ
+    conversion uses timestampdiff against an NTZ epoch literal -- pure wall
+    -clock arithmetic, independent of spark.sql.session.timeZone (the driver
+    runs a default session; unix_micros(cast(ts as timestamp)) would shift
+    by the local offset). Downstream SQL always sees epoch-ns and derives
+    epoch-us via `ts div 1000`, exactly matching DuckDB's epoch_us(ts)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        ns = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"
+        df = df.withColumn("ts", F.expr(ns).cast("long"))
+    df.createOrReplaceTempView("events")
 
 
 # CPU-heavy per-row tables worth scattering across cores; the agg-bound
@@ -4072,6 +4088,239 @@ def q_dormant_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-3 search/curation additions: positional phrase search, more-like-
+# this relevance, temperature-based mixture sampling weights, and
+# fixed-window token chunking.
+# =========================================================================
+
+PHRASE = ("data", "query")
+
+
+def _phrase_search_sql(d: str) -> str:
+    """ES match_phrase analog (database/elasticsearch_handler.py search
+    surface; the reference's generic `search(index, query)` passes any
+    query DSL through, so phrase queries are part of its Q1 surface):
+    positional adjacency over the analyzer's token stream. Occurrences are
+    counted by filtering the index range [1, n] for positions where
+    toks[i], toks[i+1] match the phrase -- null-safe element access
+    (try_element_at / list_extract) makes the i+1 probe safe at the array
+    edge in ANSI mode with zero CASE scaffolding.
+
+    Scale shape: pure per-row projection over the scan (no shuffle, no
+    join, no explode -- the positions array lives and dies inside one
+    task), then a TakeOrderedAndProject top-50. The phrase is a query-time
+    constant; Catalyst folds it into codegen."""
+    w1, w2 = PHRASE
+    toks = TX.tokenize(d, TEXT)
+    n = D.arr_size(d, "toks")
+    # index range 1..max(n,1); the i+1 probe returns NULL (-> filtered out)
+    # past the end, so no explicit n>=2 guard is needed.
+    rng = f"sequence(1, greatest({n}, 1))" if d == D.SPARK else f"range(1, greatest({n}, 1) + 1)"
+    hit = (
+        f"i -> {D.arr_get(d, 'toks', 'i')} = '{w1}' "
+        f"AND {D.arr_get(d, 'toks', 'i + 1')} = '{w2}'"
+    )
+    pos = D.arr_filter(d, rng, hit)
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        hits AS (SELECT doc_id, {pos} AS pos FROM tokd)
+        SELECT doc_id,
+               cast({D.arr_size(d, "pos")} as bigint) AS n_hits,
+               cast({D.arr_min(d, "pos")} as bigint) AS first_pos
+        FROM hits
+        WHERE {D.arr_size(d, "pos")} > 0
+        ORDER BY n_hits DESC, doc_id ASC
+        LIMIT 50
+    """
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("{PHRASE[0]} {PHRASE[1]}"): docs ranked by
+    exact-adjacency occurrence count with the first match position."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_phrase_search_sql(D.SPARK))
+
+
+MLT_SEED_DOC = 7
+MLT_TERMS = 10
+MLT_TOP_K = 20
+
+
+def _more_like_this_sql(d: str, ex_def: str | None = None) -> str:
+    """ES more_like_this analog: pick the seed doc's {MLT_TERMS} most
+    discriminative terms (tf x idf, the MLT term-selection rule), then
+    score every other document by the sum of matched seed-term idfs --
+    ES's term-at-a-time disjunctive scoring with df-based weights.
+
+    Parity: idf is floored to 2^-20 fixed point once per vocab entry (same
+    argument as BM25/tfidf), so per-doc scores are exact BIGINT sums ->
+    identical ranking in both engines; ties broken by doc_id. Scale shape:
+    df/idf are partial aggregates; seed_terms is a {MLT_TERMS}-row relation
+    the optimizer broadcasts, so the corpus side is never join-shuffled by
+    anything wider than its own distinct-(doc,term) dedup."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    if ex_def is None:
+        ex_def = f"""tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        exall AS (SELECT doc_id, {ex} AS t FROM tokd),"""
+    q = float(_SURPRISAL_Q)
+    return f"""
+        WITH {ex_def}
+        ex AS (SELECT DISTINCT doc_id, t FROM exall),
+        df AS (SELECT t, cast(count(*) as bigint) AS df FROM ex GROUP BY t),
+        s AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS n_docs FROM ex),
+        idf AS (
+            SELECT df.t,
+                   cast(floor(ln(cast(s.n_docs as double) / cast(df.df as double))
+                              * {q!r}) as bigint) AS idf_q
+            FROM df CROSS JOIN s
+        ),
+        seed_tf AS (
+            SELECT t, cast(count(*) as bigint) AS tf
+            FROM exall WHERE doc_id = {MLT_SEED_DOC} GROUP BY t
+        ),
+        seed_terms AS (
+            SELECT t, idf_q FROM (
+                SELECT seed_tf.t, idf.idf_q,
+                       row_number() OVER (ORDER BY seed_tf.tf * idf.idf_q DESC,
+                                          seed_tf.t ASC) AS rk
+                FROM seed_tf JOIN idf ON seed_tf.t = idf.t
+            ) ranked WHERE rk <= {MLT_TERMS}
+        ),
+        scored AS (
+            SELECT ex.doc_id,
+                   cast(count(*) as bigint) AS n_matched,
+                   cast(sum(st.idf_q) as bigint) AS score_q
+            FROM ex JOIN seed_terms st ON ex.t = st.t
+            WHERE ex.doc_id <> {MLT_SEED_DOC}
+            GROUP BY ex.doc_id
+        )
+        SELECT doc_id, n_matched, cast(score_q as double) / {q!r} AS mlt_score
+        FROM scored
+        ORDER BY score_q DESC, doc_id ASC
+        LIMIT {MLT_TOP_K}
+    """
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents most similar to seed doc {MLT_SEED_DOC} by matched-idf-sum
+    (ES more_like_this scoring shape). The exploded token relation is
+    materialized once (localCheckpoint): the statement walks it four times
+    (distinct pairs, df, corpus size, seed tf) and CTE re-inlining would
+    re-tokenize for each."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    ex = spark.sql(f"SELECT doc_id, explode({toks}) AS t FROM documents")
+    ex.localCheckpoint(eager=True).createOrReplaceTempView("mlt_ex")
+    return spark.sql(_more_like_this_sql(D.SPARK, "exall AS (SELECT * FROM mlt_ex),"))
+
+
+MIX_ALPHA_SQRT = True  # alpha = 0.5 (temperature sampling exponent)
+
+
+def _mixture_weights_sql(d: str) -> str:
+    """Temperature-based mixture sampling weights per source: w_i propto
+    p_i^0.5 with p_i the source's token share -- the alpha-smoothed
+    sampling distribution multilingual/multi-domain LM training uses to
+    upweight small sources (alpha=0.5, the common choice). The engine
+    computes per-source token mass, p, and the normalized sampling weight.
+
+    Parity: p is one division of exact BIGINTs; sqrt(p) is one
+    correctly-rounded IEEE op; the normalizer quantizes each sqrt to a
+    decimal(18,12) BEFORE summing (the _dsum trick) so the ~20-term sum is
+    order-free and exact, and the final weight is one division of
+    identically-valued operands. Scale shape: one groupBy(source) partial
+    agg, two 1-row broadcasts -- corpus size never matters."""
+    toks = TX.tokenize(d, TEXT)
+    n = D.arr_size(d, "toks")
+    return f"""
+        WITH tokd AS (SELECT source, {toks} AS toks FROM documents),
+        per_src AS (
+            SELECT source,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum({n}) as bigint) AS n_tokens
+            FROM tokd GROUP BY source
+        ),
+        tot AS (SELECT cast(sum(n_tokens) as bigint) AS total_tokens FROM per_src),
+        p AS (
+            SELECT source, n_docs, n_tokens,
+                   cast(n_tokens as double) / cast(total_tokens as double) AS p
+            FROM per_src CROSS JOIN tot
+        ),
+        wq AS (SELECT *, cast(sqrt(p) as decimal(18,12)) AS w_q FROM p),
+        z AS (SELECT sum(w_q) AS wsum FROM wq)
+        SELECT source, n_docs, n_tokens, p,
+               cast(w_q as double) / cast(wsum as double) AS weight
+        FROM wq CROSS JOIN z
+        ORDER BY source
+    """
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-sampling weights (alpha=0.5) from token
+    shares: the source-mixing step of LM training-data assembly."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_mixture_weights_sql(D.SPARK))
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def _chunk_documents_sql(d: str) -> str:
+    """Fixed-window token chunking with overlap ({CHUNK_TOKENS}-token
+    windows, stride {CHUNK_STRIDE}): the RAG/embedding-index prerequisite
+    that splits each document into overlapping token spans. Emits one row
+    per chunk with its token span and an md5 of the joined chunk text
+    (the downstream chunk id).
+
+    Chunk count is closed-form (1 + ceil((n - C)/S) for n > C, else 1) so
+    the fan-out is a per-row explode of a computed integer range -- no
+    join, no window function; chunk extraction is an array slice inside the
+    same projection. Scale shape: embarrassingly parallel, output rows ~
+    n_tokens/stride per doc, shuffle-free end to end."""
+    toks = TX.tokenize(d, TEXT)
+    n = D.arr_size(d, "toksv")
+    nch = (
+        f"CASE WHEN {n} <= {CHUNK_TOKENS} THEN cast(1 as bigint) "
+        f"ELSE 1 + {D.int_div(d, f'({n} - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})', str(CHUNK_STRIDE))} END"
+    )
+    rng = (
+        "explode(sequence(cast(0 as bigint), n_chunks - 1))"
+        if d == D.SPARK
+        else "unnest(range(0, n_chunks))"
+    )
+    start = f"ci * {CHUNK_STRIDE} + 1"
+    ln = f"least(cast({CHUNK_TOKENS} as bigint), n - ci * {CHUNK_STRIDE})"
+    if d == D.SPARK:
+        sl = "slice(toksv, cast(chunk_start as int), cast(chunk_len as int))"
+    else:
+        sl = "list_slice(toksv, chunk_start, chunk_start + chunk_len - 1)"
+    joined = D.arr_join(d, sl, " ")
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toksv FROM documents),
+        sized AS (SELECT doc_id, toksv, cast({n} as bigint) AS n, {nch} AS n_chunks FROM tokd),
+        ex AS (SELECT doc_id, toksv, n, {rng} AS ci FROM sized),
+        spans AS (
+            SELECT doc_id, toksv, n, cast(ci as bigint) AS chunk_idx,
+                   cast({start} as bigint) AS chunk_start,
+                   cast({ln} as bigint) AS chunk_len
+            FROM ex
+        )
+        SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+               md5(coalesce({joined}, '')) AS chunk_md5
+        FROM spans
+    """
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping {CHUNK_TOKENS}-token chunks (stride {CHUNK_STRIDE}) per
+    document with span bounds and chunk-text md5 ids."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_chunk_documents_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -4087,6 +4336,11 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r02.json and their code is regression-guarded by
 # tools/selfcheck.py, which always runs ALL entries).
 REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- new in round 5: search/curation additions (never driver-proven) ---
+    "phrase_search": (q_phrase_search, _phrase_search_sql),
+    "more_like_this": (q_more_like_this, _more_like_this_sql),
+    "mixture_weights": (q_mixture_weights, _mixture_weights_sql),
+    "chunk_documents": (q_chunk_documents, _chunk_documents_sql),
     # --- new in round 4: classic OLAP pack (never driver-proven) ---
     "ship_priority": (q_ship_priority, _ship_priority_sql),
     "revenue_forecast": (q_revenue_forecast, _revenue_forecast_sql),

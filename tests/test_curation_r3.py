@@ -1,0 +1,81 @@
+"""Round-3 search/curation additions: phrase search, more-like-this,
+mixture sampling weights, token chunking. Semantic checks beyond the
+oracle hash -- the properties a user of each operator actually relies on."""
+
+from __future__ import annotations
+
+import re
+
+from sentiment_analysis_data_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pytok(text: str) -> list[str]:
+    """The engine's analyzer, reimplemented independently (test replica)."""
+    cleaned = re.sub(r"[^a-z0-9 ]", " ", (text or "").strip().lower())
+    return [t for t in cleaned.strip().split() if t]
+
+
+def test_phrase_search_hits_are_adjacent(spark):
+    out = Q.q_phrase_search(spark, SF).collect()
+    assert out, "expected at least one phrase hit at sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    w1, w2 = Q.PHRASE
+    for r in out:
+        toks = _pytok(docs[r["doc_id"]])
+        hits = [i for i in range(len(toks) - 1) if toks[i] == w1 and toks[i + 1] == w2]
+        assert len(hits) == r["n_hits"]
+        assert hits[0] + 1 == r["first_pos"]  # SQL side is 1-based
+    # ranked by hit count
+    counts = [r["n_hits"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_more_like_this_excludes_seed_and_bounds_matches(spark):
+    out = Q.q_more_like_this(spark, SF).collect()
+    assert out
+    assert all(r["doc_id"] != Q.MLT_SEED_DOC for r in out)
+    assert all(1 <= r["n_matched"] <= Q.MLT_TERMS for r in out)
+    assert all(r["mlt_score"] > 0 for r in out)
+    scores = [r["mlt_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_mixture_weights_normalize_and_flatten(spark):
+    out = Q.q_mixture_weights(spark, SF).collect()
+    assert len(out) >= 2
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-9
+    assert abs(sum(r["p"] for r in out) - 1.0) < 1e-9
+    # alpha=0.5 flattens: smaller sources get boosted relative to share
+    lo = min(out, key=lambda r: r["p"])
+    hi = max(out, key=lambda r: r["p"])
+    if lo["p"] < hi["p"]:
+        assert lo["weight"] / lo["p"] > hi["weight"] / hi["p"]
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    rows = Q.q_chunk_documents(spark, SF).collect()
+    docs = {
+        r["doc_id"]: _pytok(r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        n = len(docs[doc_id])
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["chunk_start"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["chunk_start"] - a["chunk_start"] == Q.CHUNK_STRIDE
+        last = chunks[-1]
+        # full coverage: last chunk reaches the final token
+        if n > 0:
+            assert last["chunk_start"] + last["chunk_len"] - 1 == n
+        if n > Q.CHUNK_TOKENS:
+            assert all(c["chunk_len"] == Q.CHUNK_TOKENS for c in chunks[:-1])

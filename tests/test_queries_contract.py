@@ -35,5 +35,8 @@ def test_query_runs(spark, sf_dir, name):
     rows = df.collect()
     assert rows is not None
     assert len(df.columns) > 0
-    if name not in ("keyword_search",):  # search may legitimately be small
+    # keyword_search may legitimately be small; volume_shipping's nation-pair
+    # x ship-year filter (TPC-H Q7 shape) selects zero rows from sf0.001's
+    # ~6k lineitems (it is hash-checked vs the oracle at sf0.01).
+    if name not in ("keyword_search", "volume_shipping"):
         assert len(rows) > 0
