@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "pmi_collocations",
     "winnow_pairs",
+    "phrase_search",
+    "more_like_this",
+    "mixture_weights",
+    "chunk_documents",
 ]
 
 

@@ -1516,7 +1516,11 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB this is the difference between exploding the whole corpus
     # (the oracle SQL's literal shape) and exploding the ~0.1% of vectors
     # LSH actually surfaced. cand is checkpointed (tiny) because three
-    # consumers read it; comp likewise for its two join sides.
+    # consumers read it; comp likewise for its two join sides. (Replacing
+    # these two checkpoints with one statement + CTE re-inlining was
+    # re-measured in round 5: the re-inlined plan is slower AND unstable --
+    # AQE collapses the re-derived candidate join to single-task stages;
+    # 5.5 s median became 6-22 s. The barriers stay.)
     cand = spark.sql(
         """
         SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -3279,9 +3283,57 @@ def _winnow_pairs_sql(d: str) -> str:
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint overlap pairs (copied-passage detection)."""
+    """Winnowing-fingerprint overlap pairs (copied-passage detection).
+
+    The selected-fingerprint relation `fp` is materialized once
+    (localCheckpoint): the pair statement reads it THREE times (df cap +
+    both join sides) and Spark's CTE re-inlining would re-run the whole
+    tokenize -> k-gram -> md5 -> sliding-min pipeline for each. At corpus
+    scale fp is the fingerprint index you'd persist per snapshot."""
     _view(spark, sf_dir, "documents")
-    return spark.sql(_winnow_pairs_sql(D.SPARK))
+    toks = TX.tokenize(D.SPARK, TEXT)
+    kgs = TX.ngrams(D.SPARK, "toks", WINNOW_K)
+    h = H.hex_to_bigint(D.SPARK, "md5(g)", 14)
+    fp = spark.sql(
+        f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        kgd AS (
+            SELECT doc_id, kg, size(kg) AS n
+            FROM (SELECT doc_id, {kgs} AS kg FROM tokd) g0
+            WHERE size(kg) >= 1
+        ),
+        pos AS (SELECT doc_id, n, posexplode(kg) AS (pos, g) FROM kgd),
+        hs AS (SELECT doc_id, n, pos, {h} AS h FROM pos),
+        wmin AS (
+            SELECT doc_id, pos, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mh
+            FROM hs
+        )
+        SELECT DISTINCT doc_id, mh
+        FROM wmin
+        WHERE pos + {WINNOW_W} <= n OR (pos = 0 AND n < {WINNOW_W})
+        """
+    ).localCheckpoint()
+    fp.createOrReplaceTempView("winnow_fp")
+    return spark.sql(
+        f"""
+        WITH capped AS (
+            SELECT mh FROM winnow_fp GROUP BY mh
+            HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(count(*) as bigint) AS shared_fp
+            FROM winnow_fp a
+            JOIN capped c ON a.mh = c.mh
+            JOIN winnow_fp b ON b.mh = a.mh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, shared_fp
+        FROM pairs WHERE shared_fp >= {WINNOW_MIN_SHARED}
+        """
+    )
 
 
 def _dedup_recall_sql(d: str) -> str:

@@ -235,6 +235,41 @@ def sessionized_activity(
     )
 
 
+def attributed_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    view_ts: str = "view_ts",
+    click_ts: str = "click_ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM interval join: attribute each click to the same-key
+    view it followed within `horizon` (the click-attribution /
+    request-response correlation shape; the reference correlates producer
+    fetches with consumer inserts by url+time the same way, only offline).
+
+    Both sides carry a watermark and the join condition bounds click_ts to
+    [view_ts, view_ts + horizon], so the engine can prove when a buffered
+    row can never match again and evict it -- state is bounded by
+    (watermark + horizon) per side, independent of stream history. That
+    bound is what makes a stream-stream join viable at 100 TB/day; an
+    unconstrained equality join would buffer both streams forever.
+
+    `how='leftOuter'` keeps horizon-expired unmatched views (emitted with
+    null click columns once the watermark passes view_ts + horizon) -- the
+    funnel-drop side of the same analysis."""
+    v = views.withWatermark(view_ts, watermark)
+    c = clicks.withWatermark(click_ts, watermark)
+    cond = (
+        (v[key] == c[key])
+        & (c[click_ts] >= v[view_ts])
+        & (c[click_ts] <= F.expr(f"{view_ts} + INTERVAL {horizon}"))
+    )
+    return v.join(c, cond, how).drop(c[key])
+
+
 def with_stream_dedup(envelopes: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T5 in-stream form: watermark-scoped URL dedup
     (dropDuplicatesWithinWatermark) -- bounds the dedup state to the

@@ -269,3 +269,66 @@ def test_stream_static_enrichment(spark):
         assert rows == {1: "gold", 99: None}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream interval join: clicks attribute to the
+    same-user view within the horizon; outside-horizon and no-view clicks
+    drop; state stays bounded by watermark + horizon."""
+    from sentiment_analysis_data_pipeline_spark.streaming.ingest import attributed_clicks
+
+    root = Path(tempfile.mkdtemp(prefix="ssjoin-"))
+    try:
+        vsrc, csrc = root / "views", root / "clicks"
+        vsrc.mkdir(), csrc.mkdir()
+        out = str(root / "out")
+
+        def _v(user, ts, vid):
+            return json.dumps({"user_id": user, "view_ts": ts, "view_id": vid})
+
+        def _c(user, ts, cid):
+            return json.dumps({"user_id": user, "click_ts": ts, "click_id": cid})
+
+        (vsrc / "v.json").write_text(
+            "\n".join(
+                [
+                    _v(1, "2024-01-01T10:00:00Z", "v1"),
+                    _v(2, "2024-01-01T10:00:00Z", "v2"),
+                ]
+            )
+            + "\n"
+        )
+        (csrc / "c.json").write_text(
+            "\n".join(
+                [
+                    _c(1, "2024-01-01T10:10:00Z", "c1"),  # within 30 min -> match
+                    _c(1, "2024-01-01T11:00:00Z", "c2"),  # past horizon -> drop
+                    _c(2, "2024-01-01T10:20:00Z", "c3"),  # within -> match
+                    _c(3, "2024-01-01T10:05:00Z", "c4"),  # no view -> drop
+                ]
+            )
+            + "\n"
+        )
+
+        views = spark.readStream.schema("user_id LONG, view_ts TIMESTAMP, view_id STRING").json(
+            str(vsrc)
+        )
+        clicks = spark.readStream.schema("user_id LONG, click_ts TIMESTAMP, click_id STRING").json(
+            str(csrc)
+        )
+        q = (
+            attributed_clicks(views, clicks)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {(r["view_id"], r["click_id"]) for r in spark.read.parquet(out).collect()}
+        assert got == {("v1", "c1"), ("v2", "c3")}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
