@@ -78,3 +78,23 @@ def test_sliding_window_pushdown_and_constant_fanout(spark):
 def test_pmi_topk_operator(spark):
     plan = _run(spark, "pmi_collocations")
     assert "TakeOrderedAndProject" in plan  # never a global vocabulary sort
+
+
+def test_phrase_search_projection_only(spark):
+    plan = _run(spark, "phrase_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # adjacency filter stays inside one projection
+    assert "Generate" not in plan  # no explode: positions array never leaves its task
+
+
+def test_more_like_this_broadcasts_seed_terms(spark):
+    plan = _run(spark, "more_like_this")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_documents_no_join(spark):
+    plan = _run(spark, "chunk_documents")
+    assert "Generate" in plan  # computed-range explode
+    assert "Join" not in plan
+    assert "Window" not in plan
