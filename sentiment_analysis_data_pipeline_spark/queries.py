@@ -4380,6 +4380,117 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_chunk_documents_sql(D.SPARK))
 
 
+def _snapshot_diff_sql(d: str) -> str:
+    """CDC-style snapshot diff: inserts / deletes / updates between two
+    versions of a table (the change feed Delta/Iceberg surface as
+    table_changes; here computed set-based from the versions themselves --
+    the algebra a migration validator or a downstream-sync job runs). The
+    two versions are carved deterministically from `orders`: membership
+    differs via modulus filters, and 'open' orders get a price revision in
+    the new version, so all three change types appear at every SF.
+
+    Scale shape: ONE full-outer join co-partitioned on the key (SMJ at
+    scale; both sides shuffle once on o_orderkey), change classification
+    is a projection over the joined row. No broadcast assumption -- both
+    sides are fact-sized."""
+    # old snapshot: keys where k % 7 != 0; new snapshot: keys where
+    # k % 5 != 0. Price revision (flat +10.0: a single IEEE add, exact in
+    # both engines -- a percentage bump would need a round(), whose
+    # half-up-vs-half-even double behavior is NOT cross-engine-stable)
+    # applies to 'O' orders in the new version.
+    old_v = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0"
+    new_v = """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O'
+                    THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    """
+    return f"""
+        WITH old_v AS ({old_v}),
+        new_v AS ({new_v}),
+        j AS (
+            SELECT o.o_orderkey AS old_key, n.o_orderkey AS new_key,
+                   o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+                   o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+            FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT coalesce(old_key, new_key) AS o_orderkey,
+               CASE WHEN old_key IS NULL THEN 'insert'
+                    WHEN new_key IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               -- -1.0 sentinel for absent-side prices (prices are > 0):
+               -- a NULL double column round-trips as NaN through the
+               -- driver's pandas normalization and breaks hash parity
+               coalesce(old_price, -1.0) AS old_price,
+               coalesce(new_price, -1.0) AS new_price
+        FROM j
+        WHERE old_key IS NULL OR new_key IS NULL
+           OR old_price <> new_price OR old_status <> new_status
+    """
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert/delete/update rows between two deterministic versions of
+    `orders` (CDC diff / change-feed algebra)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_snapshot_diff_sql(D.SPARK))
+
+
+IVM_SPLIT_HOUR = 473712  # 2024-01-16T00:00Z as epoch-hours: mid-corpus split
+
+
+def _incremental_hourly_sql(d: str) -> str:
+    """Incremental materialized-view maintenance: an hourly rollup kept
+    up-to-date by MERGING a stored aggregate (history before the split
+    hour) with a freshly aggregated delta batch -- without rescanning
+    history. This is the partial-aggregate algebra (count: sum of counts;
+    sum: sum of sums) every incremental pipeline (Delta MERGE rollups,
+    streaming state stores, cube refreshes) reduces to; the engine keeps
+    the stored side's value sums as exact decimals so merge order cannot
+    drift the result.
+
+    Scale shape: history and delta each aggregate map-side to one row per
+    hour; the merge union re-aggregates ~(hours) rows -- the whole refresh
+    is proportional to the DELTA + the dimension of the view, never to
+    history size (the base agg here stands in for the stored table a real
+    deployment reads back)."""
+    t = _ts_us(d)
+    hour = f"cast({D.int_div(d, t, str(HOUR_US))} as bigint)"
+    dec = "decimal(18,6)"
+    return f"""
+        WITH base AS (
+            SELECT hour_idx, cast(count(*) as bigint) AS n,
+                   sum(cast(value as {dec})) AS sv
+            FROM (SELECT {hour} AS hour_idx, value FROM events) e
+            WHERE hour_idx < {IVM_SPLIT_HOUR}
+            GROUP BY hour_idx
+        ),
+        delta AS (
+            SELECT hour_idx, cast(count(*) as bigint) AS n,
+                   sum(cast(value as {dec})) AS sv
+            FROM (SELECT {hour} AS hour_idx, value FROM events) e
+            WHERE hour_idx >= {IVM_SPLIT_HOUR}
+            GROUP BY hour_idx
+        ),
+        merged AS (
+            SELECT hour_idx, cast(sum(n) as bigint) AS n_events,
+                   cast(sum(sv) as double) AS sum_value
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) u
+            GROUP BY hour_idx
+        )
+        SELECT hour_idx * {HOUR_US} AS hour_start_us, n_events, sum_value
+        FROM merged
+    """
+
+
+def q_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup refreshed by merging a stored-history aggregate with a
+    delta-batch aggregate (incremental view maintenance algebra)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_incremental_hourly_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -4401,6 +4512,8 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "more_like_this": (q_more_like_this, _more_like_this_sql),
     "mixture_weights": (q_mixture_weights, _mixture_weights_sql),
     "chunk_documents": (q_chunk_documents, _chunk_documents_sql),
+    "snapshot_diff": (q_snapshot_diff, _snapshot_diff_sql),
+    "incremental_hourly": (q_incremental_hourly, _incremental_hourly_sql),
     # --- new in round 4: classic OLAP pack (never driver-proven) ---
     "ship_priority": (q_ship_priority, _ship_priority_sql),
     "revenue_forecast": (q_revenue_forecast, _revenue_forecast_sql),
