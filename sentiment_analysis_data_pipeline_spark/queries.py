@@ -4500,13 +4500,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # name -> (spark callable, oracle SQL builder or None)
 #
 # ORDER MATTERS: the round driver records correctness rows for the FIRST 50
-# entries only (observed in CORRECTNESS_r01/r02). Queries that do not yet
-# have a green driver row in any prior round's CORRECTNESS_r*.json are
-# listed first so each round's run extends the proven set; previously-proven
-# queries follow (rows for those live in CORRECTNESS_r01.json /
-# CORRECTNESS_r02.json and their code is regression-guarded by
-# tools/selfcheck.py, which always runs ALL entries).
-REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+# entries only (observed in CORRECTNESS_r01-r03). REGISTRY below is derived
+# MECHANICALLY from this base dict: names without a green driver row in any
+# prior round's CORRECTNESS_r*.json float to the front (declared order
+# preserved within each group), so each round's run extends the proven set
+# and a builder slip can no longer silently cap proof coverage (round-3
+# verdict item 3). tools/selfcheck.py still runs ALL entries every round.
+_REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     # --- new in round 5: search/curation additions (never driver-proven) ---
     "phrase_search": (q_phrase_search, _phrase_search_sql),
     "more_like_this": (q_more_like_this, _more_like_this_sql),
@@ -4618,6 +4618,48 @@ REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "approx_stats": (q_approx_stats, None),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
 }
+
+
+def _proven_names() -> set[str]:
+    """Names already driver-proven: any CORRECTNESS_r*.json row with a green
+    hash (or a recorded rows-only run for oracle-less queries). A failed row
+    with no later green does NOT count -- those re-enter the front of the
+    queue for re-proof."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                proven.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                proven.add(name)  # rows-only by design; driver ran it
+    return proven
+
+
+def _driver_order(
+    base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
+) -> dict[str, tuple[SparkQuery, Callable[[str], str] | None]]:
+    proven = _proven_names()
+    ordered = {n: v for n, v in base.items() if n not in proven}
+    ordered.update((n, v) for n, v in base.items() if n in proven)
+    return ordered
+
+
+REGISTRY: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = _driver_order(
+    _REGISTRY_BASE
+)
 
 
 def spark_queries() -> dict[str, SparkQuery]:

@@ -15,6 +15,27 @@ def test_entry_smoke(spark):
     assert df.columns == ["key", "doc_count"]
 
 
+def test_registry_order_unproven_first():
+    """The driver proves only the first 50 REGISTRY entries per round; the
+    mechanical ordering must float every never-proven name ahead of every
+    proven one so proof coverage can't silently cap (round-3 verdict #3)."""
+    from sentiment_analysis_data_pipeline_spark.queries import (
+        REGISTRY,
+        _REGISTRY_BASE,
+        _proven_names,
+    )
+
+    assert set(REGISTRY) == set(_REGISTRY_BASE)
+    proven = _proven_names()
+    names = list(REGISTRY)
+    seen_proven = False
+    for n in names:
+        if n in proven:
+            seen_proven = True
+        else:
+            assert not seen_proven, f"unproven {n!r} listed after a proven entry"
+
+
 def test_oracle_coverage():
     qs, oracles = E.queries(), E.oracle_sql()
     assert set(oracles) <= set(qs)
