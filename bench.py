@@ -3,13 +3,24 @@
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
-   "sf": ..., "rows": {name: n}}
+   "sf": ..., "rows": {name: n}, "spread": {name: [min, max]}, "runs": N}
+
+Methodology (changed round 4 after the r3 minhash_pairs 3.3x phantom
+regression -- isolated re-measurement showed 0.72-0.93 s vs the r3 bench's
+2.74 s on unchanged code, i.e. shared-session interference, not engineering):
+  - one UNTIMED warm run of each query at the target SF before its timed
+    samples, so first-touch costs (file listing, codegen, shuffle-file
+    creation) never land in a sample;
+  - 5 timed samples per query (median reported; min/max in "spread" so a
+    noisy median is visible instead of mistaken for a regression);
+  - spark.catalog.clearCache() between queries so one query's cached /
+    checkpointed blocks can't perturb the next query's memory budget.
 
 Baseline context (BASELINE.md): the reference publishes no benchmark numbers;
-its operating envelope tops out at ~0.67 rows/s ingest and an hourly batch of
-<=1,200 articles. Anything here beats that by orders of magnitude -- the
-driver target is therefore staying within 2x of the recorded per-round
-baseline at the same scale factor.
+its envelope tops out at ~0.67 rows/s ingest and hourly batches of <=1,200
+articles. Anything here beats that by orders of magnitude -- the driver
+target is therefore staying within 2x of the recorded per-round baseline at
+the same scale factor.
 """
 
 from __future__ import annotations
@@ -24,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the flagship pipeline + the heaviest representatives of each
-# operator family (joins/aggs, windows, dedup, similarity, search).
+# operator family (joins/aggs, windows, dedup, similarity, search, views).
 BENCH_QUERIES = [
     "sentiment_terms_agg",
     "sentiment_scores",
@@ -64,6 +75,13 @@ BENCH_QUERIES = [
     "more_like_this",
     "mixture_weights",
     "chunk_documents",
+    # round-6 additions: every driver-proven family gets a tracked number
+    "snapshot_diff",
+    "incremental_hourly",
+    "readability",
+    "fuzzy_join",
+    "range_join",
+    "chi2_keywords",
 ]
 
 
@@ -74,37 +92,29 @@ def main() -> None:
     spark = get_spark("bench")
     qs = spark_queries()
 
-    # JVM/codegen/scan/shuffle warmup outside the timed region (constant
-    # session-init costs, not engine scaling properties): run the heaviest
-    # plans once at the smallest scale factor -- Spark's codegen cache is
-    # keyed by generated code, which is identical across sf dirs, so the
-    # timed sf0.1 runs measure execution, not Janino compilation.
+    # JVM/codegen warmup outside any timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
-    for name in ("sentiment_terms_agg", "minhash_pairs", "simhash_fingerprints", "pricing_summary"):
-        try:
-            qs[name](spark, warm_dir).collect()
-        except Exception:
-            pass
 
-    # median-of-3: machine timing noise here is +/-50% per single run; the
-    # median is robust to one outlier in either direction, which makes
-    # round-over-round regressions detectable (best-of-N hides slowdowns
-    # whenever one lucky run sneaks in)
     from statistics import median
 
-    runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        samples, n = [], 0
+        # untimed warm run at the TARGET sf: absorbs file listing, Janino
+        # compilation, and shuffle-file creation so samples measure steady
+        # -state execution (what scales), not first-touch constants.
+        n = len(qs[name](spark, SF_DIR).collect())
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            out = qs[name](spark, SF_DIR)
-            n = len(out.collect())
+            n = len(qs[name](spark, SF_DIR).collect())
             samples.append(time.perf_counter() - t0)
         timings[name] = round(median(samples), 4)
+        spread[name] = [round(min(samples), 4), round(max(samples), 4)]
         rows[name] = n
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -118,6 +128,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "rows": rows,
+        "spread": spread,
+        "runs": runs,
     }
     print(json.dumps(result))
 
