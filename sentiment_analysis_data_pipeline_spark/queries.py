@@ -30,7 +30,7 @@ from .functions import hashing as H
 from .functions import sentiment as S
 from .functions import text as TX
 from .functions import vectors as V
-from .operators import dedup, search, similarity, window_ops
+from .operators import dedup, dedup_index, search, similarity, window_ops
 from .plans.pipeline import DOC_URL_SQL, flagship_terms_agg, processed_docs
 
 TEXT = "coalesce(text, '')"
@@ -930,20 +930,9 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_asof_outer_sql(D.SPARK))
 
 
-def _ann_planes(n: int = 8, prefix: str = "h") -> list[list[float]]:
-    """Deterministic hyperplanes shared by both engines: md5-derived dyadic
-    values (computed driver-side once, embedded as literals -- recomputing
-    md5 per row per component would be pure waste)."""
-    import hashlib
-
-    planes = []
-    for p in range(n):
-        row = []
-        for i in range(1, EMB_DIM + 1):
-            digit = int(hashlib.md5(f"{prefix}{p}_{i}".encode()).hexdigest()[0], 16)
-            row.append(digit / 16.0 - 0.5)
-        planes.append(row)
-    return planes
+# Canonical plane generator lives with the persisted-index builders so the
+# in-session and written-table paths cannot drift (operators/dedup_index.py).
+_ann_planes = dedup_index.hyperplanes
 
 
 def _ann_lsh_sql(d: str) -> str:
@@ -1484,31 +1473,15 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task stage for a sub-second 32-way one).
     v = V.to_double_array(D.SPARK, "embedding")
     nv = V.norm(D.SPARK, "v", EMB_DIM)
-    planes = _ann_planes(24, "g")
-    pl_rows = ", ".join(
-        f"({p}, {i}, {w!r})"
-        for p, plane in enumerate(planes)
-        for i, w in enumerate(plane)
+    # Signature SQL is shared with the persisted-index builder
+    # (operators/dedup_index.py -- the durable written-table variant of this
+    # in-session checkpoint; build_embedding_band_index/embedding_candidate
+    # _pairs is what a cluster deployment runs per corpus snapshot).
+    bands = (
+        spark.sql(dedup_index.embedding_band_sql("embeddings"))
+        .repartition(32)
+        .localCheckpoint()
     )
-    sums = ", ".join(
-        f"sum(case when plane % 6 = {i} then x * w end) AS s{i}" for i in range(6)
-    )
-    signs = ", ".join(
-        f"case when s{i} >= 0.0 then '1' else '0' end" for i in range(6)
-    )
-    bands = spark.sql(
-        f"""
-        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
-        comp0 AS (SELECT vec_id, posexplode(v) AS (idx, x) FROM emb),
-        pl AS (SELECT * FROM VALUES {pl_rows} AS _pl(plane, idx, w)),
-        g AS (
-            SELECT vec_id, plane div 6 AS band, {sums}
-            FROM comp0 c JOIN pl p ON c.idx = p.idx
-            GROUP BY vec_id, plane div 6
-        )
-        SELECT vec_id, band, concat({signs}) AS bkey FROM g
-        """
-    ).repartition(32).localCheckpoint()
     bands.createOrReplaceTempView("emb_bands")
     # Candidates first, THEN components: only pair members ever reach the
     # verify join, so the component explode is semi-join-filtered to
@@ -3207,10 +3180,12 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_key_skew_sql(D.SPARK))
 
 
-WINNOW_K = 4  # token k-gram length
-WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
-WINNOW_MIN_SHARED = 2  # shared-fingerprint threshold for a reported pair
-WINNOW_DF_CAP = 50  # drop fingerprints shared by more docs (boilerplate)
+# Winnowing parameters -- canonical values live with the persisted-index
+# builders (operators/dedup_index.py) so both paths share them.
+WINNOW_K = dedup_index.WINNOW_K
+WINNOW_W = dedup_index.WINNOW_W
+WINNOW_MIN_SHARED = dedup_index.WINNOW_MIN_SHARED
+WINNOW_DF_CAP = dedup_index.WINNOW_DF_CAP
 
 
 def _winnow_body(d: str, tokd_def: str) -> str:
@@ -3288,52 +3263,14 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The selected-fingerprint relation `fp` is materialized once
     (localCheckpoint): the pair statement reads it THREE times (df cap +
     both join sides) and Spark's CTE re-inlining would re-run the whole
-    tokenize -> k-gram -> md5 -> sliding-min pipeline for each. At corpus
-    scale fp is the fingerprint index you'd persist per snapshot."""
+    tokenize -> k-gram -> md5 -> sliding-min pipeline for each. Both SQL
+    bodies are shared with operators/dedup_index.py, whose
+    build_winnow_index/winnow_candidate_pairs is the durable written-table
+    variant a cluster deployment persists per corpus snapshot."""
     _view(spark, sf_dir, "documents")
-    toks = TX.tokenize(D.SPARK, TEXT)
-    kgs = TX.ngrams(D.SPARK, "toks", WINNOW_K)
-    h = H.hex_to_bigint(D.SPARK, "md5(g)", 14)
-    fp = spark.sql(
-        f"""
-        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
-        kgd AS (
-            SELECT doc_id, kg, size(kg) AS n
-            FROM (SELECT doc_id, {kgs} AS kg FROM tokd) g0
-            WHERE size(kg) >= 1
-        ),
-        pos AS (SELECT doc_id, n, posexplode(kg) AS (pos, g) FROM kgd),
-        hs AS (SELECT doc_id, n, pos, {h} AS h FROM pos),
-        wmin AS (
-            SELECT doc_id, pos, n,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mh
-            FROM hs
-        )
-        SELECT DISTINCT doc_id, mh
-        FROM wmin
-        WHERE pos + {WINNOW_W} <= n OR (pos = 0 AND n < {WINNOW_W})
-        """
-    ).localCheckpoint()
+    fp = spark.sql(dedup_index.winnow_fp_sql("documents")).localCheckpoint()
     fp.createOrReplaceTempView("winnow_fp")
-    return spark.sql(
-        f"""
-        WITH capped AS (
-            SELECT mh FROM winnow_fp GROUP BY mh
-            HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP}
-        ),
-        pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   cast(count(*) as bigint) AS shared_fp
-            FROM winnow_fp a
-            JOIN capped c ON a.mh = c.mh
-            JOIN winnow_fp b ON b.mh = a.mh AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT id_a, id_b, shared_fp
-        FROM pairs WHERE shared_fp >= {WINNOW_MIN_SHARED}
-        """
-    )
+    return spark.sql(dedup_index.winnow_pairs_over("winnow_fp"))
 
 
 def _dedup_recall_sql(d: str) -> str:

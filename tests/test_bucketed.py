@@ -4,6 +4,8 @@ shuffles; see sources/tables.write_bucketed)."""
 
 from __future__ import annotations
 
+import re
+
 from sentiment_analysis_data_pipeline_spark.sources.tables import load_table, write_bucketed
 
 SF = "/root/testdata/sf0.001"
@@ -21,10 +23,12 @@ def test_bucketed_join_is_shuffle_free(spark):
                FROM bkt_lineitem l JOIN bkt_orders o
                  ON l.l_orderkey = o.o_orderkey"""
         )
-        plan = joined._jdf.queryExecution().sparkPlan().toString()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Bucketed: true" in plan
-        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert not re.search(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan), (
+            f"bucketed join still shuffles:\n{plan}"
+        )
 
         li, od = load_table(spark, SF, "lineitem"), load_table(spark, SF, "orders")
         n_plain = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
@@ -48,10 +52,12 @@ def test_bucketed_band_key_candidate_join_is_shuffle_free(spark):
                FROM bkt_bands a JOIN bkt_bands b ON a.band_key = b.band_key
                WHERE a.doc < b.doc"""
         )
-        plan = joined._jdf.queryExecution().sparkPlan().toString()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in plan
         assert "Bucketed: true" in plan
-        assert "Exchange" not in plan, f"bucketed candidate join still shuffles:\n{plan}"
+        assert not re.search(r"Exchange (hash|range)partitioning|Exchange SinglePartition", plan), (
+            f"bucketed candidate join still shuffles:\n{plan}"
+        )
         # same candidate set as the in-memory self-join
         banded = minhash_band_keys(docs, "text", "doc_id")
         n_mem = (

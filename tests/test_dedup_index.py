@@ -1,0 +1,75 @@
+"""Persisted dedup signature indexes (operators/dedup_index.py): the durable
+written-bucketed-table twins of the in-session localCheckpoint barriers in
+q_embedding_dedup_pairs / q_winnow_pairs.
+
+Asserts BOTH equivalence (same candidates/pairs as the in-session path) and
+the scale property that justifies the write: candidate generation over the
+bucketed table plans with NO shuffle Exchange on the join inputs -- the only
+shuffles left are the final pair aggregations, which are inherent."""
+
+from __future__ import annotations
+
+from sentiment_analysis_data_pipeline_spark.operators import dedup_index as DX
+from sentiment_analysis_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shuffle_exchanges(df) -> int:
+    """Count shuffle Exchanges in the EXECUTED physical plan. sparkPlan()
+    is pre-EnsureRequirements and never contains Exchange nodes (verified:
+    a plain groupBy shows zero there), so only executedPlan() proves
+    shuffle-freedom. BroadcastExchange is NOT a shuffle and is excluded."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+def test_embedding_band_index_candidates(spark):
+    emb = load_table(spark, SF, "embeddings")
+    DX.build_embedding_band_index(spark, emb, table="t_emb_idx", n_buckets=8)
+    try:
+        cand = DX.embedding_candidate_pairs(spark, "t_emb_idx")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        # the self-join itself is Exchange-free; at most one shuffle may
+        # remain for the candidate-pair DISTINCT (observed: zero -- the
+        # planner runs it on the bucketed distribution)
+        assert _shuffle_exchanges(cand) <= 1, plan
+        # equivalence with the in-session signature self-join
+        bands = DX.embedding_band_keys(spark, emb)
+        mem = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "bkey"])
+            .where("a.vec_id < b.vec_id")
+            .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b")
+            .distinct()
+        )
+        got = {(r.id_a, r.id_b) for r in cand.collect()}
+        want = {(r.id_a, r.id_b) for r in mem.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_emb_idx")
+
+
+def test_winnow_index_pairs(spark):
+    docs = load_table(spark, SF, "documents")
+    DX.build_winnow_index(spark, docs, table="t_winnow_idx", n_buckets=8)
+    try:
+        pairs = DX.winnow_candidate_pairs(spark, "t_winnow_idx")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # df-cap GROUP BY mh and both mh join sides are co-located on the
+        # bucketed table; the only shuffle left is the final per-pair count
+        assert _shuffle_exchanges(pairs) == 1, plan
+        # equivalence with the registry query's in-session checkpoint path
+        from sentiment_analysis_data_pipeline_spark.queries import q_winnow_pairs
+
+        got = {(r.id_a, r.id_b, r.shared_fp) for r in pairs.collect()}
+        want = {(r.id_a, r.id_b, r.shared_fp) for r in q_winnow_pairs(spark, SF).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_winnow_idx")
