@@ -107,16 +107,6 @@ def arr_slice(d: str, arr: str, start: int, length: int) -> str:
     return f"list_slice({arr}, {start}, {start + length - 1})"
 
 
-def arr_get(d: str, arr: str, idx: str) -> str:
-    """1-based element access, NULL when out of range in BOTH dialects.
-    Spark's element_at THROWS under ANSI mode (the default in Spark 4) --
-    try_element_at is the null-returning form; DuckDB's list_extract is
-    already null-on-out-of-range."""
-    if d == SPARK:
-        return f"try_element_at({arr}, {idx})"
-    return f"list_extract({arr}, {idx})"
-
-
 def arr_join(d: str, arr: str, sep: str) -> str:
     if d == SPARK:
         return f"array_join({arr}, '{sep}')"

@@ -54,13 +54,23 @@ def _events_view(spark: SparkSession, sf_dir: str) -> None:
     runs a default session; unix_micros(cast(ts as timestamp)) would shift
     by the local offset). Downstream SQL always sees epoch-ns and derives
     epoch-us via `ts div 1000`, exactly matching DuckDB's epoch_us(ts)."""
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if not isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, TimestampNTZType):
         ns = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"
         df = df.withColumn("ts", F.expr(ns).cast("long"))
+    elif isinstance(dt, TimestampType):
+        # UTC-adjusted parquet (isAdjustedToUTC=true) or inferTimestampNTZ
+        # disabled: LTZ values ARE UTC instants internally; unix_micros
+        # returns those micros directly, independent of the session zone.
+        # (The NTZ timestampdiff arm would silently shift by the session
+        # offset here -- each encoding gets its own exact conversion.)
+        df = df.withColumn("ts", (F.expr("unix_micros(ts)") * F.lit(1000)).cast("long"))
+    elif not isinstance(dt, LongType):
+        raise TypeError(f"events.ts: unsupported parquet encoding {dt}")
     df.createOrReplaceTempView("events")
 
 

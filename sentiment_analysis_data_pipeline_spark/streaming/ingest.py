@@ -262,10 +262,14 @@ def attributed_clicks(
     funnel-drop side of the same analysis."""
     v = views.withWatermark(view_ts, watermark)
     c = clicks.withWatermark(click_ts, watermark)
+    # Upper bound built from the DataFrame reference (v[view_ts]) -- only
+    # the interval literal goes through expr(). A bare f"{view_ts} + ..."
+    # would resolve the name against the JOINED schema and break (or bind to
+    # the wrong side) if the clicks stream also carries a view_ts column.
     cond = (
         (v[key] == c[key])
         & (c[click_ts] >= v[view_ts])
-        & (c[click_ts] <= F.expr(f"{view_ts} + INTERVAL {horizon}"))
+        & (c[click_ts] <= v[view_ts] + F.expr(f"INTERVAL {horizon}"))
     )
     return v.join(c, cond, how).drop(c[key])
 
