@@ -129,8 +129,57 @@ _EXTENDED_SIXTEENTHS: dict[str, int] = {
     "worse": -8, "wound": -8, "wrong": -8,
 }
 
+# Round-4 growth: a further slice of the published VADER vocabulary
+# (valence/4 to the nearest 1/16, same dyadic-exactness contract).
+_EXTENDED_SIXTEENTHS_R4: dict[str, int] = {
+    # --- positive ---
+    "accept": 6, "active": 5, "admirable": 10, "adorable": 9, "adventure": 5,
+    "affection": 10, "agreeable": 7, "alive": 6, "ambitious": 4, "angel": 8,
+    "appeal": 6, "applaud": 8, "attractive": 8, "authentic": 6,
+    "balanced": 4, "beloved": 9, "bold": 5, "capable": 6, "charismatic": 9,
+    "cheer": 9, "classic": 4, "commend": 8, "compassion": 9, "competent": 6,
+    "convenient": 6, "courteous": 8, "cozy": 7, "dazzle": 8, "dedicated": 7,
+    "dependable": 8, "desirable": 6, "determined": 6, "devoted": 8,
+    "dignity": 7, "diligent": 7, "distinguished": 7, "dynamic": 5,
+    "earnest": 6, "empower": 7, "enchanting": 8, "endorse": 6,
+    "engaging": 6, "enrich": 8, "epic": 6, "excel": 8, "exquisite": 10,
+    "faithful": 8, "favorable": 8, "fearless": 6, "flourish": 8, "fond": 8,
+    "forgive": 6, "genuine": 6, "gorgeous": 10, "gratitude": 8,
+    "harmony": 8, "heartfelt": 8, "hilarious": 7, "immaculate": 8,
+    "innovate": 6, "jubilant": 11, "keen": 5, "legendary": 8, "lively": 7,
+    "mercy": 6, "noble": 8, "nurture": 7, "passionate": 8, "patient": 6,
+    "praise": 8, "prestige": 7, "prosper": 9, "radiant": 9, "refresh": 6,
+    "resilient": 6, "respect": 8, "revive": 6, "satisfying": 8, "savvy": 6,
+    "serene": 8, "sincere": 8, "soothe": 7, "spectacular": 10, "thrive": 8,
+    "tranquil": 7, "upbeat": 8, "uplift": 8, "virtuous": 8, "vital": 5,
+    "worthwhile": 7, "zeal": 7,
+    # --- negative ---
+    "abandon": -8, "accuse": -6, "agony": -9, "alarm": -6, "anguish": -10,
+    "apathy": -5, "arrogant": -8, "ashamed": -8, "assault": -9, "ban": -7,
+    "bankrupt": -10, "beg": -4, "bleak": -6, "bully": -9, "catastrophe": -9,
+    "condemn": -8, "contempt": -8, "crime": -10, "crisis": -12,
+    "criticize": -6, "cursed": -8, "deceive": -8, "defect": -6,
+    "degrade": -7, "demolish": -5, "despair": -12, "despise": -9,
+    "devastate": -10, "disgrace": -9, "dismay": -7, "distress": -8,
+    "dreary": -6, "embarrass": -6, "exhausted": -6, "exploit": -6,
+    "failure": -10, "famine": -11, "foolish": -6, "forbid": -5,
+    "frantic": -6, "grim": -7, "hazard": -7, "helpless": -8,
+    "humiliate": -9, "hunger": -6, "idiot": -9, "illegal": -10,
+    "incompetent": -8, "infect": -7, "injustice": -10, "irritate": -7,
+    "jail": -7, "liar": -10, "menace": -7, "misery": -11, "mourn": -8,
+    "nightmare": -10, "outrage": -9, "painful": -10, "pessimistic": -6,
+    "pity": -4, "plague": -10, "prejudice": -7, "pressure": -5,
+    "regret": -8, "resent": -6, "revenge": -8, "sabotage": -8,
+    "savage": -7, "scandal": -8, "selfish": -8, "severe": -7, "shock": -6,
+    "slaughter": -12, "strict": -4, "suicide": -13, "terror": -12,
+    "toxic": -10, "tyranny": -11, "unreliable": -6, "vicious": -10,
+    "vile": -11, "weary": -6, "wretched": -10,
+}
+
 assert not set(_EXTENDED_SIXTEENTHS) & set(LEXICON), "duplicate lexicon entry"
 LEXICON.update({w: k / 16.0 for w, k in _EXTENDED_SIXTEENTHS.items()})
+assert not set(_EXTENDED_SIXTEENTHS_R4) & set(LEXICON), "duplicate lexicon entry"
+LEXICON.update({w: k / 16.0 for w, k in _EXTENDED_SIXTEENTHS_R4.items()})
 
 POSITIVE = sorted(w for w, s in LEXICON.items() if s > 0)
 NEGATIVE = sorted(w for w, s in LEXICON.items() if s < 0)
@@ -283,6 +332,47 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
     matched = [LEXICON[t] for t in toks if t in LEXICON]
     tb = (sum(matched) / len(matched)) if matched else 0.0
     return vc, tb
+
+
+def real_libraries_available() -> bool:
+    """True when the actual vaderSentiment + textblob packages (the libs the
+    reference pins in requirements.txt:8-10) are importable in this env."""
+    try:
+        import textblob  # noqa: F401
+        import vaderSentiment.vaderSentiment  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def pandas_kernel_library(series: pd.Series) -> pd.DataFrame:
+    """The SAME batch contract as `pandas_kernel`, backed by the REAL
+    libraries (vaderSentiment SentimentIntensityAnalyzer.polarity_scores
+    compound + TextBlob sentiment.polarity -- exactly
+    dags/sentiment_analysis_dag.py:59,72-73). Raises ImportError where the
+    libs are absent (this container); call sites gate on
+    `real_libraries_available()` so the engine auto-upgrades to full
+    reference parity the moment the packages appear in the environment."""
+    from textblob import TextBlob
+    from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer
+
+    analyzer = SentimentIntensityAnalyzer()  # once per executor, not per row
+
+    def score(s: str | None) -> tuple[float, float]:
+        text = s or ""
+        return (
+            analyzer.polarity_scores(text)["compound"],
+            TextBlob(text).sentiment.polarity,
+        )
+
+    out = series.map(score)
+    return pd.DataFrame(
+        {
+            "vader_compound": out.map(lambda t: t[0]),
+            "textblob_polarity": out.map(lambda t: t[1]),
+        }
+    )
 
 
 def pandas_kernel(series: pd.Series) -> pd.DataFrame:

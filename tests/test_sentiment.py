@@ -110,9 +110,47 @@ def test_realistic_sentences(spark):
 def test_extended_lexicon_coverage():
     """The embedded lexicon must stay at published-library scale (the round-1
     gap was a ~30-word vocabulary) and keep both polarities well represented."""
-    assert len(LEXICON) >= 250
-    assert sum(1 for s in LEXICON.values() if s > 0) >= 100
-    assert sum(1 for s in LEXICON.values() if s < 0) >= 100
+    assert len(LEXICON) >= 500
+    assert sum(1 for s in LEXICON.values() if s > 0) >= 250
+    assert sum(1 for s in LEXICON.values() if s < 0) >= 200
+
+
+def test_library_kernel_wiring():
+    """When the REAL vaderSentiment/textblob libs are importable, the
+    library-backed batch kernel must honor the same contract as the native
+    one; where they're absent (this container) it must raise ImportError so
+    call sites gated on real_libraries_available() can't silently fall
+    through to a half-wired path."""
+    import pandas as pd
+
+    from sentiment_analysis_data_pipeline_spark.functions.sentiment import (
+        pandas_kernel_library,
+        real_libraries_available,
+    )
+
+    if not real_libraries_available():
+        with pytest.raises(ImportError):
+            pandas_kernel_library(pd.Series(["good"]))
+        return
+    out = pandas_kernel_library(pd.Series(["I love this", None, "I hate this"]))
+    assert list(out.columns) == ["vader_compound", "textblob_polarity"]
+    assert out.iloc[0]["vader_compound"] > 0 > out.iloc[2]["vader_compound"]
+
+
+def test_r4_lexicon_sentences(spark):
+    """Label pins over round-4 vocabulary only (none of these words existed
+    in the pre-r4 lexicon)."""
+    texts = [
+        "A jubilant crowd gave heartfelt praise to the resilient champion",
+        "The bankrupt firm faced a scandal, outrage and a severe crisis",
+        "The committee will meet on Thursday to review the schedule",
+    ]
+    rows = _enrich_rows(spark, texts)
+    assert [r["overall"] for r in rows] == ["positive", "negative", "neutral"]
+    for row, text in zip(rows, texts):
+        vc, tb = _py_kernel(text)
+        assert row["vader_compound"] == vc, text
+        assert row["textblob_polarity"] == tb, text
 
 
 def test_full_table_distribution(spark, sf_dir):
