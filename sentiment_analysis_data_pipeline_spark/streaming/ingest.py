@@ -109,6 +109,23 @@ def kafka_envelope_sink_options(brokers: str, topic: str) -> dict[str, str]:
     return {"kafka.bootstrap.servers": brokers, "topic": topic}
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True when Delta Lake is actually usable in this session: the python
+    `delta` package imports AND the DeltaTable class is on the JVM classpath.
+    Both are required -- jars without the package (or vice versa) cannot run
+    a MERGE, and claiming Delta support on a half-present install would turn
+    the first epoch into a runtime failure instead of a clean fallback."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
 def merge_into_parquet(target_path: str, key: str = "url"):
     """S5/J2/T5: idempotent MERGE-style sink for foreachBatch.
 
@@ -119,14 +136,32 @@ def merge_into_parquet(target_path: str, key: str = "url"):
     (database/mongodb_handler.py:53-58) cannot occur because each epoch is a
     single append.
 
-    On Delta this would be ``MERGE WHEN NOT MATCHED THEN INSERT`` (no Delta
-    jars in this environment -- parquet + anti-join expresses the same
-    semantics; SURVEY.md §2.1 S5).
+    When Delta Lake is present in the session (delta_available), the sink
+    upgrades to a real transactional ``MERGE WHEN NOT MATCHED THEN INSERT``
+    (SURVEY.md §2.1 S5) -- safe under CONCURRENT writers, which the
+    parquet anti-join append is not (correct per-epoch, no cross-writer
+    isolation). No Delta jars ship in this container, so the parquet path
+    carries the tests here; tests/test_streaming.py gates the Delta branch
+    on availability.
     """
 
     def do_merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         deduped = batch.dropDuplicates([key])
+        if delta_available(spark):
+            from delta.tables import DeltaTable
+
+            if DeltaTable.isDeltaTable(spark, target_path):
+                (
+                    DeltaTable.forPath(spark, target_path)
+                    .alias("t")
+                    .merge(deduped.alias("s"), f"t.{key} = s.{key}")
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+            else:
+                deduped.write.format("delta").mode("overwrite").save(target_path)
+            return
         existing = _existing_keys_or_none(spark, target_path, key)
         fresh = deduped if existing is None else deduped.join(existing, on=key, how="left_anti")
         fresh.write.mode("append").parquet(target_path)
