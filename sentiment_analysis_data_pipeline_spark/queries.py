@@ -4439,6 +4439,292 @@ def q_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-4 additions: semantic clustering, containment dedup, corpus quota,
+# Zipf diagnostics, k-means step, event transitions, top-percent analytics
+# =========================================================================
+
+
+def _semantic_clusters_sql(d: str) -> str:
+    """Oracle for q_semantic_clusters (DuckDB dialect only): transitive
+    closure of the embedding near-dup edge set via WITH RECURSIVE --
+    component = min reachable vec id (same recursive core as
+    _dedup_clusters_sql, over the embedding-cosine pairs instead of
+    simhash)."""
+    edges = _embedding_dedup_sql(d)
+    return f"""
+        WITH RECURSIVE edges AS ({edges}),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b AS a, id_a AS b FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        )
+        SELECT a AS vec_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    """
+
+
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clustering: embedding-cosine near-dup pairs (banded
+    hyperplane LSH + exact verify) -> connected components -> (vec_id,
+    component). The embedding-space analog of q_dedup_clusters: where
+    simhash clusters lexical near-copies, this clusters paraphrases --
+    the dedup granularity an LLM training pipeline actually wants for
+    semantically-redundant documents. Same iterative min-label propagation
+    (O(diameter) rounds, each one equi-join + groupBy-min); the recursive
+    -CTE oracle checks the identical fixpoint."""
+    from .operators.dedup import connected_components
+
+    edges = q_embedding_dedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("component")
+    )
+
+
+def _containment_pairs_sql(d: str) -> str:
+    """Shingle CONTAINMENT pairs (overlap coefficient |A∩B| / min(|A|,|B|)):
+    the asymmetric cousin of n-gram Jaccard that catches SUB-DOCUMENT
+    duplication -- a short doc wholly embedded in a long one scores ~1.0
+    here but far below any Jaccard threshold (the union is dominated by the
+    long side). Same inverted-index + df-cap plan as _ngram_jaccard_sql:
+    candidates meet on shingle equi-joins, hot boilerplate shingles
+    (df > 1024) never enter the self-join, and the final score is one exact
+    integer division."""
+    toks = TX.tokenize(d, TEXT)
+    shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
+    explode = "explode(shingles)" if d == D.SPARK else "unnest(shingles)"
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
+        inv2 AS (SELECT doc, md5(s) AS sh FROM (SELECT doc, {explode} AS s FROM shingled) u),
+        inv AS (
+            SELECT doc, sh FROM (
+                SELECT doc, sh, count(*) OVER (PARTITION BY sh) AS df_ FROM inv2
+            ) c WHERE df_ <= 1024
+        ),
+        sizes AS (SELECT doc, cast(count(*) as bigint) AS n FROM inv GROUP BY doc),
+        co AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, cast(count(*) as bigint) AS inter
+            FROM inv a JOIN inv b ON a.sh = b.sh
+            WHERE a.doc < b.doc
+            GROUP BY a.doc, b.doc
+        )
+        SELECT co.id_a, co.id_b,
+               cast(co.inter as double) / cast(least(na.n, nb.n) as double) AS containment
+        FROM co
+        JOIN sizes na ON na.doc = co.id_a
+        JOIN sizes nb ON nb.doc = co.id_b
+        WHERE cast(co.inter as double) / cast(least(na.n, nb.n) as double) >= 0.8
+    """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication pairs by shingle containment (overlap
+    coefficient >= 0.8 on df-capped 3-gram shingles)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_containment_pairs_sql(D.SPARK))
+
+
+def _domain_quota_sql(d: str) -> str:
+    """Per-source corpus quota: keep at most 5 docs per source, preferring
+    the longest (the crawl-curation cap that stops one domain from
+    dominating a training mix; deterministic doc_id tie-break)."""
+    return """
+        SELECT source, doc_id, n_chars, cast(rn as bigint) AS pick_rank
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents
+        ) w WHERE rn <= 5
+    """
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (cap 5, longest-first): one window shuffle
+    on source; at 100 TB the per-key state is the quota constant, never the
+    group size, because row_number stops mattering past the cap and the
+    filter prunes in the same stage."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_domain_quota_sql(D.SPARK))
+
+
+_ZIPF_Q = 1 << 20
+
+
+def _zipf_slope_sql(d: str) -> str:
+    """Zipf's-law diagnostic: OLS slope/intercept of ln(collection_freq)
+    against ln(rank) over the top-100 vocabulary. A healthy natural-language
+    corpus fits slope ~= -1; a synthetic or template-heavy corpus bends away
+    from it -- a one-row corpus-health check for a training mix.
+
+    Exactness: ln() inputs are exact-integer-derived doubles (identical in
+    both engines), each ln is quantized to 2^-20 fixed point via floor(),
+    the four OLS moment sums run on exact BIGINTs (order-free), and the
+    final slope/intercept are the same single IEEE ops on identical
+    operands."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    q = f"{float(_ZIPF_Q)!r}"
+    x = f"cast(floor(ln(cast(rank as double)) * {q}) as bigint)"
+    y = f"cast(floor(ln(cast(cf as double)) * {q}) as bigint)"
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT {ex} AS t FROM tokd),
+        vocab AS (
+            SELECT t, cast(count(*) as bigint) AS cf FROM ex GROUP BY t
+        ),
+        top AS (
+            SELECT cf, row_number() OVER (ORDER BY cf DESC, t ASC) AS rank
+            FROM vocab ORDER BY cf DESC, t ASC LIMIT 100
+        ),
+        pts AS (SELECT {x} AS x, {y} AS y FROM top),
+        moments AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+                   cast(sum(x * y) as bigint) AS sxy,
+                   cast(sum(x * x) as bigint) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_points,
+               cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double) AS slope,
+               (cast(sy as double) - (cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)) * cast(sx as double)) / (cast(n as double) * {q}) AS intercept
+        FROM moments
+    """
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept of the top-100 vocabulary (corpus-health
+    diagnostic). Vocabulary agg is map-side partial; the top-100 select is
+    a TakeOrderedAndProject; the OLS runs over 100 rows."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_zipf_slope_sql(D.SPARK))
+
+
+def _kmeans_step_sql(d: str) -> str:
+    """One Lloyd iteration from the label-mean codebook (the same
+    deterministic decimal-exact centroids as _ivf_ann_sql): reassign every
+    vector to its nearest centroid by cosine, then report per-cell size,
+    migration count, and the updated dim-0 centroid component. The
+    building block of distributed k-means -- at scale each iteration is
+    exactly this plan (broadcastable codebook, one assignment pass, one
+    per-cell agg), driver-looped to convergence."""
+    v = V.to_double_array(d, "embedding")
+    if d == D.SPARK:
+        ex = "SELECT label, posexplode(v) AS (idx, x) FROM emb"
+        agg_cv = "transform(array_sort(collect_list(struct(idx, c))), s -> s.c)"
+        elem0 = "v[0]"
+    else:
+        ex = "SELECT label, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x FROM emb"
+        agg_cv = "list(c ORDER BY idx)"
+        elem0 = "v[1]"
+    nv = V.norm(d, "v", EMB_DIM)
+    ncv = V.norm(d, "cv", EMB_DIM)
+    dot_assign = V.dot(d, "e.v", "c.cv", EMB_DIM)
+    return f"""
+        WITH emb0 AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, label, v, {nv} AS nv FROM emb0),
+        ex AS ({ex}),
+        cent AS (
+            SELECT label, idx,
+                   cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS c
+            FROM ex GROUP BY label, idx
+        ),
+        centv0 AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
+        centv AS (SELECT label, cv, {ncv} AS ncv FROM centv0),
+        assign0 AS (
+            SELECT e.vec_id, e.label, {elem0} AS x0, c.label AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY (case when e.nv = 0.0 or c.ncv = 0.0 then 0.0
+                                                else {dot_assign} / (e.nv * c.ncv) end) DESC,
+                                      c.label ASC) AS rn
+            FROM emb e CROSS JOIN centv c
+        ),
+        assign AS (SELECT vec_id, label, x0, cell FROM assign0 WHERE rn = 1)
+        SELECT cell,
+               cast(count(*) as bigint) AS n_assigned,
+               cast(sum(case when label <> cell then 1 else 0 end) as bigint) AS n_moved,
+               cast(cast(sum(cast(x0 as decimal(18,9))) as double) / count(*) as double) AS new_c0
+        FROM assign GROUP BY cell
+    """
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed k-means (Lloyd) iteration over the embeddings:
+    per-cell assignment count, migrations vs the seed partition, and the
+    updated first centroid component (decimal-exact mean)."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_kmeans_step_sql(D.SPARK))
+
+
+def _event_transitions_sql(d: str) -> str:
+    """Per-user behavioral transition matrix: top-20 (from_type -> to_type)
+    bigram counts over each user's time-ordered event stream (Markov-chain
+    estimation input / funnel discovery). One window shuffle on user_id;
+    deterministic event_id tie-break inside equal timestamps."""
+    tsu = _ts_us(d)
+    return f"""
+        WITH ev AS (SELECT user_id, event_id, event_type, {tsu} AS tsu FROM events),
+        seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tsu ASC, event_id ASC) AS prev
+            FROM ev
+        )
+        SELECT prev AS from_type, event_type AS to_type,
+               cast(count(*) as bigint) AS n_transitions
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+        ORDER BY n_transitions DESC, from_type ASC, to_type ASC
+        LIMIT 20
+    """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type transition counts over per-user ordered streams."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_event_transitions_sql(D.SPARK))
+
+
+def _top_percent_customers_sql(d: str) -> str:
+    """Top-5% customers by lifetime revenue WITHIN each region: revenue is
+    an exact decimal sum; the percentile cut is cume_dist over a total
+    order (custkey tie-break => every row its own peer group, so cume_dist
+    = row_number/n -- one exact integer division, identical doubles)."""
+    return f"""
+        WITH rev AS (
+            SELECT n.n_regionkey AS regionkey, c.c_custkey,
+                   {_dsum("o.o_totalprice", "revenue", 2)}
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY n.n_regionkey, c.c_custkey
+        ),
+        ranked AS (
+            SELECT regionkey, c_custkey, revenue,
+                   cume_dist() OVER (PARTITION BY regionkey
+                                     ORDER BY revenue DESC, c_custkey ASC) AS cd
+            FROM rev
+        )
+        SELECT r.r_name AS region, k.c_custkey, k.revenue, k.cd
+        FROM ranked k JOIN region r ON r.r_regionkey = k.regionkey
+        WHERE k.cd <= 0.05
+    """
+
+
+def q_top_percent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional top-5% customers by revenue (broadcast nation/region dims,
+    one revenue agg shuffle, one per-region window)."""
+    _view(spark, sf_dir, "customer", "nation", "orders", "region")
+    return spark.sql(_top_percent_customers_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -4454,6 +4740,14 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- new in round 6 (never driver-proven) ---
+    "semantic_clusters": (q_semantic_clusters, _semantic_clusters_sql),
+    "containment_pairs": (q_containment_pairs, _containment_pairs_sql),
+    "domain_quota_sample": (q_domain_quota_sample, _domain_quota_sql),
+    "zipf_slope": (q_zipf_slope, _zipf_slope_sql),
+    "kmeans_step": (q_kmeans_step, _kmeans_step_sql),
+    "event_transitions": (q_event_transitions, _event_transitions_sql),
+    "top_percent_customers": (q_top_percent_customers, _top_percent_customers_sql),
     # --- new in round 5: search/curation additions (never driver-proven) ---
     "phrase_search": (q_phrase_search, _phrase_search_sql),
     "more_like_this": (q_more_like_this, _more_like_this_sql),
