@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "fuzzy_join",
     "range_join",
     "chi2_keywords",
+    "semantic_clusters",
+    "containment_pairs",
+    "kmeans_step",
+    "zipf_slope",
+    "event_transitions",
 ]
 
 

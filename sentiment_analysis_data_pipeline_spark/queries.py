@@ -4613,7 +4613,19 @@ def _kmeans_step_sql(d: str) -> str:
     migration count, and the updated dim-0 centroid component. The
     building block of distributed k-means -- at scale each iteration is
     exactly this plan (broadcastable codebook, one assignment pass, one
-    per-cell agg), driver-looped to convergence."""
+    per-cell agg), driver-looped to convergence.
+
+    Scale-critical argmax shape: the nearest-centroid choice is a packed
+    -BIGINT max() AGGREGATE, not a row_number window. The window form (as
+    in _ivf_ann_sql's assign0) must shuffle the full n*k scored relation to
+    sort each vec_id partition; max() gets map-side partial aggregation, so
+    only n pre-aggregated rows reach the wire -- a k-fold shuffle
+    reduction. Packing: cq = floor((cos+1) * 2^40) >= 0 (shift avoids
+    negative-dividend %-semantics edge cases), pack = cq*1024 + (1023 -
+    label); max(pack) picks highest cosine, ties to the SMALLEST label --
+    the same total order both engines compute on identical doubles, so
+    parity is bitwise. 2^-40 cosine resolution only reorders candidates
+    closer than 1e-12 -- and identically in both engines either way."""
     v = V.to_double_array(d, "embedding")
     if d == D.SPARK:
         ex = "SELECT label, posexplode(v) AS (idx, x) FROM emb"
@@ -4626,9 +4638,17 @@ def _kmeans_step_sql(d: str) -> str:
     nv = V.norm(d, "v", EMB_DIM)
     ncv = V.norm(d, "cv", EMB_DIM)
     dot_assign = V.dot(d, "e.v", "c.cv", EMB_DIM)
+    cos = (
+        f"(case when e.nv = 0.0 or c.ncv = 0.0 then 0.0"
+        f" else {dot_assign} / (e.nv * c.ncv) end)"
+    )
+    pack = (
+        f"cast(floor(({cos} + 1.0) * {float(1 << 40)!r}) as bigint) * 1024"
+        f" + (1023 - c.label)"
+    )
     return f"""
         WITH emb0 AS (SELECT vec_id, label, {v} AS v FROM embeddings),
-        emb AS (SELECT vec_id, label, v, {nv} AS nv FROM emb0),
+        emb AS (SELECT vec_id, label, {elem0} AS x0, v, {nv} AS nv FROM emb0),
         ex AS ({ex}),
         cent AS (
             SELECT label, idx,
@@ -4637,15 +4657,16 @@ def _kmeans_step_sql(d: str) -> str:
         ),
         centv0 AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
         centv AS (SELECT label, cv, {ncv} AS ncv FROM centv0),
-        assign0 AS (
-            SELECT e.vec_id, e.label, {elem0} AS x0, c.label AS cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY (case when e.nv = 0.0 or c.ncv = 0.0 then 0.0
-                                                else {dot_assign} / (e.nv * c.ncv) end) DESC,
-                                      c.label ASC) AS rn
+        packed AS (
+            SELECT e.vec_id, cast(max({pack}) as bigint) AS mp
             FROM emb e CROSS JOIN centv c
+            GROUP BY e.vec_id
         ),
-        assign AS (SELECT vec_id, label, x0, cell FROM assign0 WHERE rn = 1)
+        assign AS (
+            SELECT p.vec_id, e.label, e.x0,
+                   cast(1023 - (p.mp % 1024) as int) AS cell
+            FROM packed p JOIN emb e ON e.vec_id = p.vec_id
+        )
         SELECT cell,
                cast(count(*) as bigint) AS n_assigned,
                cast(sum(case when label <> cell then 1 else 0 end) as bigint) AS n_moved,
