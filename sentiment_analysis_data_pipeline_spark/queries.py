@@ -4745,6 +4745,38 @@ def q_top_percent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_top_percent_customers_sql(D.SPARK))
 
 
+def _dedup_degrees_sql(d: str) -> str:
+    """Near-dup graph degree histogram (degree -> node count) over the
+    simhash radius-3 edge set: the dedup-graph health check. A fat head
+    (high-degree nodes) means boilerplate/template clusters that will blow
+    up pair counts and clustering rounds -- the signal that drives df-cap /
+    fingerprint-blacklist tuning before a full-corpus dedup run."""
+    edges = _simhash_pairs_sql(d)
+    return f"""
+        WITH edges AS ({edges}),
+        und AS (
+            SELECT id_a AS node FROM edges
+            UNION ALL
+            SELECT id_b AS node FROM edges
+        ),
+        deg AS (SELECT node, cast(count(*) as bigint) AS degree FROM und GROUP BY node)
+        SELECT degree, cast(count(*) as bigint) AS n_nodes
+        FROM deg GROUP BY degree
+    """
+
+
+def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the simhash near-dup graph. Two partial-agg
+    shuffles over pair-key-sized relations (edges are already the sparse
+    LSH output, never all-pairs); output bounded by max degree."""
+    edges = _simhash_pairs_df(spark, sf_dir).select("id_a", "id_b")
+    und = edges.select(F.col("id_a").alias("node")).unionAll(
+        edges.select(F.col("id_b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -4769,6 +4801,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql),
     "event_transitions": (q_event_transitions, _event_transitions_sql),
     "top_percent_customers": (q_top_percent_customers, _top_percent_customers_sql),
+    "dedup_graph_degrees": (q_dedup_graph_degrees, _dedup_degrees_sql),
     # --- new in round 5: search/curation additions (never driver-proven) ---
     "phrase_search": (q_phrase_search, _phrase_search_sql),
     "more_like_this": (q_more_like_this, _more_like_this_sql),
