@@ -98,3 +98,35 @@ def test_chunk_documents_no_join(spark):
     assert "Generate" in plan  # computed-range explode
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_kmeans_step_argmax_is_aggregate(spark):
+    """The nearest-centroid choice must be the packed-BIGINT max() aggregate
+    (map-side partial, n rows shuffled), never a row_number window over the
+    n*k scored cross product."""
+    plan = _run(spark, "kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan  # codebook broadcast
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_quota_single_window_no_join(spark):
+    plan = _run(spark, "domain_quota_sample")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_zipf_slope_topk_operator(spark):
+    plan = _run(spark, "zipf_slope")
+    assert "TakeOrderedAndProject" in plan  # never a global vocabulary sort
+
+
+def test_event_transitions_topk_operator(spark):
+    plan = _run(spark, "event_transitions")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_percent_customers_broadcast_dims(spark):
+    plan = _run(spark, "top_percent_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
