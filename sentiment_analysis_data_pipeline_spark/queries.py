@@ -4793,7 +4793,7 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
-    # --- new in round 6 (never driver-proven) ---
+    # --- round-4 additions (never driver-proven) ---
     "semantic_clusters": (q_semantic_clusters, _semantic_clusters_sql),
     "containment_pairs": (q_containment_pairs, _containment_pairs_sql),
     "domain_quota_sample": (q_domain_quota_sample, _domain_quota_sql),
@@ -4802,14 +4802,14 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "event_transitions": (q_event_transitions, _event_transitions_sql),
     "top_percent_customers": (q_top_percent_customers, _top_percent_customers_sql),
     "dedup_graph_degrees": (q_dedup_graph_degrees, _dedup_degrees_sql),
-    # --- new in round 5: search/curation additions (never driver-proven) ---
+    # --- proven in CORRECTNESS_r03: search/curation batch ---
     "phrase_search": (q_phrase_search, _phrase_search_sql),
     "more_like_this": (q_more_like_this, _more_like_this_sql),
     "mixture_weights": (q_mixture_weights, _mixture_weights_sql),
     "chunk_documents": (q_chunk_documents, _chunk_documents_sql),
     "snapshot_diff": (q_snapshot_diff, _snapshot_diff_sql),
     "incremental_hourly": (q_incremental_hourly, _incremental_hourly_sql),
-    # --- new in round 4: classic OLAP pack (never driver-proven) ---
+    # --- proven in CORRECTNESS_r03: classic OLAP pack ---
     "ship_priority": (q_ship_priority, _ship_priority_sql),
     "revenue_forecast": (q_revenue_forecast, _revenue_forecast_sql),
     "volume_shipping": (q_volume_shipping, _volume_shipping_sql),
@@ -4824,7 +4824,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "brand_size_revenue": (q_brand_size_revenue, _brand_size_revenue_sql),
     "sole_late_supplier": (q_sole_late_supplier, _sole_late_supplier_sql),
     "dormant_high_value": (q_dormant_high_value, _dormant_high_value_sql),
-    # --- never driver-proven before round 3 (next slots) ---
+    # --- proven in CORRECTNESS_r03 ---
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql),
     "sequence_packing": (q_sequence_packing, _sequence_packing_sql),
     "decontaminate": (q_decontaminate, _decontaminate_sql),
@@ -4859,7 +4859,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "fuzzy_join": (q_fuzzy_join, _fuzzy_join_sql),
     "range_join": (q_range_join, _range_join_sql),
     "chi2_keywords": (q_chi2_keywords, _chi2_keywords_sql),
-    # --- proven-rotation fill to slot 50 (rows in r01/r02) ---
+    # --- proven in CORRECTNESS_r01/r02 ---
     "sentiment_terms_agg": (q_sentiment_terms_agg, _flagship_sql),
     "sentiment_scores": (q_sentiment_scores, _sentiment_scores_sql),
     "validate_articles": (q_validate_articles, _validate_sql),
@@ -4870,7 +4870,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "minhash_pairs": (q_minhash_pairs, _minhash_sql),
     "quality_rate": (q_quality_rate, _quality_rate_sql),
     "keyword_search": (q_keyword_search, _keyword_search_sql),
-    # --- previously proven (rows in CORRECTNESS_r01/r02; selfcheck-guarded) ---
+    # --- proven in CORRECTNESS_r01/r02 (selfcheck-guarded) ---
     "sanitize": (q_sanitize, _sanitize_sql),
     "anti_join_new_docs": (q_anti_join_new_docs, _anti_join_sql),
     "top_customer_revenue": (q_top_customer_revenue, _top_revenue_sql),
