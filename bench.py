@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "more_like_this",
     "mixture_weights",
     "chunk_documents",
-    # round-6 additions: every driver-proven family gets a tracked number
+    # round-4 additions: every driver-proven family gets a tracked number
     "snapshot_diff",
     "incremental_hourly",
     "readability",
