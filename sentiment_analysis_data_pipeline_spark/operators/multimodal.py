@@ -82,6 +82,61 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
+BYTE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("distinct_byte_ratio", T.DoubleType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def byte_stats_features(media: DataFrame) -> DataFrame:
+    """REAL (non-stub) payload feature extraction: byte-histogram entropy,
+    distinct-byte ratio, and mean byte value per media row -- the media-QA
+    signals that need no decoder. Truncated/corrupt files and
+    wrong-container payloads show up as entropy/ratio outliers (a valid
+    compressed image sits near 8 bits/byte; text mislabeled as JPEG
+    doesn't), so this is the cheap first gate a 100 TB media pipeline runs
+    BEFORE spending decode cycles.
+
+    Arrow-batched mapInPandas with numpy histograms: the Python boundary is
+    crossed per batch, and each payload is one vectorized np.bincount --
+    no per-byte Python loops."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ent, ratio, mean = [], [], []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    ent.append(0.0)
+                    ratio.append(0.0)
+                    mean.append(0.0)
+                    continue
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                probs = counts[counts > 0] / arr.size
+                ent.append(float(-(probs * np.log2(probs)).sum()))
+                ratio.append(float((counts > 0).sum() / 256.0))
+                mean.append(float(arr.mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int64"),
+                    "byte_entropy": ent,
+                    "distinct_byte_ratio": ratio,
+                    "mean_byte": mean,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, BYTE_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: expand each video row into frame
     timestamps (0, every_ms, ...) capped by duration_ms. The decode of each
