@@ -4579,9 +4579,16 @@ def _zipf_slope_sql(d: str) -> str:
         vocab AS (
             SELECT t, cast(count(*) as bigint) AS cf FROM ex GROUP BY t
         ),
+        -- top-100 BEFORE the rank window: the limit plans as
+        -- TakeOrderedAndProject (per-partition top-k + 100-row merge) and
+        -- the global row_number window then sorts 100 rows, not the whole
+        -- vocabulary in one task
+        top0 AS (
+            SELECT t, cf FROM vocab ORDER BY cf DESC, t ASC LIMIT 100
+        ),
         top AS (
             SELECT cf, row_number() OVER (ORDER BY cf DESC, t ASC) AS rank
-            FROM vocab ORDER BY cf DESC, t ASC LIMIT 100
+            FROM top0
         ),
         pts AS (SELECT {x} AS x, {y} AS y FROM top),
         moments AS (

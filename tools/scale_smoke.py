@@ -84,6 +84,11 @@ def main() -> None:
         "unigram_surprisal",
         "tfidf_topk",
         "pmi_collocations",
+        # round-4 additions (documents-table ops)
+        "containment_pairs",
+        "zipf_slope",
+        "domain_quota_sample",
+        "winnow_pairs",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
