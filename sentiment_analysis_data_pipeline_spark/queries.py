@@ -4494,19 +4494,46 @@ def _containment_pairs_sql(d: str) -> str:
     long side). Same inverted-index + df-cap plan as _ngram_jaccard_sql:
     candidates meet on shingle equi-joins, hot boilerplate shingles
     (df > 1024) never enter the self-join, and the final score is one exact
-    integer division."""
+    integer division.
+
+    Shingle keys are 56-bit BIGINTs (md5 prefix), not hex strings: the
+    df-cap window and the posting self-join sort/shuffle/compare a key per
+    shingle OCCURRENCE, and 8-byte integer keys beat 32-char md5 strings
+    by ~3x at a 10x-inflated corpus (winnow made the same choice). A
+    56-bit birthday collision merges two shingles IDENTICALLY in both
+    engines (~1 expected per ~10^7.5 distinct shingles) -- the same
+    approximation minhash/winnow already accept."""
+    inv_def = f"""{_containment_inv_core(d)},"""
+    return _containment_body(inv_def)
+
+
+def _containment_inv_core(d: str) -> str:
+    """CTE chain producing the df-capped posting list `inv(doc, sh)`."""
     toks = TX.tokenize(d, TEXT)
     shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
     explode = "explode(shingles)" if d == D.SPARK else "unnest(shingles)"
-    return f"""
-        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+    h = H.hex_to_bigint(d, "md5(s)", 14)
+    return f"""tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
         shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
-        inv2 AS (SELECT doc, md5(s) AS sh FROM (SELECT doc, {explode} AS s FROM shingled) u),
+        inv2 AS (SELECT doc, {h} AS sh FROM (SELECT doc, {explode} AS s FROM shingled) u),
         inv AS (
             SELECT doc, sh FROM (
                 SELECT doc, sh, count(*) OVER (PARTITION BY sh) AS df_ FROM inv2
             ) c WHERE df_ <= 1024
-        ),
+        )"""
+
+
+def _containment_body(inv_def: str) -> str:
+    """Containment scoring over an `inv(doc, sh)` relation supplied by
+    `inv_def`. Both engines run the SINGLE statement: although `inv` has
+    three consumers (sizes + both join sides), Spark's ReusedExchange
+    already shares the df-cap window's shuffle across them -- an explicit
+    localCheckpoint was measured SLOWER (118 s vs 76.6 s at a 10x corpus;
+    3.1 s vs 2.3 s at sf0.1), paying materialization for recomputation
+    that wasn't happening. Kept as a parameterized body so a persisted
+    -index variant can still inject a table-backed `inv`."""
+    return f"""
+        WITH {inv_def}
         sizes AS (SELECT doc, cast(count(*) as bigint) AS n FROM inv GROUP BY doc),
         co AS (
             SELECT a.doc AS id_a, b.doc AS id_b, cast(count(*) as bigint) AS inter
