@@ -120,6 +120,14 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
         rows[name] = n
         spark.catalog.clearCache()
+        # localCheckpoint blocks are NOT in the catalog cache; sweep the
+        # JVM persistent-RDD registry so one query's barriers can't crowd
+        # the next query's memory (nothing must survive between queries)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

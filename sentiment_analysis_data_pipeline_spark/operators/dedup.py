@@ -290,27 +290,24 @@ def connected_components(
     # Checkpoint the edge relation first: `und` references it twice (both
     # orientations), and an expensive un-materialized edge plan would run
     # twice in the union's single job.
-    edges = edges.localCheckpoint(eager=True)
+    edges, edge_ids = _tracked_ckpt(edges)
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    und = und.localCheckpoint()
-    labels = (
+    und, und_ids = _tracked_ckpt(und)
+    labels, label_ids = _tracked_ckpt(
         und.select("a")
         .union(und.select(F.col("b").alias("a")))
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("comp"))
-        .localCheckpoint()
     )
+    spark = edges.sparkSession
     for _ in range(max_iter):
         nbr = und.join(labels, und["b"] == labels["node"]).select(
             und["a"].alias("node"), F.col("comp")
         )
-        new = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+        new, new_ids = _tracked_ckpt(
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
         )
         changed = (
             new.alias("n")
@@ -319,7 +316,36 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new
+        # the superseded iteration's checkpoint blocks are dead the moment
+        # `new` is materialized -- free them NOW instead of waiting for
+        # driver GC to notice (unbounded block accumulation across
+        # iterations is both a cluster-memory leak and the multi-second
+        # timing variance the shared bench session showed)
+        _unpersist_ids(spark, label_ids)
+        labels, label_ids = new, new_ids
         if changed == 0:
             break
+    _unpersist_ids(spark, und_ids)
+    _unpersist_ids(spark, edge_ids)
     return labels
+
+
+def _tracked_ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """localCheckpoint (eager) + the storage RDD ids it created, so callers
+    can free the blocks deterministically. Python-side df.rdd.unpersist()
+    does NOT touch the checkpoint blocks (it unpersists a derived
+    conversion RDD -- verified empirically), so block ids are diffed from
+    the JVM's persistent-RDD registry instead."""
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, sorted(after - before)
+
+
+def _unpersist_ids(spark, ids: list[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
