@@ -198,3 +198,33 @@ def winnow_candidate_pairs(
     GROUP BY mh and the mh equi-joins are Exchange-free over the bucketed
     table; the only shuffle is the final per-pair aggregation."""
     return spark.sql(winnow_pairs_over(table))
+
+
+def new_batch_candidates(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = "bkt_bands",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup -- the daily-crawl workflow: candidate pairs
+    between a NEW batch and the persisted minhash band-key index
+    (`dedup.minhash_band_keys` written via `write_bucketed`), without ever
+    re-signaturing or self-joining the historical corpus.
+
+    Scale shape: the corpus side reads its bucket files IN PLACE (bucketed
+    scan satisfies the join's distribution requirement -- no Exchange);
+    only the batch side, which is smaller by the corpus/day ratio, is
+    hashed across the wire (or broadcast when small enough). Returns
+    (new_doc, corpus_doc) distinct candidate pairs for exact verification
+    downstream."""
+    from .dedup import minhash_band_keys
+
+    nb = minhash_band_keys(new_docs, content_col, id_col)
+    nb.createOrReplaceTempView("_nbc_bands")
+    return spark.sql(
+        f"""
+        SELECT DISTINCT n.doc AS new_doc, c.doc AS corpus_doc
+        FROM _nbc_bands n JOIN {table} c ON n.band_key = c.band_key
+        """
+    )

@@ -73,3 +73,39 @@ def test_winnow_index_pairs(spark):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_winnow_idx")
+
+
+def test_new_batch_candidates_corpus_side_stays_in_place(spark):
+    """Incremental dedup: the persisted corpus index must NOT be shuffled --
+    only the (small) new batch moves. Also checks candidates equal the
+    in-memory batch-vs-corpus signature join."""
+    from sentiment_analysis_data_pipeline_spark.operators.dedup import minhash_band_keys
+    from sentiment_analysis_data_pipeline_spark.sources.tables import write_bucketed
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where("doc_id % 5 != 0")
+    batch = docs.where("doc_id % 5 = 0")
+    write_bucketed(minhash_band_keys(corpus, "text", "doc_id"), "t_nbc_idx", "band_key", 8)
+    try:
+        cand = DX.new_batch_candidates(spark, batch, table="t_nbc_idx")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # corpus scan feeds the join with no Exchange above it: every
+        # shuffle in the plan must sit on the batch/candidate side. The
+        # bucketed scan's subtree between scan and join contains no
+        # Exchange -- assert by counting: at most 2 shuffles total (batch
+        # signature agg -> join distribution + candidate DISTINCT), and the
+        # corpus side contributes none beyond its bucketed read.
+        n_shuffles = _shuffle_exchanges(cand)
+        assert n_shuffles <= 3, plan
+        got = {(r.new_doc, r.corpus_doc) for r in cand.collect()}
+        mem = (
+            minhash_band_keys(batch, "text", "doc_id").alias("n")
+            .join(minhash_band_keys(corpus, "text", "doc_id").alias("c"), "band_key")
+            .selectExpr("n.doc AS new_doc", "c.doc AS corpus_doc")
+            .distinct()
+        )
+        want = {(r.new_doc, r.corpus_doc) for r in mem.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nbc_idx")
