@@ -4779,6 +4779,136 @@ def q_top_percent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_top_percent_customers_sql(D.SPARK))
 
 
+def _filter_reasons_sql(d: str) -> str:
+    """Per-document curation AUDIT table: which gate would drop each doc and
+    why (too_short / too_repetitive / low_quality / non_english), plus the
+    surviving `kept` flag. corpus_prep/curation_pipeline apply these gates
+    and keep survivors; this materializes the REASONS -- the auditability
+    artifact a production pipeline ships alongside the cleaned corpus so
+    rejected data is explainable and re-litigable without a re-run.
+
+    One scan + one explode-aggregate for the repetition signal; every other
+    flag is a projection. Booleans are exact cross-engine values."""
+    toks = TX.tokenize(d, "text")
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    wc = TX.word_count(d, "text")
+    q = TX.quality_score(d, "text")
+    pred = TX.lang_id(d, "toks")
+    return f"""
+        WITH base AS (SELECT doc_id, {TEXT} AS text FROM documents),
+        tokd AS (SELECT doc_id, text, {toks} AS toks FROM base),
+        exd AS (SELECT doc_id, {ex} AS t FROM tokd),
+        tc AS (SELECT doc_id, t, cast(count(*) as bigint) AS c FROM exd GROUP BY doc_id, t),
+        rep AS (
+            SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+                   cast(max(c) as bigint) AS top_count
+            FROM tc GROUP BY doc_id
+        ),
+        feat AS (
+            SELECT doc_id, {wc} AS wc, {q} AS q, {pred} AS pred FROM tokd
+        )
+        SELECT f.doc_id,
+               (f.wc < 10) AS too_short,
+               (coalesce(r.n_tokens, 0) > 0
+                AND cast(r.top_count as double) / cast(r.n_tokens as double) > 0.2)
+                   AS too_repetitive,
+               (f.q < 0.5) AS low_quality,
+               (f.pred <> 'en') AS non_english,
+               (f.wc >= 10
+                AND NOT (coalesce(r.n_tokens, 0) > 0
+                         AND cast(r.top_count as double) / cast(r.n_tokens as double) > 0.2)
+                AND f.q >= 0.5 AND f.pred = 'en') AS kept
+        FROM feat f LEFT JOIN rep r ON r.doc_id = f.doc_id
+    """
+
+
+def q_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc curation audit flags (gate-by-gate drop reasons + kept)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_filter_reasons_sql(D.SPARK))
+
+
+def _holdout_split_sql(d: str) -> str:
+    """Deterministic train/val/test split (90/5/5) by content-independent
+    doc_id hash -- the split step every training pipeline runs. Hash-mod
+    assignment is reproducible at any parallelism and stable across corpus
+    growth (a doc keeps its split forever); per-split token totals and a
+    doc_id checksum make the assignment itself verifiable downstream."""
+    s = "string" if d == D.SPARK else "varchar"
+    h = H.hex_to_bigint(d, f"md5(cast(doc_id as {s}))", 14)
+    wc = TX.word_count(d, "coalesce(text, '')")
+    return f"""
+        WITH assigned AS (
+            SELECT doc_id, {wc} AS wc,
+                   case when {h} % 100 < 90 then 'train'
+                        when {h} % 100 < 95 then 'val'
+                        else 'test' end AS split
+            FROM documents
+        )
+        SELECT split,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(wc) as bigint) AS total_tokens,
+               cast(sum(doc_id) as bigint) AS id_checksum
+        FROM assigned GROUP BY split
+    """
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split summary (map-side partial agg on a
+    3-value key; the per-doc assignment is a pure projection)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_holdout_split_sql(D.SPARK))
+
+
+def _embedding_outliers_sql(d: str) -> str:
+    """Embedding QA: vectors whose L2 norm is a >2-sigma outlier --
+    zero/corrupt/mis-scaled embeddings surface here before they poison ANN
+    indexes or dedup thresholds (the embedding-side sibling of the media
+    byte-stats gate). Exactness: norms quantize to 1/256 BIGINTs, moments
+    are exact integer sums, and z = (nq*cnt - s1) / sqrt(cnt*s2 - s1^2) is
+    integer arithmetic until one division + sqrt (identical doubles).
+    Bounds: nq <= 2048 (64-dim unit-ish vectors), so cnt*s2 stays inside
+    BIGINT past 10^8 vectors."""
+    v = V.to_double_array(d, "embedding")
+    nv = V.norm(d, "v", EMB_DIM)
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        n AS (SELECT vec_id, {nv} AS nv FROM emb),
+        q AS (SELECT vec_id, nv, cast(floor(nv * 256.0) as bigint) AS nq FROM n),
+        m AS (
+            SELECT cast(count(*) as bigint) AS cnt,
+                   cast(sum(nq) as bigint) AS s1,
+                   cast(sum(nq * nq) as bigint) AS s2
+            FROM q
+        ),
+        scored AS (
+            SELECT q.vec_id, q.nv,
+                   case when m.cnt * m.s2 - m.s1 * m.s1 = 0 then 0.0
+                        else cast(q.nq * m.cnt - m.s1 as double)
+                             / sqrt(cast(m.cnt * m.s2 - m.s1 * m.s1 as double)) end AS z
+            FROM q CROSS JOIN m
+        ),
+        top5 AS (
+            SELECT vec_id, nv, z FROM scored
+            ORDER BY abs(z) DESC, vec_id ASC LIMIT 5
+        )
+        SELECT vec_id, nv AS norm, z,
+               cast(row_number() OVER (ORDER BY abs(z) DESC, vec_id ASC)
+                    as bigint) AS extremity_rank
+        FROM top5
+    """
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 norm-extreme embeddings by |z|: one corpus pass for moments
+    (1-row broadcast back), one projection pass for scores, TakeOrdered
+    top-k. Reported as extremes rather than a fixed threshold so the QA
+    report is informative even on a healthy corpus (a |z|>2 filter on
+    clean uniform-norm embeddings is legitimately empty)."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_embedding_outliers_sql(D.SPARK))
+
+
 def _dedup_degrees_sql(d: str) -> str:
     """Near-dup graph degree histogram (degree -> node count) over the
     simhash radius-3 edge set: the dedup-graph health check. A fat head
@@ -4836,6 +4966,9 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "event_transitions": (q_event_transitions, _event_transitions_sql),
     "top_percent_customers": (q_top_percent_customers, _top_percent_customers_sql),
     "dedup_graph_degrees": (q_dedup_graph_degrees, _dedup_degrees_sql),
+    "filter_reasons": (q_filter_reasons, _filter_reasons_sql),
+    "holdout_split": (q_holdout_split, _holdout_split_sql),
+    "embedding_outliers": (q_embedding_outliers, _embedding_outliers_sql),
     # --- proven in CORRECTNESS_r03: search/curation batch ---
     "phrase_search": (q_phrase_search, _phrase_search_sql),
     "more_like_this": (q_more_like_this, _more_like_this_sql),
