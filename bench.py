@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "kmeans_step",
     "zipf_slope",
     "event_transitions",
+    "filter_reasons",
+    "holdout_split",
+    "embedding_outliers",
 ]
 
 
