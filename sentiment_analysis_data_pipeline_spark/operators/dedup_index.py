@@ -65,7 +65,15 @@ def embedding_band_sql(emb_relation: str) -> str:
     """Spark SQL for the banded hyperplane-LSH signature relation
     (vec_id, band, bkey): one grouped aggregation computes each 6-bit band
     key directly (filtered sums per plane slot) -- no per-plane row
-    explosion -> string re-aggregation -> join-back."""
+    explosion -> string re-aggregation -> join-back.
+
+    Round-4 re-measurement note: an inline-literal-dot variant (4 UNION ALL
+    map-only branches, 6x64-term dot expressions each) looked 40% faster
+    under count() -- but that was column pruning deleting the key
+    computation from the counted plan. Measured END-TO-END inside
+    embedding_dedup_pairs, the inline variant is ~20% SLOWER (6.1-7.5 s vs
+    5.2-6.0 s at sf0.1): four double-array casts + giant expressions lose
+    to one cast + codegen'd partial aggregation. This shape stays."""
     v = V.to_double_array(D.SPARK, "embedding")
     planes = hyperplanes(24, "g")
     pl_rows = ", ".join(
