@@ -1511,6 +1511,20 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
         """
     ).localCheckpoint()
+    return _verify_embedding_cand(spark, cand)
+
+
+def _verify_embedding_cand(spark: SparkSession, cand: DataFrame) -> DataFrame:
+    """Exact-cosine verify over a candidate pair relation (id_a, id_b):
+    semi-join-filter the corpus to candidate members, explode quantized unit
+    components once, meet pairs on equi-joins, partial-agg the products
+    (see q_embedding_dedup_pairs inline comments for the why of each step).
+    Shared by the in-session LSH path and the persisted-band-index path
+    (q_semantic_clusters_indexed) so the verify semantics cannot drift.
+    Expects the `embeddings` view registered and `cand` already
+    materialized (checkpointed) -- it is read by three consumers here."""
+    v = V.to_double_array(D.SPARK, "embedding")
+    nv = V.norm(D.SPARK, "v", EMB_DIM)
     cand.createOrReplaceTempView("emb_cand")
     comp = spark.sql(
         f"""

@@ -143,6 +143,16 @@ def merge_into_parquet(target_path: str, key: str = "url"):
     isolation). No Delta jars ship in this container, so the parquet path
     carries the tests here; tests/test_streaming.py gates the Delta branch
     on availability.
+
+    Upgrade safety: a path that already holds PLAIN-PARQUET rows (landed by
+    the anti-join fallback before delta-spark was installed) is NOT a Delta
+    table, and a blind ``mode('overwrite').save`` on the first post-install
+    epoch would destroy every previously-landed row. Such a sink therefore
+    STAYS on the parquet anti-join path -- no data is ever overwritten; a
+    fresh Delta table is only created when the target is genuinely empty.
+    Converting an existing parquet sink to Delta is an explicit offline
+    operation (``CONVERT TO DELTA``), not something an ingest epoch may do
+    implicitly.
     """
 
     def do_merge(batch: DataFrame, batch_id: int) -> None:
@@ -159,9 +169,13 @@ def merge_into_parquet(target_path: str, key: str = "url"):
                     .whenNotMatchedInsertAll()
                     .execute()
                 )
-            else:
+                return
+            if _existing_keys_or_none(spark, target_path, key) is None:
+                # Genuinely empty target: create the Delta table.
                 deduped.write.format("delta").mode("overwrite").save(target_path)
-            return
+                return
+            # Non-Delta data present: fall through to the non-destructive
+            # parquet anti-join append (see docstring, Upgrade safety).
         existing = _existing_keys_or_none(spark, target_path, key)
         fresh = deduped if existing is None else deduped.join(existing, on=key, how="left_anti")
         fresh.write.mode("append").parquet(target_path)

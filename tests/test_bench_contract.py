@@ -1,0 +1,42 @@
+"""Contract tests for bench.py's driver-parsed output line.
+
+Round 4's BENCH record was driver-unparseable ("parsed": null): the single
+JSON line carrying rows+spread for 52 queries outgrew the driver's tail
+-capture window and truncated from the head. These tests pin the fix --
+the final line stays compact and round-trips even with generous headroom
+over the current headline-set size.
+"""
+
+import json
+
+import bench
+
+
+def test_final_line_fits_budget_at_2x_headline_size():
+    # Twice today's headline count (real name lengths), 4-digit seconds.
+    timings = {n: 123.456 for n in bench.BENCH_QUERIES}
+    timings.update({f"{n}_b": 123.456 for n in bench.BENCH_QUERIES})
+    line = bench.final_line(timings, 0.1, 5)
+    assert len(line) < bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec"
+    assert set(parsed["queries"]) == set(timings)
+    # rows/spread must NOT be on the driver-parsed line (they overflowed r4).
+    assert "rows" not in parsed and "spread" not in parsed
+
+
+def test_final_line_values_ms_rounded():
+    line = bench.final_line({"q1": 1.23456, "q2": 0.00049}, 0.01, 5)
+    parsed = json.loads(line)
+    assert parsed["queries"]["q1"] == 1.235
+    assert parsed["queries"]["q2"] == 0.0
+    assert parsed["value"] == round(1.23456 + 0.00049, 3)
+
+
+def test_headline_names_exist_in_registry():
+    from sentiment_analysis_data_pipeline_spark.queries import spark_queries
+
+    qs = spark_queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert not missing, f"bench names not in registry: {missing}"

@@ -332,3 +332,48 @@ def test_stream_stream_interval_join(spark):
         assert got == {("v1", "c1"), ("v2", "c3")}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_delta_upgrade_never_overwrites_parquet_sink(spark, dirs, monkeypatch):
+    """Upgrade safety (ADVICE r4): if delta-spark appears AFTER the anti-join
+    fallback already landed parquet rows, the sink is not a Delta table and
+    the first post-install epoch must NOT overwrite it -- it stays on the
+    non-destructive parquet anti-join path. Delta availability is faked
+    (no jars here); only the guard's routing is under test."""
+    import sys
+    import types
+
+    from sentiment_analysis_data_pipeline_spark.streaming import ingest
+
+    target = str(dirs / "sink")
+    sink = ingest.merge_into_parquet(target, key="url")
+
+    # Epoch 0 (pre-install): plain parquet rows land via the fallback.
+    sink(spark.createDataFrame([("u1", "a"), ("u2", "b")], "url string, v string"), 0)
+    assert spark.read.parquet(target).count() == 2
+
+    # "Install" delta: availability probe true, isDeltaTable false (the path
+    # holds plain parquet). An overwrite would raise in this fake (and would
+    # have destroyed both rows in a real install).
+    fake_tables = types.ModuleType("delta.tables")
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(_spark, _path):
+            return False
+
+        @staticmethod
+        def forPath(_spark, _path):
+            raise AssertionError("MERGE branch must not run on a non-Delta path")
+
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    monkeypatch.setattr(ingest, "delta_available", lambda _s: True)
+
+    sink(spark.createDataFrame([("u2", "B"), ("u3", "c")], "url string, v string"), 1)
+    rows = {r.url: r.v for r in spark.read.parquet(target).collect()}
+    # u1/u2 survive (no overwrite), u2 not re-landed, u3 appended.
+    assert rows == {"u1": "a", "u2": "b", "u3": "c"}
