@@ -95,6 +95,10 @@ BENCH_QUERIES = [
     "chi2_keywords",
     "semantic_clusters",
     "containment_pairs",
+    # round-5 additions
+    "semantic_clusters_indexed",
+    "incremental_dedup",
+    "media_byte_stats",
     "kmeans_step",
     "zipf_slope",
     "event_transitions",

@@ -225,7 +225,12 @@ def new_batch_candidates(
     only the batch side, which is smaller by the corpus/day ratio, is
     hashed across the wire (or broadcast when small enough). Returns
     (new_doc, corpus_doc) distinct candidate pairs for exact verification
-    downstream."""
+    downstream.
+
+    The n.doc != c.doc guard handles RE-CRAWLS: a document present in both
+    the new batch and the persisted corpus index would otherwise emit a
+    (d, d) self-pair that downstream exact verification scores as a perfect
+    duplicate of itself (round-4 ADVICE)."""
     from .dedup import minhash_band_keys
 
     nb = minhash_band_keys(new_docs, content_col, id_col)
@@ -233,6 +238,7 @@ def new_batch_candidates(
     return spark.sql(
         f"""
         SELECT DISTINCT n.doc AS new_doc, c.doc AS corpus_doc
-        FROM _nbc_bands n JOIN {table} c ON n.band_key = c.band_key
+        FROM _nbc_bands n JOIN {table} c
+          ON n.band_key = c.band_key AND n.doc != c.doc
         """
     )

@@ -2080,13 +2080,30 @@ def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_binary_metadata_sql(D.SPARK))
 
 
-def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch family: approx_count_distinct (HyperLogLog++) and
+def _approx_stats_sql(d: str) -> str:
+    """Tolerance oracle for the sketch family (round-4 verdict item 4).
+    Sketch ESTIMATES are engine-specific, so the hashable surface is exact
+    values + 0/1 pass flags: the Spark side computes sketch AND exact
+    aggregates and emits whether each estimate sits inside its published
+    error envelope; the oracle computes the exact aggregates and emits
+    literal 1s. The hash matches exactly iff every sketch estimate is within
+    tolerance -- a REAL accuracy gate, not just a row count. BIGINT flags,
+    not booleans: 0/1 hashes identically in both engines."""
+    return """
+        SELECT event_type,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(distinct user_id) as bigint) AS exact_users,
+               cast(1 as bigint) AS users_ok,
+               cast(1 as bigint) AS median_ok,
+               cast(1 as bigint) AS p90_ok
+        FROM events GROUP BY event_type
+    """
+
+
+def approx_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw sketch surface: approx_count_distinct (HyperLogLog++) and
     approx_percentile (KLL-style) per event type -- the constant-memory,
-    mergeable at-scale forms of value_stats' exact aggregates. No DuckDB
-    oracle (sketch estimates are engine-specific by design; the driver
-    records the weaker rows-only check): the exact twin `value_stats` IS the
-    hash-checked form, and tests bound the estimation error instead."""
+    mergeable at-scale forms of value_stats' exact aggregates."""
     _events_view(spark, sf_dir)
     return spark.sql(
         """
@@ -2095,6 +2112,55 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                approx_percentile(value, 0.5) AS approx_median,
                approx_percentile(value, 0.9) AS approx_p90
         FROM events GROUP BY event_type
+        """
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family, tolerance-checked (was rows-only through round 4):
+    per event type, exact count/distinct plus 0/1 flags asserting each
+    sketch estimate sits inside its error envelope --
+      users_ok: |HLL++ estimate - exact| <= max(5, 15% of exact)
+                (3x the default 5% rsd);
+      median_ok/p90_ok: the approx_percentile value's RANK is within +-2%
+                (+1 row slack) of the target quantile -- rank-based, so
+                duplicate-heavy or spiky value distributions can't produce
+                a false failure the way a value-relative bound could.
+    The DuckDB oracle emits the same exact aggregates with literal-1 flags,
+    so the value hash matches iff every estimate passes. The raw estimates
+    stay available via approx_stats_sketches()."""
+    _events_view(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH approx AS (
+            SELECT event_type,
+                   cast(approx_count_distinct(user_id) as bigint) AS approx_users,
+                   approx_percentile(value, 0.5) AS am,
+                   approx_percentile(value, 0.9) AS a90,
+                   cast(count(distinct user_id) as bigint) AS exact_users,
+                   cast(count(*) as bigint) AS n_events
+            FROM events GROUP BY event_type
+        ),
+        ranks AS (
+            SELECT e.event_type,
+                   sum(case when e.value <  a.am  then 1 else 0 end) AS lt_m,
+                   sum(case when e.value <= a.am  then 1 else 0 end) AS le_m,
+                   sum(case when e.value <  a.a90 then 1 else 0 end) AS lt_90,
+                   sum(case when e.value <= a.a90 then 1 else 0 end) AS le_90
+            FROM events e JOIN approx a ON e.event_type = a.event_type
+            GROUP BY e.event_type
+        )
+        SELECT a.event_type, a.n_events, a.exact_users,
+               cast(case when abs(a.approx_users - a.exact_users)
+                          <= greatest(5.0, 0.15 * a.exact_users)
+                    then 1 else 0 end as bigint) AS users_ok,
+               cast(case when r.lt_m <= 0.50 * a.n_events + (0.02 * a.n_events + 1)
+                          and r.le_m >= 0.50 * a.n_events - (0.02 * a.n_events + 1)
+                    then 1 else 0 end as bigint) AS median_ok,
+               cast(case when r.lt_90 <= 0.90 * a.n_events + (0.02 * a.n_events + 1)
+                          and r.le_90 >= 0.90 * a.n_events - (0.02 * a.n_events + 1)
+                    then 1 else 0 end as bigint) AS p90_ok
+        FROM approx a JOIN ranks r ON a.event_type = r.event_type
         """
     )
 
@@ -4500,6 +4566,281 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_table_name(prefix: str, sf_dir: str) -> str:
+    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    return f"{prefix}_{tag}"
+
+
+def _clear_stale_table_location(spark: SparkSession, table: str) -> None:
+    """A managed index table written by a PREVIOUS session leaves its files
+    under the warehouse dir while the new session's in-memory catalog has no
+    entry for it -- saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    These tables are derived indexes (rebuildable from parquet inputs), so a
+    stale location is simply removed before the rebuild."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+
+def _ensure_embedding_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per sf_dir) the persisted bucketed embedding
+    band-key index (operators/dedup_index.build_embedding_band_index) and
+    return its table name. The table is keyed to the sf_dir basename so two
+    scale factors in one session never share an index; within a round the
+    corpus snapshot is immutable, so an existing table is simply reused --
+    which IS the operator's contract at 100 TB: signature once per corpus
+    snapshot, query many times."""
+    table = _index_table_name("emb_band_idx", sf_dir)
+    if not spark.catalog.tableExists(table):
+        _clear_stale_table_location(spark, table)
+        _view(spark, sf_dir, "embeddings")
+        dedup_index.build_embedding_band_index(spark, spark.table("embeddings"), table=table)
+    return table
+
+
+def _media_byte_stats_sql(d: str) -> str:
+    """Oracle for q_media_byte_stats (DuckDB dialect only -- the Spark side
+    IS the Arrow-batched byte_stats_features operator): per-document byte
+    histogram -> entropy / distinct-byte ratio / mean byte, computed in
+    pure SQL over the same payload bytes. documents.text is ASCII in every
+    driver SF (asserted in tests/test_multimodal.py), so per-CHAR ord()
+    equals per-BYTE value and the lateral position explode is byte-exact.
+
+    Hash stability: mean_byte (exact integer sum / n) and
+    distinct_byte_ratio (k/256, dyadic) are bit-identical across engines;
+    entropy alone is transcendental (libm log2 differs by ulps between
+    numpy and DuckDB), so BOTH sides quantize it to 1e-6 half-up --
+    the same trick zipf_slope uses for ln()."""
+    return """
+        WITH pos AS (
+            SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, ord(substr(text, cast(i as integer), 1)) AS b FROM pos
+        ),
+        counts AS (
+            SELECT doc_id, b, cast(count(*) as bigint) AS c
+            FROM bytes GROUP BY doc_id, b
+        ),
+        tot AS (
+            SELECT doc_id, cast(sum(c) as bigint) AS n,
+                   cast(count(*) as bigint) AS k,
+                   cast(sum(b * c) as bigint) AS sb
+            FROM counts GROUP BY doc_id
+        ),
+        ent AS (
+            SELECT c.doc_id,
+                   -sum((cast(c.c as double) / t.n) * log2(cast(c.c as double) / t.n)) AS e
+            FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+            GROUP BY c.doc_id
+        )
+        SELECT t.doc_id AS media_id, t.n AS n_bytes,
+               cast(floor(e.e * 1000000.0 + 0.5) as bigint) AS entropy_q,
+               cast(t.k as double) / 256.0 AS distinct_byte_ratio,
+               cast(t.sb as double) / cast(t.n as double) AS mean_byte
+        FROM tot t JOIN ent e ON t.doc_id = e.doc_id
+    """
+
+
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media byte-stats QA gate, driver-proven (round-4 verdict item 5):
+    documents' payload bytes run through the REAL Arrow-batched
+    byte_stats_features operator (operators/multimodal.py -- vectorized
+    np.bincount per payload, Python crossed per BATCH) and the three QA
+    features are hash-compared against a pure-SQL DuckDB computation of the
+    same histogram. This makes the multimodal family fully oracle-checked:
+    schema/metadata (binary_metadata) + the pre-decode feature kernel
+    (here); only the decode stub itself stays env-bound."""
+    from .operators.multimodal import byte_stats_features
+
+    _view(spark, sf_dir, "documents")
+    media = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = byte_stats_features(media)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "n_bytes",
+        F.expr("cast(floor(byte_entropy * 1000000.0 + 0.5) as bigint)").alias("entropy_q"),
+        "distinct_byte_ratio",
+        "mean_byte",
+    )
+
+
+# Deterministic corpus / new-batch split for the incremental-dedup workflow:
+# docs with doc_id % INCR_MOD == INCR_SLOT are "today's crawl", the rest are
+# the persisted corpus (~10% batch -- the daily-crawl ratio shape).
+INCR_MOD = 10
+INCR_SLOT = 7
+
+
+def _ensure_minhash_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per sf_dir) the persisted bucketed MINHASH
+    band-key index over the corpus split of `documents` and return its table
+    name. The 100 TB contract: the historical corpus is signatured and
+    bucketed once per snapshot; each day's batch joins it in place."""
+    from .sources.tables import scattered, write_bucketed
+
+    table = _index_table_name("mh_band_idx", sf_dir)
+    if not spark.catalog.tableExists(table):
+        _clear_stale_table_location(spark, table)
+        docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
+            "text", F.coalesce("text", F.lit(""))
+        )
+        corpus = docs.filter(F.col("doc_id") % INCR_MOD != INCR_SLOT)
+        write_bucketed(dedup.minhash_band_keys(corpus, "text", "doc_id"), table, "band_key", 8)
+    return table
+
+
+def _incremental_dedup_sql(d: str) -> str:
+    """Incremental new-batch dedup, dual-dialect: minhash band keys over ALL
+    documents (same signature pipeline as _minhash_sql), batch rows (doc_id %
+    INCR_MOD == INCR_SLOT) joined against corpus rows on band_key, exact
+    -Jaccard verified at the same 0.5 threshold. The oracle for the Spark
+    side's PERSISTED-index path (q_incremental_dedup): the index is just the
+    corpus half of `bands` written as a bucketed table, so both engines see
+    the identical pair set."""
+    toks = TX.tokenize(d, TEXT)
+    shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
+    h1, h2 = H.hash_halves_cols(d, "h")
+    aggs = ", ".join(H.km_minhash_aggs(16))
+    bands = H.band_keys_from_members(d, bands=4, rows=4)
+    inter = D.arr_size(d, D.arr_intersect(d, "p.sh_a", "p.sh_b"))
+    explode_sh = (
+        "SELECT doc, explode(shingles) AS s FROM nonempty"
+        if d == D.SPARK
+        else "SELECT doc, unnest(shingles) AS s FROM nonempty"
+    )
+    explode_bands = (
+        "SELECT doc, explode(band_arr) AS band_key FROM bandarr"
+        if d == D.SPARK
+        else "SELECT doc, unnest(band_arr) AS band_key FROM bandarr"
+    )
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id AS doc, {toks} AS toks FROM documents
+        ),
+        shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
+        nonempty AS (
+            SELECT doc, shingles FROM shingled WHERE {D.arr_size(d, 'shingles')} > 0
+        ),
+        exploded AS ({explode_sh}),
+        hashed AS (SELECT doc, md5(s) AS h FROM exploded),
+        halves AS (SELECT doc, {h1} AS h1, {h2} AS h2 FROM hashed),
+        sigs AS (SELECT doc, {aggs} FROM halves GROUP BY doc),
+        bandarr AS (SELECT doc, {bands} AS band_arr FROM sigs),
+        bands AS ({explode_bands}),
+        pairs AS (
+            SELECT DISTINCT n.doc AS new_doc, c.doc AS corpus_doc
+            FROM bands n JOIN bands c
+              ON n.band_key = c.band_key AND n.doc != c.doc
+            WHERE n.doc % {INCR_MOD} = {INCR_SLOT}
+              AND c.doc % {INCR_MOD} != {INCR_SLOT}
+        ),
+        scored AS (
+            SELECT new_doc, corpus_doc,
+                   cast({inter} as double) /
+                   (cast({D.arr_size(d, 'p.sh_a')} + {D.arr_size(d, 'p.sh_b')} as double) - cast({inter} as double)) AS jaccard
+            FROM (
+                SELECT pr.new_doc, pr.corpus_doc, sa.shingles AS sh_a, sb.shingles AS sh_b
+                FROM pairs pr
+                JOIN nonempty sa ON sa.doc = pr.new_doc
+                JOIN nonempty sb ON sb.doc = pr.corpus_doc
+            ) p
+        )
+        SELECT new_doc, corpus_doc, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single most 100 TB-relevant dedup operator, oracle-checked: the
+    daily-crawl incremental workflow. The historical corpus's minhash band
+    keys live in a PERSISTED bucketed table (_ensure_minhash_band_index --
+    written once per corpus snapshot); the new batch (doc_id % INCR_MOD ==
+    INCR_SLOT, ~10% of documents) is signatured fresh and joins the index IN
+    PLACE (operators/dedup_index.new_batch_candidates: the corpus side reads
+    co-located bucket files, no Exchange; only the small batch is hashed
+    across the wire). Candidates get the exact-Jaccard verify, semi-join
+    -filtered to candidate members only -- the corpus is never re-signatured
+    and never re-shuffled. Replaces round-4's pytest-only proof with a
+    driver CORRECTNESS row."""
+    from .sources.tables import scattered
+
+    docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    docs.createOrReplaceTempView("documents")
+    new_docs = docs.filter(F.col("doc_id") % INCR_MOD == INCR_SLOT)
+    table = _ensure_minhash_band_index(spark, sf_dir)
+    cand = dedup_index.new_batch_candidates(spark, new_docs, table=table).localCheckpoint()
+    cand.createOrReplaceTempView("incr_cand")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    shingles = D.arr_distinct(D.SPARK, TX.ngrams(D.SPARK, "toks", 3))
+    inter = D.arr_size(D.SPARK, D.arr_intersect(D.SPARK, "p.sh_a", "p.sh_b"))
+    return spark.sql(
+        f"""
+        WITH ids AS (
+            SELECT new_doc AS doc FROM incr_cand
+            UNION SELECT corpus_doc FROM incr_cand
+        ),
+        tokd AS (
+            SELECT doc_id AS doc, {toks} AS toks FROM documents
+            WHERE doc_id IN (SELECT doc FROM ids)
+        ),
+        shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
+        nonempty AS (
+            SELECT doc, shingles FROM shingled WHERE size(shingles) > 0
+        ),
+        scored AS (
+            SELECT new_doc, corpus_doc,
+                   cast({inter} as double) /
+                   (cast(size(p.sh_a) + size(p.sh_b) as double) - cast({inter} as double)) AS jaccard
+            FROM (
+                SELECT pr.new_doc, pr.corpus_doc, sa.shingles AS sh_a, sb.shingles AS sh_b
+                FROM incr_cand pr
+                JOIN nonempty sa ON sa.doc = pr.new_doc
+                JOIN nonempty sb ON sb.doc = pr.corpus_doc
+            ) p
+        )
+        SELECT new_doc, corpus_doc, jaccard FROM scored WHERE jaccard >= 0.5
+        """
+    )
+
+
+def q_semantic_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semantic_clusters with candidate generation read from the PERSISTED
+    band index instead of re-signaturing the corpus (round-4 verdict item 2):
+    the bucketed self-join produces the identical candidate set with zero
+    Exchange on either scan side, the shared _verify_embedding_cand runs the
+    same exact-cosine check, and connected components labels the clusters.
+    Same oracle as semantic_clusters -- the two plans must agree pair-for
+    -pair. At cluster scale this is the shape that matters: the corpus is
+    signatured once per snapshot (_ensure_embedding_band_index) and every
+    dedup/clustering run afterwards starts from the table."""
+    from .operators.dedup import connected_components
+
+    _view(spark, sf_dir, "embeddings")
+    table = _ensure_embedding_band_index(spark, sf_dir)
+    cand = (
+        dedup_index.embedding_candidate_pairs(spark, table)
+        .repartition(32)
+        .localCheckpoint()
+    )
+    edges = _verify_embedding_cand(spark, cand).select("id_a", "id_b")
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("component")
+    )
+
+
 def _containment_pairs_sql(d: str) -> str:
     """Shingle CONTAINMENT pairs (overlap coefficient |A∩B| / min(|A|,|B|)):
     the asymmetric cousin of n-gram Jaccard that catches SUB-DOCUMENT
@@ -4971,6 +5312,10 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-5 additions (never driver-proven) ---
+    "incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql),
+    "media_byte_stats": (q_media_byte_stats, _media_byte_stats_sql),
+    "semantic_clusters_indexed": (q_semantic_clusters_indexed, _semantic_clusters_sql),
     # --- round-4 additions (never driver-proven) ---
     "semantic_clusters": (q_semantic_clusters, _semantic_clusters_sql),
     "containment_pairs": (q_containment_pairs, _containment_pairs_sql),
@@ -5091,16 +5436,20 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "value_ranks": (q_value_ranks, _value_ranks_sql),
     "value_band_totals": (q_value_band_totals, _value_band_totals_sql),
     "events_calendar": (q_events_calendar, _events_calendar_sql),
-    "approx_stats": (q_approx_stats, None),
+    "approx_stats": (q_approx_stats, _approx_stats_sql),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
 }
 
 
-def _proven_names() -> set[str]:
+def _proven_names(
+    base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
+) -> set[str]:
     """Names already driver-proven: any CORRECTNESS_r*.json row with a green
     hash (or a recorded rows-only run for oracle-less queries). A failed row
     with no later green does NOT count -- those re-enter the front of the
-    queue for re-proof."""
+    queue for re-proof. A rows-only proof also stops counting the moment the
+    registry entry GAINS an oracle builder (e.g. approx_stats' round-5
+    tolerance oracle): the strengthened check must be driver-run afresh."""
     import glob
     import json
 
@@ -5120,14 +5469,17 @@ def _proven_names() -> set[str]:
             if row.get("hash_match") is True:
                 proven.add(name)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                proven.add(name)  # rows-only by design; driver ran it
+                # rows-only by design; counts only while still oracle-less
+                has_oracle = name in base and base[name][1] is not None
+                if not has_oracle:
+                    proven.add(name)
     return proven
 
 
 def _driver_order(
     base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
 ) -> dict[str, tuple[SparkQuery, Callable[[str], str] | None]]:
-    proven = _proven_names()
+    proven = _proven_names(base)
     ordered = {n: v for n, v in base.items() if n not in proven}
     ordered.update((n, v) for n, v in base.items() if n in proven)
     return ordered

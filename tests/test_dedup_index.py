@@ -107,5 +107,13 @@ def test_new_batch_candidates_corpus_side_stays_in_place(spark):
         )
         want = {(r.new_doc, r.corpus_doc) for r in mem.collect()}
         assert got == want and len(got) > 0
+
+        # RE-CRAWL guard (round-4 ADVICE): a doc present in both the new
+        # batch and the persisted corpus index must not emit a (d, d)
+        # self-pair -- downstream exact verification would score it as a
+        # perfect duplicate of itself.
+        recrawled = batch.unionByName(corpus.limit(3))
+        cand2 = DX.new_batch_candidates(spark, recrawled, table="t_nbc_idx")
+        assert cand2.filter("new_doc = corpus_doc").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nbc_idx")

@@ -60,3 +60,18 @@ def test_byte_stats_features_real_values(spark):
         assert abs(got["mean_byte"] - sum(payload) / n) < 1e-9
     # sha256-derived payloads are high-entropy: the QA signal actually signals
     assert all(r["byte_entropy"] > 4.0 for r in rows.values())
+
+
+def test_documents_text_is_ascii_for_byte_oracle(spark):
+    """q_media_byte_stats' DuckDB oracle reads payload bytes via per-CHAR
+    ord(substr(...)); that equals per-BYTE values only while documents.text
+    is pure ASCII. Pin the assumption so a future testdata change fails
+    loudly here instead of hash-mismatching in CORRECTNESS."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        (multibyte,) = duckdb.sql(
+            f"select max(octet_length(encode(text)) != length(text)) "
+            f"from '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()
+        assert multibyte is False, f"{sf}: non-ASCII text breaks the byte oracle"

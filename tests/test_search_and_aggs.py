@@ -130,10 +130,14 @@ def test_approx_stats_bounds(spark):
     """Sketch aggregates track the exact twin within published error bounds
     (HLL++ default rsd 5%; approx_percentile here runs at its exact-accuracy
     threshold for the test row counts)."""
-    from sentiment_analysis_data_pipeline_spark.queries import q_approx_stats, q_value_stats
+    from sentiment_analysis_data_pipeline_spark.queries import (
+        approx_stats_sketches,
+        q_approx_stats,
+        q_value_stats,
+    )
 
     sf = "/root/testdata/sf0.001"
-    approx = {r["event_type"]: r for r in q_approx_stats(spark, sf).collect()}
+    approx = {r["event_type"]: r for r in approx_stats_sketches(spark, sf).collect()}
     exact = {r["event_type"]: r for r in q_value_stats(spark, sf).collect()}
     assert set(approx) == set(exact)
     for et, a in approx.items():
@@ -141,3 +145,8 @@ def test_approx_stats_bounds(spark):
         assert abs(a["approx_users"] - e["n_users"]) <= 0.15 * e["n_users"]
         assert abs(a["approx_median"] - e["median_value"]) <= 0.2 * max(1.0, abs(e["median_value"]))
         assert abs(a["approx_p90"] - e["p90_value"]) <= 0.2 * max(1.0, abs(e["p90_value"]))
+
+    # the driver-facing tolerance-checked form: every flag must be 1 (the
+    # oracle emits literal 1s, so a 0 here is a future CORRECTNESS failure)
+    for r in q_approx_stats(spark, sf).collect():
+        assert (r["users_ok"], r["median_ok"], r["p90_ok"]) == (1, 1, 1), r

@@ -18,7 +18,7 @@ from sentiment_analysis_data_pipeline_spark.queries import (  # noqa: E402
 
 
 def main() -> None:
-    proven = _proven_names()
+    proven = _proven_names(REGISTRY)
     names = list(REGISTRY)
     unproven = [n for n in names if n not in proven]
     print(f"registry: {len(names)} queries; proven: {len(proven)}; unproven: {len(unproven)}")
@@ -26,7 +26,9 @@ def main() -> None:
         slot = names.index(n)
         marker = "" if slot < 50 else "  ** PAST DRIVER CUTOFF **"
         print(f"  slot {slot:3d}  {n}{marker}")
-    if all(names.index(n) < 50 for n in unproven):
+    if not unproven:
+        print("no unproven queries -- every registry entry has a driver proof")
+    elif all(names.index(n) < 50 for n in unproven):
         print("all unproven queries are inside the driver's 50-slot proof window")
     else:
         sys.exit(1)
