@@ -16,11 +16,17 @@ anyway. This engine implements the same *shape* of computation -- two
 independent lexicon analyzers fused by mean and thresholded at ±0.1 -- as
 pure Spark SQL column expressions:
 
-  vader_compound    := s / sqrt(s*s + 15)  where s = Σ(+1 pos hit, -1 neg hit)
+  vader_compound    := s / sqrt(s*s + 15)  where s = Σ(f_i * ±1 per hit)
                        -- VADER's published normalization (Hutto & Gilbert
-                       2014, alpha=15) over unit valences.
-  textblob_polarity := mean(lexicon weight of matched tokens), 0.0 if none
-                       -- TextBlob's PatternAnalyzer averaging.
+                       2014, alpha=15) over unit valences, each scaled by
+                       the contextual-modifier factor f_i of the preceding
+                       token (negators -0.75, intensifiers 1.25, dampeners
+                       0.75 -- see MODIFIER_FACTORS below; round-5 addition
+                       mirroring VADER's N_SCALAR / BOOSTER_DICT mechanics).
+  textblob_polarity := Σ(f_i * weight_i) / n_matched, 0.0 if none
+                       -- TextBlob's PatternAnalyzer averaging, with the
+                       same modifier scaling (Pattern negates at -0.5; the
+                       shared -0.75 keeps one factor set for both scores).
 
 Everything is JVM-side, codegen'd, and oracle-checkable: lexicon weights are
 dyadic rationals (k/16) so sums are EXACT doubles regardless of evaluation
@@ -39,7 +45,6 @@ import math
 import pandas as pd
 
 from . import dialect as D
-from .text import tokenize
 
 # Polarity lexicon. All weights are multiples of 1/16 => every partial sum is
 # an exact double; cross-engine aggregation order cannot change the result.
@@ -176,10 +181,130 @@ _EXTENDED_SIXTEENTHS_R4: dict[str, int] = {
     "vile": -11, "weary": -6, "wretched": -10,
 }
 
+# Round-5 growth: a further slice of the published VADER vocabulary
+# (valence/4 to the nearest 1/16, same dyadic-exactness contract).
+_EXTENDED_SIXTEENTHS_R5: dict[str, int] = {
+    # --- positive ---
+    "ability": 5, "abundance": 6, "acclaim": 7, "accolade": 8,
+    "affordable": 6, "agile": 5, "altruistic": 8, "assure": 6,
+    "astonishing": 7, "attentive": 7, "auspicious": 7, "avid": 5,
+    "backing": 4, "beneficial": 8, "benevolent": 9, "blossom": 7,
+    "breakthrough": 8, "bullish": 6, "buoyant": 7, "capability": 5,
+    "certainty": 5, "charitable": 8, "cherished": 9, "comedy": 5,
+    "commitment": 6, "community": 4, "competitive": 4, "confidence": 9,
+    "consistent": 4, "constructive": 6, "content": 6, "courageous": 9,
+    "credible": 6, "darling": 8, "decent": 6, "defend": 4, "delightful": 11,
+    "deserving": 6, "desire": 5, "develop": 4, "devotion": 8, "discovery": 6,
+    "eagerly": 6, "earn": 5, "ease": 6, "educate": 6, "effortless": 7,
+    "embrace": 6, "eminent": 6, "empathy": 7, "endear": 7, "endurance": 5,
+    "enhance": 7, "enlighten": 8, "entertain": 7, "esteem": 8, "ethical": 7,
+    "euphoric": 13, "excellence": 11, "exciting": 9, "exemplary": 9,
+    "expand": 4, "fabulous": 10, "fairness": 8, "fame": 7, "fascinating": 9,
+    "feat": 6, "fertile": 5, "fidelity": 6, "finest": 10, "fitting": 5,
+    "flatter": 6, "fluent": 6, "fortunate": 9, "forward": 4, "foster": 6,
+    "fulfill": 8, "funny": 8, "generosity": 9, "glee": 10, "glow": 7,
+    "goodness": 10, "goodwill": 9, "gracious": 9, "gratify": 8,
+    "greet": 5, "growth": 6, "guarantee": 6, "guidance": 6, "happier": 10,
+    "harmless": 5, "heartwarming": 10, "helper": 6, "heroic": 9,
+    "highlight": 5, "holiday": 6, "hopefully": 6, "hospitable": 8,
+    "humane": 8, "hurrah": 10, "immune": 4, "importance": 5, "improved": 8,
+    "improvement": 8, "incentive": 6, "independence": 6, "inspiring": 10,
+    "integrity": 8, "intelligence": 9, "invincible": 8, "jolly": 9,
+    "jovial": 9, "joyful": 12, "justice": 8, "kindness": 10, "landmark": 5,
+    "liberty": 8, "lifesaver": 10, "likable": 7, "luck": 8, "luxury": 8,
+    "magical": 8, "mastery": 8, "mature": 6, "memorable": 7, "merit": 6,
+    "mighty": 7, "motivate": 7, "nicely": 7, "nourish": 7, "openness": 6,
+    "opportunity": 6, "overcome": 6, "passion": 8, "peaceful": 10,
+    "perfection": 11, "perseverance": 7, "playful": 8, "plentiful": 7,
+    "positively": 9, "precious": 8, "prevail": 6, "pride": 7, "privilege": 7,
+    "prodigy": 8, "proficient": 7, "prominent": 6, "prompt": 4,
+    "prosperity": 10, "purity": 7, "quality": 5, "recommend": 7,
+    "recover": 6, "refine": 5, "rejoice": 11, "remarkable": 9, "renew": 6,
+    "renown": 7, "resolve": 5, "restore": 5, "revere": 8, "robust": 6,
+    "sacred": 7, "salvation": 8, "satisfaction": 9, "savior": 9,
+    "securely": 6, "sensational": 9, "sensible": 6, "serenity": 9,
+    "sharp": 4, "shine": 7, "skill": 6, "skillful": 8, "soulmate": 10,
+    "sparkle": 7, "spirited": 7, "stellar": 9, "stunning": 9, "sublime": 9,
+    "sufficient": 4, "sunshine": 7, "supporting": 6, "supreme": 9,
+    "surpass": 7, "sympathetic": 6, "tenacious": 5, "tender": 7,
+    "thankful": 9, "thoughtful": 8, "tolerant": 6, "top": 6, "tranquility": 8,
+    "treasure": 9, "tribute": 7, "truthful": 8, "unity": 7, "upgrade": 6,
+    "uplifting": 9, "usefulness": 6, "validate": 5, "vigilant": 4,
+    "vigorous": 6, "visionary": 8, "vivacious": 8, "warmth": 8, "willing": 4,
+    "winner": 11, "winning": 11, "wisdom": 9, "worship": 7, "youthful": 6,
+    # --- negative ---
+    "abduct": -9, "abhor": -10, "abolish": -5, "absurd": -6, "aching": -7,
+    "addiction": -8, "adverse": -7, "adversity": -7, "aggravate": -8,
+    "aggression": -9, "alienate": -7, "allegation": -5, "ambush": -8,
+    "animosity": -8, "annihilate": -10, "antagonize": -7, "apprehensive": -5,
+    "argument": -5, "arrest": -7, "arson": -10, "atrocious": -11,
+    "atrocity": -11, "avalanche": -5, "avoid": -5, "backlash": -6,
+    "banish": -7, "barbaric": -10, "betrayal": -11, "bias": -5,
+    "blackmail": -10, "bloodshed": -11, "blunder": -7, "bomb": -9,
+    "breakdown": -7, "bribe": -8, "broke": -6, "brutality": -11,
+    "cancer": -11, "casualty": -9, "censor": -6, "clash": -6,
+    "collision": -6, "complaint": -6, "conspiracy": -7, "contaminate": -8,
+    "controversy": -6, "corruption": -11, "crash": 0, "criminal": -9,
+    "cripple": -9, "critic": -4, "cruelty": -11, "cutback": -5,
+    "deadlock": -5, "deadly": -11, "deceit": -9, "deception": -9,
+    "defeated": -9, "deficit": -6, "degradation": -7, "demise": -8,
+    "demolition": -5, "denounce": -7, "deprive": -7, "despicable": -10,
+    "destruction": -10, "deteriorate": -7, "detrimental": -8,
+    "devastating": -11, "dictator": -9, "disadvantage": -7,
+    "disappointment": -9, "discord": -6, "discriminate": -8, "dishonor": -9,
+    "dismiss": -5, "disorder": -6, "dispute": -5, "disturbing": -8,
+    "divorce": -7, "downfall": -8, "downturn": -6, "drought": -7,
+    "drown": -9, "embezzle": -9, "emergency": -7, "epidemic": -9,
+    "eradicate": -5, "erode": -5, "erroneous": -6, "escalate": -5,
+    "eviction": -8, "exclude": -5, "excruciating": -11, "execute": -7,
+    "explosion": -7, "extinct": -7, "extort": -9, "fatality": -10,
+    "fiasco": -8, "flaw": -6, "flee": -6, "forgery": -8, "frightening": -9,
+    "fugitive": -6, "futile": -7, "gloom": -8, "grievance": -6,
+    "gruesome": -10, "hardship": -8, "hatred": -12, "havoc": -8,
+    "hazardous": -8, "heartbreak": -10, "hijack": -9, "homeless": -8,
+    "hopeless": -10, "hostage": -8, "hostility": -9, "humiliation": -10,
+    "hysteria": -7, "impair": -6, "imprison": -8, "inadequate": -7,
+    "incident": -4, "indict": -7, "inept": -7, "infestation": -8,
+    "inflation": -5, "insolvent": -7, "instability": -6, "insufficient": -6,
+    "intimidate": -8, "invasion": -8, "jeopardy": -8, "kidnap": -10,
+    "lawsuit": -5, "layoff": -8, "lethal": -9, "loot": -8, "malice": -9,
+    "malicious": -9, "manipulate": -6, "massacre": -12, "mayhem": -9,
+    "meltdown": -7, "mishap": -6, "mislead": -7, "mob": -5, "mockery": -7,
+    "moody": -5, "mourning": -9, "negligence": -8, "obstacle": -5,
+    "obstruct": -6, "offensive": -8, "oppress": -9, "outbreak": -7,
+    "overdose": -8, "overload": -5, "paralyze": -8, "penalty": -6,
+    "peril": -8, "persecute": -9, "pollution": -7, "poverty": -9,
+    "predator": -7, "prosecute": -7, "protest": -5, "provoke": -6,
+    "quarrel": -6, "ransom": -8, "recession": -8, "reckless": -7,
+    "refuse": -5, "remorse": -6, "resign": -5, "retaliate": -7, "riot": -8,
+    "rob": -9, "rubble": -5, "rupture": -6, "ruthless": -9, "sanction": -5,
+    "scarcity": -6, "scorn": -8, "scream": -6, "setback": -7, "shatter": -7,
+    "shortage": -6, "shutdown": -6, "slander": -9, "slump": -6, "smash": -5,
+    "smuggle": -7, "sorrowful": -10, "stagnant": -5, "starve": -9,
+    "strain": -5, "stranded": -6, "strife": -7, "subpoena": -5,
+    "suppress": -6, "suspect": -5, "tarnish": -6, "tension": -6,
+    "terrorism": -13, "theft": -9, "threaten": -9, "torment": -10,
+    "torture": -12, "toxin": -8, "tragic": -11, "traitor": -10,
+    "trauma": -10, "treason": -10, "turmoil": -8, "unacceptable": -8,
+    "unemployment": -8, "unethical": -9, "unrest": -7, "unsafe": -8,
+    "unstable": -6, "uprising": -6, "vandalism": -8, "vengeance": -8,
+    "venom": -8, "vulnerable": -6, "warfare": -10, "worthless": -9,
+    "wreck": -8, "wrath": -9,
+}
+# "crash" already in the base lexicon -- the R5 slice must not shadow it
+_EXTENDED_SIXTEENTHS_R5.pop("crash")
+# NOT included from published VADER: "value" (+1.4 there) -- it is the
+# synthetic corpus's ubiquitous domain token (950 hits / 500 docs at
+# sf0.001, never in a sentiment sense), and scoring it would swamp the
+# flagship distribution with non-sentiment usage; same rationale as the
+# base lexicon's domain-vocabulary adjustments.
+
 assert not set(_EXTENDED_SIXTEENTHS) & set(LEXICON), "duplicate lexicon entry"
 LEXICON.update({w: k / 16.0 for w, k in _EXTENDED_SIXTEENTHS.items()})
 assert not set(_EXTENDED_SIXTEENTHS_R4) & set(LEXICON), "duplicate lexicon entry"
 LEXICON.update({w: k / 16.0 for w, k in _EXTENDED_SIXTEENTHS_R4.items()})
+assert not set(_EXTENDED_SIXTEENTHS_R5) & set(LEXICON), "duplicate lexicon entry"
+LEXICON.update({w: k / 16.0 for w, k in _EXTENDED_SIXTEENTHS_R5.items()})
 
 POSITIVE = sorted(w for w, s in LEXICON.items() if s > 0)
 NEGATIVE = sorted(w for w, s in LEXICON.items() if s < 0)
@@ -187,33 +312,50 @@ NEGATIVE = sorted(w for w, s in LEXICON.items() if s < 0)
 CLASSIFY_THRESHOLD = 0.1  # dags/sentiment_analysis_dag.py:76-81 / .env:42
 VADER_ALPHA = 15  # normalization constant from the VADER paper
 
-
-def _weight_case(d: str) -> str:
-    whens = " ".join(f"when t = '{w}' then {s!r}" for w, s in sorted(LEXICON.items()))
-    return f"case {whens} else 0.0 end"
-
-
-def _sign_case(d: str) -> str:
-    pos = D.arr_literal(d, POSITIVE)
-    neg = D.arr_literal(d, NEGATIVE)
-    return (
-        f"case when {D.arr_contains(d, pos, 't')} then 1.0 "
-        f"when {D.arr_contains(d, neg, 't')} then -1.0 else 0.0 end"
-    )
-
-
-def vader_compound(d: str, tokens_expr: str) -> str:
-    """U1: signed-hit sum normalized by s/sqrt(s^2+alpha)."""
-    s = D.arr_sum_double(d, D.arr_transform(d, tokens_expr, f"t -> {_sign_case(d)}"))
-    return f"(({s}) / sqrt(({s}) * ({s}) + {VADER_ALPHA}.0))"
-
-
-def textblob_polarity(d: str, tokens_expr: str) -> str:
-    """U2: mean lexicon weight over matched tokens; 0.0 when nothing matches."""
-    matched = D.arr_filter(d, tokens_expr, f"t -> ({_weight_case(d)}) <> 0.0")
-    total = D.arr_sum_double(d, D.arr_transform(d, matched, f"t -> {_weight_case(d)}"))
-    n = D.arr_size(d, matched)
-    return f"(case when {n} = 0 then 0.0 else ({total}) / cast({n} as double) end)"
+# --- contextual modifiers (round 5): negation + boosters ------------------
+#
+# VADER's published algorithm modifies a sentiment word's valence by the
+# words immediately preceding it: negators flip-and-dampen (N_SCALAR=-0.74),
+# intensifiers add/remove ~0.293 in the valence's direction (B_INCR/B_DECR).
+# The kernel applies the same mechanics with ONE preceding token of context
+# and dyadic factors, so every sum stays exact and order-free in both
+# engines: a matched token's contribution (both the signed unit for the
+# VADER sum and the weight for the TextBlob mean) is scaled by
+#   -0.75  when preceded by a negator   (vs published -0.74)
+#    1.25  when preceded by an intensifier (vs published +0.293 additive)
+#    0.75  when preceded by a dampener     (vs published -0.293 additive)
+# Word lists are from VADER's published NEGATE / BOOSTER_DICT (contraction
+# stems appear as their tokenized forms: the tokenizer maps "don't" ->
+# ["don", "t"], so the intervening "t" token is itself a negator -- that is
+# what immediately precedes the sentiment word).
+NEGATE: tuple[str, ...] = (
+    "aint", "cannot", "cant", "darent", "despite", "dont", "hardly",
+    "havent", "isnt", "lack", "lacking", "lacks", "neither", "never", "no",
+    "none", "nope", "nor", "not", "nothing", "nowhere", "rarely",
+    "scarcely", "seldom", "shouldnt", "t", "uhuh", "wasnt", "werent",
+    "without", "wont", "wouldnt",
+)
+BOOST_INCR: tuple[str, ...] = (
+    "absolutely", "amazingly", "awfully", "completely", "considerably",
+    "decidedly", "deeply", "enormously", "entirely", "especially",
+    "exceptionally", "extremely", "greatly", "highly", "hugely",
+    "incredibly", "intensely", "majorly", "purely", "quite", "really",
+    "remarkably", "so", "substantially", "thoroughly", "totally",
+    "tremendously", "unbelievably", "unusually", "utterly", "very",
+)
+BOOST_DECR: tuple[str, ...] = (
+    "barely", "kinda", "marginally", "occasionally", "partly", "slightly",
+    "somewhat", "sorta",
+)
+NEG_FACTOR = -0.75  # dyadic stand-in for VADER's N_SCALAR -0.74
+INCR_FACTOR = 1.25
+DECR_FACTOR = 0.75
+MODIFIER_FACTORS: dict[str, float] = {
+    **{w: NEG_FACTOR for w in NEGATE},
+    **{w: INCR_FACTOR for w in BOOST_INCR},
+    **{w: DECR_FACTOR for w in BOOST_DECR},
+}
+assert not set(MODIFIER_FACTORS) & set(LEXICON), "modifier/lexicon overlap"
 
 
 def avg_score(vader_col: str = "vader_compound", tb_col: str = "textblob_polarity") -> str:
@@ -235,23 +377,6 @@ def confidence(avg_col: str) -> str:
     return f"abs({avg_col})"
 
 
-def sentiment_select_sql(d: str, text_expr: str) -> dict[str, str]:
-    """The full kernel as named SQL fragments over a raw text expression.
-    Keys are the output column names used engine-wide. (Inline form -- for
-    hot paths prefer the layered form below, which computes each sum once.)"""
-    toks = tokenize(d, text_expr)
-    vc = vader_compound(d, toks)
-    tb = textblob_polarity(d, toks)
-    avg = f"(({vc} + {tb}) / 2.0)"
-    return {
-        "vader_compound": vc,
-        "textblob_polarity": tb,
-        "avg_score": avg,
-        "overall": classify(avg),
-        "confidence": confidence(avg),
-    }
-
-
 # --- layered kernel: each intermediate computed exactly once per row -------
 
 
@@ -269,30 +394,6 @@ def score_layers() -> list[dict[str, str]]:
     ]
 
 
-def kernel_layers(d: str, text_expr: str) -> list[dict[str, str]]:
-    """The kernel as a sequence of projection layers, each referencing only
-    columns defined in earlier layers -- so every intermediate (token array,
-    matched subset, sums) is computed exactly once per row in both engines.
-    The math is identical to the inline form: the same exact dyadic sums and
-    the same single IEEE ops.
-
-    NOTE: array-lambda form; Spark evaluates HOF lambdas interpreted, so for
-    hot paths prefer the lexicon-JOIN shape (lexicon_values_sql + explode +
-    broadcast join + partial agg), which stays inside whole-stage codegen and
-    produces bit-identical results (exact dyadic sums are order-free).
-    """
-    return [
-        {"_toks": tokenize(d, text_expr)},
-        {"_mtoks": D.arr_filter(d, "_toks", f"t -> ({_weight_case(d)}) <> 0.0")},
-        {
-            "_ssum": D.arr_sum_double(d, D.arr_transform(d, "_toks", f"t -> {_sign_case(d)}")),
-            "_wsum": D.arr_sum_double(d, D.arr_transform(d, "_mtoks", f"t -> {_weight_case(d)}")),
-            "_nm": f"cast({D.arr_size(d, '_mtoks')} as bigint)",
-        },
-        *score_layers(),
-    ]
-
-
 def lexicon_values_sql(d: str) -> str:
     """The lexicon as an inline VALUES relation `(word, w, sgn)` -- the
     broadcast side of the join-shaped kernel. Explicit double casts: DuckDB
@@ -303,6 +404,41 @@ def lexicon_values_sql(d: str) -> str:
         for w, s in sorted(LEXICON.items())
     )
     return f"(VALUES {rows}) AS _lex(word, w, sgn)"
+
+
+def modifier_values_sql(d: str) -> str:
+    """The contextual modifiers (NEGATE/BOOST_INCR/BOOST_DECR) as an inline
+    VALUES relation `(mword, mf)` -- the second broadcast side of the kernel
+    join. A sentiment token's contribution is scaled by the factor of the
+    token immediately PRECEDING it (left join on the prev-token column);
+    unmatched prev tokens coalesce to 1.0."""
+    rows = ", ".join(
+        f"('{w}', cast({f!r} as double))"
+        for w, f in sorted(MODIFIER_FACTORS.items())
+    )
+    return f"(VALUES {rows}) AS _mod(mword, mf)"
+
+
+def prev_tokens_sql(d: str, toks_col: str = "_toks") -> str:
+    """Expression producing the PREV-token array aligned with `toks_col`:
+    element i holds token i-1 (element 0 is NULL). Zipped/unnested in
+    lockstep with the token array, it gives each exploded token its one
+    -token left context without a window shuffle -- the whole pairing stays
+    inside the per-row projection, so the kernel keeps its single
+    doc-id partial-agg shuffle at any scale."""
+    if d == D.SPARK:
+        return (
+            f"concat(array(cast(null as string)), "
+            f"case when size({toks_col}) > 1 "
+            f"then slice({toks_col}, 1, size({toks_col}) - 1) "
+            f"else array() end)"
+        )
+    return (
+        f"list_prepend(cast(null as varchar), "
+        f"case when len({toks_col}) > 1 "
+        f"then list_slice({toks_col}, 1, len({toks_col}) - 1) "
+        f"else [] end)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -326,11 +462,25 @@ def _py_tokens(s: str | None) -> list[str]:
 
 
 def _py_kernel(s: str | None) -> tuple[float, float]:
+    """Reference implementation of the kernel incl. contextual modifiers:
+    a matched token's signed unit AND weight are scaled by the factor of the
+    immediately preceding token (1.0 when it is not a modifier). All values
+    are dyadic, so summation order cannot change the result -- this is the
+    exact same arithmetic the SQL kernel's join shape performs."""
     toks = _py_tokens(s)
-    signed = sum(1.0 if LEXICON.get(t, 0.0) > 0 else -1.0 if LEXICON.get(t, 0.0) < 0 else 0.0 for t in toks)
-    vc = signed / math.sqrt(signed * signed + VADER_ALPHA)
-    matched = [LEXICON[t] for t in toks if t in LEXICON]
-    tb = (sum(matched) / len(matched)) if matched else 0.0
+    ssum = 0.0
+    wsum = 0.0
+    nm = 0
+    for i, t in enumerate(toks):
+        w = LEXICON.get(t)
+        if w is None:
+            continue
+        f = MODIFIER_FACTORS.get(toks[i - 1], 1.0) if i > 0 else 1.0
+        ssum += f * (1.0 if w > 0 else -1.0)
+        wsum += f * w
+        nm += 1
+    vc = ssum / math.sqrt(ssum * ssum + VADER_ALPHA)
+    tb = (wsum / nm) if nm else 0.0
     return vc, tb
 
 
@@ -351,9 +501,17 @@ def pandas_kernel_library(series: pd.Series) -> pd.DataFrame:
     libraries (vaderSentiment SentimentIntensityAnalyzer.polarity_scores
     compound + TextBlob sentiment.polarity -- exactly
     dags/sentiment_analysis_dag.py:59,72-73). Raises ImportError where the
-    libs are absent (this container); call sites gate on
-    `real_libraries_available()` so the engine auto-upgrades to full
-    reference parity the moment the packages appear in the environment."""
+    libs are absent (this container).
+
+    AVAILABLE BUT NOT ENGINE-SELECTED (round-4 ADVICE): no engine data path
+    calls this -- the engine always scores with the deterministic lexicon
+    kernel, because the DuckDB correctness oracle is built from the same
+    lexicon fragments and library scores would hash-mismatch it by design.
+    This function + the `real_libraries_available()` probe exist so a
+    deployment WITH the packages can swap it into sentiment_enrich's sum
+    stage deliberately (accepting rows-only checks for those queries);
+    tests/test_sentiment.py::test_library_kernel_wiring pins the contract
+    either way."""
     from textblob import TextBlob
     from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer
 

@@ -51,29 +51,39 @@ def documents_as_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_id") -> DataFrame:
     """U1+U2+F8-F11: append the sentiment columns, all native operations, in
-    the kernel's scale shape: explode tokens -> broadcast-join the ~290-row
-    lexicon -> per-doc sums (map-side combine: the shuffle carries one row
+    the kernel's scale shape: explode tokens zipped with their one-token
+    left context -> broadcast-join the lexicon -> left-broadcast-join the
+    contextual-modifier relation on the PRECEDING token (negators/boosters,
+    round-5) -> per-doc sums (map-side combine: the shuffle carries one row
     per doc) -> left-join back -> score formulas.
 
     Equivalent to a per-row lexicon loop but fully whole-stage-codegen
     (Spark's array-lambda HOFs evaluate interpreted, ~10x slower here), and
-    exact: dyadic lexicon weights make the sums order-independent doubles.
+    exact: dyadic lexicon weights and quarter-valued modifier factors make
+    the sums order-independent doubles. The prev-token pairing is a shifted
+    array copy built in the same projection -- no window shuffle.
     `id_col` must be unique per row (it keys the join-back).
     """
     spark = df.sparkSession
-    # lexicon as a SQL VALUES relation: stays entirely JVM-side
-    # (createDataFrame would route 31 rows through a Python RDD and spin
+    # lexicon/modifiers as SQL VALUES relations: stays entirely JVM-side
+    # (createDataFrame would route the rows through a Python RDD and spin
     # Python workers into an otherwise pure-JVM plan)
     lex = spark.sql(f"SELECT * FROM {S.lexicon_values_sql(D.SPARK)}")
-    ex = df.select(
-        F.col(id_col), F.explode(F.expr(TX.tokenize(D.SPARK, text_expr))).alias("t")
+    mods = spark.sql(f"SELECT * FROM {S.modifier_values_sql(D.SPARK)}")
+    ex = (
+        df.select(F.col(id_col), F.expr(TX.tokenize(D.SPARK, text_expr)).alias("_toks"))
+        .withColumn("_prev", F.expr(S.prev_tokens_sql(D.SPARK, "_toks")))
+        .select(F.col(id_col), F.explode(F.arrays_zip("_toks", "_prev")).alias("z"))
+        .select(F.col(id_col), F.col("z._toks").alias("t"), F.col("z._prev").alias("prev"))
     )
     sums = (
         ex.join(F.broadcast(lex), ex.t == lex.word)
+        .join(F.broadcast(mods), F.col("prev") == F.col("mword"), "left")
+        .withColumn("_mf", F.coalesce("mf", F.lit(1.0)))
         .groupBy(id_col)
         .agg(
-            F.sum("sgn").alias("s_ssum"),
-            F.sum("w").alias("s_wsum"),
+            F.sum(F.col("_mf") * F.col("sgn")).alias("s_ssum"),
+            F.sum(F.col("_mf") * F.col("w")).alias("s_wsum"),
             F.count("*").alias("s_nm"),
         )
     )

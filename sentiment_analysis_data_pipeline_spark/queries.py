@@ -117,32 +117,49 @@ def _layered_sql(base: str, layers: list[dict[str, str]], final: str, suffix: st
 
 def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "") -> str:
     """The sentiment kernel in its scale shape, in either dialect:
-    explode tokens -> join the (broadcastable) lexicon VALUES relation ->
-    per-doc partial-aggregated sums -> left-join back -> score layers.
+    explode tokens (zipped with their one-token left context) -> join the
+    (broadcastable) lexicon VALUES relation -> left-join the modifier
+    VALUES relation on the PRECEDING token (negators/boosters scale the
+    contribution; round-5) -> per-doc partial-aggregated sums -> left-join
+    back -> score layers.
 
-    Bit-identical to the array-fold kernel: the sums are exact dyadic doubles
-    (order-free), the score formulas are the same single IEEE ops. But the
-    whole plan stays inside whole-stage codegen -- no interpreted lambdas --
-    and the shuffle carries one row per doc (map-side combine).
+    The prev-token pairing is built INSIDE the per-row projection
+    (S.prev_tokens_sql: a shifted copy of the token array, exploded in
+    lockstep) -- no window function, so the plan keeps its single
+    doc-id partial-agg shuffle; both modifier and lexicon relations are
+    broadcast-sized. Sums stay exact dyadic doubles (modifier factors are
+    quarters, weights sixteenths), so aggregation order is free and the
+    DuckDB oracle matches bit-for-bit.
     """
     toks = TX.tokenize(d, "text")
-    ex = "explode(_toks)" if d == D.SPARK else "unnest(_toks)"
+    prev = S.prev_tokens_sql(d, "_toks")
+    if d == D.SPARK:
+        ex = f"""SELECT {id_col}, z._toks AS t, z._prev AS prev
+            FROM (SELECT {id_col}, explode(arrays_zip(_toks, _prev)) AS z FROM tokd)"""
+    else:
+        ex = f"SELECT {id_col}, unnest(_toks) AS t, unnest(_prev) AS prev FROM tokd"
     scored_base = f"""
-        WITH base AS ({base}),
-        tokd AS (SELECT {id_col}, {toks} AS _toks FROM base),
-        ex AS (SELECT {id_col}, {ex} AS t FROM tokd),
+        WITH base0 AS ({base}),
+        tokd AS (
+            SELECT {id_col}, _toks, {prev} AS _prev
+            FROM (SELECT {id_col}, {toks} AS _toks FROM base0) t0
+        ),
+        ex AS ({ex}),
         sums AS (
             SELECT e.{id_col},
-                   sum(_lex.sgn) AS s_ssum, sum(_lex.w) AS s_wsum,
+                   sum(coalesce(_mod.mf, 1.0) * _lex.sgn) AS s_ssum,
+                   sum(coalesce(_mod.mf, 1.0) * _lex.w) AS s_wsum,
                    cast(count(*) as bigint) AS s_nm
-            FROM ex e JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
+            FROM ex e
+            JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
+            LEFT JOIN {S.modifier_values_sql(d)} ON e.prev = _mod.mword
             GROUP BY e.{id_col}
         ),
         joined AS (
             SELECT b.*, coalesce(s.s_ssum, 0.0) AS _ssum,
                    coalesce(s.s_wsum, 0.0) AS _wsum,
                    cast(coalesce(s.s_nm, 0) as bigint) AS _nm
-            FROM base b LEFT JOIN sums s ON b.{id_col} = s.{id_col}
+            FROM base0 b LEFT JOIN sums s ON b.{id_col} = s.{id_col}
         )
         SELECT * FROM joined
     """

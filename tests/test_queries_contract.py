@@ -26,7 +26,7 @@ def test_registry_order_unproven_first():
     )
 
     assert set(REGISTRY) == set(_REGISTRY_BASE)
-    proven = _proven_names()
+    proven = _proven_names(_REGISTRY_BASE)
     names = list(REGISTRY)
     seen_proven = False
     for n in names:

@@ -110,9 +110,70 @@ def test_realistic_sentences(spark):
 def test_extended_lexicon_coverage():
     """The embedded lexicon must stay at published-library scale (the round-1
     gap was a ~30-word vocabulary) and keep both polarities well represented."""
-    assert len(LEXICON) >= 500
-    assert sum(1 for s in LEXICON.values() if s > 0) >= 250
-    assert sum(1 for s in LEXICON.values() if s < 0) >= 200
+    assert len(LEXICON) >= 900
+    assert sum(1 for s in LEXICON.values() if s > 0) >= 400
+    assert sum(1 for s in LEXICON.values() if s < 0) >= 400
+
+
+def test_modifier_factors_are_dyadic_and_disjoint():
+    """Contextual-modifier exactness contract: factors are quarters (so
+    factor*weight products are exact 64ths) and no modifier word doubles as
+    a lexicon sentiment word."""
+    from sentiment_analysis_data_pipeline_spark.functions.sentiment import MODIFIER_FACTORS
+
+    for w, f in MODIFIER_FACTORS.items():
+        assert (f * 4) == int(f * 4), w
+    assert not set(MODIFIER_FACTORS) & set(LEXICON)
+
+
+def test_negation_and_boosters(spark):
+    """Round-5 contextual modifiers: negators flip-and-dampen (-0.75),
+    intensifiers scale 1.25, dampeners 0.75 -- applied to the token
+    immediately after the modifier, in every engine path identically."""
+    texts = [
+        "good",                # baseline: +1 unit
+        "not good",            # negated: -0.75 units -> negative score
+        "very good",           # boosted: +1.25 units
+        "slightly good",       # dampened: +0.75 units
+        "isn t good",          # tokenized contraction: "t" negates
+        "not bad",             # negated negative -> positive score
+        "never a failure",     # "a" intervenes: no modifier effect
+    ]
+    rows = _enrich_rows(spark, texts)
+    by_text = {t: r for t, r in zip(texts, rows)}
+
+    assert by_text["good"]["vader_compound"] == 1 / math.sqrt(1 + VADER_ALPHA)
+    assert by_text["not good"]["vader_compound"] == -0.75 / math.sqrt(0.5625 + VADER_ALPHA)
+    assert by_text["very good"]["vader_compound"] == 1.25 / math.sqrt(1.5625 + VADER_ALPHA)
+    assert by_text["slightly good"]["vader_compound"] == 0.75 / math.sqrt(0.5625 + VADER_ALPHA)
+    assert by_text["isn t good"]["vader_compound"] == by_text["not good"]["vader_compound"]
+    assert by_text["not bad"]["vader_compound"] > 0
+    # modifier reaches exactly ONE token: an intervening word blocks it
+    assert by_text["never a failure"]["vader_compound"] < 0
+    # textblob side scales the weight by the same factor
+    assert by_text["not good"]["textblob_polarity"] == -0.75 * 0.5
+    assert by_text["very good"]["textblob_polarity"] == 1.25 * 0.5
+    # native == python reference on every modifier case
+    for t, r in by_text.items():
+        vc, tb = _py_kernel(t)
+        assert r["vader_compound"] == vc, t
+        assert r["textblob_polarity"] == tb, t
+
+
+def test_r5_lexicon_sentences(spark):
+    """Label pins over round-5 vocabulary only (none of these words existed
+    in the pre-r5 lexicon), with exact native==python agreement."""
+    texts = [
+        "The breakthrough brought prosperity and a remarkable sense of joyful unity",
+        "The recession caused layoffs, poverty and widespread unemployment turmoil",
+        "The quarterly report lists totals by region and period",
+    ]
+    rows = _enrich_rows(spark, texts)
+    assert [r["overall"] for r in rows] == ["positive", "negative", "neutral"]
+    for row, text in zip(rows, texts):
+        vc, tb = _py_kernel(text)
+        assert row["vader_compound"] == vc, text
+        assert row["textblob_polarity"] == tb, text
 
 
 def test_library_kernel_wiring():
