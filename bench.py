@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "semantic_clusters_indexed",
     "incremental_dedup",
     "media_byte_stats",
+    "minhash_pairs_indexed",
     "kmeans_step",
     "zipf_slope",
     "event_transitions",

@@ -335,7 +335,16 @@ def _tracked_ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
     can free the blocks deterministically. Python-side df.rdd.unpersist()
     does NOT touch the checkpoint blocks (it unpersists a derived
     conversion RDD -- verified empirically), so block ids are diffed from
-    the JVM's persistent-RDD registry instead."""
+    the JVM's persistent-RDD registry instead.
+
+    SINGLE-THREADED-DRIVER ASSUMPTION (round-4 ADVICE): the before/after
+    registry diff attributes every RDD persisted during the checkpoint call
+    to this checkpoint. Concurrent driver activity (another thread running
+    queries, an active streaming query) could interleave an unrelated
+    persist into the window, and _unpersist_ids would later drop its blocks
+    mid-job. All in-repo callers (connected_components' iteration loop,
+    bench's per-query sweep) run on a single driver thread; callers running
+    concurrent work must not use this helper."""
     sc = df.sparkSession.sparkContext
     before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     out = df.localCheckpoint(eager=True)

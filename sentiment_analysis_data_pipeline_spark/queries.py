@@ -4799,14 +4799,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _ensure_minhash_band_index(spark, sf_dir)
     cand = dedup_index.new_batch_candidates(spark, new_docs, table=table).localCheckpoint()
     cand.createOrReplaceTempView("incr_cand")
+    return spark.sql(_jaccard_verify_spark("incr_cand", "new_doc", "corpus_doc"))
+
+
+def _jaccard_verify_spark(cand_view: str, a_col: str, b_col: str) -> str:
+    """Spark SQL: exact-Jaccard verification of a candidate pair view
+    (a_col, b_col) at the minhash 0.5 threshold. Shingle sets are computed
+    for CANDIDATE MEMBERS ONLY (semi-join filter on the pair ids) -- at
+    corpus scale the tokenize/shingle cost is paid for the ~0.x% of docs
+    LSH surfaced, never the whole corpus. Shared by the incremental and
+    full-corpus persisted-index dedup queries."""
     toks = TX.tokenize(D.SPARK, TEXT)
     shingles = D.arr_distinct(D.SPARK, TX.ngrams(D.SPARK, "toks", 3))
     inter = D.arr_size(D.SPARK, D.arr_intersect(D.SPARK, "p.sh_a", "p.sh_b"))
-    return spark.sql(
-        f"""
+    return f"""
         WITH ids AS (
-            SELECT new_doc AS doc FROM incr_cand
-            UNION SELECT corpus_doc FROM incr_cand
+            SELECT {a_col} AS doc FROM {cand_view}
+            UNION SELECT {b_col} FROM {cand_view}
         ),
         tokd AS (
             SELECT doc_id AS doc, {toks} AS toks FROM documents
@@ -4817,19 +4826,61 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc, shingles FROM shingled WHERE size(shingles) > 0
         ),
         scored AS (
-            SELECT new_doc, corpus_doc,
+            SELECT {a_col}, {b_col},
                    cast({inter} as double) /
                    (cast(size(p.sh_a) + size(p.sh_b) as double) - cast({inter} as double)) AS jaccard
             FROM (
-                SELECT pr.new_doc, pr.corpus_doc, sa.shingles AS sh_a, sb.shingles AS sh_b
-                FROM incr_cand pr
-                JOIN nonempty sa ON sa.doc = pr.new_doc
-                JOIN nonempty sb ON sb.doc = pr.corpus_doc
+                SELECT pr.{a_col}, pr.{b_col}, sa.shingles AS sh_a, sb.shingles AS sh_b
+                FROM {cand_view} pr
+                JOIN nonempty sa ON sa.doc = pr.{a_col}
+                JOIN nonempty sb ON sb.doc = pr.{b_col}
             ) p
         )
-        SELECT new_doc, corpus_doc, jaccard FROM scored WHERE jaccard >= 0.5
-        """
+        SELECT {a_col}, {b_col}, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+def _ensure_minhash_full_index(spark: SparkSession, sf_dir: str) -> str:
+    """Full-corpus twin of _ensure_minhash_band_index: minhash band keys of
+    ALL documents as a bucketed table -- what a deployment actually writes
+    at ingest so that every later dedup run (self-join or new-batch probe)
+    starts from co-located bucket files instead of re-signaturing."""
+    from .sources.tables import scattered, write_bucketed
+
+    table = _index_table_name("mh_band_full", sf_dir)
+    if not spark.catalog.tableExists(table):
+        _clear_stale_table_location(spark, table)
+        docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
+            "text", F.coalesce("text", F.lit(""))
+        )
+        write_bucketed(dedup.minhash_band_keys(docs, "text", "doc_id"), table, "band_key", 8)
+    return table
+
+
+def q_minhash_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_pairs from the PERSISTED full-corpus band index: the bucketed
+    self-join generates candidates with zero Exchange on either scan side
+    (both sides read co-located bucket files), the shared exact-Jaccard
+    verify scores candidate members only. Same oracle as minhash_pairs --
+    the two plans must agree pair-for-pair. Completes the persisted-index
+    registry family: embedding (semantic_clusters_indexed), new-batch
+    (incremental_dedup), and full-corpus self-dedup (here)."""
+    from .sources.tables import scattered
+
+    docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
+        "text", F.coalesce("text", F.lit(""))
     )
+    docs.createOrReplaceTempView("documents")
+    table = _ensure_minhash_full_index(spark, sf_dir)
+    cand = spark.sql(
+        f"""
+        SELECT /*+ MERGE(a) */ DISTINCT a.doc AS id_a, b.doc AS id_b
+        FROM {table} a JOIN {table} b
+          ON a.band_key = b.band_key AND a.doc < b.doc
+        """
+    ).localCheckpoint()
+    cand.createOrReplaceTempView("mhx_cand")
+    return spark.sql(_jaccard_verify_spark("mhx_cand", "id_a", "id_b"))
 
 
 def q_semantic_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5238,9 +5289,13 @@ def _embedding_outliers_sql(d: str) -> str:
     indexes or dedup thresholds (the embedding-side sibling of the media
     byte-stats gate). Exactness: norms quantize to 1/256 BIGINTs, moments
     are exact integer sums, and z = (nq*cnt - s1) / sqrt(cnt*s2 - s1^2) is
-    integer arithmetic until one division + sqrt (identical doubles).
-    Bounds: nq <= 2048 (64-dim unit-ish vectors), so cnt*s2 stays inside
-    BIGINT past 10^8 vectors."""
+    exact arithmetic until one division + sqrt (identical doubles).
+    Overflow (round-4 ADVICE): with nq ~ 256 (unit norms), s1*s1 exceeds
+    BIGINT at cnt ~ 1.2e7 vectors -- under ANSI mode that is an
+    ARITHMETIC_OVERFLOW error, not a wrong answer. The variance term
+    therefore multiplies in decimal(38,0) (exact to ~1e38: headroom past
+    1e14 vectors at nq <= 2048); per-row nq*cnt - s1 stays BIGINT, safe to
+    ~4e15 vectors."""
     v = V.to_double_array(d, "embedding")
     nv = V.norm(d, "v", EMB_DIM)
     return f"""
@@ -5253,12 +5308,18 @@ def _embedding_outliers_sql(d: str) -> str:
                    cast(sum(nq * nq) as bigint) AS s2
             FROM q
         ),
+        md AS (
+            SELECT cnt, s1,
+                   cast(cnt as decimal(38,0)) * cast(s2 as decimal(38,0))
+                   - cast(s1 as decimal(38,0)) * cast(s1 as decimal(38,0)) AS var_term
+            FROM m
+        ),
         scored AS (
             SELECT q.vec_id, q.nv,
-                   case when m.cnt * m.s2 - m.s1 * m.s1 = 0 then 0.0
+                   case when m.var_term = 0 then 0.0
                         else cast(q.nq * m.cnt - m.s1 as double)
-                             / sqrt(cast(m.cnt * m.s2 - m.s1 * m.s1 as double)) end AS z
-            FROM q CROSS JOIN m
+                             / sqrt(cast(m.var_term as double)) end AS z
+            FROM q CROSS JOIN md m
         ),
         top5 AS (
             SELECT vec_id, nv, z FROM scored
@@ -5332,6 +5393,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     # --- round-5 additions (never driver-proven) ---
     "incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql),
     "media_byte_stats": (q_media_byte_stats, _media_byte_stats_sql),
+    "minhash_pairs_indexed": (q_minhash_pairs_indexed, _minhash_sql),
     "semantic_clusters_indexed": (q_semantic_clusters_indexed, _semantic_clusters_sql),
     # --- round-4 additions (never driver-proven) ---
     "semantic_clusters": (q_semantic_clusters, _semantic_clusters_sql),

@@ -117,3 +117,32 @@ def test_new_batch_candidates_corpus_side_stays_in_place(spark):
         assert cand2.filter("new_doc = corpus_doc").count() == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_nbc_idx")
+
+
+def test_minhash_pairs_indexed_matches_in_session(spark):
+    """Round-5 full-corpus persisted-index dedup: q_minhash_pairs_indexed
+    must produce exactly q_minhash_pairs' verified pair set, and its
+    candidate self-join must read the bucketed index without shuffling
+    either scan side."""
+    from sentiment_analysis_data_pipeline_spark.queries import (
+        _ensure_minhash_full_index,
+        q_minhash_pairs,
+        q_minhash_pairs_indexed,
+    )
+
+    table = _ensure_minhash_full_index(spark, SF)
+    try:
+        cand = spark.sql(
+            f"""SELECT /*+ MERGE(a) */ DISTINCT a.doc AS id_a, b.doc AS id_b
+                FROM {table} a JOIN {table} b
+                ON a.band_key = b.band_key AND a.doc < b.doc"""
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert _shuffle_exchanges(cand) <= 1, plan
+
+        got = {(r.id_a, r.id_b, r.jaccard) for r in q_minhash_pairs_indexed(spark, SF).collect()}
+        want = {(r.id_a, r.id_b, r.jaccard) for r in q_minhash_pairs(spark, SF).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -89,6 +89,11 @@ def main() -> None:
         "zipf_slope",
         "domain_quota_sample",
         "winnow_pairs",
+        # round-5 additions: incremental dedup builds + probes the persisted
+        # minhash band index over the inflated corpus; media byte stats runs
+        # the Arrow-batched histogram kernel over every payload
+        "incremental_dedup",
+        "media_byte_stats",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
