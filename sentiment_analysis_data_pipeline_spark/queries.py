@@ -4588,22 +4588,6 @@ def _index_table_name(prefix: str, sf_dir: str) -> str:
     return f"{prefix}_{tag}"
 
 
-def _clear_stale_table_location(spark: SparkSession, table: str) -> None:
-    """A managed index table written by a PREVIOUS session leaves its files
-    under the warehouse dir while the new session's in-memory catalog has no
-    entry for it -- saveAsTable then fails with LOCATION_ALREADY_EXISTS.
-    These tables are derived indexes (rebuildable from parquet inputs), so a
-    stale location is simply removed before the rebuild."""
-    import shutil
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file://", "file:"):
-        if wh.startswith(prefix):
-            wh = wh[len(prefix):]
-            break
-    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
-
-
 def _ensure_embedding_band_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session per sf_dir) the persisted bucketed embedding
     band-key index (operators/dedup_index.build_embedding_band_index) and
@@ -4614,7 +4598,6 @@ def _ensure_embedding_band_index(spark: SparkSession, sf_dir: str) -> str:
     snapshot, query many times."""
     table = _index_table_name("emb_band_idx", sf_dir)
     if not spark.catalog.tableExists(table):
-        _clear_stale_table_location(spark, table)
         _view(spark, sf_dir, "embeddings")
         dedup_index.build_embedding_band_index(spark, spark.table("embeddings"), table=table)
     return table
@@ -4708,7 +4691,6 @@ def _ensure_minhash_band_index(spark: SparkSession, sf_dir: str) -> str:
 
     table = _index_table_name("mh_band_idx", sf_dir)
     if not spark.catalog.tableExists(table):
-        _clear_stale_table_location(spark, table)
         docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
             "text", F.coalesce("text", F.lit(""))
         )
@@ -4849,7 +4831,6 @@ def _ensure_minhash_full_index(spark: SparkSession, sf_dir: str) -> str:
 
     table = _index_table_name("mh_band_full", sf_dir)
     if not spark.catalog.tableExists(table):
-        _clear_stale_table_location(spark, table)
         docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
             "text", F.coalesce("text", F.lit(""))
         )

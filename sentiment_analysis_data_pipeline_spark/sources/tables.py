@@ -61,8 +61,8 @@ def write_bucketed(
     n_buckets: int = 16,
     sort: bool = True,
 ) -> None:
-    """Persist a DataFrame as a bucketed (hash-clustered) managed parquet
-    table -- the co-located-join primitive.
+    """Persist a DataFrame as a bucketed (hash-clustered) parquet table --
+    the co-located-join primitive.
 
     Two fact tables bucketed by the same key into the same bucket count join
     WITHOUT any Exchange: each task reads matching bucket files from both
@@ -70,8 +70,17 @@ def write_bucketed(
     sort). At 100 TB this turns the recurring orderkey-join shuffle --
     usually the single largest wire cost in the pipeline -- into a one-time
     cost paid at ingest. tests/test_bucketed.py asserts the shuffle-free
-    plan."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    plan.
+
+    An EXPLICIT location under the repo's spark-warehouse is always passed:
+    a managed table would land in $PWD/spark-warehouse, and the driver's
+    working directory is not guaranteed to be the repo root -- index tables
+    must never write outside the repo. Bucket metadata lives in the catalog
+    either way, so the co-located-join property is unchanged; overwrite
+    mode replaces a stale location from a previous session cleanly."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    loc = os.path.join(repo_root, "spark-warehouse", table.lower())
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).option("path", loc)
     if sort:
         w = w.sortBy(key)
     w.format("parquet").saveAsTable(table)
