@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "media_byte_stats",
     "minhash_pairs_indexed",
+    "boilerplate_blocks",
+    "embedding_quantization",
     "kmeans_step",
     "zipf_slope",
     "event_transitions",

@@ -4603,6 +4603,130 @@ def _ensure_embedding_band_index(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
+BOILER_BLOCK = 8  # tokens per exact-dedup block
+BOILER_DF = 2  # a block in >= this many docs counts as duplicated
+
+
+def _boilerplate_blocks_sql(d: str) -> str:
+    """Block-level exact duplication audit (the C4/CCNet/Dolma-style
+    cleaning signal, at the granularity this corpus supports -- the
+    synthetic text has no line/sentence structure, so the unit is fixed
+    {BOILER_BLOCK}-token blocks): hash every non-overlapping block, count
+    each hash's document frequency across the corpus, and report per doc
+    how many of its blocks appear in >= {BOILER_DF} documents. High
+    dup_frac docs are templated/boilerplate content an LLM-curation pass
+    deduplicates at block level rather than dropping wholesale.
+
+    Scale shape: one explode (block index is closed-form from token count,
+    no window), one groupBy on the 128-bit block hash (uniform keys,
+    map-side combine), one per-doc aggregation. dup_frac is a single
+    division of two exact BIGINTs -- hash-identical across engines."""
+    toks = TX.tokenize(d, TEXT)
+    b = BOILER_BLOCK
+    if d == D.SPARK:
+        bidx = "explode(sequence(0, nb - 1)) AS bi"
+        blk = f"slice(toks, bi * {b} + 1, {b})"
+    else:
+        bidx = "unnest(range(0, nb)) AS bi"
+        blk = f"list_slice(toks, bi * {b} + 1, bi * {b} + {b})"
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id AS doc, {toks} AS toks FROM documents
+        ),
+        sized AS (
+            SELECT doc, toks,
+                   cast({D.int_div(d, D.arr_size(d, 'toks'), str(b))} as bigint) AS nb
+            FROM tokd
+            WHERE {D.arr_size(d, 'toks')} >= {b}
+        ),
+        bidxd AS (SELECT doc, toks, {bidx} FROM sized),
+        blocks AS (
+            SELECT doc, md5({D.arr_join(d, blk, ' ')}) AS bh FROM bidxd
+        ),
+        bdf AS (
+            SELECT bh, cast(count(distinct doc) as bigint) AS df
+            FROM blocks GROUP BY bh
+        ),
+        perdoc AS (
+            SELECT b.doc,
+                   cast(count(*) as bigint) AS n_blocks,
+                   cast(sum(case when f.df >= {BOILER_DF} then 1 else 0 end) as bigint) AS dup_blocks
+            FROM blocks b JOIN bdf f ON b.bh = f.bh
+            GROUP BY b.doc
+        )
+        SELECT doc AS doc_id, n_blocks, dup_blocks,
+               cast(dup_blocks as double) / cast(n_blocks as double) AS dup_frac
+        FROM perdoc
+    """
+
+
+def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document block-level exact-duplication fractions (see the SQL
+    builder docstring): the block-dedup audit a curation pipeline runs to
+    find templated content before deciding drop-vs-clean."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_boilerplate_blocks_sql(D.SPARK))
+
+
+QUANT_ERR_SCALE = 1_000_000_000  # 1e-9 fixed point for error sums
+
+
+def _embedding_quantization_sql(d: str) -> str:
+    """Symmetric int8 scalar-quantization QA over the embedding corpus: for
+    each vector, scale = max|x|/127, q_i = clamp(floor(x_i/scale + 0.5)),
+    and the reported per-vector reconstruction stats are exact-integer
+    aggregates of the per-component |x_i - q_i*scale| error quantized to
+    1e-9. The at-scale rationale: int8 storage cuts a 100 TB float32
+    embedding store 4x, and this audit (max/total error + dead components)
+    is the gate run before switching ANN/dedup to the quantized columns.
+
+    Exactness: every per-component step (divide, +0.5, floor, clamp,
+    multiply, subtract, abs) is the same single IEEE op on identical
+    inputs in both engines -- bit-identical doubles -- and the only
+    aggregations are max/sum over exact BIGINT fixed-point values plus an
+    order-free count. floor(x + 0.5) is used instead of round(): the two
+    engines disagree on round-half behavior, floor is deterministic.
+    |x_i/scale| <= 127 by construction, so the clamp only trims the
+    half-up edge and saturation cannot occur."""
+    v = V.to_double_array(d, "embedding")
+    if d == D.SPARK:
+        ex = "SELECT vec_id, posexplode(v) AS (idx, x) FROM emb"
+    else:
+        ex = (
+            "SELECT vec_id, generate_subscripts(v, 1) - 1 AS idx, "
+            "unnest(v) AS x FROM emb"
+        )
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        comp AS ({ex}),
+        scales AS (
+            SELECT vec_id, max(abs(x)) / 127.0 AS s
+            FROM comp GROUP BY vec_id
+            HAVING max(abs(x)) > 0.0
+        ),
+        qerr AS (
+            SELECT c.vec_id,
+                   cast(greatest(-127.0, least(127.0, floor(c.x / s.s + 0.5))) as bigint) AS q,
+                   cast(floor(abs(c.x - greatest(-127.0, least(127.0, floor(c.x / s.s + 0.5))) * s.s)
+                              * {QUANT_ERR_SCALE}.0) as bigint) AS eq
+            FROM comp c JOIN scales s ON c.vec_id = s.vec_id
+        )
+        SELECT vec_id,
+               max(eq) AS max_abs_err_q,
+               cast(sum(eq) as bigint) AS total_abs_err_q,
+               cast(sum(case when q = 0 then 1 else 0 end) as bigint) AS dead_components
+        FROM qerr GROUP BY vec_id
+    """
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding-quantization QA report (see the SQL builder
+    docstring): per-vector max/total reconstruction error in 1e-9 fixed
+    point + dead-component counts."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_embedding_quantization_sql(D.SPARK))
+
+
 def _media_byte_stats_sql(d: str) -> str:
     """Oracle for q_media_byte_stats (DuckDB dialect only -- the Spark side
     IS the Arrow-batched byte_stats_features operator): per-document byte
@@ -5375,6 +5499,8 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql),
     "media_byte_stats": (q_media_byte_stats, _media_byte_stats_sql),
     "minhash_pairs_indexed": (q_minhash_pairs_indexed, _minhash_sql),
+    "boilerplate_blocks": (q_boilerplate_blocks, _boilerplate_blocks_sql),
+    "embedding_quantization": (q_embedding_quantization, _embedding_quantization_sql),
     "semantic_clusters_indexed": (q_semantic_clusters_indexed, _semantic_clusters_sql),
     # --- round-4 additions (never driver-proven) ---
     "semantic_clusters": (q_semantic_clusters, _semantic_clusters_sql),

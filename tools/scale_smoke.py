@@ -94,6 +94,7 @@ def main() -> None:
         # the Arrow-batched histogram kernel over every payload
         "incremental_dedup",
         "media_byte_stats",
+        "boilerplate_blocks",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
