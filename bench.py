@@ -95,6 +95,13 @@ BENCH_QUERIES = [
     "chi2_keywords",
     "semantic_clusters",
     "containment_pairs",
+    # round-5 batch-2 additions
+    "hybrid_search_rrf",
+    "temperature_resample",
+    "semantic_decontaminate",
+    "embedding_standardize",
+    "perplexity_bands",
+    "frame_sample",
     # round-5 additions
     "semantic_clusters_indexed",
     "incremental_dedup",

@@ -5499,6 +5499,368 @@ def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-5 batch 2 -- retrieval fusion, temperature sampling, semantic
+# decontamination, per-dim standardization, perplexity banding, frame plan
+# =========================================================================
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000_000  # 1e12: floor(1e12/(K+rank)) stays exact BIGINT
+
+
+def _hybrid_body(d: str, bm25_stmt: str) -> str:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse the BM25 lexical top-20 with the embedding-cosine top-20
+    (documents.doc_id == embeddings.vec_id) as sum(1/(K + rank)), the
+    fusion every hybrid (sparse+dense) search stack runs.
+
+    Parity: ranks are exact integers from deterministic orderings (score
+    DESC, id ASC); each RRF contribution is floor(1e12/(K+rank)) -- one
+    division on exact operands -- summed as BIGINTs, so the fused score is
+    order-free exact. A rank of 0 means "absent from that arm's top-k"
+    (kept non-NULL: a nullable BIGINT column round-trips through the
+    driver's pandas normalizer as float64 and would fail the numeric-kind
+    parity check). Scale shape: both inputs are top-k relations
+    (TakeOrderedAndProject on each arm), the full-outer fusion join sees
+    2*k rows, and the embedding arm streams the corpus against one
+    broadcast query vector -- nothing here grows with corpus size except
+    the two scans."""
+    v = V.to_double_array(d, "embedding")
+    cos = V.cosine(d, "e.v", "q.v", EMB_DIM)
+    contrib_t = (
+        f"cast(floor({float(_RRF_SCALE)!r} / ({float(_RRF_K)!r} + cast(t.r_text as double))) as bigint)"
+    )
+    contrib_v = (
+        f"cast(floor({float(_RRF_SCALE)!r} / ({float(_RRF_K)!r} + cast(v.r_vec as double))) as bigint)"
+    )
+    return f"""
+        WITH text_top AS (
+            SELECT doc_id,
+                   cast(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) as bigint) AS r_text
+            FROM ({bm25_stmt}) tt
+        ),
+        emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        qv AS (SELECT v FROM emb WHERE vec_id = 0),
+        vec_scored AS (
+            SELECT e.vec_id AS doc_id, {cos} AS cosine
+            FROM emb e, qv q WHERE e.vec_id <> 0
+        ),
+        vec_top AS (
+            SELECT doc_id,
+                   cast(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) as bigint) AS r_vec
+            FROM (SELECT doc_id, cosine FROM vec_scored
+                  ORDER BY cosine DESC, doc_id ASC LIMIT 20) vt
+        )
+        SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+               coalesce({contrib_t}, 0) + coalesce({contrib_v}, 0) AS rrf_q,
+               coalesce(t.r_text, 0) AS text_rank, coalesce(v.r_vec, 0) AS vec_rank
+        FROM text_top t FULL OUTER JOIN vec_top v ON t.doc_id = v.doc_id
+        ORDER BY rrf_q DESC, doc_id ASC
+        LIMIT 20
+    """
+
+
+def _hybrid_search_sql(d: str) -> str:
+    return _hybrid_body(d, _bm25_sql(d))
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid search. The analyzed-token relation is materialized once
+    (same rationale as q_bm25_search: the BM25 arm references it three
+    times and CTE re-inlining would re-run the stemmer chain)."""
+    _view(spark, sf_dir, "documents", "embeddings")
+    toks = TX.analyzed_tokens(D.SPARK, TEXT)
+    ex = spark.sql(f"SELECT doc_id, explode({toks}) AS t FROM documents")
+    ex.localCheckpoint(eager=True).createOrReplaceTempView("hybrid_ex")
+    bm25 = _bm25_body(D.SPARK, "ex AS (SELECT * FROM hybrid_ex),")
+    return spark.sql(_hybrid_body(D.SPARK, bm25))
+
+
+_TEMP_Q = 1 << 20
+
+
+def _temperature_resample_sql(d: str) -> str:
+    """Temperature-based domain rebalancing (the multilingual/multi-domain
+    mixing rule from GPT-3 / mT5: sample source s proportional to
+    n_s^alpha, alpha=0.5) at a total budget of half the corpus. Per-source
+    targets come from the alpha-weighted shares; the kept subset is chosen
+    deterministically by md5 rank within each source, and `kept_id_sum`
+    checksums the SELECTED rows so the oracle verifies the actual sample,
+    not just its size.
+
+    Parity: sqrt(exact int) is one correctly-rounded IEEE op, quantized to
+    2^-20 fixed point before the (order-sensitive) share sum, so the
+    weight total is an exact BIGINT; each target is floor of a two-op
+    double expression on identical operands. Scale shape: one
+    source-keyed partial agg for the histogram, broadcast of the
+    source-count relation (sources << corpus), ONE window shuffle on
+    source for the rank -- skewed sources parallelize per-source, and the
+    budget math never leaves the driver-sized relation."""
+    ids = D.cast_str(d, "d.doc_id")
+    return f"""
+        WITH src AS (
+            SELECT source, cast(count(*) as bigint) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs,
+                   cast(floor(sqrt(cast(n_docs as double)) * {float(_TEMP_Q)!r}) as bigint) AS w_q
+            FROM src
+        ),
+        tot AS (
+            SELECT cast(sum(w_q) as bigint) AS tw, cast(sum(n_docs) as bigint) AS total
+            FROM w
+        ),
+        tgt AS (
+            SELECT source, n_docs,
+                   cast(floor((cast(w_q as double) * cast(total as double))
+                              / (2.0 * cast(tw as double))) as bigint) AS target
+            FROM w CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT d.doc_id, d.source,
+                   cast(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5({ids}) ASC, d.doc_id ASC) as bigint) AS rk
+            FROM documents d
+        ),
+        kept AS (
+            SELECT r.source, cast(count(*) as bigint) AS kept,
+                   cast(sum(r.doc_id) as bigint) AS kept_id_sum
+            FROM ranked r JOIN tgt t ON r.source = t.source
+            WHERE r.rk <= t.target
+            GROUP BY r.source
+        )
+        SELECT t.source, t.n_docs, t.target,
+               coalesce(k.kept, 0) AS kept,
+               coalesce(k.kept_id_sum, 0) AS kept_id_sum
+        FROM tgt t LEFT JOIN kept k ON t.source = k.source
+        ORDER BY t.source ASC
+    """
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_temperature_resample_sql(D.SPARK))
+
+
+_DECON_EVAL_MOD = 97
+_DECON_TAU = 0.95
+
+
+def _semantic_decontaminate_sql(d: str) -> str:
+    """SEMANTIC decontamination: flag corpus vectors whose max cosine to any
+    eval-set vector crosses tau -- the embedding-space complement of the
+    n-gram `decontaminate` query (paraphrased eval leakage that shingle
+    overlap misses). Eval set = vec_id % {mod} == 0 (deterministic ~1%
+    held-out slice).
+
+    Parity: the cosine is the engine's shared flat-expanded expression
+    (bit-identical doubles), max() over doubles is order-free, and the
+    contamination flag is an exact comparison on the identical double.
+    Scale shape: the eval side is broadcast (eval sets are always tiny vs
+    the corpus); the corpus streams through one BroadcastNestedLoopJoin +
+    partial max-agg and is never shuffled. For eval sets too big to
+    broadcast, the banded-LSH candidate path (embedding_dedup_pairs /
+    the persisted band index) is the drop-in upgrade."""
+    v = V.to_double_array(d, "embedding")
+    cos = V.cosine(d, "c.v", "e.v", EMB_DIM)
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        ev AS (SELECT vec_id, v FROM emb WHERE vec_id % {_DECON_EVAL_MOD} = 0),
+        corpus AS (SELECT vec_id, v FROM emb WHERE vec_id % {_DECON_EVAL_MOD} <> 0),
+        sims AS (
+            SELECT c.vec_id, max({cos}) AS max_cos
+            FROM corpus c CROSS JOIN ev e
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, max_cos,
+               cast(case when max_cos >= {_DECON_TAU!r} then 1 else 0 end as bigint) AS contaminated
+        FROM sims ORDER BY max_cos DESC, vec_id ASC LIMIT 20
+    """
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_semantic_decontaminate_sql(D.SPARK))
+
+
+_STD_Q = 1 << 20
+
+
+def _embedding_standardize_sql(d: str) -> str:
+    """Per-dimension standardization statistics (the fit half of a z-score
+    feature scaler): mean and std of every embedding dimension across the
+    corpus. The apply half is a pure projection against this d-row
+    relation -- the fit is the only distributed work.
+
+    Parity: components quantize to 2^-20 fixed point (floor), so the
+    moments are exact integer sums (sum-of-squares accumulated as
+    decimal(38,0): at 1e12 rows x 2^40 per term the BIGINT range is long
+    gone -- this is the ADVICE.md embedding_outliers overflow lesson
+    applied up front); mean/var/std are a fixed chain of IEEE ops on
+    identical operands, with greatest(var, 0) guarding the sqrt against
+    cancellation on constant dims. Scale shape: explode -> ONE dim-keyed
+    partial agg (n x d rows combine map-side to d rows); no window, no
+    join."""
+    v = V.to_double_array(d, "embedding")
+    if d == D.SPARK:
+        ex = "SELECT posexplode(v) AS (idx, x) FROM emb"
+    else:
+        ex = "SELECT generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x FROM emb"
+    q = float(_STD_Q)
+    return f"""
+        WITH emb AS (SELECT {v} AS v FROM embeddings),
+        ex AS ({ex}),
+        qz AS (SELECT idx, cast(floor(x * {q!r}) as bigint) AS xq FROM ex),
+        mom AS (
+            SELECT cast(idx as bigint) AS dim, cast(count(*) as bigint) AS n,
+                   cast(sum(xq) as bigint) AS sx,
+                   sum(cast(xq * xq as decimal(38,0))) AS sxx
+            FROM qz GROUP BY idx
+        )
+        SELECT dim, n,
+               (cast(sx as double) / cast(n as double)) / {q!r} AS mean,
+               sqrt(greatest(
+                   cast(sxx as double) / cast(n as double)
+                   - (cast(sx as double) / cast(n as double))
+                     * (cast(sx as double) / cast(n as double)),
+                   0.0)) / {q!r} AS std
+        FROM mom ORDER BY dim ASC
+    """
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_embedding_standardize_sql(D.SPARK))
+
+
+_PPL_Q = 1 << 20
+_PPL_BAND_BASE = 3.0  # band origin in nats (tuned to the LM, as CCNet tunes
+#                       its Wikipedia-LM perplexity cutoffs per language)
+_PPL_BAND_NATS = 0.1  # band width in nats of avg bigram surprisal
+_PPL_MAX_BAND = 6
+
+
+def _perplexity_bands_sql(d: str) -> str:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): score each
+    document by its average bigram surprisal under the corpus's own bigram
+    LM (-ln p(w_i | w_{i-1}), MLE), then band documents into 0.1-nat
+    buckets above a tuned base -- the head/middle/tail quality split a
+    pretraining pipeline uses to weight or drop data (CCNet tunes its
+    cutoffs per language-LM the same way). In-corpus MLE means every observed doc
+    bigram exists in the LM (no smoothing term to diverge on).
+
+    Parity: LM counts are exact integers; each bigram-type surprisal is
+    ONE ln() on a single exact-ratio double, floored to 2^-20 fixed point
+    (the zipf_slope trick), and per-doc totals are BIGINT sums; the band
+    index is a floor of a two-division chain on identical doubles. Scale
+    shape: the LM and left-context relations are vocabulary-sized aggs
+    with map-side combine; doc bigram counts join the broadcastable LM
+    (vocab << corpus); per-doc and per-band rollups are partial aggs. No
+    window functions anywhere."""
+    toks = TX.tokenize(d, TEXT)
+    bgs = TX.ngrams(d, "toks", 2)
+    ex_b = "explode(bgs)" if d == D.SPARK else "unnest(bgs)"
+    if d == D.SPARK:
+        left = "element_at(split(bg, '_'), 1)"
+    else:
+        left = "split_part(bg, '_', 1)"
+    q = float(_PPL_Q)
+    qln = (
+        f"cast(floor(ln(cast(lw.c_a as double) / cast(lm.c_ab as double)) * {q!r}) as bigint)"
+    )
+    band = (
+        f"cast(floor((cast(sq as double) / cast(nb as double) - {_PPL_BAND_BASE * _PPL_Q!r})"
+        f" / {_PPL_BAND_NATS * _PPL_Q!r}) as bigint)"
+    )
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id, {ex_b} AS bg
+            FROM (SELECT doc_id, {bgs} AS bgs FROM tokd) g
+        ),
+        dbg AS (
+            SELECT doc_id, bg, cast(count(*) as bigint) AS c
+            FROM bg GROUP BY doc_id, bg
+        ),
+        lm AS (SELECT bg, cast(sum(c) as bigint) AS c_ab FROM dbg GROUP BY bg),
+        lw AS (
+            SELECT {left.replace('bg', 'lm.bg')} AS a, cast(sum(c_ab) as bigint) AS c_a
+            FROM lm GROUP BY {left.replace('bg', 'lm.bg')}
+        ),
+        scored AS (
+            SELECT lm.bg, {qln} AS qln
+            FROM lm JOIN lw ON {left.replace('bg', 'lm.bg')} = lw.a
+        ),
+        per_doc AS (
+            SELECT d.doc_id, cast(sum(d.c) as bigint) AS nb,
+                   cast(sum(d.c * s.qln) as bigint) AS sq
+            FROM dbg d JOIN scored s ON d.bg = s.bg
+            GROUP BY d.doc_id
+        )
+        SELECT greatest(least({band}, {_PPL_MAX_BAND}), 0) AS band,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(nb) as bigint) AS n_bigrams
+        FROM per_doc
+        GROUP BY greatest(least({band}, {_PPL_MAX_BAND}), 0)
+        ORDER BY band ASC
+    """
+
+
+def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_perplexity_bands_sql(D.SPARK))
+
+
+_FRAME_MS_PER_CHAR = 40
+_FRAME_EVERY_MS = 1000
+_FRAME_DOCS = 50
+
+
+def _frame_sample_sql(d: str) -> str:
+    """Oracle for q_frame_sample (DuckDB arm only -- the Spark arm IS the
+    frame_sample_plan operator): the synthetic video table derives
+    duration_ms = n_chars * {ms} from documents, and frame timestamps are
+    0, {step}, ... < duration (one frame at 0 for empty payloads), exactly
+    the operator's sequence() semantics."""
+    return f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, n_chars * {_FRAME_MS_PER_CHAR} AS duration_ms
+            FROM documents WHERE doc_id < {_FRAME_DOCS}
+        )
+        SELECT media_id,
+               cast(unnest(range(0, greatest(duration_ms, 1), {_FRAME_EVERY_MS})) as bigint)
+                   AS frame_ts_ms
+        FROM media
+        ORDER BY media_id ASC, frame_ts_ms ASC
+    """
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing as a driver-proven query: documents
+    stand in for a video table (duration_ms = n_chars * 40ms), run through
+    the REAL frame_sample_plan operator (operators/multimodal.py) -- the
+    explode shape a 100 TB video pipeline uses to parallelize per-frame
+    decode. The decode of each sampled frame stays the documented stub
+    boundary; the fan-out (one row per frame, partition-parallel, no
+    shuffle after the scan) is the part that matters and is what this
+    query proves."""
+    from .operators.multimodal import frame_sample_plan
+
+    _view(spark, sf_dir, "documents")
+    media = spark.sql(
+        f"""SELECT cast(doc_id as string) AS media_id, 'video' AS kind,
+                   cast(n_chars * {_FRAME_MS_PER_CHAR} as bigint) AS duration_ms
+            FROM documents WHERE doc_id < {_FRAME_DOCS}"""
+    )
+    frames = frame_sample_plan(media, every_ms=_FRAME_EVERY_MS)
+    return frames.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    ).orderBy("media_id", "frame_ts_ms")
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -5514,6 +5876,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-5 batch-2 additions (never driver-proven) ---
+    "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
+    "temperature_resample": (q_temperature_resample, _temperature_resample_sql),
+    "semantic_decontaminate": (q_semantic_decontaminate, _semantic_decontaminate_sql),
+    "embedding_standardize": (q_embedding_standardize, _embedding_standardize_sql),
+    "perplexity_bands": (q_perplexity_bands, _perplexity_bands_sql),
+    "frame_sample": (q_frame_sample, _frame_sample_sql),
     # --- round-5 additions (never driver-proven) ---
     "incremental_dedup": (q_incremental_dedup, _incremental_dedup_sql),
     "media_byte_stats": (q_media_byte_stats, _media_byte_stats_sql),

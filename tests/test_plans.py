@@ -130,3 +130,56 @@ def test_top_percent_customers_broadcast_dims(spark):
     plan = _run(spark, "top_percent_customers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_eval(spark):
+    """Eval side broadcast (BroadcastNestedLoopJoin); the corpus streams
+    through the max-agg without ever being join-shuffled."""
+    plan = _run(spark, "semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_standardize_no_join(spark):
+    """fit = explode -> ONE dim-keyed partial agg; no join, no window."""
+    plan = _run(spark, "embedding_standardize")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_frame_sample_pure_fanout(spark):
+    """Generate fan-out only -- no join/window/agg; per-frame rows stay
+    partition-parallel for the downstream decode."""
+    plan = _run(spark, "frame_sample")
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_hybrid_rrf_topk_arms(spark):
+    """Both fusion arms are top-k (TakeOrderedAndProject); the full-outer
+    fusion join sees only 2*k rows (full outer cannot broadcast -- the SMJ
+    is over 20-row inputs by construction)."""
+    plan = _run(spark, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_resample_corpus_join_broadcast(spark):
+    """The corpus-sized ranked relation meets the per-source target
+    relation through a BroadcastHashJoin (targets are sources-sized);
+    exactly one corpus window shuffle (rank within source)."""
+    plan = _run(spark, "temperature_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_perplexity_bands_no_window(spark):
+    """LM and left-context relations are vocabulary-sized broadcast joins;
+    per-doc and per-band rollups are partial aggs -- no window anywhere."""
+    plan = _run(spark, "perplexity_bands")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,175 @@
+"""Round-5 batch-2 additions: hybrid RRF retrieval, temperature resampling,
+semantic decontamination, per-dim standardization, perplexity banding, frame
+sampling. Semantic checks beyond the oracle hash -- each operator's defining
+property, verified against an independent Python replica."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pyspark.sql.functions as F
+
+from sentiment_analysis_data_pipeline_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pytok(text: str) -> list[str]:
+    cleaned = re.sub(r"[^a-z0-9 ]", " ", (text or "").strip().lower())
+    return [t for t in cleaned.strip().split() if t]
+
+
+# ---------------------------------------------------------------- hybrid RRF
+
+
+def test_hybrid_rrf_formula_and_fusion(spark):
+    out = Q.q_hybrid_search_rrf(spark, SF).collect()
+    assert out
+    scale, k = float(Q._RRF_SCALE), float(Q._RRF_K)
+    for r in out:
+        expect = 0
+        if r["text_rank"] > 0:
+            expect += math.floor(scale / (k + float(r["text_rank"])))
+        if r["vec_rank"] > 0:
+            expect += math.floor(scale / (k + float(r["vec_rank"])))
+        assert r["rrf_q"] == expect
+    # a doc present in BOTH arms must outrank a doc present in one arm at
+    # a worse-or-equal single-arm rank -- the point of fusion
+    both = [r for r in out if r["text_rank"] > 0 and r["vec_rank"] > 0]
+    single = [r for r in out if (r["text_rank"] > 0) != (r["vec_rank"] > 0)]
+    if both and single:
+        assert max(r["rrf_q"] for r in both) > min(r["rrf_q"] for r in single)
+
+
+# ------------------------------------------------------ temperature sampling
+
+
+def test_temperature_resample_flattens_and_checksums(spark, tmp_path):
+    """Skewed two-source fixture: alpha=0.5 shrinks the big source's share
+    (90:10 -> 3:1 in weight); kept_id_sum must equal the checksum of the
+    exact md5-ranked prefix the replica selects."""
+    rows = [(i, f"doc {i}", "en", "big" if i < 90 else "small", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path)
+    df.write.parquet(f"{out}/documents.parquet")
+
+    got = {r["source"]: r for r in Q.q_temperature_resample(spark, out).collect()}
+    assert set(got) == {"big", "small"}
+    q = float(Q._TEMP_Q)
+    w = {s: math.floor(math.sqrt(n) * q) for s, n in (("big", 90), ("small", 10))}
+    tw = sum(w.values())
+    targets = {s: math.floor((w[s] * 100.0) / (2.0 * tw)) for s in w}
+    for s in ("big", "small"):
+        assert got[s]["target"] == targets[s]
+        assert got[s]["kept"] == min(targets[s], got[s]["n_docs"])
+    # alpha=0.5 flattening: big/small target ratio == sqrt ratio (3), not 9
+    assert got["big"]["target"] <= 3 * got["small"]["target"] + 1
+    # checksum of the exact selected prefix (md5-of-id rank replica)
+    for s, n0, ids in (("big", 90, range(90)), ("small", 10, range(90, 100))):
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        assert got[s]["kept_id_sum"] == sum(ranked[: targets[s]])
+
+
+# --------------------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_flags_planted_dup(spark, tmp_path):
+    """vec 97*0=0 is eval; vec 1 duplicates it exactly (cos=1 -> flagged);
+    vec 2 is orthogonal (cos=0 -> clean)."""
+    dim = Q.EMB_DIM
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    df = spark.createDataFrame(
+        [(0, e0, 0), (1, list(e0), 0), (2, e2, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = str(tmp_path)
+    df.write.parquet(f"{out}/embeddings.parquet")
+
+    got = {r["vec_id"]: r for r in Q.q_semantic_decontaminate(spark, out).collect()}
+    assert set(got) == {1, 2}  # vec 0 is eval-side, never scored
+    assert got[1]["contaminated"] == 1 and got[1]["max_cos"] == 1.0
+    assert got[2]["contaminated"] == 0 and got[2]["max_cos"] == 0.0
+
+
+# ------------------------------------------------------- per-dim standardize
+
+
+def test_embedding_standardize_matches_replica(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    q = float(Q._STD_Q)
+    dims: dict[int, list[int]] = {}
+    for r in rows:
+        for i, x in enumerate(r["embedding"]):
+            dims.setdefault(i, []).append(math.floor(float(x) * q))
+    got = {r["dim"]: r for r in Q.q_embedding_standardize(spark, sf_dir).collect()}
+    assert set(got) == set(dims)
+    for i, xs in dims.items():
+        n, sx = len(xs), sum(xs)
+        sxx = sum(x * x for x in xs)
+        mean = (sx / n) / q
+        var = max(sxx / n - (sx / n) * (sx / n), 0.0)
+        assert got[i]["n"] == n
+        assert got[i]["mean"] == mean
+        assert got[i]["std"] == math.sqrt(var) / q
+
+
+# --------------------------------------------------------- perplexity bands
+
+
+def _ppl_replica(texts: dict[int, str]) -> dict[int, int]:
+    """Independent band computation: in-corpus MLE bigram LM surprisal."""
+    q = float(Q._PPL_Q)
+    bigrams: dict[int, list[tuple[str, str]]] = {}
+    lm: dict[tuple[str, str], int] = {}
+    left: dict[str, int] = {}
+    for d, t in texts.items():
+        toks = _pytok(t)
+        bgs = list(zip(toks, toks[1:]))
+        bigrams[d] = bgs
+        for bg in bgs:
+            lm[bg] = lm.get(bg, 0) + 1
+            left[bg[0]] = left.get(bg[0], 0) + 1
+    bands = {}
+    for d, bgs in bigrams.items():
+        if not bgs:
+            continue
+        sq = sum(math.floor(math.log(left[a] / lm[(a, b)]) * q) for a, b in bgs)
+        band = math.floor((sq / len(bgs) - Q._PPL_BAND_BASE * q) / (Q._PPL_BAND_NATS * q))
+        bands[d] = max(min(band, Q._PPL_MAX_BAND), 0)
+    return bands
+
+
+def test_perplexity_bands_match_replica_on_corpus(spark):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    bands = _ppl_replica(texts)
+    expect: dict[int, int] = {}
+    for b in bands.values():
+        expect[b] = expect.get(b, 0) + 1
+    got = {r["band"]: r["n_docs"] for r in Q.q_perplexity_bands(spark, SF).collect()}
+    assert got == expect
+    assert len(got) >= 2  # the banding actually discriminates on real data
+
+
+# ------------------------------------------------------------- frame sample
+
+
+def test_frame_sample_counts(spark):
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+        if r["doc_id"] < Q._FRAME_DOCS
+    }
+    got: dict[int, list[int]] = {}
+    for r in Q.q_frame_sample(spark, SF).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert set(got) == set(docs)
+    for d, nc in docs.items():
+        dur = max(nc * Q._FRAME_MS_PER_CHAR, 1)
+        expect = list(range(0, dur, Q._FRAME_EVERY_MS)) or [0]
+        assert sorted(got[d]) == expect
