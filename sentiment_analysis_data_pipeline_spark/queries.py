@@ -5761,6 +5761,24 @@ def _perplexity_bands_sql(d: str) -> str:
     toks = TX.tokenize(d, TEXT)
     bgs = TX.ngrams(d, "toks", 2)
     ex_b = "explode(bgs)" if d == D.SPARK else "unnest(bgs)"
+    dbg_def = f"""tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id, {ex_b} AS bg
+            FROM (SELECT doc_id, {bgs} AS bgs FROM tokd) g
+        ),
+        dbg AS (
+            SELECT doc_id, bg, cast(count(*) as bigint) AS c
+            FROM bg GROUP BY doc_id, bg
+        ),"""
+    return _perplexity_body(d, dbg_def)
+
+
+def _perplexity_body(d: str, dbg_def: str) -> str:
+    """Band rollup over a `dbg(doc_id, bg, c)` per-doc bigram-count relation
+    whose definition is supplied by `dbg_def` (inline CTEs for the
+    single-statement oracle; a materialized temp view Spark-side -- dbg is
+    referenced by both the LM and the per-doc scorer, and Spark's CTE
+    re-inlining would run the zip_with bigram tokenization twice)."""
     if d == D.SPARK:
         left = "element_at(split(bg, '_'), 1)"
     else:
@@ -5774,15 +5792,7 @@ def _perplexity_bands_sql(d: str) -> str:
         f" / {_PPL_BAND_NATS * _PPL_Q!r}) as bigint)"
     )
     return f"""
-        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
-        bg AS (
-            SELECT doc_id, {ex_b} AS bg
-            FROM (SELECT doc_id, {bgs} AS bgs FROM tokd) g
-        ),
-        dbg AS (
-            SELECT doc_id, bg, cast(count(*) as bigint) AS c
-            FROM bg GROUP BY doc_id, bg
-        ),
+        WITH {dbg_def}
         lm AS (SELECT bg, cast(sum(c) as bigint) AS c_ab FROM dbg GROUP BY bg),
         lw AS (
             SELECT {left.replace('bg', 'lm.bg')} AS a, cast(sum(c_ab) as bigint) AS c_a
@@ -5809,7 +5819,17 @@ def _perplexity_bands_sql(d: str) -> str:
 
 def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "documents")
-    return spark.sql(_perplexity_bands_sql(D.SPARK))
+    toks = TX.tokenize(D.SPARK, TEXT)
+    bgs = TX.ngrams(D.SPARK, "toks", 2)
+    dbg = spark.sql(
+        f"""SELECT doc_id, bg, cast(count(*) as bigint) AS c
+            FROM (SELECT doc_id, explode(bgs) AS bg
+                  FROM (SELECT doc_id, {bgs} AS bgs
+                        FROM (SELECT doc_id, {toks} AS toks FROM documents) t) g) e
+            GROUP BY doc_id, bg"""
+    )
+    dbg.localCheckpoint(eager=True).createOrReplaceTempView("ppl_dbg")
+    return spark.sql(_perplexity_body(D.SPARK, "dbg AS (SELECT * FROM ppl_dbg),"))
 
 
 _FRAME_MS_PER_CHAR = 40
