@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "chi2_keywords",
     "semantic_clusters",
     "containment_pairs",
+    # round-5 batch-3 additions (TPC-H gap fill)
+    "part_supplier_counts",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

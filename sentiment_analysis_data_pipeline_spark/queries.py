@@ -5499,6 +5499,49 @@ def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-5 batch 3 -- TPC-H gap fill: the q16 shape (q13/q19 already live as
+# order_distribution / brand_size_revenue; partsupp stood in by lineitem)
+# =========================================================================
+
+
+def _part_supplier_counts_sql(d: str) -> str:
+    """TPC-H q16 shape (partsupp stood in by the lineitem part/supplier
+    pairs): distinct supplier count per (brand, type, size) for parts
+    outside an excluded brand, minus suppliers excluded by a subquery
+    (negative-acctbal stand-in for the complaints filter) -- the
+    NOT-IN-subquery + grouped count-distinct pattern.
+
+    Scale shape: the excluded-supplier subquery decorrelates to a
+    broadcast anti-join; the (part,supp) pair relation is
+    distinct-reduced BEFORE the part join; count(distinct) runs as a
+    two-level agg (Expand), all map-side partial."""
+    return """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        ok AS (
+            SELECT pr.l_partkey, pr.l_suppkey
+            FROM pairs pr
+            WHERE pr.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+            )
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               cast(count(DISTINCT o.l_suppkey) as bigint) AS supplier_cnt
+        FROM ok o JOIN part p ON p.p_partkey = o.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+        LIMIT 100
+    """
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_part_supplier_counts_sql(D.SPARK))
+
+
+# =========================================================================
 # Round-5 batch 2 -- retrieval fusion, temperature sampling, semantic
 # decontamination, per-dim standardization, perplexity banding, frame plan
 # =========================================================================
@@ -5896,6 +5939,8 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-5 batch-3 additions (never driver-proven) ---
+    "part_supplier_counts": (q_part_supplier_counts, _part_supplier_counts_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

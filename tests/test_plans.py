@@ -183,3 +183,11 @@ def test_perplexity_bands_no_window(spark):
     plan = _run(spark, "perplexity_bands")
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_part_supplier_counts_anti_join_and_topk(spark):
+    """q16 shape: NOT IN decorrelates to a broadcast anti-join; top-100
+    via TakeOrderedAndProject."""
+    plan = _run(spark, "part_supplier_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -57,6 +57,22 @@ def main() -> None:
     )
     n = docs.count()
 
+    # inflate embeddings the same way (identical vectors, fresh vec_ids):
+    # right for per-row/top-k throughput ops (embedding_standardize, the
+    # hybrid fusion arms); dedup-family ops are NOT smoked on this copy
+    # (identical vectors would measure pair explosion, not throughput)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    (
+        emb.select(
+            "vec_id", F.explode(F.expr(f"sequence(0, {mult - 1})")).alias("copy"), "embedding", "label"
+        )
+        .select(
+            (F.col("vec_id") * mult + F.col("copy")).alias("vec_id"), "embedding", "label"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+
     timings = {}
     t0 = time.perf_counter()
     sentiment_enrich(docs, "text").groupBy("overall").count().collect()
@@ -95,6 +111,12 @@ def main() -> None:
         "incremental_dedup",
         "media_byte_stats",
         "boilerplate_blocks",
+        # round-5 batch-2: corpus-linear curation/retrieval ops
+        "temperature_resample",
+        "perplexity_bands",
+        "frame_sample",
+        "embedding_standardize",
+        "hybrid_search_rrf",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
