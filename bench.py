@@ -95,8 +95,10 @@ BENCH_QUERIES = [
     "chi2_keywords",
     "semantic_clusters",
     "containment_pairs",
-    # round-5 batch-3 additions (TPC-H gap fill)
+    # round-5 batch-3 additions
     "part_supplier_counts",
+    "source_drift",
+    "pca_power_step",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

@@ -5541,6 +5541,110 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_part_supplier_counts_sql(D.SPARK))
 
 
+def _source_drift_sql(d: str) -> str:
+    """Snapshot drift monitor: chi-square contribution of every source to
+    the old-half vs new-half contingency table (halves = doc_id parity, the
+    deterministic stand-in for consecutive crawl snapshots). The alarm a
+    production corpus pipeline fires when a domain's share shifts between
+    ingests -- crawler breakage, robots.txt changes, spam floods.
+
+    Parity: counts and margins are exact BIGINTs; each expected value and
+    chi2 contribution is the same fixed chain of IEEE ops on identical
+    operands (margin products computed in double -- BIGINT would overflow
+    at ~3e9 rows); contributions sum over exactly 2 cells inline, not
+    across rows. Scale shape: ONE (source, half) partial agg, a pivot-less
+    conditional-sum rollup to per-source rows, 1-row total broadcast;
+    output is sources-sized."""
+    return """
+        WITH cells AS (
+            SELECT source,
+                   cast(sum(case when doc_id % 2 = 0 then 1 else 0 end) as bigint) AS n_old,
+                   cast(sum(case when doc_id % 2 = 1 then 1 else 0 end) as bigint) AS n_new
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT cast(sum(n_old) as bigint) AS t_old,
+                   cast(sum(n_new) as bigint) AS t_new,
+                   cast(sum(n_old) + sum(n_new) as bigint) AS n
+            FROM cells
+        )
+        SELECT c.source, c.n_old, c.n_new,
+               (cast(c.n_old as double)
+                - (cast(c.n_old + c.n_new as double) * cast(t.t_old as double))
+                  / cast(t.n as double))
+               * (cast(c.n_old as double)
+                - (cast(c.n_old + c.n_new as double) * cast(t.t_old as double))
+                  / cast(t.n as double))
+               / ((cast(c.n_old + c.n_new as double) * cast(t.t_old as double))
+                  / cast(t.n as double))
+               + (cast(c.n_new as double)
+                - (cast(c.n_old + c.n_new as double) * cast(t.t_new as double))
+                  / cast(t.n as double))
+               * (cast(c.n_new as double)
+                - (cast(c.n_old + c.n_new as double) * cast(t.t_new as double))
+                  / cast(t.n as double))
+               / ((cast(c.n_old + c.n_new as double) * cast(t.t_new as double))
+                  / cast(t.n as double)) AS chi2
+        FROM cells c CROSS JOIN tot t
+        ORDER BY chi2 DESC, c.source ASC
+    """
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_source_drift_sql(D.SPARK))
+
+
+# Deterministic dyadic start vector for the power step (exactly
+# representable doubles, identical literals in both dialects).
+_PCA_V0 = [(((i * 37) % 64) - 32) / 64.0 for i in range(1, EMB_DIM + 1)]
+
+
+def _pca_power_step_sql(d: str) -> str:
+    """One distributed power-iteration step toward the top singular
+    direction of the embedding matrix: w = X'(X v0) computed in a SINGLE
+    corpus pass -- y_r = x_r . v0 inline per row, then one dim-keyed
+    partial agg of x_ri * y_r. This is the scale-correct matvec shape
+    (linear in rows); materializing the 64x64 Gram matrix via a
+    component-pair self-join would blow the intermediate up d-fold for no
+    benefit. Uncentered (second-moment operator, the whitening/SVD-init
+    form); centering subtracts the rank-1 mean term built from the same
+    exact moments.
+
+    Parity: v0 is a dyadic literal vector; y is the engine's shared
+    left-associated flat dot expansion; the per-row products go through
+    the exact decimal-sum trick (`_dsum`) so accumulation order cannot
+    perturb w; the normalization divides by one exactly-summed norm."""
+    v = V.to_double_array(d, "embedding")
+    y = V.dot_literal(d, "v", _PCA_V0)
+    if d == D.SPARK:
+        ex = "SELECT y, posexplode(v) AS (idx, x) FROM yed"
+    else:
+        ex = "SELECT y, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x FROM yed"
+    return f"""
+        WITH emb AS (SELECT {v} AS v FROM embeddings),
+        yed AS (SELECT v, {y} AS y FROM emb),
+        ex AS ({ex}),
+        w AS (
+            SELECT cast(idx as bigint) AS dim,
+                   {_dsum("x * y", "w", scale=9)}
+            FROM ex GROUP BY idx
+        ),
+        nrm AS (
+            SELECT sqrt(cast(sum(cast(w * w as decimal(38,6))) as double)) AS nw
+            FROM w
+        )
+        SELECT w.dim, w.w / n.nw AS component
+        FROM w CROSS JOIN nrm n
+        ORDER BY w.dim ASC
+    """
+
+
+def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_pca_power_step_sql(D.SPARK))
+
+
 # =========================================================================
 # Round-5 batch 2 -- retrieval fusion, temperature sampling, semantic
 # decontamination, per-dim standardization, perplexity banding, frame plan
@@ -5941,6 +6045,8 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     # --- round-5 batch-3 additions (never driver-proven) ---
     "part_supplier_counts": (q_part_supplier_counts, _part_supplier_counts_sql),
+    "source_drift": (q_source_drift, _source_drift_sql),
+    "pca_power_step": (q_pca_power_step, _pca_power_step_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

@@ -191,3 +191,21 @@ def test_part_supplier_counts_anti_join_and_topk(spark):
     plan = _run(spark, "part_supplier_counts")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_source_drift_single_agg_broadcast_total(spark):
+    """One (source) partial agg; the 1-row margin relation comes back as a
+    broadcast -- no window, no corpus re-scan."""
+    plan = _run(spark, "source_drift")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pca_power_step_single_pass_no_gram_join(spark):
+    """The matvec must be the single-pass explode+agg (linear in rows),
+    never a component-pair self-join materializing the Gram matrix."""
+    plan = _run(spark, "pca_power_step")
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

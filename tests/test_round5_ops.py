@@ -173,3 +173,48 @@ def test_frame_sample_counts(spark):
         dur = max(nc * Q._FRAME_MS_PER_CHAR, 1)
         expect = list(range(0, dur, Q._FRAME_EVERY_MS)) or [0]
         assert sorted(got[d]) == expect
+
+
+# ----------------------------------------------------------- source drift
+
+
+def test_source_drift_matches_replica(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cells: dict[str, list[int]] = {}
+    for r in rows:
+        c = cells.setdefault(r["source"], [0, 0])
+        c[r["doc_id"] % 2] += 1
+    t_old = sum(v[0] for v in cells.values())
+    t_new = sum(v[1] for v in cells.values())
+    n = t_old + t_new
+    got = {r["source"]: r for r in Q.q_source_drift(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for s, (o, w) in cells.items():
+        assert got[s]["n_old"] == o and got[s]["n_new"] == w
+        e_o, e_w = (o + w) * t_old / n, (o + w) * t_new / n
+        chi2 = (o - e_o) ** 2 / e_o + (w - e_w) ** 2 / e_w
+        assert abs(got[s]["chi2"] - chi2) < 1e-9
+
+
+# --------------------------------------------------------- PCA power step
+
+
+def test_pca_power_step_unit_norm_and_replica(spark, sf_dir):
+    import numpy as np
+
+    X = np.array(
+        [r["embedding"] for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    v0 = np.array(Q._PCA_V0)
+    w = X.T @ (X @ v0)
+    expect = w / np.linalg.norm(w)
+    got = Q.q_pca_power_step(spark, sf_dir).collect()
+    comp = np.array([r["component"] for r in sorted(got, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(comp) - 1.0) < 1e-9
+    assert np.max(np.abs(comp - expect)) < 1e-6  # decimal-sum vs fp64 replica
+    # one step must move v0 toward the dominant direction: the Rayleigh
+    # quotient cannot decrease under the power step
+    rq0 = (v0 @ (X.T @ (X @ v0))) / (v0 @ v0)
+    rq1 = comp @ (X.T @ (X @ comp))
+    assert rq1 >= rq0 - 1e-6
