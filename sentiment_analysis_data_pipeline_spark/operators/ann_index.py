@@ -52,10 +52,21 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str) -> None
         """
     )
     cent.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    assign = _assign_to_cells(spark, index_dir, "_ivf_build_emb")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/assignments")
+
+
+def _assign_to_cells(spark: SparkSession, index_dir: str, emb_view: str) -> DataFrame:
+    """(vec_id, v, nv, cell) nearest-centroid assignment of an embeddings
+    view against the persisted codebook (broadcast cross join: nlist rows)."""
+    v = V.to_double_array(D.SPARK, "embedding")
+    nv = V.norm(D.SPARK, "v", EMB_DIM)
+    ncv = V.norm(D.SPARK, "cv", EMB_DIM)
+    dot = V.dot(D.SPARK, "e.v", "c.cv", EMB_DIM)
     spark.read.parquet(f"{index_dir}/centroids.parquet").createOrReplaceTempView("_ivf_cent")
-    assign = spark.sql(
+    return spark.sql(
         f"""
-        WITH emb0 AS (SELECT vec_id, {v} AS v FROM _ivf_build_emb),
+        WITH emb0 AS (SELECT vec_id, {v} AS v FROM {emb_view}),
         emb AS (SELECT vec_id, v, {nv} AS nv FROM emb0),
         cent AS (SELECT cell, cv, {ncv} AS ncv FROM _ivf_cent),
         assign0 AS (
@@ -69,7 +80,23 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str) -> None
         SELECT vec_id, v, nv, cell FROM assign0 WHERE rn = 1
         """
     )
-    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/assignments")
+
+
+def append_to_ivf_index(spark: SparkSession, new_emb: DataFrame, index_dir: str) -> None:
+    """Incremental vector ingest -- the ANN twin of the incremental-dedup
+    workflow: NEW vectors are assigned against the EXISTING codebook
+    (broadcast, nlist rows) and appended into their cells' partition
+    directories. The historical corpus is never re-read, re-assigned, or
+    re-shuffled; partition pruning at query time is unchanged because the
+    new files land inside the same cell=... directories.
+
+    The codebook is intentionally frozen (standard IVF practice -- FAISS
+    `add` after `train`): drift is handled by periodic re-training as a
+    separate snapshot build, not per-append. Appended vec_ids are the
+    caller's responsibility to keep unique (upstream exact/near dedup)."""
+    new_emb.createOrReplaceTempView("_ivf_append_emb")
+    assign = _assign_to_cells(spark, index_dir, "_ivf_append_emb")
+    assign.write.mode("append").partitionBy("cell").parquet(f"{index_dir}/assignments")
 
 
 def _probe_cells(spark: SparkSession, index_dir: str, query_vec: list[float], n_probe: int) -> list[str]:

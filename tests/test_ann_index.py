@@ -50,3 +50,44 @@ def test_ivf_index_build_query_and_pruning(spark):
         assert [r["vec_id"] for r in rows] == want
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ivf_index_incremental_append(spark):
+    """append_to_ivf_index: a new vector lands in the right cell partition,
+    becomes queryable immediately, and the query still partition-prunes --
+    the corpus side is never rewritten."""
+    import glob
+    import os
+
+    from sentiment_analysis_data_pipeline_spark.operators.ann_index import (
+        append_to_ivf_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="ivf-idx-app-")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(spark, emb, idx)
+        files_before = set(glob.glob(f"{idx}/assignments/cell=*/*.parquet"))
+
+        # new vector = a near-copy of vec 0 (same cell, cosine ~1)
+        base = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+        near = [x * 1.01 for x in base]
+        new = spark.createDataFrame(
+            [(900001, near, None)], "vec_id long, embedding array<float>, label int"
+        )
+        append_to_ivf_index(spark, new, idx)
+
+        # the append only ADDED files -- nothing the build wrote was touched
+        files_after = set(glob.glob(f"{idx}/assignments/cell=*/*.parquet"))
+        assert files_before < files_after
+        for f in files_before:
+            assert os.path.exists(f)
+
+        out = ivf_query(spark, idx, base, k=3, n_probe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        top = out.collect()
+        ids = [r["vec_id"] for r in top]
+        assert 900001 in ids and 0 in ids  # appended vector is queryable
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
