@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "part_supplier_counts",
     "source_drift",
     "pca_power_step",
+    "ivf_cell_balance",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

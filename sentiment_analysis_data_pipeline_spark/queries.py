@@ -1134,15 +1134,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _ivf_ann_sql(d: str) -> str:
-    """IVF-style ANN: coarse-quantize the corpus into cells (here the label
-    column's exact centroids stand in for a k-means codebook), then search
-    only within the query's cell -- the classic inverted-file trade of recall
-    for a ~nlist-fold candidate reduction.
-
-    Norms are hoisted into the per-vector/per-centroid CTEs (computed once
-    each); cosine at join time is dot/(n1*n2) -- one fold per pair instead
-    of three."""
+def _ivf_assign_ctes(d: str) -> str:
+    """The shared IVF coarse-quantization CTE prefix (emb0 .. assign):
+    decimal-exact label centroids stand in for the k-means codebook; every
+    vector is assigned to its max-cosine cell. Used verbatim by both the
+    ANN query (_ivf_ann_sql) and the cell-balance QA (_ivf_cell_balance_sql)
+    so the assignment semantics cannot drift between them."""
     v = V.to_double_array(d, "embedding")
     if d == D.SPARK:
         ex = "SELECT label, posexplode(v) AS (idx, x) FROM emb"
@@ -1153,9 +1150,7 @@ def _ivf_ann_sql(d: str) -> str:
     nv = V.norm(d, "v", EMB_DIM)
     ncv = V.norm(d, "cv", EMB_DIM)
     dot_assign = V.dot(d, "e.v", "c.cv", EMB_DIM)
-    dot_cand = V.dot(d, "a.v", "q.qv", EMB_DIM)
-    return f"""
-        WITH emb0 AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+    return f"""emb0 AS (SELECT vec_id, label, {v} AS v FROM embeddings),
         emb AS (SELECT vec_id, label, v, {nv} AS nv FROM emb0),
         ex AS ({ex}),
         cent AS (
@@ -1173,7 +1168,21 @@ def _ivf_ann_sql(d: str) -> str:
                                       c.label ASC) AS rn
             FROM emb e CROSS JOIN centv c
         ),
-        assign AS (SELECT vec_id, v, nv, cell FROM assign0 WHERE rn = 1),
+        assign AS (SELECT vec_id, v, nv, cell FROM assign0 WHERE rn = 1),"""
+
+
+def _ivf_ann_sql(d: str) -> str:
+    """IVF-style ANN: coarse-quantize the corpus into cells (here the label
+    column's exact centroids stand in for a k-means codebook), then search
+    only within the query's cell -- the classic inverted-file trade of recall
+    for a ~nlist-fold candidate reduction.
+
+    Norms are hoisted into the per-vector/per-centroid CTEs (computed once
+    each); cosine at join time is dot/(n1*n2) -- one fold per pair instead
+    of three."""
+    dot_cand = V.dot(d, "a.v", "q.qv", EMB_DIM)
+    return f"""
+        WITH {_ivf_assign_ctes(d)}
         -- multi-probe: the QUERY searches its top-3 cells (corpus rows stay
         -- single-cell). Single-probe recall@3 measured 0/3 here: with weakly
         -- clustered vectors the true NN routinely lands one cell over.
@@ -1196,6 +1205,40 @@ def _ivf_ann_sql(d: str) -> str:
         SELECT q_id, vec_id, cosine, cast(rnk as bigint) AS rnk
         FROM ranked WHERE rnk <= 3
     """
+
+
+def _ivf_cell_balance_sql(d: str) -> str:
+    """IVF index QA: per-cell population, share, and a hot-cell flag
+    (share >= 2x the uniform share). Skewed cells are hot partitions at
+    query time AND hot directories for the partitioned index writer -- the
+    check a deployment runs after (re)training a codebook, before
+    committing a snapshot build. Shares are one exact division each; the
+    flag threshold 2/nlist is computed from the same exact counts. Scale
+    shape: the assignment CTEs (shared verbatim with _ivf_ann_sql) end in
+    one cell-keyed count agg; output is nlist-sized."""
+    return f"""
+        WITH {_ivf_assign_ctes(d)}
+        sizes AS (
+            SELECT cell, cast(count(*) as bigint) AS n_vectors
+            FROM assign GROUP BY cell
+        ),
+        tot AS (
+            SELECT cast(sum(n_vectors) as bigint) AS n,
+                   cast(count(*) as bigint) AS nlist
+            FROM sizes
+        )
+        SELECT s.cell, s.n_vectors,
+               cast(s.n_vectors as double) / cast(t.n as double) AS share,
+               cast(case when s.n_vectors * t.nlist >= 2 * t.n then 1 else 0 end as bigint)
+                   AS hot
+        FROM sizes s CROSS JOIN tot t
+        ORDER BY s.n_vectors DESC, s.cell ASC
+    """
+
+
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_ivf_cell_balance_sql(D.SPARK))
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6047,6 +6090,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "part_supplier_counts": (q_part_supplier_counts, _part_supplier_counts_sql),
     "source_drift": (q_source_drift, _source_drift_sql),
     "pca_power_step": (q_pca_power_step, _pca_power_step_sql),
+    "ivf_cell_balance": (q_ivf_cell_balance, _ivf_cell_balance_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

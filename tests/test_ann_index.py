@@ -91,3 +91,39 @@ def test_ivf_index_incremental_append(spark):
         assert 900001 in ids and 0 in ids  # appended vector is queryable
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_streaming_vector_ingest(spark, tmp_path):
+    """Two streamed batches grow the index in place; a replayed vec_id is
+    anti-joined out; the new vectors are immediately queryable."""
+    import json
+
+    from sentiment_analysis_data_pipeline_spark.streaming.ann_stream import (
+        run_streaming_vector_ingest,
+    )
+
+    idx = str(tmp_path / "ivf")
+    src = tmp_path / "vecs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_index(spark, emb, idx)
+    base = [float(x) for x in emb.where("vec_id = 0").collect()[0]["embedding"]]
+
+    def drop(name, rows):
+        with open(str(src / name), "w") as f:
+            for vid, vec in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": vec, "label": 0}) + "\n")
+
+    drop("b1.json", [(900002, [x * 1.02 for x in base]), (0, base)])  # 0 = re-ingest
+    run_streaming_vector_ingest(spark, str(src), idx, ckpt).awaitTermination(120)
+    drop("b2.json", [(900003, [x * 1.03 for x in base])])
+    run_streaming_vector_ingest(spark, str(src), idx, ckpt).awaitTermination(120)
+
+    assign = spark.read.parquet(f"{idx}/assignments")
+    assert assign.filter("vec_id = 0").count() == 1  # re-ingest dropped
+    assert assign.filter("vec_id >= 900002").count() == 2
+
+    ids = [r["vec_id"] for r in ivf_query(spark, idx, base, k=4, n_probe=2).collect()]
+    assert 900002 in ids and 900003 in ids and 0 in ids
