@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "source_drift",
     "pca_power_step",
     "ivf_cell_balance",
+    "winnow_pairs_indexed",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

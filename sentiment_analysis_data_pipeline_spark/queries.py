@@ -5050,6 +5050,33 @@ def q_minhash_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verify_spark(spark, "mhx_cand", "id_a", "id_b")
 
 
+def _ensure_winnow_fp_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted winnowing fingerprint index over the full corpus (bucketed
+    by the fingerprint hash) -- built once per sf_dir per session via the
+    shared dedup_index builders."""
+    from .sources.tables import scattered
+
+    table = _index_table_name("winnow_fp_full", sf_dir)
+    if not spark.catalog.tableExists(table):
+        docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
+            "text", F.coalesce("text", F.lit(""))
+        )
+        dedup_index.build_winnow_index(spark, docs, table, 8)
+    return table
+
+
+def q_winnow_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnow_pairs from the PERSISTED fingerprint index: the df-cap
+    aggregation and both pair-join sides read co-located bucket files (no
+    Exchange above any of the three scans -- the bucketed twin of
+    q_winnow_pairs's in-session localCheckpoint barrier). Same oracle as
+    winnow_pairs. This closes the persisted-index registry family: minhash
+    (full + incremental), embedding bands, and winnowing fingerprints all
+    have both an in-session and a durable-table driver-proven path."""
+    table = _ensure_winnow_fp_index(spark, sf_dir)
+    return spark.sql(dedup_index.winnow_pairs_over(table))
+
+
 def q_semantic_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_semantic_clusters with candidate generation read from the PERSISTED
     band index instead of re-signaturing the corpus (round-4 verdict item 2):
@@ -6091,6 +6118,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "source_drift": (q_source_drift, _source_drift_sql),
     "pca_power_step": (q_pca_power_step, _pca_power_step_sql),
     "ivf_cell_balance": (q_ivf_cell_balance, _ivf_cell_balance_sql),
+    "winnow_pairs_indexed": (q_winnow_pairs_indexed, _winnow_pairs_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

@@ -146,3 +146,21 @@ def test_minhash_pairs_indexed_matches_in_session(spark):
         assert got == want and len(got) > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_winnow_pairs_indexed_query_matches_in_session(spark):
+    """The registry's persisted-index winnow query: pair-for-pair equal to
+    q_winnow_pairs, with the df-cap agg and both join sides reading the
+    bucketed table (plan asserted bucketed; residual shuffles are the
+    inherent pair aggregation only)."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    out = Q.q_winnow_pairs_indexed(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    got = {(r["id_a"], r["id_b"], r["shared_fp"]) for r in out.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["shared_fp"])
+        for r in Q.q_winnow_pairs(spark, SF).collect()
+    }
+    assert got == want and got
