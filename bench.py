@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "pca_power_step",
     "ivf_cell_balance",
     "winnow_pairs_indexed",
+    "hll_partition_merge",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

@@ -5611,6 +5611,66 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_part_supplier_counts_sql(D.SPARK))
 
 
+def _hll_partition_merge_sql(d: str) -> str:
+    """Tolerance oracle for the MERGEABLE-sketch workflow (same surface
+    contract as _approx_stats_sql: exact values + literal-1 flags; the
+    Spark side emits real in-envelope 0/1s, so the hash matches iff every
+    estimate -- including the one produced by UNIONING sketches -- is
+    within tolerance)."""
+    return """
+        SELECT event_type, exact_users, cast(1 as bigint) AS merged_ok
+        FROM (
+            SELECT event_type, cast(count(distinct user_id) as bigint) AS exact_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', cast(count(distinct user_id) as bigint) FROM events
+        ) u
+        ORDER BY event_type ASC
+    """
+
+
+def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern that makes sketches matter at 100 TB:
+    one HLL sketch per partition/segment (here per event_type), global
+    distinct-count obtained by UNIONING the sketches (hll_union_agg over
+    the segment relation -- the raw events are NOT re-scanned for the
+    global answer). This is how a deployment keeps daily distinct-user
+    sketches and answers any date-range query by merge. approx_stats
+    checks single-shot estimates; this checks the merge algebra.
+
+    Datasketches HLL at the default lgConfigK=12 has rsd ~1.6%; the
+    envelope |est - exact| <= max(5, 15% of exact) is ~9x that. Exact
+    distinct counts for the flags are computed in the same statement."""
+    _events_view(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH sk AS (
+            SELECT event_type, hll_sketch_agg(user_id) AS s,
+                   cast(count(distinct user_id) as bigint) AS exact_users
+            FROM events GROUP BY event_type
+        ),
+        per AS (
+            SELECT event_type, exact_users,
+                   cast(hll_sketch_estimate(s) as bigint) AS est
+            FROM sk
+        ),
+        glob AS (
+            SELECT 'ALL' AS event_type,
+                   (SELECT cast(count(distinct user_id) as bigint) FROM events)
+                       AS exact_users,
+                   cast(hll_sketch_estimate(hll_union_agg(s)) as bigint) AS est
+            FROM sk
+        )
+        SELECT event_type, exact_users,
+               cast(case when abs(est - exact_users)
+                          <= greatest(5.0, 0.15 * exact_users)
+                    then 1 else 0 end as bigint) AS merged_ok
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM glob) u
+        ORDER BY event_type ASC
+        """
+    )
+
+
 def _source_drift_sql(d: str) -> str:
     """Snapshot drift monitor: chi-square contribution of every source to
     the old-half vs new-half contingency table (halves = doc_id parity, the
@@ -6119,6 +6179,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "pca_power_step": (q_pca_power_step, _pca_power_step_sql),
     "ivf_cell_balance": (q_ivf_cell_balance, _ivf_cell_balance_sql),
     "winnow_pairs_indexed": (q_winnow_pairs_indexed, _winnow_pairs_sql),
+    "hll_partition_merge": (q_hll_partition_merge, _hll_partition_merge_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),
