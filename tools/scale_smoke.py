@@ -117,6 +117,10 @@ def main() -> None:
         "frame_sample",
         "embedding_standardize",
         "hybrid_search_rrf",
+        # round-5 batch-3: drift monitor, PCA matvec, IVF cell QA
+        "source_drift",
+        "pca_power_step",
+        "ivf_cell_balance",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
