@@ -100,3 +100,85 @@ def test_pii_scrub_cross_engine_parity(spark, texts):
         srow = spark.sql(one(D.SPARK, s)).collect()[0]
         drow = con.sql(one(D.DUCKDB, s)).fetchone()
         assert (srow["red"], srow["c0"], srow["c1"], srow["c2"]) == drow, repr(s)
+
+
+@settings(max_examples=6, deadline=None)
+@given(TEXTS)
+def test_perplexity_bands_cross_engine_on_random_corpora(spark, texts):
+    """The bigram-LM band rollup must hash-agree between Spark and DuckDB
+    on ARBITRARY printable corpora, not just the driver fixtures (the ln
+    quantization + exact-count parity claim, stress-tested)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from sentiment_analysis_data_pipeline_spark.queries import (
+        _perplexity_bands_sql,
+        q_perplexity_bands,
+    )
+
+    out = tempfile.mkdtemp(prefix="ppl-prop-")
+    try:
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(f"{out}/documents.parquet")
+        got = sorted(
+            (r["band"], r["n_docs"], r["n_bigrams"])
+            for r in q_perplexity_bands(spark, out).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            # Spark writes the table as a directory of part files
+            f"CREATE VIEW documents AS SELECT * FROM '{out}/documents.parquet/*.parquet'"
+        )
+        want = sorted(
+            (r[0], r[1], r[2])
+            for r in con.execute(_perplexity_bands_sql(D.DUCKDB)).fetchall()
+        )
+        assert got == want, texts
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=4), min_size=2, max_size=40))
+def test_temperature_targets_invariants(spark, srcs):
+    """Random source histograms: targets never exceed half the corpus
+    (+1 per-source floor slack), kept == min(n, target), kept ids are a
+    prefix of the md5 ranking (checksum replica)."""
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+
+    from sentiment_analysis_data_pipeline_spark.queries import (
+        _TEMP_Q,
+        q_temperature_resample,
+    )
+
+    out = tempfile.mkdtemp(prefix="temp-prop-")
+    try:
+        rows = [(i, f"d{i}", "en", f"s{g}", 5) for i, g in enumerate(srcs)]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{out}/documents.parquet")
+        got = q_temperature_resample(spark, out).collect()
+        total = len(srcs)
+        assert sum(r["target"] for r in got) <= total / 2 + len(got)
+        by_src: dict[str, list[int]] = {}
+        for i, g in enumerate(srcs):
+            by_src.setdefault(f"s{g}", []).append(i)
+        w = {s: math.floor(math.sqrt(len(ids)) * float(_TEMP_Q)) for s, ids in by_src.items()}
+        tw = sum(w.values())
+        for r in got:
+            ids = by_src[r["source"]]
+            assert r["n_docs"] == len(ids)
+            assert r["target"] == math.floor((w[r["source"]] * float(total)) / (2.0 * tw))
+            assert r["kept"] == min(r["n_docs"], r["target"])
+            ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            assert r["kept_id_sum"] == sum(ranked[: r["target"]])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
