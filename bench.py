@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "ivf_cell_balance",
     "winnow_pairs_indexed",
     "hll_partition_merge",
+    "copurchase_pairs",
+    "table_checksum",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

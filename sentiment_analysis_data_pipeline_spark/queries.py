@@ -5611,6 +5611,74 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_part_supplier_counts_sql(D.SPARK))
 
 
+def _copurchase_pairs_sql(d: str) -> str:
+    """Co-occurrence mining (the "also bought" building block): part pairs
+    appearing in the same order, counted across all orders, top-50 by
+    support. The association-rule precursor every recommender/feature
+    pipeline computes.
+
+    Scale shape: ONE equi-self-join on l_orderkey -- pair fan-out is
+    bounded by per-order basket size squared (TPC-H baskets are <= 7
+    lines; real baskets are bounded too), never corpus-quadratic; the
+    distinct per-order pair set collapses duplicates before the global
+    count; top-50 via TakeOrderedAndProject. Counts are exact BIGINTs."""
+    return """
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        SELECT part_a, part_b, cast(count(*) as bigint) AS n_orders
+        FROM pairs
+        GROUP BY part_a, part_b
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT 50
+    """
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_copurchase_pairs_sql(D.SPARK))
+
+
+def _table_checksum_sql(d: str) -> str:
+    """Cross-system migration validation: per-source row counts plus an
+    order-free content checksum (sum of 56-bit md5 prefixes of the
+    canonicalized row) -- how a 100 TB copy is verified table-by-table
+    without sorting or moving either side. An engine pair (this one and
+    its DuckDB oracle) agreeing on the checksum IS the migration check
+    running for real.
+
+    Parity: md5 over an explicitly canonicalized string (pipe-joined,
+    null-tagged), 56-bit prefix to BIGINT (exact in both engines), summed
+    as BIGINT -- order-free, partial-agg-safe. Scale shape: pure
+    projection + one source-keyed partial agg; zero joins."""
+    h = H.hex_to_bigint(d, "md5(canon)", 14)
+    ns = D.cast_str(d, "n_chars")
+    ids = D.cast_str(d, "doc_id")
+    return f"""
+        WITH canon0 AS (
+            SELECT source,
+                   concat({ids}, '|', coalesce(text, '<NULL>'), '|',
+                          coalesce(lang, '<NULL>'), '|',
+                          coalesce({ns}, '<NULL>')) AS canon
+            FROM documents
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_rows,
+               cast(sum({h}) as bigint) AS content_checksum
+        FROM canon0
+        GROUP BY source
+        ORDER BY source ASC
+    """
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_table_checksum_sql(D.SPARK))
+
+
 def _hll_partition_merge_sql(d: str) -> str:
     """Tolerance oracle for the MERGEABLE-sketch workflow (same surface
     contract as _approx_stats_sql: exact values + literal-1 flags; the
@@ -6180,6 +6248,8 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "ivf_cell_balance": (q_ivf_cell_balance, _ivf_cell_balance_sql),
     "winnow_pairs_indexed": (q_winnow_pairs_indexed, _winnow_pairs_sql),
     "hll_partition_merge": (q_hll_partition_merge, _hll_partition_merge_sql),
+    "copurchase_pairs": (q_copurchase_pairs, _copurchase_pairs_sql),
+    "table_checksum": (q_table_checksum, _table_checksum_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

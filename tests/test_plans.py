@@ -209,3 +209,15 @@ def test_pca_power_step_single_pass_no_gram_join(spark):
     assert "Generate" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_copurchase_pairs_topk_and_basket_join(spark):
+    plan = _run(spark, "copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_table_checksum_no_joins(spark):
+    plan = _run(spark, "table_checksum")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
