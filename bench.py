@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "hll_partition_merge",
     "copurchase_pairs",
     "table_checksum",
+    "bm25_search_indexed",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

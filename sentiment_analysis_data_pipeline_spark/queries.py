@@ -2357,11 +2357,11 @@ BM25_B = 0.75
 _BM25_Q = 1 << 20
 
 
-def _bm25_body(d: str, ex_def: str) -> str:
-    """BM25 pipeline over an `ex(doc_id, t)` exploded analyzed-token
-    relation, whose definition is supplied by `ex_def` (inline CTE for the
-    single-statement oracle; a materialized temp view Spark-side so the
-    stemmer-regex tokenization runs once, not once per CTE reference)."""
+def _bm25_formulas() -> tuple[str, str, str]:
+    """(query-term IN list, quantized idf expr, quantized tf-factor expr)
+    shared by the exploded-relation body and the persisted-postings body so
+    the scoring math cannot drift between the in-session and indexed
+    search paths."""
     from .operators import search as _search
 
     terms = sorted(set(_search._analyze_py(SEARCH_QUERY)))
@@ -2377,6 +2377,15 @@ def _bm25_body(d: str, ex_def: str) -> str:
         f" + ({BM25_B!r} * cast(dl.dl * s.n_docs as double)) / cast(s.sum_dl as double)))"
     )
     tf_q = f"cast(floor(({tf_factor}) * {float(_BM25_Q)!r}) as bigint)"
+    return in_list, idf_q, tf_q
+
+
+def _bm25_body(d: str, ex_def: str) -> str:
+    """BM25 pipeline over an `ex(doc_id, t)` exploded analyzed-token
+    relation, whose definition is supplied by `ex_def` (inline CTE for the
+    single-statement oracle; a materialized temp view Spark-side so the
+    stemmer-regex tokenization runs once, not once per CTE reference)."""
+    in_list, idf_q, tf_q = _bm25_formulas()
     return f"""
         WITH {ex_def}
         dl AS (SELECT doc_id, cast(count(*) as bigint) AS dl FROM ex GROUP BY doc_id),
@@ -2407,6 +2416,68 @@ def _bm25_sql(d: str) -> str:
     ex_def = f"""tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
         ex AS (SELECT doc_id, {ex} AS t FROM tokd),"""
     return _bm25_body(d, ex_def)
+
+
+def _ensure_search_postings_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted inverted index for the search surface: analyzed-token
+    postings (doc_id, t, tf) written as a bucketed table keyed by term --
+    what a search deployment builds at ingest so query-time work is
+    postings joins, never tokenization. Built once per sf_dir per session
+    via the same analyzer chain as the in-session path."""
+    from .sources.tables import scattered, write_bucketed
+
+    table = _index_table_name("search_postings", sf_dir)
+    if not spark.catalog.tableExists(table):
+        docs = scattered(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        docs.createOrReplaceTempView("documents")
+        toks = TX.analyzed_tokens(D.SPARK, TEXT)
+        postings = spark.sql(
+            f"""SELECT doc_id, t, cast(count(*) as bigint) AS tf
+                FROM (SELECT doc_id, explode({toks}) AS t FROM documents) e
+                GROUP BY doc_id, t"""
+        )
+        write_bucketed(postings, table, "t", 8)
+    return table
+
+
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the PERSISTED postings index: doc lengths, corpus length,
+    and term frequencies all come from the bucketed (doc_id, t, tf) table
+    -- at query time the stemmer-regex analyzer runs over NOTHING (the
+    reference's Elasticsearch does exactly this: tokenize at index time,
+    score from postings at query time). Scoring math is shared verbatim
+    with the in-session path (_bm25_formulas), and the oracle is the same
+    _bm25_sql -- the two paths must agree score-for-score. Scale shape:
+    the term filter prunes the bucketed scan to the query terms' buckets;
+    dl/sum_dl are postings-relation aggs a deployment would also persist;
+    nothing rescans raw documents except the 1-row corpus count."""
+    _view(spark, sf_dir, "documents")
+    table = _ensure_search_postings_index(spark, sf_dir)
+    in_list, idf_q, tf_q = _bm25_formulas()
+    return spark.sql(
+        f"""
+        WITH dl AS (
+            SELECT doc_id, cast(sum(tf) as bigint) AS dl FROM {table} GROUP BY doc_id
+        ),
+        s AS (SELECT (SELECT cast(count(*) as bigint) FROM documents) AS n_docs,
+                     (SELECT cast(sum(tf) as bigint) FROM {table}) AS sum_dl),
+        tf AS (
+            SELECT doc_id, t, tf FROM {table} WHERE t IN ({in_list})
+        ),
+        df AS (SELECT t, cast(count(*) as bigint) AS df FROM tf GROUP BY t),
+        idf AS (SELECT df.t, {idf_q} AS idf_q FROM df CROSS JOIN s),
+        contrib AS (
+            SELECT tf.doc_id, idf.idf_q * {tf_q} AS cq
+            FROM tf
+            JOIN idf ON tf.t = idf.t
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN s
+        ),
+        scored AS (SELECT doc_id, sum(cq) AS sq FROM contrib GROUP BY doc_id)
+        SELECT doc_id, cast(sq as double) / {float(1 << 40)!r} AS bm25
+        FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """
+    )
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6250,6 +6321,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "hll_partition_merge": (q_hll_partition_merge, _hll_partition_merge_sql),
     "copurchase_pairs": (q_copurchase_pairs, _copurchase_pairs_sql),
     "table_checksum": (q_table_checksum, _table_checksum_sql),
+    "bm25_search_indexed": (q_bm25_search_indexed, _bm25_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

@@ -221,3 +221,13 @@ def test_table_checksum_no_joins(spark):
     plan = _run(spark, "table_checksum")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bm25_indexed_reads_postings_not_text(spark):
+    """Query-time plan must contain NO tokenizer work: the documents scan
+    appears only for the 1-row corpus count (ReadSchema without `text`),
+    and scoring reads the bucketed postings table."""
+    plan = _run(spark, "bm25_search_indexed")
+    assert "TakeOrderedAndProject" in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("text" not in ln for ln in rs)
