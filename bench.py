@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "copurchase_pairs",
     "table_checksum",
     "bm25_search_indexed",
+    "sentence_split",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

@@ -5682,6 +5682,52 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_part_supplier_counts_sql(D.SPARK))
 
 
+def _sentence_split_sql(d: str) -> str:
+    """DuckDB twin of the SentenceSplit UDTF: regexp split + ordered unnest
+    with the same drop-empties/strip semantics (the split pattern contains
+    no lookbehind precisely so an RE2-based oracle can mirror it)."""
+    return r"""
+        WITH parts0 AS (
+            -- unnest + generate_subscripts over the same array ZIP in DuckDB
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS p,
+                   generate_subscripts(regexp_split_to_array(text, '[.!?]+\s+'), 1) AS ord0
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        ),
+        parts AS (
+            SELECT doc_id, trim(p) AS sentence, ord0 FROM parts0
+        ),
+        kept AS (
+            SELECT doc_id, sentence,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord0 ASC) - 1
+                       AS sentence_idx
+            FROM parts WHERE sentence <> ''
+        )
+        SELECT doc_id, cast(sentence_idx as bigint) AS sentence_idx, sentence
+        FROM kept ORDER BY doc_id ASC, sentence_idx ASC
+    """
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF surface, driver-proven: documents LATERAL-joined to
+    the SentenceSplit UDTF (operators/udtf_ops.py) -- SQL-callable
+    row-expanding Python, the §2.9 API shape the engine had not yet
+    demonstrated. Hash-checked against a pure-SQL DuckDB twin of the same
+    split semantics."""
+    from .operators import udtf_ops
+
+    _view(spark, sf_dir, "documents")
+    udtf_ops.register(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence
+        FROM documents d, LATERAL sentence_split(d.text) s
+        WHERE d.doc_id < 200 AND d.text IS NOT NULL
+        ORDER BY d.doc_id ASC, s.sentence_idx ASC
+        """
+    )
+
+
 def _copurchase_pairs_sql(d: str) -> str:
     """Co-occurrence mining (the "also bought" building block): part pairs
     appearing in the same order, counted across all orders, top-50 by
@@ -6322,6 +6368,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "copurchase_pairs": (q_copurchase_pairs, _copurchase_pairs_sql),
     "table_checksum": (q_table_checksum, _table_checksum_sql),
     "bm25_search_indexed": (q_bm25_search_indexed, _bm25_sql),
+    "sentence_split": (q_sentence_split, _sentence_split_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

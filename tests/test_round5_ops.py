@@ -218,3 +218,31 @@ def test_pca_power_step_unit_norm_and_replica(spark, sf_dir):
     rq0 = (v0 @ (X.T @ (X @ v0))) / (v0 @ v0)
     rq1 = comp @ (X.T @ (X @ comp))
     assert rq1 >= rq0 - 1e-6
+
+
+# ------------------------------------------------------------ UDTF surface
+
+
+def test_sentence_split_udtf_expands_rows(spark):
+    """Multi-sentence fixture through the real UDTF: row expansion, 0-based
+    indices, delimiter-run collapse, empty-part drops."""
+    from sentiment_analysis_data_pipeline_spark.operators import udtf_ops
+
+    udtf_ops.register(spark)
+    df = spark.createDataFrame(
+        [(1, "First one. Second!  Third?? "), (2, "no terminator"), (3, None)],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_fixture")
+    rows = spark.sql(
+        """SELECT d.doc_id, s.sentence_idx, s.sentence
+           FROM udtf_fixture d, LATERAL sentence_split(d.text) s
+           ORDER BY d.doc_id, s.sentence_idx"""
+    ).collect()
+    got = [(r["doc_id"], r["sentence_idx"], r["sentence"]) for r in rows]
+    assert got == [
+        (1, 0, "First one"),
+        (1, 1, "Second"),
+        (1, 2, "Third"),  # the trailing "?? " delimiter run is consumed
+        (2, 0, "no terminator"),
+    ]
