@@ -5768,9 +5768,13 @@ def _table_checksum_sql(d: str) -> str:
     running for real.
 
     Parity: md5 over an explicitly canonicalized string (pipe-joined,
-    null-tagged), 56-bit prefix to BIGINT (exact in both engines), summed
-    as BIGINT -- order-free, partial-agg-safe. Scale shape: pure
-    projection + one source-keyed partial agg; zero joins."""
+    null-tagged), 56-bit prefix to BIGINT (exact in both engines),
+    accumulated in decimal(38,0) -- a plain BIGINT sum overflows at just
+    ~128 rows x 2^56 per group (caught at sf0.1; the sf0.01 selfcheck
+    passed it) -- then reduced mod 2^61-1 back to a BIGINT. Order-free and
+    partial-agg-safe; decimal headroom holds past 1e21 rows per group.
+    Scale shape: pure projection + one source-keyed partial agg; zero
+    joins."""
     h = H.hex_to_bigint(d, "md5(canon)", 14)
     ns = D.cast_str(d, "n_chars")
     ids = D.cast_str(d, "doc_id")
@@ -5784,7 +5788,8 @@ def _table_checksum_sql(d: str) -> str:
         )
         SELECT source,
                cast(count(*) as bigint) AS n_rows,
-               cast(sum({h}) as bigint) AS content_checksum
+               cast(sum(cast({h} as decimal(38,0))) % 2305843009213693951 as bigint)
+                   AS content_checksum
         FROM canon0
         GROUP BY source
         ORDER BY source ASC
