@@ -12,8 +12,8 @@ This module persists the two IVF relations the way a deployment would:
   in the storage layout, so each query reads ~n_probe/nlist of the corpus
   (asserted against PartitionFilters in tests/test_ann_index.py).
 
-Centroids are the label-column means (the same deterministic decimal-exact
-codebook as `ivf_ann` -- a k-means stand-in whose cells are reproducible at
+Centroids are the label-column means (the same deterministic floor-quantized
+exact codebook as `ivf_ann` -- a k-means stand-in whose cells are reproducible at
 any parallelism); per-vector norms are computed once at BUILD time and
 stored, so queries never touch raw-vector math beyond one dot per candidate.
 """
@@ -43,7 +43,7 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str) -> None
         ex AS (SELECT label, posexplode(v) AS (idx, x) FROM emb),
         cent AS (
             SELECT label, idx,
-                   cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS c
+                   cast(cast(sum(cast(floor(x * 1000000000.0) as decimal(38,0))) as double) / (count(*) * 1000000000.0) as double) AS c
             FROM ex GROUP BY label, idx
         )
         SELECT label AS cell,

@@ -37,6 +37,24 @@ TEXT = "coalesce(text, '')"
 EMB_DIM = 64
 
 
+def _qmean(expr: str, alias: str) -> str:
+    """Order-free exact mean of FLOAT-derived doubles at 1e-9 granularity:
+    floor-quantize each value to a BIGINT (floor of identical doubles is
+    identical in both engines), sum in decimal(38,0) (BIGINT would overflow
+    past ~1e11 rows x 16.0-magnitude values), divide once.
+
+    Why not `cast(x as decimal(18,9))`: the cast ROUNDS, and Spark
+    (HALF_UP) and DuckDB disagree on ties -- embedding floats are dyadic
+    rationals whose decimal expansions can terminate in ...5 exactly, and
+    at sf0.1 one such tie produced a 1-ulp centroid divergence
+    (label_centroids, round-5 full-selfcheck-at-sf0.1 find). floor() has
+    no tie to disagree on."""
+    return (
+        f"cast(cast(sum(cast(floor({expr} * 1000000000.0) as decimal(38,0))) as double)"
+        f" / (count(*) * 1000000000.0) as double) AS {alias}"
+    )
+
+
 def _dsum(expr: str, alias: str, scale: int = 6) -> str:
     """Exact cross-engine double sum: per-row double -> decimal -> exact sum
     -> double. Identical in both dialects."""
@@ -1117,7 +1135,7 @@ def _label_centroids_sql(d: str) -> str:
         WITH emb AS (SELECT label, {v} AS v FROM embeddings),
         ex AS ({ex})
         SELECT cast(label as bigint) AS label, cast(idx as bigint) AS idx,
-               cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS centroid
+               {_qmean('x', 'centroid')}
         FROM ex GROUP BY label, idx
     """
 
@@ -1125,8 +1143,9 @@ def _label_centroids_sql(d: str) -> str:
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the building block for IVF-style ANN
     partitioning and class prototypes): posexplode to (label, dim, value)
-    rows -> partial-aggregated sums per (label, dim). The decimal cast makes
-    the float sums order-independent, so the result is exact at any
+    rows -> partial-aggregated sums per (label, dim). The floor-quantized
+    decimal sums (_qmean) make the float means order-independent AND
+    tie-unambiguous across engines, so the result is exact at any
     parallelism."""
     _view(spark, sf_dir, "embeddings")
     return spark.sql(_label_centroids_sql(D.SPARK))
@@ -1155,7 +1174,7 @@ def _ivf_assign_ctes(d: str) -> str:
         ex AS ({ex}),
         cent AS (
             SELECT label, idx,
-                   cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS c
+                   {_qmean('x', 'c')}
             FROM ex GROUP BY label, idx
         ),
         centv0 AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
@@ -5374,7 +5393,7 @@ def _kmeans_step_sql(d: str) -> str:
         ex AS ({ex}),
         cent AS (
             SELECT label, idx,
-                   cast(cast(sum(cast(x as decimal(18,9))) as double) / count(*) as double) AS c
+                   {_qmean('x', 'c')}
             FROM ex GROUP BY label, idx
         ),
         centv0 AS (SELECT label, {agg_cv} AS cv FROM cent GROUP BY label),
@@ -5392,7 +5411,7 @@ def _kmeans_step_sql(d: str) -> str:
         SELECT cell,
                cast(count(*) as bigint) AS n_assigned,
                cast(sum(case when label <> cell then 1 else 0 end) as bigint) AS n_moved,
-               cast(cast(sum(cast(x0 as decimal(18,9))) as double) / count(*) as double) AS new_c0
+               {_qmean('x0', 'new_c0')}
         FROM assign GROUP BY cell
     """
 
@@ -5933,8 +5952,10 @@ def _pca_power_step_sql(d: str) -> str:
 
     Parity: v0 is a dyadic literal vector; y is the engine's shared
     left-associated flat dot expansion; the per-row products go through
-    the exact decimal-sum trick (`_dsum`) so accumulation order cannot
-    perturb w; the normalization divides by one exactly-summed norm."""
+    the floor-quantized exact sum (`_qmean` -- w is the exact MEAN of
+    x*y, a scalar factor that cancels under normalization) so
+    accumulation order and decimal-cast tie-rounding cannot perturb w;
+    the norm is itself a floor-quantized exact sum."""
     v = V.to_double_array(d, "embedding")
     y = V.dot_literal(d, "v", _PCA_V0)
     if d == D.SPARK:
@@ -5947,11 +5968,15 @@ def _pca_power_step_sql(d: str) -> str:
         ex AS ({ex}),
         w AS (
             SELECT cast(idx as bigint) AS dim,
-                   {_dsum("x * y", "w", scale=9)}
+                   {_qmean("x * y", "w")}
             FROM ex GROUP BY idx
         ),
         nrm AS (
-            SELECT sqrt(cast(sum(cast(w * w as decimal(38,6))) as double)) AS nw
+            -- w is a MEAN (~1e-2 scale): quantize w*w at 1e-18 (1e-6 was
+            -- measured to distort the norm by 1.1%); decimal(38,0) holds
+            -- the scaled terms exactly
+            SELECT sqrt(cast(sum(cast(floor(w * w * 1e18) as decimal(38,0))) as double)
+                        / 1e18) AS nw
             FROM w
         )
         SELECT w.dim, w.w / n.nw AS component

@@ -212,7 +212,16 @@ def test_pca_power_step_unit_norm_and_replica(spark, sf_dir):
     got = Q.q_pca_power_step(spark, sf_dir).collect()
     comp = np.array([r["component"] for r in sorted(got, key=lambda r: r["dim"])])
     assert abs(np.linalg.norm(comp) - 1.0) < 1e-9
-    assert np.max(np.abs(comp - expect)) < 1e-6  # decimal-sum vs fp64 replica
+    # fp64 replica direction (engine w is the floor-quantized exact MEAN of
+    # x*y -- scalar factor cancels; quantization shifts each dim <= 1e-9/|w|)
+    assert np.max(np.abs(comp - expect)) < 1e-5
+    # exact replica of the engine's quantized pipeline, bit-for-bit
+    y = X @ v0
+    wq = np.array(
+        [float(sum(math.floor(x * y_r * 1e9) for x, y_r in zip(col, y))) for col in X.T]
+    ) / (len(X) * 1e9)
+    nq = math.sqrt(float(sum(math.floor(v * v * 1e18) for v in wq)) / 1e18)
+    assert np.array_equal(comp, wq / nq)
     # one step must move v0 toward the dominant direction: the Rayleigh
     # quotient cannot decrease under the power step
     rq0 = (v0 @ (X.T @ (X @ v0))) / (v0 @ v0)
