@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "table_checksum",
     "bm25_search_indexed",
     "sentence_split",
+    "logreg_step",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

@@ -5747,6 +5747,81 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LR_Q = 1 << 20
+# dyadic start weights (bias, len, toks, upper-ratio proxy)
+_LR_W0 = [0.125, -0.25, 0.5, -0.0625]
+
+
+def _logreg_step_sql(d: str) -> str:
+    """One distributed logistic-regression gradient step -- the third
+    member of the engine's iterative-ML-primitive family (kmeans_step,
+    pca_power_step): grad_j = sum_r (sigmoid(w.x_r) - y_r) * x_rj over the
+    corpus, the building block of a quality-classifier trainer run where
+    the data lives. Features are cheap per-row document signals; the label
+    is the lang=='en' indicator (a stand-in target; the SHAPE is the
+    product). Single pass, one feature-keyed partial agg -- the same
+    linear-in-rows matvec shape as pca_power_step, never a Gram/Hessian
+    materialization.
+
+    Parity: features and the margin z are fixed chains of IEEE ops on
+    exact inputs; sigmoid (the one transcendental) is floored to 2^-20
+    fixed point -- the zipf_slope ln() treatment applied to exp();
+    residual and feature quantizations are exact BIGINTs; products (<=
+    2^40) accumulate in decimal(38,0)."""
+    q = float(_LR_Q)
+    toks = TX.tokenize(d, TEXT)
+    nt = D.arr_size(d, toks)
+    # features: bias, chars/1000, tokens/100, chars-per-token/10
+    f1 = "(cast(n_chars as double) / 1000.0)"
+    f2 = f"(cast({nt} as double) / 100.0)"
+    f3 = f"(cast(n_chars as double) / (cast({nt} as double) + 1.0) / 10.0)"
+    w = _LR_W0
+    z = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2 + {w[3]!r} * x3)"
+    sig_q = f"cast(floor((1.0 / (1.0 + exp(-{z}))) * {q!r}) as bigint)"
+    gsum = lambda fx: (  # noqa: E731
+        f"sum(cast(rq * cast(floor({fx} * {q!r}) as bigint) as decimal(38,0)))"
+    )
+    # ONE aggregate pass computes all four gradient components (the UNION
+    # -ALL-per-feature form re-tokenized the corpus once per feature under
+    # CTE re-inlining: 128-task stage observed); the unpivot then runs
+    # over a 1-row relation in each dialect's native spelling.
+    if d == D.SPARK:
+        unpivot = (
+            "SELECT n, stack(4, 0, g0, 1, g1, 2, g2, 3, g3) AS (f, g) FROM agg"
+        )
+    else:
+        unpivot = (
+            "SELECT n, 0 AS f, g0 AS g FROM agg UNION ALL "
+            "SELECT n, 1, g1 FROM agg UNION ALL "
+            "SELECT n, 2, g2 FROM agg UNION ALL "
+            "SELECT n, 3, g3 FROM agg"
+        )
+    return f"""
+        WITH feats AS (
+            SELECT {f1} AS x1, {f2} AS x2, {f3} AS x3,
+                   case when lang = 'en' then 1 else 0 end AS y
+            FROM documents
+        ),
+        resid AS (
+            SELECT x1, x2, x3, {sig_q} - y * {int(_LR_Q)} AS rq FROM feats
+        ),
+        agg AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   {gsum("1.0")} AS g0, {gsum("x1")} AS g1,
+                   {gsum("x2")} AS g2, {gsum("x3")} AS g3
+            FROM resid
+        )
+        SELECT cast(f as bigint) AS feature,
+               cast(cast(g as double) / (n * {q * q!r}) as double) AS grad
+        FROM ({unpivot}) u ORDER BY feature ASC
+    """
+
+
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_logreg_step_sql(D.SPARK))
+
+
 def _copurchase_pairs_sql(d: str) -> str:
     """Co-occurrence mining (the "also bought" building block): part pairs
     appearing in the same order, counted across all orders, top-50 by
@@ -6399,6 +6474,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "table_checksum": (q_table_checksum, _table_checksum_sql),
     "bm25_search_indexed": (q_bm25_search_indexed, _bm25_sql),
     "sentence_split": (q_sentence_split, _sentence_split_sql),
+    "logreg_step": (q_logreg_step, _logreg_step_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),

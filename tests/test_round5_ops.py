@@ -255,3 +255,39 @@ def test_sentence_split_udtf_expands_rows(spark):
         (1, 2, "Third"),  # the trailing "?? " delimiter run is consumed
         (2, 0, "no terminator"),
     ]
+
+
+# ---------------------------------------------------------- logistic step
+
+
+def test_logreg_step_matches_replica(spark, sf_dir):
+    """Exact replica of the quantized gradient pipeline, bit-for-bit, plus
+    a sanity check against the unquantized fp64 gradient."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    q = float(Q._LR_Q)
+    w = Q._LR_W0
+    X, y = [], []
+    for r in rows:
+        nt = len(_pytok(r["text"]))
+        x1 = r["n_chars"] / 1000.0
+        x2 = nt / 100.0
+        x3 = r["n_chars"] / (nt + 1.0) / 10.0
+        X.append((x1, x2, x3))
+        y.append(1 if r["lang"] == "en" else 0)
+    gsum = [0, 0, 0, 0]
+    for (x1, x2, x3), yy in zip(X, y):
+        z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+        rq = math.floor((1.0 / (1.0 + math.exp(-z))) * q) - yy * Q._LR_Q
+        for j, fx in enumerate((1.0, x1, x2, x3)):
+            gsum[j] += rq * math.floor(fx * q)
+    n = len(X)
+    expect = [float(g) / (n * q * q) for g in gsum]
+    got = [r["grad"] for r in Q.q_logreg_step(spark, sf_dir).collect()]
+    assert got == expect
+    # direction sanity vs unquantized gradient (quantization error ~1e-6)
+    Xb = np.array([(1.0, *x) for x in X])
+    sig = 1.0 / (1.0 + np.exp(-(Xb @ np.array(w))))
+    fp = (Xb.T @ (sig - np.array(y))) / n
+    assert np.max(np.abs(np.array(got) - fp)) < 1e-4
