@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bm25_search_indexed",
     "sentence_split",
     "logreg_step",
+    "json_profile",
     # round-5 batch-2 additions
     "hybrid_search_rrf",
     "temperature_resample",

@@ -5747,6 +5747,44 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _json_profile_sql(d: str) -> str:
+    """Semi-structured schema profiling over the events.props JSON column:
+    per key -- presence count, distinct values, value-length range, and a
+    numeric-share gauge. The schema-drift detector a lakehouse runs over
+    raw JSON columns before committing a typed extraction (a new key, a
+    type flip, or a presence drop shows up as a changed row).
+
+    Parity: key sets via each engine's native JSON key enumeration,
+    values extracted AS STRINGS (identical canonical text both sides),
+    counts/lengths exact integers. Scale shape: one explode over keys
+    (bounded by schema width, not corpus), single partial agg keyed by
+    the JSON key."""
+    if d == D.SPARK:
+        keys = "explode(json_object_keys(props))"
+        val = "get_json_object(props, concat('$.', k))"
+        isnum = r"case when {v} rlike '^-?[0-9]+(\\.[0-9]+)?$' then 1 else 0 end"
+    else:
+        keys = "unnest(json_keys(props))"
+        val = "json_extract_string(props, concat('$.', k))"
+        isnum = r"case when regexp_matches({v}, '^-?[0-9]+(\.[0-9]+)?$') then 1 else 0 end"
+    return f"""
+        WITH keyed AS (SELECT {keys} AS k, props FROM events),
+        vals AS (SELECT k, {val} AS v FROM keyed)
+        SELECT k AS json_key,
+               cast(count(*) as bigint) AS n_present,
+               cast(count(distinct v) as bigint) AS n_values,
+               cast(min(length(v)) as bigint) AS min_len,
+               cast(max(length(v)) as bigint) AS max_len,
+               cast(sum({isnum.format(v='v')}) as bigint) AS n_numeric
+        FROM vals GROUP BY k ORDER BY k ASC
+    """
+
+
+def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events_view(spark, sf_dir)
+    return spark.sql(_json_profile_sql(D.SPARK))
+
+
 _LR_Q = 1 << 20
 # dyadic start weights (bias, len, toks, upper-ratio proxy)
 _LR_W0 = [0.125, -0.25, 0.5, -0.0625]
@@ -6475,6 +6513,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "bm25_search_indexed": (q_bm25_search_indexed, _bm25_sql),
     "sentence_split": (q_sentence_split, _sentence_split_sql),
     "logreg_step": (q_logreg_step, _logreg_step_sql),
+    "json_profile": (q_json_profile, _json_profile_sql),
     # --- round-5 batch-2 additions (never driver-proven) ---
     "hybrid_search_rrf": (q_hybrid_search_rrf, _hybrid_search_sql),
     "temperature_resample": (q_temperature_resample, _temperature_resample_sql),
