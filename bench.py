@@ -235,14 +235,14 @@ def main() -> None:
     print(final_line(timings, sf_val, runs))
 
 
-def final_line(timings: dict[str, float], sf_val, runs: int) -> str:
-    """Build + selfcheck the single driver-parsed JSON line.
+def build_result(timings: dict[str, float], sf_val, runs: int) -> dict:
+    """The driver-parsed result dict -- the ONE place its shape is defined.
 
-    The line must round-trip through json.loads and fit the driver's tail
-    -capture window. Trim nothing silently -- fail loudly so the proof chain
-    can't quietly break again (round 4's BENCH record was lost this way).
+    final_line serializes this under the strict LINE_BUDGET; the contract
+    test simulates the driver's wider tail-capture window on the SAME dict,
+    so format drift can't silently diverge the test from the emission path.
     """
-    result = {
+    return {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -250,6 +250,16 @@ def final_line(timings: dict[str, float], sf_val, runs: int) -> str:
         "runs": runs,
         "queries": {k: round(v, 3) for k, v in timings.items()},
     }
+
+
+def final_line(timings: dict[str, float], sf_val, runs: int) -> str:
+    """Build + selfcheck the single driver-parsed JSON line.
+
+    The line must round-trip through json.loads and fit the driver's tail
+    -capture window. Trim nothing silently -- fail loudly so the proof chain
+    can't quietly break again (round 4's BENCH record was lost this way).
+    """
+    result = build_result(timings, sf_val, runs)
     line = json.dumps(result, separators=(",", ":"))
     assert json.loads(line)["value"] == result["value"]
     assert len(line) < LINE_BUDGET, f"final bench line {len(line)}B >= {LINE_BUDGET}B"

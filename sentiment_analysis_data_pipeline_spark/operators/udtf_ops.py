@@ -21,7 +21,13 @@ from pyspark.sql.functions import udtf
 
 # No lookbehind (kept portable: RE2-based oracles can't do lookbehind);
 # the delimiter run is consumed, empties are dropped on both sides.
-SENTENCE_SPLIT_PATTERN = r"[.!?]+\s+"
+# The whitespace class is written out EXPLICITLY (not \s) because Python's
+# re \s is Unicode-aware while the RE2-based oracle's \s is ASCII-only --
+# with \s a NBSP/ideographic space at a sentence edge would silently
+# diverge between the engines. Same reason strip() below is restricted to
+# the identical ASCII set instead of Unicode str.strip().
+ASCII_WS = " \t\n\r\f\v"
+SENTENCE_SPLIT_PATTERN = r"[.!?]+[ \t\n\r\f\v]+"
 
 
 @udtf(returnType="sentence_idx bigint, sentence string")
@@ -33,7 +39,7 @@ class SentenceSplit:
             return
         idx = 0
         for part in re.split(SENTENCE_SPLIT_PATTERN, text):
-            part = part.strip()
+            part = part.strip(ASCII_WS)
             if part:
                 yield (idx, part)
                 idx += 1

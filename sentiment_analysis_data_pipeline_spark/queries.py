@@ -5704,17 +5704,25 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sentence_split_sql(d: str) -> str:
     """DuckDB twin of the SentenceSplit UDTF: regexp split + ordered unnest
     with the same drop-empties/strip semantics (the split pattern contains
-    no lookbehind precisely so an RE2-based oracle can mirror it)."""
+    no lookbehind precisely so an RE2-based oracle can mirror it). The
+    whitespace class and the trim set are both the explicit ASCII six
+    (matching udtf_ops.ASCII_WS) -- regex-\\s/trim() would be Unicode-aware on the
+    Python side and ASCII/space-only here, diverging on NBSP-adjacent
+    sentence edges."""
     return r"""
         WITH parts0 AS (
             -- unnest + generate_subscripts over the same array ZIP in DuckDB
             SELECT doc_id,
-                   unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS p,
-                   generate_subscripts(regexp_split_to_array(text, '[.!?]+\s+'), 1) AS ord0
+                   unnest(regexp_split_to_array(text, '[.!?]+[ \t\n\r\f\v]+')) AS p,
+                   generate_subscripts(regexp_split_to_array(text, '[.!?]+[ \t\n\r\f\v]+'), 1) AS ord0
             FROM documents WHERE doc_id < 200 AND text IS NOT NULL
         ),
         parts AS (
-            SELECT doc_id, trim(p) AS sentence, ord0 FROM parts0
+            SELECT doc_id,
+                   trim(p, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
+                       AS sentence,
+                   ord0
+            FROM parts0
         ),
         kept AS (
             SELECT doc_id, sentence,

@@ -22,9 +22,13 @@ Delivery: probe-before-append makes a replayed batch (foreachBatch retry)
 re-emit the same pairs rather than miss any; pair output is
 batch_id-stamped so downstream consumers can dedupe replays exactly once
 (the same contract merge_into_parquet implements for the article sink). A
-re-crawled doc_id already in the doc store is dropped before landing, so
-the index never holds two signature sets for one id (the n.doc != c.doc
-candidate guard covers the probe itself).
+re-crawled doc_id already in the doc store is dropped before landing, and
+the index append itself anti-joins against ids already indexed
+(append_to_band_index) -- so even a foreachBatch RETRY that fires after
+the index write but before the doc-store write cannot land a second
+signature set for an id. The three epoch writes are individually
+idempotent under replay, not transactional: a crash between them leaves
+(at worst) pairs without corpus rows, which the next attempt repairs.
 """
 
 from __future__ import annotations
@@ -113,9 +117,20 @@ def append_to_band_index(spark: SparkSession, batch: DataFrame, index_table: str
     """Append the batch's (doc, band_key) signatures with the SAME bucketBy
     spec the index was created with (sources/tables.write_bucketed) -- the
     new files land in the correct buckets and the zero-Exchange probe join
-    keeps holding for every later batch."""
+    keeps holding for every later batch.
+
+    Replay-idempotent: ids already present in the index are dropped before
+    signaturing, so a foreachBatch retry that re-runs the append cannot
+    leave two signature sets for one id (which would inflate every later
+    probe's candidate fan-out). The guard reads ONLY the index's doc column
+    (column-pruned bucketed scan) and the anti-join broadcasts the batch
+    side; at corpus scale this is one narrow column sweep per micro-batch
+    -- acceptable for a correctness invariant, and replaceable by a
+    batch_id-stamped index if even that sweep matters."""
+    indexed = spark.table(index_table).select(F.col("doc").alias("doc_id")).distinct()
+    fresh = batch.join(indexed, "doc_id", "left_anti")
     (
-        minhash_band_keys(batch, "text", "doc_id")
+        minhash_band_keys(fresh, "text", "doc_id")
         .write.mode("append")
         .bucketBy(INDEX_BUCKETS, "band_key")
         .sortBy("band_key")
@@ -157,7 +172,7 @@ def run_streaming_dedup(
             .write.mode("append")
             .parquet(pairs_path)
         )
-        append_to_band_index(spark, batch, index_table)
+        append_to_band_index(bs, batch, index_table)
         batch.select("doc_id", "text").write.mode("append").parquet(corpus_path)
 
     return (

@@ -20,20 +20,10 @@ def test_final_line_fits_budget_today_and_window_at_2x():
     # tail-capture window (the r4 failure mode needs ~3x today's names).
     timings = dict(today)
     timings.update({f"{n}_b": 123.456 for n in bench.BENCH_QUERIES})
-    import bench as _b
-
-    line = json_line = _b.json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "sf": 0.1,
-            "runs": 5,
-            "queries": {k: round(v, 3) for k, v in timings.items()},
-        },
-        separators=(",", ":"),
-    )
-    assert len(json_line) < bench.DRIVER_WINDOW
+    # Same dict-builder the real emission path uses (final_line = this +
+    # the strict budget assert) -- so format drift there is drift HERE too.
+    line = json.dumps(bench.build_result(timings, 0.1, 5), separators=(",", ":"))
+    assert len(line) < bench.DRIVER_WINDOW
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["unit"] == "sec"

@@ -257,6 +257,23 @@ def test_sentence_split_udtf_expands_rows(spark):
     ]
 
 
+def test_sentence_split_ascii_whitespace_parity():
+    """The split/strip whitespace set is the explicit ASCII six, NOT
+    Unicode \\s / str.strip() -- pinned so the Python side can't silently
+    diverge from the RE2+trim oracle on NBSP/ideographic-space edges
+    (ADVICE r5). An NBSP after the terminator must NOT split; an NBSP at a
+    kept sentence's edge must survive stripping."""
+    from sentiment_analysis_data_pipeline_spark.operators.udtf_ops import SentenceSplit
+
+    # @udtf wraps the class; .func is the raw handler class underneath
+    out = list(SentenceSplit.func().eval("One. still one. Two!\ttab split. Kept edge"))
+    assert out == [
+        (0, "One. still one"),       # NBSP is not a delimiter char
+        (1, "Two"),                        # tab IS (ASCII six)
+        (2, "tab split. Kept edge"),  # NBSP never stripped from edges
+    ]
+
+
 # ---------------------------------------------------------- logistic step
 
 
