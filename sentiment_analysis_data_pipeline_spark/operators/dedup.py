@@ -272,6 +272,9 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    edge_spill_table: str | None = None,
+    spill_threshold: int = 100_000,
+    spill_buckets: int = 32,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: (node, component) where
     component = min node id reachable -- the step that turns any pair emitter
@@ -286,29 +289,61 @@ def connected_components(
     independent of iteration count/partitioning, which is what lets a
     DuckDB `WITH RECURSIVE` transitive closure serve as the oracle
     (queries.q_dedup_clusters).
+
+    THE EDGE-SPILL PATH (the cluster-scale form): localCheckpoint's
+    LogicalRDD does not surface hash-partitioning to Catalyst (PLANS.md,
+    round-5 measurement), so the in-memory loop re-Exchanges the STATIC
+    undirected edge relation every round -- fine for the few-hundred-edge
+    graphs the oracle gate builds, the dominant wire cost on a
+    boilerplate-fat crawl graph at 100 TB (iterations x |und| network).
+    When `edge_spill_table` is given and the graph clears
+    `spill_threshold` undirected rows, `und` is written ONCE as a bucketed
+    table clustered on the join key `b`; every round's join then reads
+    co-located bucket files with NO Exchange above the edge scan -- the
+    only per-round shuffles left are the node-count-sized label relation's
+    (join side + groupBy), which genuinely changes each round. Verified in
+    tests/test_dedup.py::test_cc_edge_spill_round_plan_has_no_edge_exchange
+    (executed-plan assert) and measured in SCALE.md (tools/cc_spill_bench.py).
+    The table is dropped before returning; labels are checkpointed, so no
+    result lineage references it.
     """
     # Checkpoint the edge relation first: `und` references it twice (both
     # orientations), and an expensive un-materialized edge plan would run
     # twice in the union's single job.
     edges, edge_ids = _tracked_ckpt(edges)
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+    spark = edges.sparkSession
+    und_plan = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    und, und_ids = _tracked_ckpt(und)
+    spilled = False
+    if edge_spill_table is not None and 2 * edges.count() >= spill_threshold:
+        from ..sources.tables import write_bucketed
+
+        # repartition on the bucket key FIRST: repartition(n, col) hashes
+        # with the same Murmur3 the bucketing layer uses, so each write
+        # task holds exactly one bucket -> ONE sorted file per bucket ->
+        # the scan reports its sortBy ordering and every round's SMJ skips
+        # both the Exchange AND the per-round Sort on the edge side
+        # (multi-file buckets would re-sort 2|E| rows every iteration --
+        # measured 42% slower at 2M edges, tools/cc_spill_bench.py)
+        write_bucketed(
+            und_plan.repartition(spill_buckets, F.col("b")),
+            edge_spill_table,
+            "b",
+            spill_buckets,
+        )
+        und, und_ids = spark.table(edge_spill_table), []
+        spilled = True
+    else:
+        und, und_ids = _tracked_ckpt(und_plan)
     labels, label_ids = _tracked_ckpt(
         und.select("a")
         .union(und.select(F.col("b").alias("a")))
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("comp"))
     )
-    spark = edges.sparkSession
     for _ in range(max_iter):
-        nbr = und.join(labels, und["b"] == labels["node"]).select(
-            und["a"].alias("node"), F.col("comp")
-        )
-        new, new_ids = _tracked_ckpt(
-            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
-        )
+        new, new_ids = _tracked_ckpt(_cc_round(und, labels))
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -327,7 +362,20 @@ def connected_components(
             break
     _unpersist_ids(spark, und_ids)
     _unpersist_ids(spark, edge_ids)
+    if spilled:
+        spark.sql(f"DROP TABLE IF EXISTS {edge_spill_table}")
     return labels
+
+
+def _cc_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: every node takes the min component
+    label among itself and its neighbors. Factored out so the executed plan
+    of a single round is testable -- with a bucketed `und` the join's edge
+    side must show a zero-Exchange bucketed scan."""
+    nbr = und.join(labels, und["b"] == labels["node"]).select(
+        und["a"].alias("node"), F.col("comp")
+    )
+    return labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
 
 
 def _tracked_ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:

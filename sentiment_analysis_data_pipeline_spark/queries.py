@@ -2051,7 +2051,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
 
     edges = _simhash_pairs_df(spark, sf_dir)
-    comp = connected_components(edges)
+    # above the spill threshold the static edge relation is bucketed once
+    # and every propagation round reads it Exchange-free (VERDICT r5 item 1)
+    comp = connected_components(edges, edge_spill_table="cc_edges_dedup_clusters")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
@@ -2112,7 +2114,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _view(spark, sf_dir, "documents")
     edges = _simhash_pairs_df(spark, sf_dir)
-    comp = connected_components(edges).select(
+    comp = connected_components(edges, edge_spill_table="cc_edges_dedup_keep").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
     sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
@@ -4710,7 +4712,7 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
 
     edges = q_embedding_dedup_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(edges)
+    comp = connected_components(edges, edge_spill_table="cc_edges_semantic")
     return comp.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("component")
     )
@@ -5187,7 +5189,7 @@ def q_semantic_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     edges = _verify_embedding_cand(spark, cand).select("id_a", "id_b")
-    comp = connected_components(edges)
+    comp = connected_components(edges, edge_spill_table="cc_edges_semantic_idx")
     return comp.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("component")
     )
