@@ -151,12 +151,32 @@ def lang_scores(d: str, tokens_expr: str) -> dict[str, str]:
 
 def lang_id(d: str, tokens_expr: str) -> str:
     """Deterministic argmax over marker-hit counts; ties broken by the fixed
-    language order; 'und' when no marker hits at all."""
+    language order; 'und' when no marker hits at all.
+
+    Spark side: argmax via array_max over (score, order-precedence, lang)
+    structs -- struct ordering compares score first, then precedence (first
+    language in the fixed order carries the highest value, so it wins
+    ties), so `.l` of the max IS the argmax. Each per-language score HOF
+    appears ONCE. The previous form inlined `greatest(all scores)` into
+    every CASE branch -- an O(L^2) expression (6.1 KB of SQL, ~30 HOF
+    filters) whose fused whole-stage-codegen method was big enough that
+    HotSpot C2 compile churn made the first ~20 executions of any query
+    embedding it swing 2-5x (BENCH_r05 flagged filter_reasons unstable;
+    root-caused round 6, see PLANS.md). The DuckDB oracle keeps the
+    explicit inlined-argmax CASE: identical semantics, and oracle-side
+    expression size is irrelevant."""
     scores = lang_scores(d, tokens_expr)
     langs = list(LANG_MARKERS)
+    if d == D.SPARK:
+        structs = ", ".join(
+            f"struct({scores[lang]} AS s, {len(langs) - i} AS p, '{lang}' AS l)"
+            for i, lang in enumerate(langs)
+        )
+        m = f"array_max(array({structs}))"
+        return f"case when ({m}).s > 0 then ({m}).l else 'und' end"
     greatest = f"greatest({', '.join(scores[lang] for lang in langs)})"
     whens = " ".join(f"when {scores[lang]} = __mx and __mx > 0 then '{lang}'" for lang in langs)
-    # Both dialects lack let-bindings in scalar expressions; inline the max.
+    # DuckDB lacks let-bindings in scalar expressions; inline the max.
     expr = f"case {whens} else 'und' end"
     return expr.replace("__mx", greatest)
 
