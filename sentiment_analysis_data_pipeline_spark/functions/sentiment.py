@@ -344,8 +344,11 @@ BOOST_INCR: tuple[str, ...] = (
     "tremendously", "unbelievably", "unusually", "utterly", "very",
 )
 BOOST_DECR: tuple[str, ...] = (
-    "barely", "kinda", "marginally", "occasionally", "partly", "slightly",
-    "somewhat", "sorta",
+    # "kindof"/"sortof" are the joined single-token forms of the published
+    # "kind of"/"sort of" boosters (round 6); the two-token forms are
+    # handled by BOOST_BIGRAMS below.
+    "barely", "kinda", "kindof", "marginally", "occasionally", "partly",
+    "slightly", "somewhat", "sorta", "sortof",
 )
 NEG_FACTOR = -0.75  # dyadic stand-in for VADER's N_SCALAR -0.74
 INCR_FACTOR = 1.25
@@ -356,6 +359,37 @@ MODIFIER_FACTORS: dict[str, float] = {
     **{w: DECR_FACTOR for w in BOOST_DECR},
 }
 assert not set(MODIFIER_FACTORS) & set(LEXICON), "modifier/lexicon overlap"
+
+# --- round-6 mechanics: the remaining published-VADER behaviors that are
+# dyadic-weight-expressible (VERDICT r5 missing item 1 / next-round item 4).
+# Each mirrors a mechanic of Hutto & Gilbert 2014's published algorithm with
+# exact dyadic constants so cross-engine sums stay order-free:
+#
+#   BOOST_BIGRAMS      VADER's multi-token boosters "kind of"/"sort of"
+#                      (BOOSTER_DICT): when the TWO tokens before a
+#                      sentiment word are such a pair, the dampener factor
+#                      applies (takes precedence over the single-prev rule
+#                      -- "of" alone is no modifier anyway).
+#   CAPS_FACTOR        ALL-CAPS emphasis (C_INCR=0.733 added to |valence|):
+#                      multiplicative 1.25 on a token spelled ALL-CAPS when
+#                      the document mixes cased styles (VADER's
+#                      allcap_differential: some but not all tokens upper).
+#   BUT_BEFORE/AFTER   the published _but_check: contributions before the
+#                      first "but" x0.5, after it x1.5.
+#   EP_* / QM_*        punctuation emphasis on the compound sum: 0.25 per
+#                      "!" capped at 4 (published 0.292); "?" count 2-3 ->
+#                      0.1875 each, >3 -> 0.9375 total (published
+#                      0.18/0.96). Applied in the direction of the sum,
+#                      VADER-sum only (TextBlob's Pattern has no analog).
+BOOST_BIGRAMS: tuple[tuple[str, str], ...] = (("kind", "of"), ("sort", "of"))
+BIGRAM_FACTOR = DECR_FACTOR
+CAPS_FACTOR = 1.25
+BUT_BEFORE = 0.5
+BUT_AFTER = 1.5
+EP_PER_EXCL = 0.25
+EP_MAX_EXCL = 4
+QM_PER = 0.1875
+QM_MAX = 0.9375
 
 
 def avg_score(vader_col: str = "vader_compound", tb_col: str = "textblob_polarity") -> str:
@@ -381,12 +415,21 @@ def confidence(avg_col: str) -> str:
 
 
 def score_layers() -> list[dict[str, str]]:
-    """Dialect-free score formulas over the kernel sums (_ssum, _wsum, _nm):
-    the same single IEEE ops regardless of how the sums were produced (array
-    fold or lexicon-join aggregate -- both exact)."""
+    """Dialect-free score formulas over the kernel sums (_ssum, _wsum, _nm)
+    and the per-doc punctuation-emphasis amplifier (_pe, round 6): the same
+    single IEEE ops regardless of how the sums were produced (array fold or
+    lexicon-join aggregate -- both exact). _s2 is the published
+    score_valence step: the emphasis is added IN THE DIRECTION of the sum,
+    and a zero sum stays zero (no sentiment to amplify)."""
     return [
         {
-            "vader_compound": f"(_ssum / sqrt(_ssum * _ssum + {VADER_ALPHA}.0))",
+            "_s2": (
+                "(case when _ssum > 0 then _ssum + _pe "
+                "when _ssum < 0 then _ssum - _pe else _ssum end)"
+            ),
+        },
+        {
+            "vader_compound": f"(_s2 / sqrt(_s2 * _s2 + {VADER_ALPHA}.0))",
             "textblob_polarity": "(case when _nm = 0 then 0.0 else _wsum / cast(_nm as double) end)",
         },
         {"avg_score": "((vader_compound + textblob_polarity) / 2.0)"},
@@ -441,6 +484,87 @@ def prev_tokens_sql(d: str, toks_col: str = "_toks") -> str:
     )
 
 
+def prev2_tokens_sql(d: str, toks_col: str = "_toks") -> str:
+    """Expression producing the PREV-PREV-token array aligned with
+    `toks_col`: element i holds token i-2 (elements 0,1 are NULL). Built by
+    prepending two NULLs and slicing back to the original length, so the
+    array is EXACTLY as long as the token array at every size (the
+    two-token left context for BOOST_BIGRAMS)."""
+    if d == D.SPARK:
+        two = "array(cast(null as string), cast(null as string))"
+        return f"slice(concat({two}, {toks_col}), 1, size({toks_col}))"
+    return (
+        f"list_slice(list_prepend(cast(null as varchar), "
+        f"list_prepend(cast(null as varchar), {toks_col})), 1, len({toks_col}))"
+    )
+
+
+def caps_flags_sql(d: str, text_expr: str) -> str:
+    """Boolean array aligned with tokenize(text): element i is true when
+    token i was spelled ALL-CAPS in the raw text (>= 1 letter, every letter
+    uppercase -- Python str.isupper semantics, digits allowed). Alignment
+    with the lowercased token array is structural: the cleaning regex and
+    the whitespace split commute with lower(), so positions match."""
+    cleaned = D.regexp_replace_all(d, f"trim({text_expr})", "[^a-zA-Z0-9 ]", " ")
+    arr = D.split_ws(d, f"trim({cleaned})")
+    nonempty = D.arr_filter(d, arr, "t -> t <> ''")
+    pat = "^[A-Z0-9]*[A-Z][A-Z0-9]*$"
+    if d == D.SPARK:
+        return D.arr_transform(d, nonempty, f"t -> t rlike '{pat}'")
+    return D.arr_transform(d, nonempty, f"t -> regexp_matches(t, '{pat}')")
+
+
+def cap_differential_sql(caps_col: str, toks_col: str, d: str) -> str:
+    """VADER's allcap_differential over the flag array: true when SOME but
+    not ALL tokens are ALL-CAPS (0 < n_caps < n_tokens)."""
+    ncaps = D.arr_size(d, D.arr_filter(d, caps_col, "c -> c"))
+    return f"({ncaps} > 0 AND {ncaps} < {D.arr_size(d, toks_col)})"
+
+
+def but_index_sql(d: str, toks_col: str = "_toks") -> str:
+    """1-based index of the first 'but' token; 0 when absent (the pivot for
+    the published _but_check re-weighting)."""
+    if d == D.SPARK:
+        return f"array_position({toks_col}, 'but')"
+    return f"coalesce(list_position({toks_col}, 'but'), 0)"
+
+
+def punct_emphasis_sql(d: str, text_expr: str) -> str:
+    """The published punctuation-emphasis amplifier as one exact dyadic
+    double: !-count (capped at 4) x 0.25, plus ?-emphasis (2-3 -> 0.1875
+    each, >3 -> 0.9375). Added to the VADER sum in its direction by
+    score_layers' _s2 stage."""
+    ep = D.regexp_count(d, text_expr, "!")
+    qm = D.regexp_count(d, text_expr, "\\?")
+    return (
+        f"(cast(least({ep}, {EP_MAX_EXCL}) as double) * {EP_PER_EXCL!r}"
+        f" + case when {qm} > 3 then {QM_MAX!r}"
+        f" when {qm} > 1 then cast({qm} as double) * {QM_PER!r}"
+        f" else 0.0 end)"
+    )
+
+
+def token_factor_sql(
+    prev: str = "prev", prev2: str = "prev2", capsf: str = "capsf",
+    cap_diff: str = "cap_diff", i: str = "i", bi: str = "bi", mf: str = "mf",
+) -> str:
+    """Per-matched-token scale factor combining every contextual mechanic:
+    modifier-of-preceding-token (bigram dampeners take precedence),
+    ALL-CAPS emphasis, and the but-clause re-weighting. A product of dyadic
+    factors -- exact in both engines. Column references are parameters so
+    the SQL template and the DataFrame pipeline share one formula."""
+    bigram = " OR ".join(
+        f"({prev2} = '{a}' AND {prev} = '{b}')" for a, b in BOOST_BIGRAMS
+    )
+    mod = f"case when {bigram} then {BIGRAM_FACTOR!r} else coalesce({mf}, 1.0) end"
+    caps = f"case when {capsf} AND {cap_diff} then {CAPS_FACTOR!r} else 1.0 end"
+    but = (
+        f"case when {bi} > 0 and {i} < {bi} then {BUT_BEFORE!r} "
+        f"when {bi} > 0 and {i} > {bi} then {BUT_AFTER!r} else 1.0 end"
+    )
+    return f"(({mod}) * ({caps}) * ({but}))"
+
+
 # ---------------------------------------------------------------------------
 # Arrow-vectorized variant (U1/U2 plumbing for a real model / library).
 # Same math as the SQL kernel; used by tests to prove native == pandas paths.
@@ -461,13 +585,37 @@ def _py_tokens(s: str | None) -> list[str]:
     return [t for t in cleaned.split() if t]
 
 
+def _py_tokens_raw(s: str | None) -> list[str]:
+    """Case-preserving twin of _py_tokens (for the ALL-CAPS flags); same
+    cleaning/splitting, so positions align with the lowercased tokens."""
+    import re
+
+    if s is None:
+        return []
+    cleaned = re.sub(r"[^a-zA-Z0-9 ]", " ", s.strip())
+    return [t for t in cleaned.split() if t]
+
+
+def _py_punct_emphasis(s: str | None) -> float:
+    ep = min((s or "").count("!"), EP_MAX_EXCL) * EP_PER_EXCL
+    qm_n = (s or "").count("?")
+    qm = QM_MAX if qm_n > 3 else (qm_n * QM_PER if qm_n > 1 else 0.0)
+    return ep + qm
+
+
 def _py_kernel(s: str | None) -> tuple[float, float]:
-    """Reference implementation of the kernel incl. contextual modifiers:
-    a matched token's signed unit AND weight are scaled by the factor of the
-    immediately preceding token (1.0 when it is not a modifier). All values
-    are dyadic, so summation order cannot change the result -- this is the
-    exact same arithmetic the SQL kernel's join shape performs."""
+    """Reference implementation of the kernel incl. every contextual
+    mechanic (round 6: bigram dampeners, ALL-CAPS emphasis, but-clause
+    re-weighting, punctuation emphasis): a matched token's signed unit AND
+    weight are scaled by the product of its dyadic context factors. All
+    values are dyadic, so summation order cannot change the result -- this
+    is the exact same arithmetic the SQL kernel's join shape performs."""
     toks = _py_tokens(s)
+    raw = _py_tokens_raw(s)
+    caps = [t.isupper() for t in raw]
+    n_caps = sum(caps)
+    cap_diff = 0 < n_caps < len(toks)
+    bi = toks.index("but") + 1 if "but" in toks else 0
     ssum = 0.0
     wsum = 0.0
     nm = 0
@@ -475,11 +623,25 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
         w = LEXICON.get(t)
         if w is None:
             continue
-        f = MODIFIER_FACTORS.get(toks[i - 1], 1.0) if i > 0 else 1.0
+        if i > 1 and (toks[i - 2], toks[i - 1]) in BOOST_BIGRAMS:
+            f = BIGRAM_FACTOR
+        else:
+            f = MODIFIER_FACTORS.get(toks[i - 1], 1.0) if i > 0 else 1.0
+        # defensive bound: exotic Unicode lowercasing (e.g. dotted-I) can
+        # change token counts; both engines' SQL zips pad with NULL there
+        if cap_diff and i < len(caps) and caps[i]:
+            f *= CAPS_FACTOR
+        pos = i + 1
+        if bi > 0 and pos < bi:
+            f *= BUT_BEFORE
+        elif bi > 0 and pos > bi:
+            f *= BUT_AFTER
         ssum += f * (1.0 if w > 0 else -1.0)
         wsum += f * w
         nm += 1
-    vc = ssum / math.sqrt(ssum * ssum + VADER_ALPHA)
+    pe = _py_punct_emphasis(s)
+    s2 = ssum + pe if ssum > 0 else (ssum - pe if ssum < 0 else ssum)
+    vc = s2 / math.sqrt(s2 * s2 + VADER_ALPHA)
     tb = (wsum / nm) if nm else 0.0
     return vc, tb
 

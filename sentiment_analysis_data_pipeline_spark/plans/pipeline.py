@@ -71,19 +71,41 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
     lex = spark.sql(f"SELECT * FROM {S.lexicon_values_sql(D.SPARK)}")
     mods = spark.sql(f"SELECT * FROM {S.modifier_values_sql(D.SPARK)}")
     ex = (
-        df.select(F.col(id_col), F.expr(TX.tokenize(D.SPARK, text_expr)).alias("_toks"))
+        df.select(
+            F.col(id_col),
+            F.expr(TX.tokenize(D.SPARK, text_expr)).alias("_toks"),
+            F.expr(S.caps_flags_sql(D.SPARK, text_expr)).alias("_caps"),
+        )
         .withColumn("_prev", F.expr(S.prev_tokens_sql(D.SPARK, "_toks")))
-        .select(F.col(id_col), F.explode(F.arrays_zip("_toks", "_prev")).alias("z"))
-        .select(F.col(id_col), F.col("z._toks").alias("t"), F.col("z._prev").alias("prev"))
+        .withColumn("_prev2", F.expr(S.prev2_tokens_sql(D.SPARK, "_toks")))
+        .withColumn("bi", F.expr(S.but_index_sql(D.SPARK, "_toks")))
+        .withColumn("cap_diff", F.expr(S.cap_differential_sql("_caps", "_toks", D.SPARK)))
+        .select(
+            F.col(id_col),
+            "bi",
+            "cap_diff",
+            F.posexplode(F.arrays_zip("_toks", "_prev", "_prev2", "_caps")).alias("pos", "z"),
+        )
+        .select(
+            F.col(id_col),
+            "bi",
+            "cap_diff",
+            (F.col("pos") + 1).cast("long").alias("i"),
+            F.col("z._toks").alias("t"),
+            F.col("z._prev").alias("prev"),
+            F.col("z._prev2").alias("prev2"),
+            F.coalesce(F.col("z._caps"), F.lit(False)).alias("capsf"),
+        )
     )
+    factor = F.expr(S.token_factor_sql())
     sums = (
         ex.join(F.broadcast(lex), ex.t == lex.word)
         .join(F.broadcast(mods), F.col("prev") == F.col("mword"), "left")
-        .withColumn("_mf", F.coalesce("mf", F.lit(1.0)))
+        .withColumn("_f", factor)
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("_mf") * F.col("sgn")).alias("s_ssum"),
-            F.sum(F.col("_mf") * F.col("w")).alias("s_wsum"),
+            F.sum(F.col("_f") * F.col("sgn")).alias("s_ssum"),
+            F.sum(F.col("_f") * F.col("w")).alias("s_wsum"),
             F.count("*").alias("s_nm"),
         )
     )
@@ -92,12 +114,13 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
         .withColumn("_ssum", F.coalesce("s_ssum", F.lit(0.0)))
         .withColumn("_wsum", F.coalesce("s_wsum", F.lit(0.0)))
         .withColumn("_nm", F.coalesce("s_nm", F.lit(0)).cast("long"))
+        .withColumn("_pe", F.expr(S.punct_emphasis_sql(D.SPARK, text_expr)))
         .drop("s_ssum", "s_wsum", "s_nm")
     )
     for layer in S.score_layers():
         for name, expr in layer.items():
             out = out.withColumn(name, F.expr(expr))
-    return out.drop("_ssum", "_wsum", "_nm")
+    return out.drop("_ssum", "_wsum", "_nm", "_pe", "_s2")
 
 
 def processed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,25 +148,50 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
     broadcast-sized. Sums stay exact dyadic doubles (modifier factors are
     quarters, weights sixteenths), so aggregation order is free and the
     DuckDB oracle matches bit-for-bit.
+
+    Round 6 adds the remaining published-VADER mechanics, all per-row
+    context carried through the same lockstep explode (prev2 array for the
+    "kind of"/"sort of" bigram dampeners, an ALL-CAPS flag array from a
+    case-preserving token twin, the 1-based position + first-'but' index
+    for the clause re-weighting) plus a per-doc punctuation-emphasis
+    amplifier applied to the VADER sum in score_layers' _s2 stage. Every
+    factor is dyadic, so the kernel stays bit-identical cross-engine.
     """
     toks = TX.tokenize(d, "text")
     prev = S.prev_tokens_sql(d, "_toks")
+    prev2 = S.prev2_tokens_sql(d, "_toks")
+    caps = S.caps_flags_sql(d, "text")
+    bi = S.but_index_sql(d, "_toks")
+    cd = S.cap_differential_sql("_caps", "_toks", d)
+    pe = S.punct_emphasis_sql(d, "text")
     if d == D.SPARK:
-        ex = f"""SELECT {id_col}, z._toks AS t, z._prev AS prev
-            FROM (SELECT {id_col}, explode(arrays_zip(_toks, _prev)) AS z FROM tokd)"""
+        ex = f"""SELECT {id_col}, bi, cap_diff,
+                   cast(pos + 1 as bigint) AS i, col._toks AS t,
+                   col._prev AS prev, col._prev2 AS prev2,
+                   coalesce(col._caps, false) AS capsf
+            FROM (SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
+                         posexplode(arrays_zip(_toks, _prev, _prev2, _caps))
+                  FROM tokd)"""
     else:
-        ex = f"SELECT {id_col}, unnest(_toks) AS t, unnest(_prev) AS prev FROM tokd"
+        ex = f"""SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
+                   cast(generate_subscripts(_toks, 1) as bigint) AS i,
+                   unnest(_toks) AS t, unnest(_prev) AS prev,
+                   unnest(_prev2) AS prev2,
+                   coalesce(unnest(_caps), false) AS capsf
+            FROM tokd"""
+    factor = S.token_factor_sql(mf="_mod.mf")
     scored_base = f"""
         WITH base0 AS ({base}),
         tokd AS (
-            SELECT {id_col}, _toks, {prev} AS _prev
-            FROM (SELECT {id_col}, {toks} AS _toks FROM base0) t0
+            SELECT {id_col}, _toks, {prev} AS _prev, {prev2} AS _prev2,
+                   _caps, {bi} AS _bi, {cd} AS _cd
+            FROM (SELECT {id_col}, {toks} AS _toks, {caps} AS _caps FROM base0) t0
         ),
         ex AS ({ex}),
         sums AS (
             SELECT e.{id_col},
-                   sum(coalesce(_mod.mf, 1.0) * _lex.sgn) AS s_ssum,
-                   sum(coalesce(_mod.mf, 1.0) * _lex.w) AS s_wsum,
+                   sum({factor} * _lex.sgn) AS s_ssum,
+                   sum({factor} * _lex.w) AS s_wsum,
                    cast(count(*) as bigint) AS s_nm
             FROM ex e
             JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
@@ -176,7 +201,8 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
         joined AS (
             SELECT b.*, coalesce(s.s_ssum, 0.0) AS _ssum,
                    coalesce(s.s_wsum, 0.0) AS _wsum,
-                   cast(coalesce(s.s_nm, 0) as bigint) AS _nm
+                   cast(coalesce(s.s_nm, 0) as bigint) AS _nm,
+                   {pe} AS _pe
             FROM base0 b LEFT JOIN sums s ON b.{id_col} = s.{id_col}
         )
         SELECT * FROM joined
@@ -1267,6 +1293,72 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, exact cosine re-rank within the cell."""
     _view(spark, sf_dir, "embeddings")
     return spark.sql(_ivf_ann_sql(D.SPARK))
+
+
+def _ann_recall_sql(d: str) -> str:
+    """ANN quality report (round 6, VERDICT r5 item 5): recall@3 and
+    precision of BOTH approximate arms (banded-LSH, multi-probe IVF)
+    against the exact brute-force top-3 -- the ANN analog of
+    dedup_recall_report. The approximate arms are the UNCHANGED production
+    SQL (_ann_lsh_sql / _ivf_ann_sql wrapped as subqueries), so the report
+    measures what the engine actually serves, and the exact arm uses the
+    same cosine + (cosine DESC, vec_id ASC) tie-break so rank sets are
+    deterministic cross-engine. All counts are exact BIGINTs; recall and
+    precision are one IEEE division each.
+
+    Scale shape: the exact arm is a 5-query broadcast nested-loop over the
+    corpus (the measurement cost every recall audit pays ONCE per
+    snapshot); the hit joins each see <= 15 rows per arm."""
+    v = V.to_double_array(d, "embedding")
+    nv = V.norm(d, "v", EMB_DIM)
+    dotp = V.dot(d, "e.v", "q.v", EMB_DIM)
+    cos = f"case when e.nv = 0.0 or q.nv = 0.0 then 0.0 else ({dotp}) / (e.nv * q.nv) end"
+    hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
+    arms = []
+    for method, sql in (("ivf", _ivf_ann_sql(d)), ("lsh", _ann_lsh_sql(d))):
+        arms.append(
+            f"""SELECT '{method}' AS method,
+                   (SELECT cast(count(*) as bigint) FROM ({sql}) a) AS approx_rows,
+                   (SELECT cast(count(*) as bigint)
+                    FROM ({sql}) a JOIN exact x
+                      ON a.q_id = x.q_id AND a.vec_id = x.vec_id) AS hits"""
+        )
+    arm_union = "\n            UNION ALL ".join(arms)
+    return f"""
+        WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, v, {nv} AS nv FROM emb0),
+        qv AS (SELECT vec_id AS qid, v, nv FROM emb WHERE vec_id < 5),
+        scored AS (
+            SELECT {hint}q.qid, e.vec_id, {cos} AS cosine
+            FROM emb e JOIN qv q ON e.vec_id <> q.qid
+        ),
+        exact AS (
+            SELECT qid AS q_id, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+                FROM scored
+            ) r WHERE rk <= 3
+        ),
+        possible AS (SELECT cast(count(*) as bigint) AS n_exact,
+                            cast(count(distinct q_id) as bigint) AS n_queries
+                     FROM exact),
+        arms AS (
+            {arm_union}
+        )
+        SELECT a.method, p.n_queries, a.approx_rows, a.hits, p.n_exact,
+               cast(a.hits as double) / cast(p.n_exact as double) AS recall_at_3,
+               case when a.approx_rows = 0 then 0.0
+                    else cast(a.hits as double) / cast(a.approx_rows as double)
+               end AS precision_at_3
+        FROM arms a CROSS JOIN possible p
+        ORDER BY a.method ASC
+    """
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the LSH and IVF ANN arms vs exact top-3."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_ann_recall_sql(D.SPARK))
 
 
 
@@ -5943,6 +6035,103 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_table_checksum_sql(D.SPARK))
 
 
+def _canon_double(d: str, expr: str) -> str:
+    """Cross-engine canonical form of a DOUBLE for checksum rows: scale by
+    1e6 (exact same IEEE multiply in both engines) and truncate toward zero
+    to a BIGINT. Both engines truncate the SAME double to the SAME integer
+    -- unlike double->string rendering (Spark E-notation vs DuckDB
+    shortest-round-trip) or double->decimal casts (tie-rounding semantics
+    differ). Captures 6 decimal places, which covers every generated
+    numeric in the testdata fleet."""
+    if d == D.SPARK:
+        return f"cast({expr} * 1000000.0 as bigint)"
+    return f"cast(trunc({expr} * 1000000.0) as bigint)"
+
+
+# canonical per-table column expressions for the fleet checksum: every
+# column of every driver table, rendered through cross-engine-stable forms
+# (strings/ints as-is, doubles via _canon_double, dates via _fmt_day,
+# events.ts via _ts_us, embeddings element-wise via _canon_double).
+def _fleet_canon_columns(d: str) -> dict[str, list[str]]:
+    s = D.cast_str
+    cd = lambda e: s(d, _canon_double(d, e))  # noqa: E731
+    emb_canon = D.arr_join(
+        d,
+        D.arr_transform(
+            d, "embedding", f"x -> {D.cast_str(d, _canon_double(d, 'cast(x as double)'))}"
+        ),
+        ",",
+    )
+    return {
+        "region": [s(d, "r_regionkey"), "r_name"],
+        "nation": [s(d, "n_nationkey"), "n_name", s(d, "n_regionkey")],
+        "customer": [
+            s(d, "c_custkey"), "c_name", s(d, "c_nationkey"),
+            cd("c_acctbal"), "c_mktsegment",
+        ],
+        "supplier": [s(d, "s_suppkey"), "s_name", s(d, "s_nationkey"), cd("s_acctbal")],
+        "part": [
+            s(d, "p_partkey"), "p_name", "p_brand", "p_type",
+            s(d, "p_size"), cd("p_retailprice"),
+        ],
+        "orders": [
+            s(d, "o_orderkey"), s(d, "o_custkey"), "o_orderstatus",
+            cd("o_totalprice"), _fmt_day(d, "o_orderdate"), "o_orderpriority",
+        ],
+        "lineitem": [
+            s(d, "l_orderkey"), s(d, "l_partkey"), s(d, "l_suppkey"),
+            s(d, "l_linenumber"), cd("l_quantity"), cd("l_extendedprice"),
+            cd("l_discount"), cd("l_tax"), "l_returnflag", "l_linestatus",
+            _fmt_day(d, "l_shipdate"),
+        ],
+        "events": [
+            s(d, "event_id"), s(d, _ts_us(d)), s(d, "user_id"),
+            "event_type", cd("value"), "props",
+        ],
+        "documents": [
+            s(d, "doc_id"), "text", "lang", "source", s(d, "n_chars"),
+        ],
+        "embeddings": [s(d, "vec_id"), s(d, "label"), emb_canon],
+    }
+
+
+def _fleet_checksum_sql(d: str) -> str:
+    """table_checksum generalized to EVERY driver table (round 6, VERDICT
+    r5 item 7): one row per table with its row count and an order-free
+    56-bit-md5-sum content checksum over ALL columns -- the full-fleet
+    migration audit. Same accumulator discipline as _table_checksum_sql
+    (decimal(38,0) sum, mod 2^61-1 back to BIGINT: headroom past 1e21 rows
+    per table); every column reaches the canonical string through a
+    cross-engine-exact form (doubles truncated at 1e-6 via the SAME IEEE
+    multiply, timestamps as dates/epoch-us, float embeddings element-wise).
+    NULLs are tagged, columns pipe-joined. Scale shape: one projection +
+    one zero-join partial agg per table, unioned; each table's scan is
+    column-complete by design (a checksum must read everything)."""
+    per_table = []
+    for table, cols in _fleet_canon_columns(d).items():
+        canon = " , '|', ".join(f"coalesce({c}, '<NULL>')" for c in cols)
+        h = H.hex_to_bigint(d, "md5(canon)", 14)
+        per_table.append(
+            f"""SELECT '{table}' AS table_name,
+                   cast(count(*) as bigint) AS n_rows,
+                   cast(sum(cast({h} as decimal(38,0))) % 2305843009213693951 as bigint)
+                       AS content_checksum
+            FROM (SELECT concat({canon}) AS canon FROM {table}) c_{table}"""
+        )
+    body = "\n        UNION ALL ".join(per_table)
+    return f"SELECT * FROM ({body}) u ORDER BY table_name ASC"
+
+
+def q_fleet_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table migration checksums for the whole driver fleet."""
+    _view(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    )
+    _events_view(spark, sf_dir)
+    return spark.sql(_fleet_checksum_sql(D.SPARK))
+
+
 def _hll_partition_merge_sql(d: str) -> str:
     """Tolerance oracle for the MERGEABLE-sketch workflow (same surface
     contract as _approx_stats_sql: exact values + literal-1 flags; the
@@ -6520,6 +6709,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "hll_partition_merge": (q_hll_partition_merge, _hll_partition_merge_sql),
     "copurchase_pairs": (q_copurchase_pairs, _copurchase_pairs_sql),
     "table_checksum": (q_table_checksum, _table_checksum_sql),
+    "fleet_checksum": (q_fleet_checksum, _fleet_checksum_sql),
     "bm25_search_indexed": (q_bm25_search_indexed, _bm25_sql),
     "sentence_split": (q_sentence_split, _sentence_split_sql),
     "logreg_step": (q_logreg_step, _logreg_step_sql),
@@ -6647,6 +6837,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "token_counts": (q_token_counts, _token_counts_sql),
     "label_centroids": (q_label_centroids, _label_centroids_sql),
     "ivf_ann": (q_ivf_ann, _ivf_ann_sql),
+    "ann_recall_report": (q_ann_recall_report, _ann_recall_sql),
     "simhash_pairs": (q_simhash_pairs, _simhash_pairs_sql),
     "regional_revenue": (q_regional_revenue, _regional_revenue_sql),
     "value_stats": (q_value_stats, _value_stats_sql),

@@ -17,15 +17,37 @@ from sentiment_analysis_data_pipeline_spark.functions.sentiment import (
 )
 from sentiment_analysis_data_pipeline_spark.plans.pipeline import sentiment_enrich
 
-# goldens computed by the published formulas; the engine must match exactly
+def _vc(s2: float) -> float:
+    return s2 / math.sqrt(s2 * s2 + VADER_ALPHA)
+
+
+# goldens computed by the published formulas; the engine must match exactly.
+# Round 6: each contextual mechanic (ALL-CAPS emphasis, punctuation
+# amplification, but-clause re-weighting, bigram dampeners) has a golden
+# exercising it, with the expected value derived by hand from the dyadic
+# constants -- NOT by running the engine.
 GOLDEN = [
     # text, expected (vader, textblob) via s/sqrt(s^2+15) and mean(weights)
-    ("good good great", 3 / math.sqrt(9 + VADER_ALPHA), (0.5 + 0.5 + 0.75) / 3),
-    ("terrible bad worst hate", -4 / math.sqrt(16 + VADER_ALPHA), (-0.875 - 0.5 - 1.0 - 0.75) / 4),
+    ("good good great", _vc(3), (0.5 + 0.5 + 0.75) / 3),
+    ("terrible bad worst hate", _vc(-4), (-0.875 - 0.5 - 1.0 - 0.75) / 4),
     ("the merge table scan", 0.0, 0.0),
     ("", 0.0, 0.0),
     ("   ", 0.0, 0.0),
-    ("FAST!!! Slow?", (1 - 1) / math.sqrt(0 + VADER_ALPHA), (0.4375 - 0.4375) / 2),
+    # ALL-CAPS w/ differential: FAST x1.25; 3x'!' adds 0.75 to the sum
+    ("FAST!!! Slow?", _vc(1.25 - 1 + 0.75), (1.25 * 0.4375 - 0.4375) / 2),
+    # uniform caps -> NO differential -> no emphasis
+    ("GOOD GREAT", _vc(2), (0.5 + 0.75) / 2),
+    # but-clause: before x0.5, after x1.5
+    ("good but bad", _vc(0.5 - 1.5), (0.5 * 0.5 + 1.5 * -0.5) / 2),
+    # bigram dampener "sort of" ("kind" is itself a lexicon word; "sort"
+    # is not, so this isolates the bigram factor)
+    ("sort of good", _vc(0.75), 0.75 * 0.5),
+    # >3 question marks -> 0.9375 toward the sum's direction
+    ("bad???? why", _vc(-1 - 0.9375), -0.5),
+    # 2-3 question marks -> 0.1875 each
+    ("bad?? why", _vc(-1 - 2 * 0.1875), -0.5),
+    # zero sum stays zero: punctuation amplifies sentiment, not silence
+    ("table scan!!!", 0.0, 0.0),
 ]
 
 
