@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "filter_reasons",
     "holdout_split",
     "embedding_outliers",
+    # round-6 additions
+    "ann_recall_report",
+    "fleet_checksum",
 ]
 
 

@@ -16,13 +16,25 @@ anyway. This engine implements the same *shape* of computation -- two
 independent lexicon analyzers fused by mean and thresholded at ±0.1 -- as
 pure Spark SQL column expressions:
 
-  vader_compound    := s / sqrt(s*s + 15)  where s = Σ(f_i * ±1 per hit)
+  vader_compound    := s2 / sqrt(s2*s2 + 15)  where s = Σ(f_i * ±1 per hit)
+                       and s2 = s ± punctuation emphasis (in s's direction)
                        -- VADER's published normalization (Hutto & Gilbert
                        2014, alpha=15) over unit valences, each scaled by
-                       the contextual-modifier factor f_i of the preceding
-                       token (negators -0.75, intensifiers 1.25, dampeners
-                       0.75 -- see MODIFIER_FACTORS below; round-5 addition
-                       mirroring VADER's N_SCALAR / BOOSTER_DICT mechanics).
+                       the product f_i of the token's contextual factors:
+                       preceding-token modifiers (negators -0.75,
+                       intensifiers 1.25, dampeners 0.75 -- round 5,
+                       mirroring N_SCALAR / BOOSTER_DICT), and (round 6)
+                       "kind of"/"sort of" bigram dampeners, ALL-CAPS
+                       emphasis x1.25 under a caps differential, and the
+                       but-clause re-weighting x0.5/x1.5. Punctuation
+                       emphasis ("!" x0.25 capped at 4; "?" 0.1875 each at
+                       2-3, 0.9375 above) amplifies the VADER sum only.
+                       Published mechanics still OUT of the kernel, by
+                       dyadic-design choice: the 3-token negation window
+                       (ours is 1 + bigrams), booster distance damping
+                       (0.95/0.9 are non-dyadic -- they would break
+                       order-free summation), caps-boosted BOOSTERS, and
+                       the SENTIMENT_LADEN_IDIOMS table.
   textblob_polarity := Σ(f_i * weight_i) / n_matched, 0.0 if none
                        -- TextBlob's PatternAnalyzer averaging, with the
                        same modifier scaling (Pattern negates at -0.5; the

@@ -336,34 +336,39 @@ def connected_components(
         spilled = True
     else:
         und, und_ids = _tracked_ckpt(und_plan)
-    labels, label_ids = _tracked_ckpt(
-        und.select("a")
-        .union(und.select(F.col("b").alias("a")))
-        .distinct()
-        .select(F.col("a").alias("node"), F.col("a").alias("comp"))
-    )
-    for _ in range(max_iter):
-        new, new_ids = _tracked_ckpt(_cc_round(und, labels))
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+    try:
+        labels, label_ids = _tracked_ckpt(
+            und.select("a")
+            .union(und.select(F.col("b").alias("a")))
+            .distinct()
+            .select(F.col("a").alias("node"), F.col("a").alias("comp"))
         )
-        # the superseded iteration's checkpoint blocks are dead the moment
-        # `new` is materialized -- free them NOW instead of waiting for
-        # driver GC to notice (unbounded block accumulation across
-        # iterations is both a cluster-memory leak and the multi-second
-        # timing variance the shared bench session showed)
-        _unpersist_ids(spark, label_ids)
-        labels, label_ids = new, new_ids
-        if changed == 0:
-            break
-    _unpersist_ids(spark, und_ids)
-    _unpersist_ids(spark, edge_ids)
-    if spilled:
-        spark.sql(f"DROP TABLE IF EXISTS {edge_spill_table}")
+        for _ in range(max_iter):
+            new, new_ids = _tracked_ckpt(_cc_round(und, labels))
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            # the superseded iteration's checkpoint blocks are dead the moment
+            # `new` is materialized -- free them NOW instead of waiting for
+            # driver GC to notice (unbounded block accumulation across
+            # iterations is both a cluster-memory leak and the multi-second
+            # timing variance the shared bench session showed)
+            _unpersist_ids(spark, label_ids)
+            labels, label_ids = new, new_ids
+            if changed == 0:
+                break
+        _unpersist_ids(spark, und_ids)
+        _unpersist_ids(spark, edge_ids)
+    finally:
+        # labels are checkpointed, so no result lineage references the
+        # table; drop even on mid-loop failure (a leaked spill table would
+        # shadow the next run's write)
+        if spilled:
+            spark.sql(f"DROP TABLE IF EXISTS {edge_spill_table}")
     return labels
 
 
