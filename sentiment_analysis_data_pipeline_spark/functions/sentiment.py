@@ -29,12 +29,15 @@ pure Spark SQL column expressions:
                        but-clause re-weighting x0.5/x1.5. Punctuation
                        emphasis ("!" x0.25 capped at 4; "?" 0.1875 each at
                        2-3, 0.9375 above) amplifies the VADER sum only.
-                       Published mechanics still OUT of the kernel, by
-                       dyadic-design choice: the 3-token negation window
-                       (ours is 1 + bigrams), booster distance damping
-                       (0.95/0.9 are non-dyadic -- they would break
-                       order-free summation), caps-boosted BOOSTERS, and
-                       the SENTIMENT_LADEN_IDIOMS table.
+                       Round 6b extends the context to the published
+                       3-TOKEN window: negators reach through up to two
+                       intervening words, boosters at distance 2/3 damp
+                       by 0.9375/0.875 (dyadic stand-ins for 0.95/0.9),
+                       and the published "never so|this" (x1.25) and
+                       "without doubt" (no negation) overrides apply.
+                       Published mechanics still OUT of the kernel:
+                       caps-boosted BOOSTER words (second-order) and the
+                       SENTIMENT_LADEN_IDIOMS table.
   textblob_polarity := Σ(f_i * weight_i) / n_matched, 0.0 if none
                        -- TextBlob's PatternAnalyzer averaging, with the
                        same modifier scaling (Pattern negates at -0.5; the
@@ -403,6 +406,24 @@ EP_MAX_EXCL = 4
 QM_PER = 0.1875
 QM_MAX = 0.9375
 
+# --- round-6b: the published 3-token context window -----------------------
+#
+# VADER inspects the THREE words preceding a sentiment token, not one:
+# boosters at distance 2/3 contribute their amount damped x0.95/x0.9
+# (dyadic stand-ins 0.9375/0.875 here, same policy as -0.75 for -0.74),
+# a negator at ANY of the three positions flips-and-dampens, and two
+# published special cases override negation: "never so|this <word>" turns
+# the negation into a x1.25 intensifier, and "without doubt <word>" is NOT
+# a negation. Multiplicative-mirror composition: each position contributes
+# an independent dyadic factor (booster 1 +- delta*damp, negation -0.75 or
+# its override), all multiplied -- exact, order-free sums preserved.
+BOOST_DELTA = 0.25          # booster amount at distance 1 (x1.25 / x0.75)
+B2_DAMP = 0.9375            # published 0.95 (dyadic stand-in)
+B3_DAMP = 0.875             # published 0.9
+NEVER_INTENSIFY = 1.25      # published: "never so/this" re-weights x1.25
+NEVER_FOLLOWERS = ("so", "this")
+WITHOUT_DOUBT = ("without", "doubt")  # published: not a negation
+
 
 def avg_score(vader_col: str = "vader_compound", tb_col: str = "textblob_polarity") -> str:
     """F8: (vader + textblob) / 2 -- identical text in both dialects."""
@@ -461,17 +482,19 @@ def lexicon_values_sql(d: str) -> str:
     return f"(VALUES {rows}) AS _lex(word, w, sgn)"
 
 
-def modifier_values_sql(d: str) -> str:
-    """The contextual modifiers (NEGATE/BOOST_INCR/BOOST_DECR) as an inline
-    VALUES relation `(mword, mf)` -- the second broadcast side of the kernel
-    join. A sentiment token's contribution is scaled by the factor of the
-    token immediately PRECEDING it (left join on the prev-token column);
-    unmatched prev tokens coalesce to 1.0."""
+def modifier_values_sql(d: str, alias: str = "_mod") -> str:
+    """The contextual modifiers as an inline VALUES relation
+    `(mword, delta, neg)` -- the broadcast side the kernel LEFT-joins at
+    EACH of the three preceding-token positions (round 6b). `delta` is the
+    booster amount (+0.25 intensifier / -0.25 dampener, 0 for negators --
+    distance damping is applied at the join site, where the position is
+    known); `neg` flags negators. Unmatched prev tokens coalesce to
+    (0, 0) -- factor 1."""
     rows = ", ".join(
-        f"('{w}', cast({f!r} as double))"
+        f"('{w}', cast({(0.0 if f < 0 else f - 1.0)!r} as double), {1 if f < 0 else 0})"
         for w, f in sorted(MODIFIER_FACTORS.items())
     )
-    return f"(VALUES {rows}) AS _mod(mword, mf)"
+    return f"(VALUES {rows}) AS {alias}(mword, delta, neg)"
 
 
 def prev_tokens_sql(d: str, toks_col: str = "_toks") -> str:
@@ -496,19 +519,29 @@ def prev_tokens_sql(d: str, toks_col: str = "_toks") -> str:
     )
 
 
-def prev2_tokens_sql(d: str, toks_col: str = "_toks") -> str:
-    """Expression producing the PREV-PREV-token array aligned with
-    `toks_col`: element i holds token i-2 (elements 0,1 are NULL). Built by
-    prepending two NULLs and slicing back to the original length, so the
-    array is EXACTLY as long as the token array at every size (the
-    two-token left context for BOOST_BIGRAMS)."""
+def shifted_tokens_sql(d: str, toks_col: str, k: int) -> str:
+    """Array aligned with `toks_col` whose element i holds token i-k
+    (first k elements NULL). Built by prepending k NULLs and slicing back
+    to the original length, so the array is EXACTLY as long as the token
+    array at every size -- the k-token left context arrays the kernel
+    explodes in lockstep."""
     if d == D.SPARK:
-        two = "array(cast(null as string), cast(null as string))"
-        return f"slice(concat({two}, {toks_col}), 1, size({toks_col}))"
-    return (
-        f"list_slice(list_prepend(cast(null as varchar), "
-        f"list_prepend(cast(null as varchar), {toks_col})), 1, len({toks_col}))"
-    )
+        nulls = ", ".join(["cast(null as string)"] * k)
+        return f"slice(concat(array({nulls}), {toks_col}), 1, size({toks_col}))"
+    inner = toks_col
+    for _ in range(k):
+        inner = f"list_prepend(cast(null as varchar), {inner})"
+    return f"list_slice({inner}, 1, len({toks_col}))"
+
+
+def prev2_tokens_sql(d: str, toks_col: str = "_toks") -> str:
+    """Token i-2 aligned array (the BOOST_BIGRAMS / negation-window context)."""
+    return shifted_tokens_sql(d, toks_col, 2)
+
+
+def prev3_tokens_sql(d: str, toks_col: str = "_toks") -> str:
+    """Token i-3 aligned array (the outer edge of the published window)."""
+    return shifted_tokens_sql(d, toks_col, 3)
 
 
 def caps_flags_sql(d: str, text_expr: str) -> str:
@@ -557,24 +590,51 @@ def punct_emphasis_sql(d: str, text_expr: str) -> str:
 
 
 def token_factor_sql(
-    prev: str = "prev", prev2: str = "prev2", capsf: str = "capsf",
-    cap_diff: str = "cap_diff", i: str = "i", bi: str = "bi", mf: str = "mf",
+    prev: str = "prev", prev2: str = "prev2", prev3: str = "prev3",
+    capsf: str = "capsf", cap_diff: str = "cap_diff",
+    i: str = "i", bi: str = "bi",
+    d1: str = "_m1.delta", n1: str = "_m1.neg",
+    d2: str = "_m2.delta", n2: str = "_m2.neg",
+    d3: str = "_m3.delta", n3: str = "_m3.neg",
 ) -> str:
-    """Per-matched-token scale factor combining every contextual mechanic:
-    modifier-of-preceding-token (bigram dampeners take precedence),
-    ALL-CAPS emphasis, and the but-clause re-weighting. A product of dyadic
-    factors -- exact in both engines. Column references are parameters so
-    the SQL template and the DataFrame pipeline share one formula."""
+    """Per-matched-token scale factor combining every contextual mechanic
+    over the published 3-token window (round 6b): per-position booster
+    factors (bigram dampeners override position 1; distance damping at
+    2/3), per-position negation with the published "never so|this" /
+    "without doubt" overrides, ALL-CAPS emphasis, and the but-clause
+    re-weighting. A product of dyadic factors -- exact in both engines.
+    Column references are parameters so the SQL template and the DataFrame
+    pipeline share one formula; d*/n* are the delta/neg columns of the
+    three modifier joins (NULL when the position has no modifier)."""
+    never = ", ".join(f"'{w}'" for w in NEVER_FOLLOWERS)
+    wo, doubt = WITHOUT_DOUBT
     bigram = " OR ".join(
         f"({prev2} = '{a}' AND {prev} = '{b}')" for a, b in BOOST_BIGRAMS
     )
-    mod = f"case when {bigram} then {BIGRAM_FACTOR!r} else coalesce({mf}, 1.0) end"
+    b1 = (
+        f"case when {bigram} then {BIGRAM_FACTOR!r} "
+        f"else 1.0 + coalesce({d1}, 0.0) end"
+    )
+    b2 = f"(1.0 + coalesce({d2}, 0.0) * {B2_DAMP!r})"
+    b3 = f"(1.0 + coalesce({d3}, 0.0) * {B3_DAMP!r})"
+    g1 = f"case when coalesce({n1}, 0) = 1 then {NEG_FACTOR!r} else 1.0 end"
+    g2 = (
+        f"case when {prev2} = 'never' and {prev} in ({never}) then {NEVER_INTENSIFY!r} "
+        f"when {prev2} = '{wo}' and {prev} = '{doubt}' then 1.0 "
+        f"when coalesce({n2}, 0) = 1 then {NEG_FACTOR!r} else 1.0 end"
+    )
+    g3 = (
+        f"case when {prev3} = 'never' and ({prev2} in ({never}) or {prev} in ({never})) "
+        f"then {NEVER_INTENSIFY!r} "
+        f"when {prev3} = '{wo}' and ({prev2} = '{doubt}' or {prev} = '{doubt}') then 1.0 "
+        f"when coalesce({n3}, 0) = 1 then {NEG_FACTOR!r} else 1.0 end"
+    )
     caps = f"case when {capsf} AND {cap_diff} then {CAPS_FACTOR!r} else 1.0 end"
     but = (
         f"case when {bi} > 0 and {i} < {bi} then {BUT_BEFORE!r} "
         f"when {bi} > 0 and {i} > {bi} then {BUT_AFTER!r} else 1.0 end"
     )
-    return f"(({mod}) * ({caps}) * ({but}))"
+    return f"(({b1}) * {b2} * {b3} * ({g1}) * ({g2}) * ({g3}) * ({caps}) * ({but}))"
 
 
 # ---------------------------------------------------------------------------
@@ -628,6 +688,13 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
     n_caps = sum(caps)
     cap_diff = 0 < n_caps < len(toks)
     bi = toks.index("but") + 1 if "but" in toks else 0
+    neg_set = set(NEGATE)
+    wo, doubt = WITHOUT_DOUBT
+
+    def _delta(tok: str | None) -> float:
+        mf = MODIFIER_FACTORS.get(tok or "")
+        return 0.0 if mf is None or mf < 0 else mf - 1.0
+
     ssum = 0.0
     wsum = 0.0
     nm = 0
@@ -635,10 +702,32 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
         w = LEXICON.get(t)
         if w is None:
             continue
-        if i > 1 and (toks[i - 2], toks[i - 1]) in BOOST_BIGRAMS:
+        p1 = toks[i - 1] if i > 0 else None
+        p2 = toks[i - 2] if i > 1 else None
+        p3 = toks[i - 3] if i > 2 else None
+        # position-1 booster (bigram dampener overrides)
+        if p2 is not None and (p2, p1) in BOOST_BIGRAMS:
             f = BIGRAM_FACTOR
         else:
-            f = MODIFIER_FACTORS.get(toks[i - 1], 1.0) if i > 0 else 1.0
+            f = 1.0 + _delta(p1)
+        # distance-damped boosters at positions 2/3
+        f *= 1.0 + _delta(p2) * B2_DAMP
+        f *= 1.0 + _delta(p3) * B3_DAMP
+        # per-position negation with the published overrides
+        if p1 in neg_set:
+            f *= NEG_FACTOR
+        if p2 == "never" and p1 in NEVER_FOLLOWERS:
+            f *= NEVER_INTENSIFY
+        elif p2 == wo and p1 == doubt:
+            pass
+        elif p2 in neg_set:
+            f *= NEG_FACTOR
+        if p3 == "never" and (p2 in NEVER_FOLLOWERS or p1 in NEVER_FOLLOWERS):
+            f *= NEVER_INTENSIFY
+        elif p3 == wo and (p2 == doubt or p1 == doubt):
+            pass
+        elif p3 in neg_set:
+            f *= NEG_FACTOR
         # defensive bound: exotic Unicode lowercasing (e.g. dotted-I) can
         # change token counts; both engines' SQL zips pad with NULL there
         if cap_diff and i < len(caps) and caps[i]:

@@ -168,12 +168,20 @@ def lang_id(d: str, tokens_expr: str) -> str:
     scores = lang_scores(d, tokens_expr)
     langs = list(LANG_MARKERS)
     if d == D.SPARK:
+        # the sentinel (s=0, precedence above every language, 'und') wins
+        # exactly when no language scored a hit -- so ONE array_max
+        # occurrence yields the answer directly, and each per-language
+        # score HOF appears (and is evaluated) exactly once. The first
+        # shipped form wrote `case when (m).s > 0 then (m).l` with m
+        # inlined twice: 2x the HOF work per row, measured +60% on
+        # curation_pipeline at sf0.1. Precedence still encodes the fixed
+        # language order for ties between languages.
         structs = ", ".join(
             f"struct({scores[lang]} AS s, {len(langs) - i} AS p, '{lang}' AS l)"
             for i, lang in enumerate(langs)
         )
-        m = f"array_max(array({structs}))"
-        return f"case when ({m}).s > 0 then ({m}).l else 'und' end"
+        sentinel = f"struct(0 AS s, {len(langs) + 1} AS p, 'und' AS l)"
+        return f"(array_max(array({sentinel}, {structs}))).l"
     greatest = f"greatest({', '.join(scores[lang] for lang in langs)})"
     whens = " ".join(f"when {scores[lang]} = __mx and __mx > 0 then '{lang}'" for lang in langs)
     # DuckDB lacks let-bindings in scalar expressions; inline the max.

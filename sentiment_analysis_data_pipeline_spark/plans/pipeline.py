@@ -70,6 +70,14 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
     # Python workers into an otherwise pure-JVM plan)
     lex = spark.sql(f"SELECT * FROM {S.lexicon_values_sql(D.SPARK)}")
     mods = spark.sql(f"SELECT * FROM {S.modifier_values_sql(D.SPARK)}")
+
+    def _mods_at(p: int):
+        return mods.select(
+            F.col("mword").alias(f"mw{p}"),
+            F.col("delta").alias(f"d{p}"),
+            F.col("neg").alias(f"n{p}"),
+        )
+
     ex = (
         df.select(
             F.col(id_col),
@@ -78,13 +86,16 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
         )
         .withColumn("_prev", F.expr(S.prev_tokens_sql(D.SPARK, "_toks")))
         .withColumn("_prev2", F.expr(S.prev2_tokens_sql(D.SPARK, "_toks")))
+        .withColumn("_prev3", F.expr(S.prev3_tokens_sql(D.SPARK, "_toks")))
         .withColumn("bi", F.expr(S.but_index_sql(D.SPARK, "_toks")))
         .withColumn("cap_diff", F.expr(S.cap_differential_sql("_caps", "_toks", D.SPARK)))
         .select(
             F.col(id_col),
             "bi",
             "cap_diff",
-            F.posexplode(F.arrays_zip("_toks", "_prev", "_prev2", "_caps")).alias("pos", "z"),
+            F.posexplode(
+                F.arrays_zip("_toks", "_prev", "_prev2", "_prev3", "_caps")
+            ).alias("pos", "z"),
         )
         .select(
             F.col(id_col),
@@ -94,13 +105,20 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
             F.col("z._toks").alias("t"),
             F.col("z._prev").alias("prev"),
             F.col("z._prev2").alias("prev2"),
+            F.col("z._prev3").alias("prev3"),
             F.coalesce(F.col("z._caps"), F.lit(False)).alias("capsf"),
         )
     )
-    factor = F.expr(S.token_factor_sql())
+    factor = F.expr(
+        S.token_factor_sql(
+            d1="d1", n1="n1", d2="d2", n2="n2", d3="d3", n3="n3"
+        )
+    )
     sums = (
         ex.join(F.broadcast(lex), ex.t == lex.word)
-        .join(F.broadcast(mods), F.col("prev") == F.col("mword"), "left")
+        .join(F.broadcast(_mods_at(1)), F.col("prev") == F.col("mw1"), "left")
+        .join(F.broadcast(_mods_at(2)), F.col("prev2") == F.col("mw2"), "left")
+        .join(F.broadcast(_mods_at(3)), F.col("prev3") == F.col("mw3"), "left")
         .withColumn("_f", factor)
         .groupBy(id_col)
         .agg(

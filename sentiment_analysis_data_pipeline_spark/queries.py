@@ -160,6 +160,7 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
     toks = TX.tokenize(d, "text")
     prev = S.prev_tokens_sql(d, "_toks")
     prev2 = S.prev2_tokens_sql(d, "_toks")
+    prev3 = S.prev3_tokens_sql(d, "_toks")
     caps = S.caps_flags_sql(d, "text")
     bi = S.but_index_sql(d, "_toks")
     cd = S.cap_differential_sql("_caps", "_toks", d)
@@ -167,23 +168,24 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
     if d == D.SPARK:
         ex = f"""SELECT {id_col}, bi, cap_diff,
                    cast(pos + 1 as bigint) AS i, col._toks AS t,
-                   col._prev AS prev, col._prev2 AS prev2,
+                   col._prev AS prev, col._prev2 AS prev2, col._prev3 AS prev3,
                    coalesce(col._caps, false) AS capsf
             FROM (SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
-                         posexplode(arrays_zip(_toks, _prev, _prev2, _caps))
+                         posexplode(arrays_zip(_toks, _prev, _prev2, _prev3, _caps))
                   FROM tokd)"""
     else:
         ex = f"""SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
                    cast(generate_subscripts(_toks, 1) as bigint) AS i,
                    unnest(_toks) AS t, unnest(_prev) AS prev,
-                   unnest(_prev2) AS prev2,
+                   unnest(_prev2) AS prev2, unnest(_prev3) AS prev3,
                    coalesce(unnest(_caps), false) AS capsf
             FROM tokd"""
-    factor = S.token_factor_sql(mf="_mod.mf")
+    factor = S.token_factor_sql()
     scored_base = f"""
         WITH base0 AS ({base}),
         tokd AS (
             SELECT {id_col}, _toks, {prev} AS _prev, {prev2} AS _prev2,
+                   {prev3} AS _prev3,
                    _caps, {bi} AS _bi, {cd} AS _cd
             FROM (SELECT {id_col}, {toks} AS _toks, {caps} AS _caps FROM base0) t0
         ),
@@ -195,7 +197,9 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
                    cast(count(*) as bigint) AS s_nm
             FROM ex e
             JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
-            LEFT JOIN {S.modifier_values_sql(d)} ON e.prev = _mod.mword
+            LEFT JOIN {S.modifier_values_sql(d, "_m1")} ON e.prev = _m1.mword
+            LEFT JOIN {S.modifier_values_sql(d, "_m2")} ON e.prev2 = _m2.mword
+            LEFT JOIN {S.modifier_values_sql(d, "_m3")} ON e.prev3 = _m3.mword
             GROUP BY e.{id_col}
         ),
         joined AS (

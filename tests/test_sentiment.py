@@ -48,6 +48,30 @@ GOLDEN = [
     ("bad?? why", _vc(-1 - 2 * 0.1875), -0.5),
     # zero sum stays zero: punctuation amplifies sentiment, not silence
     ("table scan!!!", 0.0, 0.0),
+    # --- round-6b: the 3-token window ---
+    # negator at distance 2 THROUGH a booster: both factors apply
+    ("not very good", _vc(1.25 * -0.75), 1.25 * -0.75 * 0.5),
+    # booster at distance 2 is damped x0.9375 ('nice' blocks it from
+    # being distance 1; a lexicon word is never a modifier)
+    (
+        "very nice good",
+        _vc(1.25 + (1 + 0.25 * 0.9375)),
+        (1.25 + (1 + 0.25 * 0.9375)) * 0.5 / 2,
+    ),
+    # "never so <word>": published override -> x1.25 intensifier, not a
+    # negation; the 'so' booster ALSO applies (as in published VADER)
+    ("never so good", _vc(1.25 * 1.25), 1.25 * 1.25 * 0.5),
+    # "never <x> so <word>" (distance-3 form of the same override)
+    ("never was so good", _vc(1.25 * 1.25), 1.25 * 1.25 * 0.5),
+    # "without doubt <word>": negation suppressed for 'good'; 'doubt'
+    # itself is a lexicon word negated by 'without' at distance 1
+    (
+        "without doubt good",
+        _vc(0.75 + 1.0),
+        (-0.75 * -0.3125 + 0.5) / 2,
+    ),
+    # negator at distance 3 ('the' fillers carry no signal)
+    ("not the the good", _vc(-0.75), -0.75 * 0.5),
 ]
 
 
@@ -149,9 +173,10 @@ def test_modifier_factors_are_dyadic_and_disjoint():
 
 
 def test_negation_and_boosters(spark):
-    """Round-5 contextual modifiers: negators flip-and-dampen (-0.75),
-    intensifiers scale 1.25, dampeners 0.75 -- applied to the token
-    immediately after the modifier, in every engine path identically."""
+    """Contextual modifiers: negators flip-and-dampen (-0.75),
+    intensifiers scale 1.25, dampeners 0.75 -- over the published 3-token
+    window (round 6b: a negator reaches THROUGH up to two intervening
+    words, as in published VADER), in every engine path identically."""
     texts = [
         "good",                # baseline: +1 unit
         "not good",            # negated: -0.75 units -> negative score
@@ -159,7 +184,8 @@ def test_negation_and_boosters(spark):
         "slightly good",       # dampened: +0.75 units
         "isn t good",          # tokenized contraction: "t" negates
         "not bad",             # negated negative -> positive score
-        "never a failure",     # "a" intervenes: no modifier effect
+        "never a failure",     # window-2 negation reaches through "a"
+        "the and or failure",  # beyond the window: no modifier effect
     ]
     rows = _enrich_rows(spark, texts)
     by_text = {t: r for t, r in zip(texts, rows)}
@@ -170,8 +196,10 @@ def test_negation_and_boosters(spark):
     assert by_text["slightly good"]["vader_compound"] == 0.75 / math.sqrt(0.5625 + VADER_ALPHA)
     assert by_text["isn t good"]["vader_compound"] == by_text["not good"]["vader_compound"]
     assert by_text["not bad"]["vader_compound"] > 0
-    # modifier reaches exactly ONE token: an intervening word blocks it
-    assert by_text["never a failure"]["vader_compound"] < 0
+    # the published window: a negator 2 back still applies...
+    assert by_text["never a failure"]["vader_compound"] > 0
+    # ...but nothing beyond 3 tokens does
+    assert by_text["the and or failure"]["vader_compound"] < 0
     # textblob side scales the weight by the same factor
     assert by_text["not good"]["textblob_polarity"] == -0.75 * 0.5
     assert by_text["very good"]["textblob_polarity"] == 1.25 * 0.5
