@@ -343,8 +343,31 @@ def connected_components(
             .distinct()
             .select(F.col("a").alias("node"), F.col("a").alias("comp"))
         )
-        for _ in range(max_iter):
-            new, new_ids = _tracked_ckpt(_cc_round(und, labels))
+        converged = False
+        for it in range(max_iter):
+            new_plan = _cc_round(und, labels)
+            # Adaptive path compression (round 6): plain min-label
+            # propagation converges in O(diameter) rounds -- silent wrong
+            # answers past max_iter on a pathological chain-shaped graph.
+            # From round 8 on, each round also replaces every label by its
+            # label's label (comp <- labels[comp]; comp is always a node
+            # id, so the self-join always matches) -- pointer jumping,
+            # which turns the remaining convergence into O(log diameter).
+            # Shallow near-dup graphs (the production case) converge
+            # before round 8 and never pay the extra node-sized join.
+            if it >= 8:
+                new_plan = new_plan.localCheckpoint(eager=False)
+                new_plan = (
+                    new_plan.alias("x")
+                    .join(
+                        new_plan.select(
+                            F.col("node").alias("_cn"), F.col("comp").alias("_cc")
+                        ).alias("y"),
+                        F.col("x.comp") == F.col("_cn"),
+                    )
+                    .select(F.col("x.node").alias("node"), F.col("_cc").alias("comp"))
+                )
+            new, new_ids = _tracked_ckpt(new_plan)
             changed = (
                 new.alias("n")
                 .join(labels.alias("o"), "node")
@@ -360,7 +383,14 @@ def connected_components(
             _unpersist_ids(spark, label_ids)
             labels, label_ids = new, new_ids
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+                " -- raise max_iter (a silent partial labeling would be a"
+                " WRONG dedup clustering, never return one)"
+            )
         _unpersist_ids(spark, und_ids)
         _unpersist_ids(spark, edge_ids)
     finally:

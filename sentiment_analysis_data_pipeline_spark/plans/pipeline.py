@@ -53,15 +53,19 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
     """U1+U2+F8-F11: append the sentiment columns, all native operations, in
     the kernel's scale shape: explode tokens zipped with their one-token
     left context -> broadcast-join the lexicon -> left-broadcast-join the
-    contextual-modifier relation on the PRECEDING token (negators/boosters,
-    round-5) -> per-doc sums (map-side combine: the shuffle carries one row
-    per doc) -> left-join back -> score formulas.
+    contextual-modifier relation at EACH of the three preceding-token
+    positions (round 6b: the published VADER window -- distance-damped
+    boosters, per-position negation with the never-so/without-doubt
+    overrides, plus caps/but/punctuation mechanics) -> per-doc sums
+    (map-side combine: the shuffle carries one row per doc) -> left-join
+    back -> score formulas.
 
     Equivalent to a per-row lexicon loop but fully whole-stage-codegen
     (Spark's array-lambda HOFs evaluate interpreted, ~10x slower here), and
-    exact: dyadic lexicon weights and quarter-valued modifier factors make
-    the sums order-independent doubles. The prev-token pairing is a shifted
-    array copy built in the same projection -- no window shuffle.
+    exact: dyadic lexicon weights and dyadic modifier/context factors make
+    the sums order-independent doubles. The prev/prev2/prev3 pairings are
+    shifted array copies built in the same projection -- no window shuffle;
+    all three modifier joins broadcast the same ~70-row relation.
     `id_col` must be unique per row (it keys the join-back).
     """
     spark = df.sparkSession

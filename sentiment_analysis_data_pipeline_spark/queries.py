@@ -150,12 +150,16 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
     DuckDB oracle matches bit-for-bit.
 
     Round 6 adds the remaining published-VADER mechanics, all per-row
-    context carried through the same lockstep explode (prev2 array for the
-    "kind of"/"sort of" bigram dampeners, an ALL-CAPS flag array from a
-    case-preserving token twin, the 1-based position + first-'but' index
-    for the clause re-weighting) plus a per-doc punctuation-emphasis
-    amplifier applied to the VADER sum in score_layers' _s2 stage. Every
-    factor is dyadic, so the kernel stays bit-identical cross-engine.
+    context carried through the same lockstep explode (prev2/prev3 arrays
+    for the published 3-token modifier window -- distance-damped boosters,
+    per-position negation with the never-so/without-doubt overrides, and
+    the "kind of"/"sort of" bigram dampeners -- an ALL-CAPS flag array
+    from a case-preserving token twin, the 1-based position + first-'but'
+    index for the clause re-weighting) plus a per-doc punctuation-emphasis
+    amplifier applied to the VADER sum in score_layers' _s2 stage. The
+    modifier relation is LEFT-joined at all three positions (same ~70-row
+    broadcast each time). Every factor is dyadic, so the kernel stays
+    bit-identical cross-engine.
     """
     toks = TX.tokenize(d, "text")
     prev = S.prev_tokens_sql(d, "_toks")

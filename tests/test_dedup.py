@@ -113,6 +113,27 @@ def test_cc_edge_spill_matches_in_memory(spark):
     }
     assert spilled == base
     assert not spark.catalog.tableExists("cc_spill_test")
+    # and both are the TRUE labeling, not merely equal partial states (the
+    # 31-node chain outlives plain max_iter=25 propagation; the adaptive
+    # path compression must carry it to the fixpoint)
+    truth = {n: 0 for n in range(31)}
+    truth.update({100 + k: 100 for k in range(8)})
+    truth.update({200: 200, 201: 200, 300: 300, 301: 300})
+    assert base == truth
+
+
+def test_cc_long_chain_converges_via_path_compression(spark):
+    """A 150-node chain needs 149 plain propagation rounds -- far past
+    max_iter. The adaptive pointer-jumping (round 6) must reach the
+    fixpoint anyway, and a non-converged run must RAISE, never return a
+    partial labeling (it would be a wrong dedup clustering)."""
+    import pytest as _pt
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(149)], ["id_a", "id_b"])
+    got = {r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()}
+    assert got == {n: 0 for n in range(150)}
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=3)
 
 
 def test_cc_edge_spill_round_plan_has_no_edge_exchange(spark):
