@@ -29,6 +29,7 @@ so the learned merge table is reproducible at any parallelism.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
@@ -115,6 +116,65 @@ def bpe_merges(
         state = _apply_merge(state, b["left"], b["right"]).localCheckpoint(eager=True)
     schema = "rank bigint, left string, right string, merged string, pair_freq bigint"
     return spark.createDataFrame(learned, schema)
+
+
+def bpe_encode_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode ONE word with a learned merge table: apply each merge in
+    RANK order, replacing adjacent (left, right) pairs greedily
+    left-to-right (the original Sennrich encode; identical pair semantics
+    to training's _apply_merge, so encoding the training corpus with the
+    learned table reproduces the training end-state)."""
+    syms = [*word] + [END_MARK]
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        acc: list[str] = []
+        for x in syms:
+            if acc and acc[-1] == left and x == right:
+                acc[-1] = left + right
+            else:
+                acc.append(x)
+        syms = acc
+    return syms
+
+
+def encode_documents(
+    docs_tokens: DataFrame,
+    merges: list[tuple[str, str]],
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """Apply a learned merge table to a (.., toks: array<string>) relation,
+    appending `bpe_tokens` (array<string>) -- the tokenize-the-corpus step
+    a training pipeline runs after vocabulary construction.
+
+    The legitimate-UDF case (SURVEY.md §2.9 guidance): rank-ordered merge
+    application is inherently sequential per word, inexpressible as
+    composed relational ops -- so it runs as an Arrow-batched pandas UDF
+    over the token ARRAY column. Scale shape: the merge table (tokenizer
+    vocabulary, ~30k entries in production) is a broadcast-sized closure;
+    per Arrow batch a word->encoding memo collapses the Zipf-heavy
+    repetition, so the per-row cost approaches one dict lookup per token;
+    the operator is a pure projection -- parallelizes with the scan, no
+    shuffle, no state across rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [tuple(m) for m in merges]
+
+    @pandas_udf("array<string>")
+    def _encode(batch: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = bpe_encode_py(w, frozen)
+            return got
+
+        return batch.map(
+            lambda toks: [t for w in (toks if toks is not None else []) for t in enc_word(w)]
+        )
+
+    return docs_tokens.withColumn("bpe_tokens", _encode(F.col(tokens_col)))
 
 
 def bpe_merges_py(word_freqs: dict[str, int], n_merges: int = 40, min_freq: int = 2):

@@ -3429,6 +3429,49 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(spark, words, n_merges=BPE_N_MERGES)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize-the-corpus step AFTER tokenizer training (round 6):
+    learn the merge table exactly as q_bpe_merges, then ENCODE documents
+    with it -- rank-ordered merge application per word via an
+    Arrow-batched pandas UDF with a per-batch word memo
+    (operators/bpe.encode_documents; inherently sequential per word, the
+    documented legitimate-UDF boundary). Output per doc: the BPE token
+    count and an md5 fingerprint of the full encoding, so the driver's
+    rows-only record still pins a stable shape and the golden test
+    (tests/test_bpe.py) pins exact encodings against the pure-Python
+    replica. Like bpe_merges, genuinely iterative -- no SQL oracle
+    exists."""
+    from .operators.bpe import bpe_merges, encode_documents
+
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    words = spark.sql(
+        f"""
+        SELECT word, cast(count(*) as bigint) AS freq
+        FROM (SELECT explode({toks}) AS word FROM documents) t
+        GROUP BY word
+        """
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(spark, words, n_merges=BPE_N_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    docs = spark.sql(
+        f"SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200"
+    )
+    enc = encode_documents(docs, merges)
+    return (
+        enc.select(
+            "doc_id",
+            F.expr("cast(size(bpe_tokens) as bigint)").alias("n_bpe_tokens"),
+            F.expr("md5(concat_ws(' ', bpe_tokens))").alias("encoding_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -6794,6 +6837,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "tfidf_topk": (q_tfidf_topk, _tfidf_topk_sql),
     "pmi_collocations": (q_pmi_collocations, _pmi_collocations_sql),
     "bpe_merges": (q_bpe_merges, None),
+    "bpe_encode": (q_bpe_encode, None),
     "column_profile": (q_column_profile, _column_profile_sql),
     "key_skew_report": (q_key_skew_report, _key_skew_sql),
     "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql),

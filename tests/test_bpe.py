@@ -59,3 +59,40 @@ def test_bpe_query_entry_runs(spark):
     # frequencies are non-increasing is NOT guaranteed (merges create new
     # pairs), but every learned pair must meet the min frequency
     assert all(r["pair_freq"] >= 2 for r in out)
+
+
+def test_bpe_encode_matches_python_replica(spark):
+    """encode_documents must reproduce the pure-Python rank-ordered encode
+    word-for-word, and encoding the training words with the learned table
+    must reproduce the training end-state (concatenation invariant)."""
+    from sentiment_analysis_data_pipeline_spark.operators.bpe import (
+        bpe_encode_py,
+        encode_documents,
+    )
+
+    freqs = {"lower": 5, "lowest": 4, "newer": 3, "wider": 2, "low": 7}
+    merges = [(l, r) for _, l, r, _, _ in bpe_merges_py(freqs, n_merges=8, min_freq=2)]
+    assert merges, "fixture must learn at least one merge"
+    docs = spark.createDataFrame(
+        [(1, ["lower", "low"]), (2, ["lowest", "unseen"]), (3, []), (4, None)],
+        "doc_id long, toks array<string>",
+    )
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in encode_documents(docs, merges).collect()}
+    for doc_id, words in [(1, ["lower", "low"]), (2, ["lowest", "unseen"])]:
+        want = [t for w in words for t in bpe_encode_py(w, merges)]
+        assert rows[doc_id] == want, doc_id
+        # losslessness: stripping end-marks reconstructs the exact text
+        assert "".join(rows[doc_id]).replace("</w>", "") == "".join(words)
+    assert rows[3] == [] and rows[4] == []
+    # the learned merges actually compress: fewer tokens than characters
+    assert len(rows[1]) < len("lowerlow") + 2
+
+
+def test_bpe_encode_query_entry_runs(spark):
+    from sentiment_analysis_data_pipeline_spark.queries import q_bpe_encode
+
+    out = q_bpe_encode(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    assert {c for c in out[0].asDict()} == {"doc_id", "n_bpe_tokens", "encoding_md5"}
+    # BPE can only shorten a character-level encoding, never lengthen it
+    assert all(r["n_bpe_tokens"] >= 0 for r in out)
