@@ -1322,16 +1322,14 @@ def _ann_recall_sql(d: str) -> str:
     dotp = V.dot(d, "e.v", "q.v", EMB_DIM)
     cos = f"case when e.nv = 0.0 or q.nv = 0.0 then 0.0 else ({dotp}) / (e.nv * q.nv) end"
     hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
-    arms = []
-    for method, sql in (("ivf", _ivf_ann_sql(d)), ("lsh", _ann_lsh_sql(d))):
-        arms.append(
-            f"""SELECT '{method}' AS method,
-                   (SELECT cast(count(*) as bigint) FROM ({sql}) a) AS approx_rows,
-                   (SELECT cast(count(*) as bigint)
-                    FROM ({sql}) a JOIN exact x
-                      ON a.q_id = x.q_id AND a.vec_id = x.vec_id) AS hits"""
-        )
-    arm_union = "\n            UNION ALL ".join(arms)
+    # each arm's pipeline executes ONCE: union both top-k sets tagged by
+    # method, LEFT-join exact, and take counts/hits from one aggregate
+    # (the first shipped form ran every arm twice -- once per scalar
+    # subquery -- doubling the ANN work for an audit output of 2 rows)
+    arm_union = "\n            UNION ALL ".join(
+        f"SELECT '{method}' AS method, q_id, vec_id FROM ({sql}) {method}_arm"
+        for method, sql in (("ivf", _ivf_ann_sql(d)), ("lsh", _ann_lsh_sql(d)))
+    )
     return f"""
         WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
         emb AS (SELECT vec_id, v, {nv} AS nv FROM emb0),
@@ -1350,8 +1348,16 @@ def _ann_recall_sql(d: str) -> str:
         possible AS (SELECT cast(count(*) as bigint) AS n_exact,
                             cast(count(distinct q_id) as bigint) AS n_queries
                      FROM exact),
-        arms AS (
+        approx AS (
             {arm_union}
+        ),
+        arms AS (
+            SELECT a.method,
+                   cast(count(*) as bigint) AS approx_rows,
+                   cast(sum(case when x.q_id is null then 0 else 1 end) as bigint) AS hits
+            FROM approx a
+            LEFT JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+            GROUP BY a.method
         )
         SELECT a.method, p.n_queries, a.approx_rows, a.hits, p.n_exact,
                cast(a.hits as double) / cast(p.n_exact as double) AS recall_at_3,
