@@ -35,9 +35,13 @@ pure Spark SQL column expressions:
                        by 0.9375/0.875 (dyadic stand-ins for 0.95/0.9),
                        and the published "never so|this" (x1.25) and
                        "without doubt" (no negation) overrides apply.
-                       Published mechanics still OUT of the kernel:
-                       caps-boosted BOOSTER words (second-order) and the
-                       SENTIMENT_LADEN_IDIOMS table.
+                       Round 6c: a booster spelled ALL-CAPS under the
+                       differential doubles its delta (published C_INCR
+                       on the booster scalar). The one published mechanic
+                       still OUT of the kernel: the
+                       SENTIMENT_LADEN_IDIOMS table (idiom hits REPLACE
+                       constituent valences -- a consumed-position
+                       bookkeeping problem, not a per-token factor).
   textblob_polarity := Σ(f_i * weight_i) / n_matched, 0.0 if none
                        -- TextBlob's PatternAnalyzer averaging, with the
                        same modifier scaling (Pattern negates at -0.5; the
@@ -544,6 +548,19 @@ def prev3_tokens_sql(d: str, toks_col: str = "_toks") -> str:
     return shifted_tokens_sql(d, toks_col, 3)
 
 
+def shifted_flags_sql(d: str, flags_col: str, k: int) -> str:
+    """Boolean twin of shifted_tokens_sql: element i holds flag i-k (first
+    k elements NULL -> coalesced false at the explode site). Used for the
+    caps flags of the three window positions (caps-boosted boosters)."""
+    if d == D.SPARK:
+        nulls = ", ".join(["cast(null as boolean)"] * k)
+        return f"slice(concat(array({nulls}), {flags_col}), 1, size({flags_col}))"
+    inner = flags_col
+    for _ in range(k):
+        inner = f"list_prepend(cast(null as boolean), {inner})"
+    return f"list_slice({inner}, 1, len({flags_col}))"
+
+
 def caps_flags_sql(d: str, text_expr: str) -> str:
     """Boolean array aligned with tokenize(text): element i is true when
     token i was spelled ALL-CAPS in the raw text (>= 1 letter, every letter
@@ -596,6 +613,7 @@ def token_factor_sql(
     d1: str = "_m1.delta", n1: str = "_m1.neg",
     d2: str = "_m2.delta", n2: str = "_m2.neg",
     d3: str = "_m3.delta", n3: str = "_m3.neg",
+    capsp1: str = "capsp1", capsp2: str = "capsp2", capsp3: str = "capsp3",
 ) -> str:
     """Per-matched-token scale factor combining every contextual mechanic
     over the published 3-token window (round 6b): per-position booster
@@ -611,12 +629,18 @@ def token_factor_sql(
     bigram = " OR ".join(
         f"({prev2} = '{a}' AND {prev} = '{b}')" for a, b in BOOST_BIGRAMS
     )
+    # a booster spelled ALL-CAPS under a caps differential doubles its
+    # delta (published: C_INCR added to the booster scalar; dyadic mirror:
+    # 0.25 -> 0.5) -- round 6c, the caps-boosted-booster mechanic
+    cm1 = f"(case when {capsp1} AND {cap_diff} then 2.0 else 1.0 end)"
+    cm2 = f"(case when {capsp2} AND {cap_diff} then 2.0 else 1.0 end)"
+    cm3 = f"(case when {capsp3} AND {cap_diff} then 2.0 else 1.0 end)"
     b1 = (
         f"case when {bigram} then {BIGRAM_FACTOR!r} "
-        f"else 1.0 + coalesce({d1}, 0.0) end"
+        f"else 1.0 + coalesce({d1}, 0.0) * {cm1} end"
     )
-    b2 = f"(1.0 + coalesce({d2}, 0.0) * {B2_DAMP!r})"
-    b3 = f"(1.0 + coalesce({d3}, 0.0) * {B3_DAMP!r})"
+    b2 = f"(1.0 + coalesce({d2}, 0.0) * {B2_DAMP!r} * {cm2})"
+    b3 = f"(1.0 + coalesce({d3}, 0.0) * {B3_DAMP!r} * {cm3})"
     g1 = f"case when coalesce({n1}, 0) = 1 then {NEG_FACTOR!r} else 1.0 end"
     g2 = (
         f"case when {prev2} = 'never' and {prev} in ({never}) then {NEVER_INTENSIFY!r} "
@@ -705,14 +729,21 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
         p1 = toks[i - 1] if i > 0 else None
         p2 = toks[i - 2] if i > 1 else None
         p3 = toks[i - 3] if i > 2 else None
+
+        def _capsm(k: int) -> float:
+            # caps-boosted booster (round 6c): an ALL-CAPS booster under a
+            # caps differential doubles its delta
+            j = i - k
+            return 2.0 if cap_diff and 0 <= j < len(caps) and caps[j] else 1.0
+
         # position-1 booster (bigram dampener overrides)
         if p2 is not None and (p2, p1) in BOOST_BIGRAMS:
             f = BIGRAM_FACTOR
         else:
-            f = 1.0 + _delta(p1)
+            f = 1.0 + _delta(p1) * _capsm(1)
         # distance-damped boosters at positions 2/3
-        f *= 1.0 + _delta(p2) * B2_DAMP
-        f *= 1.0 + _delta(p3) * B3_DAMP
+        f *= 1.0 + _delta(p2) * B2_DAMP * _capsm(2)
+        f *= 1.0 + _delta(p3) * B3_DAMP * _capsm(3)
         # per-position negation with the published overrides
         if p1 in neg_set:
             f *= NEG_FACTOR

@@ -91,6 +91,9 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
         .withColumn("_prev", F.expr(S.prev_tokens_sql(D.SPARK, "_toks")))
         .withColumn("_prev2", F.expr(S.prev2_tokens_sql(D.SPARK, "_toks")))
         .withColumn("_prev3", F.expr(S.prev3_tokens_sql(D.SPARK, "_toks")))
+        .withColumn("_pc1", F.expr(S.shifted_flags_sql(D.SPARK, "_caps", 1)))
+        .withColumn("_pc2", F.expr(S.shifted_flags_sql(D.SPARK, "_caps", 2)))
+        .withColumn("_pc3", F.expr(S.shifted_flags_sql(D.SPARK, "_caps", 3)))
         .withColumn("bi", F.expr(S.but_index_sql(D.SPARK, "_toks")))
         .withColumn("cap_diff", F.expr(S.cap_differential_sql("_caps", "_toks", D.SPARK)))
         .select(
@@ -98,7 +101,9 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
             "bi",
             "cap_diff",
             F.posexplode(
-                F.arrays_zip("_toks", "_prev", "_prev2", "_prev3", "_caps")
+                F.arrays_zip(
+                    "_toks", "_prev", "_prev2", "_prev3", "_caps", "_pc1", "_pc2", "_pc3"
+                )
             ).alias("pos", "z"),
         )
         .select(
@@ -111,6 +116,9 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
             F.col("z._prev2").alias("prev2"),
             F.col("z._prev3").alias("prev3"),
             F.coalesce(F.col("z._caps"), F.lit(False)).alias("capsf"),
+            F.coalesce(F.col("z._pc1"), F.lit(False)).alias("capsp1"),
+            F.coalesce(F.col("z._pc2"), F.lit(False)).alias("capsp2"),
+            F.coalesce(F.col("z._pc3"), F.lit(False)).alias("capsp3"),
         )
     )
     factor = F.expr(

@@ -169,20 +169,30 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
     bi = S.but_index_sql(d, "_toks")
     cd = S.cap_differential_sql("_caps", "_toks", d)
     pe = S.punct_emphasis_sql(d, "text")
+    pc1 = S.shifted_flags_sql(d, "_caps", 1)
+    pc2 = S.shifted_flags_sql(d, "_caps", 2)
+    pc3 = S.shifted_flags_sql(d, "_caps", 3)
     if d == D.SPARK:
         ex = f"""SELECT {id_col}, bi, cap_diff,
                    cast(pos + 1 as bigint) AS i, col._toks AS t,
                    col._prev AS prev, col._prev2 AS prev2, col._prev3 AS prev3,
-                   coalesce(col._caps, false) AS capsf
+                   coalesce(col._caps, false) AS capsf,
+                   coalesce(col._pc1, false) AS capsp1,
+                   coalesce(col._pc2, false) AS capsp2,
+                   coalesce(col._pc3, false) AS capsp3
             FROM (SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
-                         posexplode(arrays_zip(_toks, _prev, _prev2, _prev3, _caps))
+                         posexplode(arrays_zip(_toks, _prev, _prev2, _prev3,
+                                               _caps, _pc1, _pc2, _pc3))
                   FROM tokd)"""
     else:
         ex = f"""SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
                    cast(generate_subscripts(_toks, 1) as bigint) AS i,
                    unnest(_toks) AS t, unnest(_prev) AS prev,
                    unnest(_prev2) AS prev2, unnest(_prev3) AS prev3,
-                   coalesce(unnest(_caps), false) AS capsf
+                   coalesce(unnest(_caps), false) AS capsf,
+                   coalesce(unnest(_pc1), false) AS capsp1,
+                   coalesce(unnest(_pc2), false) AS capsp2,
+                   coalesce(unnest(_pc3), false) AS capsp3
             FROM tokd"""
     factor = S.token_factor_sql()
     scored_base = f"""
@@ -190,7 +200,8 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
         tokd AS (
             SELECT {id_col}, _toks, {prev} AS _prev, {prev2} AS _prev2,
                    {prev3} AS _prev3,
-                   _caps, {bi} AS _bi, {cd} AS _cd
+                   _caps, {pc1} AS _pc1, {pc2} AS _pc2, {pc3} AS _pc3,
+                   {bi} AS _bi, {cd} AS _cd
             FROM (SELECT {id_col}, {toks} AS _toks, {caps} AS _caps FROM base0) t0
         ),
         ex AS ({ex}),

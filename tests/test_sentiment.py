@@ -72,6 +72,10 @@ GOLDEN = [
     ),
     # negator at distance 3 ('the' fillers carry no signal)
     ("not the the good", _vc(-0.75), -0.75 * 0.5),
+    # caps-boosted booster (round 6c): ALL-CAPS 'VERY' doubles its delta
+    ("VERY good", _vc(1.5), 1.5 * 0.5),
+    # ...but only under a caps differential (uniform caps -> plain boost)
+    ("VERY GOOD", _vc(1.25), 1.25 * 0.5),
 ]
 
 
