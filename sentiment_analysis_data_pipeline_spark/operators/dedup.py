@@ -396,9 +396,28 @@ def connected_components(
     finally:
         # labels are checkpointed, so no result lineage references the
         # table; drop even on mid-loop failure (a leaked spill table would
-        # shadow the next run's write)
+        # shadow the next run's write). write_bucketed creates EXTERNAL
+        # tables (explicit path), so DROP leaves the files -- remove the
+        # location too, or every spilled CC run leaks its edge bytes on
+        # disk. (Local-FS removal matches this deployment; an object-store
+        # deployment would point write_bucketed at a lifecycle-managed
+        # prefix instead.)
         if spilled:
+            import shutil
+
+            try:
+                loc = (
+                    spark.sql(f"DESCRIBE TABLE EXTENDED {edge_spill_table}")
+                    .filter("col_name = 'Location'")
+                    .collect()
+                )
+            except Exception:
+                loc = []
             spark.sql(f"DROP TABLE IF EXISTS {edge_spill_table}")
+            for r in loc:
+                path = r["data_type"]
+                if path.startswith("file:"):
+                    shutil.rmtree(path[5:], ignore_errors=True)
     return labels
 
 
