@@ -149,6 +149,40 @@ SPREAD_RATIO_BOUND = 1.5
 SPREAD_ABS_FLOOR_SEC = 0.25
 
 
+def drift_anchor(spark) -> float:
+    """Cross-run drift guard (round 7): median of 3 runs of a FIXED,
+    data-independent synthetic workload (generated strings -> split ->
+    explode -> hash-agg -- the same codegen/string/shuffle class as the
+    tokenizer-family queries). Code never changes between rounds, so any
+    movement in this number is ENVIRONMENT drift (machine load, CPU
+    frequency, co-tenancy), not engineering.
+
+    Motivation: the r5->r6 "+45% tokenizer-family regression" root-caused
+    (tools/ab_bench.py, PLANS.md) to exactly such drift -- the r5 CODE
+    re-measured in the r6-era environment ran 45% slower than the r5 bench
+    recorded, while r5-vs-HEAD interleaved in ONE session were identical.
+    The within-run spread guard cannot see cross-run drift; this anchor can:
+    compare per-query times across rounds AFTER dividing by the anchor
+    ratio. Emitted as "anchor" in the final line and BENCH_DETAIL.json.
+    """
+    from statistics import median
+
+    q = (
+        "SELECT tok, count(*) AS c FROM ("
+        "  SELECT explode(split(concat('doc ', cast(id % 97 as string),"
+        "         ' alpha beta gamma delta epsilon zeta eta theta'), ' ')) AS tok"
+        "  FROM range(2000000)"
+        ") GROUP BY tok ORDER BY c DESC, tok LIMIT 10"
+    )
+    spark.sql(q).collect()  # warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.sql(q).collect()
+        samples.append(time.perf_counter() - t0)
+    return round(median(samples), 3)
+
+
 def _sweep(spark) -> None:
     """Drop every cached/persisted block between queries.
 
@@ -184,6 +218,7 @@ def main() -> None:
 
     # JVM/codegen warmup outside any timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
+    anchor = drift_anchor(spark)
 
     from statistics import median
 
@@ -225,6 +260,7 @@ def main() -> None:
         "spread": spread,
         "unstable": unstable,
         "spread_ratio_bound": SPREAD_RATIO_BOUND,
+        "anchor_sec": anchor,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -235,17 +271,18 @@ def main() -> None:
     # Non-final line: full detail for humans/logs (driver ignores it).
     print(json.dumps({"detail": detail}))
 
-    print(final_line(timings, sf_val, runs))
+    print(final_line(timings, sf_val, runs, anchor))
 
 
-def build_result(timings: dict[str, float], sf_val, runs: int) -> dict:
+def build_result(timings: dict[str, float], sf_val, runs: int, anchor: float | None = None) -> dict:
     """The driver-parsed result dict -- the ONE place its shape is defined.
 
     final_line serializes this under the strict LINE_BUDGET; the contract
     test simulates the driver's wider tail-capture window on the SAME dict,
     so format drift can't silently diverge the test from the emission path.
+    `anchor` is the cross-run drift guard (drift_anchor docstring).
     """
-    return {
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -253,16 +290,19 @@ def build_result(timings: dict[str, float], sf_val, runs: int) -> dict:
         "runs": runs,
         "queries": {k: round(v, 3) for k, v in timings.items()},
     }
+    if anchor is not None:
+        out["anchor"] = anchor
+    return out
 
 
-def final_line(timings: dict[str, float], sf_val, runs: int) -> str:
+def final_line(timings: dict[str, float], sf_val, runs: int, anchor: float | None = None) -> str:
     """Build + selfcheck the single driver-parsed JSON line.
 
     The line must round-trip through json.loads and fit the driver's tail
     -capture window. Trim nothing silently -- fail loudly so the proof chain
     can't quietly break again (round 4's BENCH record was lost this way).
     """
-    result = build_result(timings, sf_val, runs)
+    result = build_result(timings, sf_val, runs, anchor)
     line = json.dumps(result, separators=(",", ":"))
     assert json.loads(line)["value"] == result["value"]
     assert len(line) < LINE_BUDGET, f"final bench line {len(line)}B >= {LINE_BUDGET}B"

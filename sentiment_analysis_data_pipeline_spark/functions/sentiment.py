@@ -428,6 +428,52 @@ NEVER_INTENSIFY = 1.25      # published: "never so/this" re-weights x1.25
 NEVER_FOLLOWERS = ("so", "this")
 WITHOUT_DOUBT = ("without", "doubt")  # published: not a negation
 
+# --- round-7: sentiment-laden idioms (the last published VADER mechanic) ---
+#
+# VADER's published idiom tables (SENTIMENT_LADEN_IDIOMS and the
+# SPECIAL_CASES checked by _special_idioms_check in vaderSentiment.py): a
+# multi-word idiom hit REPLACES its constituents' valences -- consumed
+# -position bookkeeping, not a per-token factor. Mechanics mirrored here:
+#   - an idiom occurrence contributes its own valence once, at its END
+#     position (published scale /4 to the nearest 1/16 -- dyadic, same
+#     contract as the lexicon);
+#   - every token position covered by an occurrence is CONSUMED: its own
+#     lexicon valence (and modifier context) is suppressed ("bad ass" must
+#     not also count "bad"; "kiss of death" must not also count "death");
+#   - the but-clause re-weighting applies to the idiom's contribution
+#     (VADER's _but_check runs over the full sentiments list, idioms
+#     included); the 3-token modifier window and caps emphasis do not
+#     (idiom matching in the published code is over lowercased words, and
+#     this engine does not mirror the booster-before-idiom lookback --
+#     documented divergence, like -0.75 for N_SCALAR).
+# "bus stop" (published valence 0) consumes its constituents but adds no
+# contribution and does not count toward the TextBlob match count.
+# Values are integer sixteenths of the [-1, 1] weight (published valence/4).
+IDIOM_SIXTEENTHS: dict[str, int] = {
+    # SENTIMENT_LADEN_IDIOMS
+    "cut the mustard": 8, "hand to mouth": -8, "back handed": -8,
+    "blow smoke": -8, "blowing smoke": -8, "upper hand": 4,
+    "break a leg": 8, "cooking with gas": 8, "in the black": 8,
+    "in the red": -8, "on the ball": 8, "under the weather": -8,
+    # SPECIAL_CASES ("badass" is single-token -> lexicon territory, skipped)
+    "the shit": 12, "the bomb": 12, "bad ass": 6, "bus stop": 0,
+    "yeah right": -8, "kiss of death": -6, "to die for": 12,
+    "beating heart": 12, "broken heart": -12,
+}
+# (tokens..., weight) split by arity -- the kernel matches 2- and 3-gram
+# ends against the prev/prev2 context it already carries per token.
+IDIOMS_2: tuple[tuple[str, str, float], ...] = tuple(
+    (*p.split(), k / 16.0)
+    for p, k in sorted(IDIOM_SIXTEENTHS.items())
+    if len(p.split()) == 2
+)
+IDIOMS_3: tuple[tuple[str, str, str, float], ...] = tuple(
+    (*p.split(), k / 16.0)
+    for p, k in sorted(IDIOM_SIXTEENTHS.items())
+    if len(p.split()) == 3
+)
+assert len(IDIOMS_2) + len(IDIOMS_3) == len(IDIOM_SIXTEENTHS)
+
 
 def avg_score(vader_col: str = "vader_compound", tb_col: str = "textblob_polarity") -> str:
     """F8: (vader + textblob) / 2 -- identical text in both dialects."""
@@ -546,6 +592,80 @@ def prev2_tokens_sql(d: str, toks_col: str = "_toks") -> str:
 def prev3_tokens_sql(d: str, toks_col: str = "_toks") -> str:
     """Token i-3 aligned array (the outer edge of the published window)."""
     return shifted_tokens_sql(d, toks_col, 3)
+
+
+def shifted_fwd_tokens_sql(d: str, toks_col: str, k: int) -> str:
+    """Forward twin of shifted_tokens_sql: element i holds token i+k (last k
+    elements NULL). The right-context arrays the idiom consumed-position
+    check explodes in lockstep (a lexicon word must know whether an idiom
+    occurrence STARTING at or just before it consumes its position)."""
+    if d == D.SPARK:
+        nulls = ", ".join(["cast(null as string)"] * k)
+        return (
+            f"slice(concat(case when size({toks_col}) > {k} "
+            f"then slice({toks_col}, {k + 1}, size({toks_col}) - {k}) "
+            f"else array() end, array({nulls})), 1, size({toks_col}))"
+        )
+    nulls = ", ".join(["cast(null as varchar)"] * k)
+    return (
+        f"list_slice(list_concat(case when len({toks_col}) > {k} "
+        f"then list_slice({toks_col}, {k + 1}, len({toks_col})) "
+        f"else [] end, [{nulls}]), 1, len({toks_col}))"
+    )
+
+
+def but_factor_sql(i: str = "i", bi: str = "bi") -> str:
+    """The published _but_check re-weighting for a contribution at 1-based
+    position `i` given the first-'but' index `bi` (0 = no 'but')."""
+    return (
+        f"(case when {bi} > 0 and {i} < {bi} then {BUT_BEFORE!r} "
+        f"when {bi} > 0 and {i} > {bi} then {BUT_AFTER!r} else 1.0 end)"
+    )
+
+
+def idiom_weight_sql(t: str = "t", prev: str = "prev", prev2: str = "prev2") -> str:
+    """CASE returning the idiom weight (dyadic double) when a NONZERO-valence
+    idiom ENDS at this token, else NULL. 3-grams first (no published 2-gram
+    is a suffix of a 3-gram, but the precedence is still the safe one);
+    each conjunct tests the END token first so the chain fails fast on the
+    overwhelmingly-common non-end tokens."""
+    arms = []
+    for a, b, c, v in IDIOMS_3:
+        if v != 0.0:
+            arms.append(
+                f"when {t} = '{c}' and {prev} = '{b}' and {prev2} = '{a}' "
+                f"then cast({v!r} as double)"
+            )
+    for a, b, v in IDIOMS_2:
+        if v != 0.0:
+            arms.append(
+                f"when {t} = '{b}' and {prev} = '{a}' then cast({v!r} as double)"
+            )
+    return f"(case {' '.join(arms)} else cast(null as double) end)"
+
+
+def idiom_consumed_sql(
+    t: str = "t",
+    prev: str = "prev",
+    prev2: str = "prev2",
+    nx1: str = "nx1",
+    nx2: str = "nx2",
+) -> str:
+    """TRUE when this token position lies INSIDE any idiom occurrence
+    (including zero-valence ones like 'bus stop'): an occurrence ends here,
+    at the next position, or (3-grams) two positions ahead. Consumed
+    positions contribute nothing of their own -- the idiom's single
+    end-position contribution replaces them. NULL-safe (coalesced false) so
+    a doc-edge NULL context can never silently drop a real lexicon match."""
+    ors = []
+    for a, b, c, _ in IDIOMS_3:
+        ors.append(f"({t} = '{c}' and {prev} = '{b}' and {prev2} = '{a}')")
+        ors.append(f"({t} = '{b}' and {prev} = '{a}' and {nx1} = '{c}')")
+        ors.append(f"({t} = '{a}' and {nx1} = '{b}' and {nx2} = '{c}')")
+    for a, b, _ in IDIOMS_2:
+        ors.append(f"({t} = '{b}' and {prev} = '{a}')")
+        ors.append(f"({t} = '{a}' and {nx1} = '{b}')")
+    return f"coalesce(({' OR '.join(ors)}), false)"
 
 
 def shifted_flags_sql(d: str, flags_col: str, k: int) -> str:
