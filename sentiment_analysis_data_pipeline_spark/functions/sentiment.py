@@ -37,11 +37,13 @@ pure Spark SQL column expressions:
                        "without doubt" (no negation) overrides apply.
                        Round 6c: a booster spelled ALL-CAPS under the
                        differential doubles its delta (published C_INCR
-                       on the booster scalar). The one published mechanic
-                       still OUT of the kernel: the
-                       SENTIMENT_LADEN_IDIOMS table (idiom hits REPLACE
-                       constituent valences -- a consumed-position
-                       bookkeeping problem, not a per-token factor).
+                       on the booster scalar). Round 7 completes the
+                       published-mechanics inventory with the
+                       SENTIMENT_LADEN_IDIOMS / SPECIAL_CASES tables:
+                       an idiom hit REPLACES its constituents' valences
+                       (consumed-position bookkeeping) and contributes
+                       its own dyadic valence once, at its end position,
+                       but-clause re-weighted (IDIOM_SIXTEENTHS block).
   textblob_polarity := Σ(f_i * weight_i) / n_matched, 0.0 if none
                        -- TextBlob's PatternAnalyzer averaging, with the
                        same modifier scaling (Pattern negates at -0.5; the
@@ -835,6 +837,43 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
     neg_set = set(NEGATE)
     wo, doubt = WITHOUT_DOUBT
 
+    def _but(pos: int) -> float:
+        if bi > 0 and pos < bi:
+            return BUT_BEFORE
+        if bi > 0 and pos > bi:
+            return BUT_AFTER
+        return 1.0
+
+    # round-7 idiom pass (mirrors the SQL's per-token iw CASE + consumed OR):
+    # first-match weight at each end position (3-grams before 2-grams);
+    # consumed positions are the union over ALL occurrences incl. valence-0
+    consumed: set[int] = set()
+    idiom_ssum = 0.0
+    idiom_wsum = 0.0
+    idiom_nm = 0
+    for i in range(len(toks)):
+        for a, b, c, _v in IDIOMS_3:
+            if i >= 2 and toks[i - 2] == a and toks[i - 1] == b and toks[i] == c:
+                consumed.update((i - 2, i - 1, i))
+        for a, b, _v in IDIOMS_2:
+            if i >= 1 and toks[i - 1] == a and toks[i] == b:
+                consumed.update((i - 1, i))
+        iw = None
+        for a, b, c, v in IDIOMS_3:
+            if v and i >= 2 and toks[i - 2] == a and toks[i - 1] == b and toks[i] == c:
+                iw = v
+                break
+        if iw is None:
+            for a, b, v in IDIOMS_2:
+                if v and i >= 1 and toks[i - 1] == a and toks[i] == b:
+                    iw = v
+                    break
+        if iw is not None:
+            f = _but(i + 1)
+            idiom_ssum += f * (1.0 if iw > 0 else -1.0)
+            idiom_wsum += f * iw
+            idiom_nm += 1
+
     def _delta(tok: str | None) -> float:
         mf = MODIFIER_FACTORS.get(tok or "")
         return 0.0 if mf is None or mf < 0 else mf - 1.0
@@ -844,7 +883,7 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
     nm = 0
     for i, t in enumerate(toks):
         w = LEXICON.get(t)
-        if w is None:
+        if w is None or i in consumed:
             continue
         p1 = toks[i - 1] if i > 0 else None
         p2 = toks[i - 2] if i > 1 else None
@@ -883,14 +922,13 @@ def _py_kernel(s: str | None) -> tuple[float, float]:
         # change token counts; both engines' SQL zips pad with NULL there
         if cap_diff and i < len(caps) and caps[i]:
             f *= CAPS_FACTOR
-        pos = i + 1
-        if bi > 0 and pos < bi:
-            f *= BUT_BEFORE
-        elif bi > 0 and pos > bi:
-            f *= BUT_AFTER
+        f *= _but(i + 1)
         ssum += f * (1.0 if w > 0 else -1.0)
         wsum += f * w
         nm += 1
+    ssum += idiom_ssum
+    wsum += idiom_wsum
+    nm += idiom_nm
     pe = _py_punct_emphasis(s)
     s2 = ssum + pe if ssum > 0 else (ssum - pe if ssum < 0 else ssum)
     vc = s2 / math.sqrt(s2 * s2 + VADER_ALPHA)

@@ -91,6 +91,8 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
         .withColumn("_prev", F.expr(S.prev_tokens_sql(D.SPARK, "_toks")))
         .withColumn("_prev2", F.expr(S.prev2_tokens_sql(D.SPARK, "_toks")))
         .withColumn("_prev3", F.expr(S.prev3_tokens_sql(D.SPARK, "_toks")))
+        .withColumn("_nx1", F.expr(S.shifted_fwd_tokens_sql(D.SPARK, "_toks", 1)))
+        .withColumn("_nx2", F.expr(S.shifted_fwd_tokens_sql(D.SPARK, "_toks", 2)))
         .withColumn("_pc1", F.expr(S.shifted_flags_sql(D.SPARK, "_caps", 1)))
         .withColumn("_pc2", F.expr(S.shifted_flags_sql(D.SPARK, "_caps", 2)))
         .withColumn("_pc3", F.expr(S.shifted_flags_sql(D.SPARK, "_caps", 3)))
@@ -102,7 +104,8 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
             "cap_diff",
             F.posexplode(
                 F.arrays_zip(
-                    "_toks", "_prev", "_prev2", "_prev3", "_caps", "_pc1", "_pc2", "_pc3"
+                    "_toks", "_prev", "_prev2", "_prev3", "_nx1", "_nx2",
+                    "_caps", "_pc1", "_pc2", "_pc3"
                 )
             ).alias("pos", "z"),
         )
@@ -115,28 +118,53 @@ def sentiment_enrich(df: DataFrame, text_expr: str = "text", id_col: str = "doc_
             F.col("z._prev").alias("prev"),
             F.col("z._prev2").alias("prev2"),
             F.col("z._prev3").alias("prev3"),
+            F.col("z._nx1").alias("nx1"),
+            F.col("z._nx2").alias("nx2"),
             F.coalesce(F.col("z._caps"), F.lit(False)).alias("capsf"),
             F.coalesce(F.col("z._pc1"), F.lit(False)).alias("capsp1"),
             F.coalesce(F.col("z._pc2"), F.lit(False)).alias("capsp2"),
             F.coalesce(F.col("z._pc3"), F.lit(False)).alias("capsp3"),
         )
+        # round-7 idiom mechanics: idiom-end weight + consumed flag (see
+        # functions/sentiment.py idiom_* docstrings)
+        .withColumn("iw", F.expr(S.idiom_weight_sql("t", "prev", "prev2")))
     )
     factor = F.expr(
         S.token_factor_sql(
             d1="d1", n1="n1", d2="d2", n2="n2", d3="d3", n3="n3"
         )
     )
+    consumed = F.expr(S.idiom_consumed_sql("t", "prev", "prev2", "nx1", "nx2"))
+    butf = F.expr(S.but_factor_sql("i", "bi"))
     sums = (
-        ex.join(F.broadcast(lex), ex.t == lex.word)
+        ex.join(F.broadcast(lex), ex.t == lex.word, "left")
         .join(F.broadcast(_mods_at(1)), F.col("prev") == F.col("mw1"), "left")
         .join(F.broadcast(_mods_at(2)), F.col("prev2") == F.col("mw2"), "left")
         .join(F.broadcast(_mods_at(3)), F.col("prev3") == F.col("mw3"), "left")
+        .where(F.col("word").isNotNull() | F.col("iw").isNotNull())
+        .withColumn("_lexhit", F.col("word").isNotNull() & ~consumed)
         .withColumn("_f", factor)
+        .withColumn(
+            "_isgn",
+            F.when(
+                F.col("iw").isNotNull(),
+                F.when(F.col("iw") > 0, F.lit(1.0)).otherwise(F.lit(-1.0)) * butf,
+            ).otherwise(F.lit(0.0)),
+        )
         .groupBy(id_col)
         .agg(
-            F.sum(F.col("_f") * F.col("sgn")).alias("s_ssum"),
-            F.sum(F.col("_f") * F.col("w")).alias("s_wsum"),
-            F.count("*").alias("s_nm"),
+            F.sum(
+                F.when(F.col("_lexhit"), F.col("_f") * F.col("sgn")).otherwise(0.0)
+                + F.col("_isgn")
+            ).alias("s_ssum"),
+            F.sum(
+                F.when(F.col("_lexhit"), F.col("_f") * F.col("w")).otherwise(0.0)
+                + F.coalesce(F.col("iw") * butf, F.lit(0.0))
+            ).alias("s_wsum"),
+            F.sum(
+                F.when(F.col("_lexhit"), 1).otherwise(0)
+                + F.when(F.col("iw").isNotNull(), 1).otherwise(0)
+            ).alias("s_nm"),
         )
     )
     out = (

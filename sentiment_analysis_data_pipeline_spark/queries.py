@@ -165,6 +165,8 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
     prev = S.prev_tokens_sql(d, "_toks")
     prev2 = S.prev2_tokens_sql(d, "_toks")
     prev3 = S.prev3_tokens_sql(d, "_toks")
+    nx1 = S.shifted_fwd_tokens_sql(d, "_toks", 1)
+    nx2 = S.shifted_fwd_tokens_sql(d, "_toks", 2)
     caps = S.caps_flags_sql(d, "text")
     bi = S.but_index_sql(d, "_toks")
     cd = S.cap_differential_sql("_caps", "_toks", d)
@@ -176,12 +178,14 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
         ex = f"""SELECT {id_col}, bi, cap_diff,
                    cast(pos + 1 as bigint) AS i, col._toks AS t,
                    col._prev AS prev, col._prev2 AS prev2, col._prev3 AS prev3,
+                   col._nx1 AS nx1, col._nx2 AS nx2,
                    coalesce(col._caps, false) AS capsf,
                    coalesce(col._pc1, false) AS capsp1,
                    coalesce(col._pc2, false) AS capsp2,
                    coalesce(col._pc3, false) AS capsp3
             FROM (SELECT {id_col}, _bi AS bi, _cd AS cap_diff,
                          posexplode(arrays_zip(_toks, _prev, _prev2, _prev3,
+                                               _nx1, _nx2,
                                                _caps, _pc1, _pc2, _pc3))
                   FROM tokd)"""
     else:
@@ -189,32 +193,50 @@ def _kernel_join_sql(d: str, base: str, id_col: str, final: str, suffix: str = "
                    cast(generate_subscripts(_toks, 1) as bigint) AS i,
                    unnest(_toks) AS t, unnest(_prev) AS prev,
                    unnest(_prev2) AS prev2, unnest(_prev3) AS prev3,
+                   unnest(_nx1) AS nx1, unnest(_nx2) AS nx2,
                    coalesce(unnest(_caps), false) AS capsf,
                    coalesce(unnest(_pc1), false) AS capsp1,
                    coalesce(unnest(_pc2), false) AS capsp2,
                    coalesce(unnest(_pc3), false) AS capsp3
             FROM tokd"""
     factor = S.token_factor_sql()
+    # round-7 idiom mechanics: iw = idiom weight where an occurrence ENDS at
+    # this token (computed once per token, end-token-first fail-fast CASE);
+    # consumed = this position lies inside ANY occurrence. A consumed lexicon
+    # match contributes nothing; the idiom contributes sgn/weight once at its
+    # end position, but-clause re-weighted. The lexicon join turns LEFT so
+    # idiom-end rows whose token is not a lexicon word survive into the SAME
+    # single per-doc aggregation -- no second pass over the exploded stream.
+    consumed = S.idiom_consumed_sql("e.t", "e.prev", "e.prev2", "e.nx1", "e.nx2")
+    butf = S.but_factor_sql("e.i", "e.bi")
+    lex_hit = f"(_lex.word is not null and not {consumed})"
     scored_base = f"""
         WITH base0 AS ({base}),
         tokd AS (
             SELECT {id_col}, _toks, {prev} AS _prev, {prev2} AS _prev2,
-                   {prev3} AS _prev3,
+                   {prev3} AS _prev3, {nx1} AS _nx1, {nx2} AS _nx2,
                    _caps, {pc1} AS _pc1, {pc2} AS _pc2, {pc3} AS _pc3,
                    {bi} AS _bi, {cd} AS _cd
             FROM (SELECT {id_col}, {toks} AS _toks, {caps} AS _caps FROM base0) t0
         ),
-        ex AS ({ex}),
+        ex0 AS ({ex}),
+        ex AS (SELECT *, {S.idiom_weight_sql("t", "prev", "prev2")} AS iw FROM ex0),
         sums AS (
             SELECT e.{id_col},
-                   sum({factor} * _lex.sgn) AS s_ssum,
-                   sum({factor} * _lex.w) AS s_wsum,
-                   cast(count(*) as bigint) AS s_nm
+                   sum(case when {lex_hit} then {factor} * _lex.sgn else 0.0 end
+                       + case when e.iw is not null
+                              then (case when e.iw > 0 then 1.0 else -1.0 end) * {butf}
+                              else 0.0 end) AS s_ssum,
+                   sum(case when {lex_hit} then {factor} * _lex.w else 0.0 end
+                       + coalesce(e.iw * {butf}, 0.0)) AS s_wsum,
+                   cast(sum(case when {lex_hit} then 1 else 0 end
+                            + case when e.iw is not null then 1 else 0 end) as bigint) AS s_nm
             FROM ex e
-            JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
+            LEFT JOIN {S.lexicon_values_sql(d)} ON e.t = _lex.word
             LEFT JOIN {S.modifier_values_sql(d, "_m1")} ON e.prev = _m1.mword
             LEFT JOIN {S.modifier_values_sql(d, "_m2")} ON e.prev2 = _m2.mword
             LEFT JOIN {S.modifier_values_sql(d, "_m3")} ON e.prev3 = _m3.mword
+            WHERE _lex.word IS NOT NULL OR e.iw IS NOT NULL
             GROUP BY e.{id_col}
         ),
         joined AS (

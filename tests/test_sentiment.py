@@ -274,3 +274,75 @@ def test_full_table_distribution(spark, sf_dir):
 
     rows = {r["key"]: r["doc_count"] for r in q_sentiment_terms_agg(spark, sf_dir).collect()}
     assert rows == {"negative": 218, "positive": 213, "neutral": 69}
+
+
+def test_idiom_simple_goldens(spark):
+    """Round 7: every published idiom (SENTIMENT_LADEN_IDIOMS +
+    SPECIAL_CASES, functions/sentiment.py IDIOM_SIXTEENTHS) in neutral
+    filler scores exactly its own dyadic valence: ssum = sign, tb = weight.
+    Hand-derived from the table -- NOT by running the engine. Constituent
+    consumption is visible where a constituent is itself a lexicon word
+    ('broken heart' must NOT also count 'broken'; 'bad ass' not 'bad';
+    'kiss of death' not 'death')."""
+    from sentiment_analysis_data_pipeline_spark.functions.sentiment import (
+        IDIOM_SIXTEENTHS,
+    )
+
+    texts, expected = [], []
+    for phrase, k in sorted(IDIOM_SIXTEENTHS.items()):
+        texts.append(f"they said {phrase} yesterday")
+        v = k / 16.0
+        if v == 0.0:  # 'bus stop': consumes, contributes nothing
+            expected.append((0.0, 0.0))
+        else:
+            expected.append((_vc(1.0 if v > 0 else -1.0), v))
+    rows = _enrich_rows(spark, texts)
+    for row, (vc, tb), text in zip(rows, expected, texts):
+        assert row["vader_compound"] == pytest.approx(vc, abs=0), text
+        assert row["textblob_polarity"] == pytest.approx(tb, abs=0), text
+
+
+def test_idiom_mechanics(spark):
+    """Consumed-position bookkeeping + but-clause over idioms, hand-derived:
+    - a consumed lexicon word still scores when it ALSO appears free;
+    - the but-clause re-weights idiom contributions by end position;
+    - a negator before an idiom does NOT negate it (idiom matching is
+      positional replacement, not a modified token -- documented design);
+    - 'bus stop' consumes its span and nothing else;
+    - two idioms in one doc both count."""
+    cases = [
+        # 'death' consumed by the idiom (-0.375) + one FREE 'death' (-0.75)
+        ("kiss of death for them, death everywhere", _vc(-2.0), (-0.375 - 0.75) / 2),
+        # broken(consumed) heart | but | beating heart: -1*0.5 + 1*1.5 = 1.0
+        ("broken heart but beating heart", _vc(1.0), (-0.75 * 0.5 + 0.75 * 1.5) / 2),
+        # negator immediately before the idiom start: no negation applies
+        ("never break a leg they said", _vc(1.0), 0.5),
+        # zero-valence idiom + free lexicon word: only 'fine' (3/16) counts
+        ("waiting at the bus stop was fine", _vc(1.0), 0.1875),
+        # two opposite idioms cancel exactly
+        ("in the black this quarter, not in the red", 0.0, 0.0),
+        # idiom + free lexicon word ('great' 12/16)
+        ("yeah right, great work", 0.0, (-0.5 + 0.75) / 2),
+    ]
+    rows = _enrich_rows(spark, [c[0] for c in cases])
+    for row, (text, vc, tb) in zip(rows, cases):
+        assert row["vader_compound"] == pytest.approx(vc, abs=0), text
+        assert row["textblob_polarity"] == pytest.approx(tb, abs=0), text
+        py_vc, py_tb = _py_kernel(text)
+        assert row["vader_compound"] == py_vc and row["textblob_polarity"] == py_tb
+
+
+def test_idiom_weights_are_dyadic():
+    from sentiment_analysis_data_pipeline_spark.functions.sentiment import (
+        IDIOM_SIXTEENTHS,
+        IDIOMS_2,
+        IDIOMS_3,
+    )
+
+    for phrase, k in IDIOM_SIXTEENTHS.items():
+        assert isinstance(k, int), phrase
+        assert (k / 16.0) * 16 == k, phrase
+    # split tables must cover the dict exactly, preserving weights
+    rebuilt = {" ".join(t[:-1]): t[-1] for t in IDIOMS_2}
+    rebuilt.update({" ".join(t[:-1]): t[-1] for t in IDIOMS_3})
+    assert rebuilt == {p: k / 16.0 for p, k in IDIOM_SIXTEENTHS.items()}
