@@ -3449,11 +3449,12 @@ BPE_N_MERGES = 30
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge table learned from the document corpus: word
     frequencies (one corpus-sized aggregate) -> iterative pair-merge
-    training over the vocabulary-sized state (operators/bpe.py). Genuinely
-    iterative -- no single-statement SQL oracle exists, so the driver
-    records the weaker rows-only check; the golden test
-    (tests/test_bpe.py) pins the full learned sequence against a
-    pure-Python replica of the reference algorithm."""
+    training over the vocabulary-sized state (operators/bpe.py). The loop
+    is bounded at BPE_N_MERGES ranks, so the DuckDB oracle (round 7,
+    _bpe_merges_sql) mechanically unrolls it into a per-rank
+    (pair-count, argmax, fold) CTE chain -- hash-checked by the driver;
+    the golden test (tests/test_bpe.py) additionally pins the full learned
+    sequence against a pure-Python replica of the reference algorithm."""
     from .operators.bpe import bpe_merges
 
     _view(spark, sf_dir, "documents")
@@ -3475,11 +3476,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF with a per-batch word memo
     (operators/bpe.encode_documents; inherently sequential per word, the
     documented legitimate-UDF boundary). Output per doc: the BPE token
-    count and an md5 fingerprint of the full encoding, so the driver's
-    rows-only record still pins a stable shape and the golden test
-    (tests/test_bpe.py) pins exact encodings against the pure-Python
-    replica. Like bpe_merges, genuinely iterative -- no SQL oracle
-    exists."""
+    count and an md5 fingerprint of the full encoding. The DuckDB oracle
+    (round 7, _bpe_encode_sql) re-learns the table via the unrolled
+    training chain and re-applies the ranks in order to the same corpus
+    slice -- full hash check; the golden test (tests/test_bpe.py) pins
+    exact encodings against the pure-Python replica."""
     from .operators.bpe import bpe_merges, encode_documents
 
     _view(spark, sf_dir, "documents")
@@ -3509,6 +3510,147 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_fold_sql(left_ref: str, right_ref: str, syms: str = "syms") -> str:
+    """DuckDB: greedy leftmost adjacent-pair merge (training's _apply_merge
+    / encode's per-rank step) as ONE list_reduce over a chr(1)-separated
+    string accumulator -- acc and element are both VARCHAR, so the fold
+    needs no list-typed accumulator. An element never contains chr(1)
+    (symbols are corpus-token characters, '</w>', and their
+    concatenations), so `acc = L or ends_with(acc, chr(1)||L)` is an EXACT
+    last-element test, and appending R to such an acc yields the merged
+    element L||R in place. NULL left_ref (no merge learned this rank)
+    passes the state through unchanged."""
+    return (
+        f"case when {left_ref} is null or len({syms}) < 2 then {syms} "
+        f"else string_split(list_reduce({syms}, (acc, x) -> "
+        f"case when x = {right_ref} and (acc = {left_ref} "
+        f"or ends_with(acc, chr(1) || {left_ref})) "
+        f"then acc || {right_ref} "
+        f"else acc || chr(1) || x end), chr(1)) end"
+    )
+
+
+def _bpe_train_ctes(d: str, n_merges: int, min_freq: int = 2) -> str:
+    """DuckDB oracle for the iterative BPE trainer (operators/bpe.py),
+    mechanically unrolled: the merge loop is bounded at `n_merges` ranks,
+    so each rank becomes a (pair-counts, argmax, fold) CTE triple --
+    pc{k}: weighted adjacent-pair counts over state k-1; best{k}: the
+    argmax pair under the trainer's exact tie-break (freq DESC, left ASC,
+    right ASC -- both engines compare ASCII binary), empty below min_freq
+    (and once empty, the unchanged state keeps it empty: the unrolled
+    chain converges to the trainer's early `break`); st{k}: the greedy
+    fold via _bpe_fold_sql. st/best are MATERIALIZED: each is referenced
+    twice+, and re-inlining would expand the chain exponentially."""
+    assert d == D.DUCKDB, "BPE oracle is DuckDB-only (Spark side is the operator)"
+    toks = TX.tokenize(d, TEXT)
+    chars = (
+        "list_append(list_transform(generate_series(1, length(word)),"
+        " i -> substring(word, i, 1)), '</w>')"
+    )
+    parts = [
+        f"""words AS (
+            SELECT word, cast(count(*) as bigint) AS freq
+            FROM (SELECT unnest({toks}) AS word FROM documents) t
+            GROUP BY word
+        )""",
+        f"st0 AS MATERIALIZED (SELECT {chars} AS syms, freq FROM words)",
+    ]
+    for k in range(1, n_merges + 1):
+        fold = _bpe_fold_sql("b.l", "b.r")
+        parts.append(
+            f"""pc{k} AS (
+                SELECT syms[i] AS l, syms[i + 1] AS r,
+                       cast(sum(freq) as bigint) AS pf
+                FROM (SELECT syms, freq,
+                             unnest(generate_series(1, len(syms) - 1)) AS i
+                      FROM st{k - 1} WHERE len(syms) >= 2) t
+                GROUP BY 1, 2
+            )""")
+        parts.append(
+            f"""best{k} AS MATERIALIZED (
+                SELECT l, r, pf FROM pc{k} WHERE pf >= {min_freq}
+                ORDER BY pf DESC, l ASC, r ASC LIMIT 1
+            )""")
+        parts.append(
+            f"""st{k} AS MATERIALIZED (
+                SELECT {fold} AS syms, freq
+                FROM st{k - 1} LEFT JOIN best{k} b ON true
+            )""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_union(n_merges: int) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT cast({k} as bigint) AS rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, pf AS pair_freq FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return arms
+
+
+def _bpe_merges_sql(d: str) -> str:
+    """The learned merge table: union the per-rank argmax rows (ranks past
+    early convergence contribute nothing -- their best{k} is empty)."""
+    return (
+        f"WITH {_bpe_train_ctes(d, BPE_N_MERGES)} "
+        f"SELECT * FROM ({_bpe_merges_union(BPE_N_MERGES)}) u ORDER BY rank"
+    )
+
+
+def _bpe_encode_sql(d: str) -> str:
+    """bpe_encode oracle: re-learn the table (shared CTE chain), then apply
+    the ranks IN ORDER to the doc_id < 200 corpus slice -- per DISTINCT
+    word (the same memoization the Spark pandas UDF uses, as relational
+    shape: es{k} folds only the distinct-word relation), then reassemble
+    each document's encoding in (word position, symbol position) order.
+    Docs whose token array is NULL/empty keep the Spark contract:
+    0 tokens, md5('')."""
+    toks = TX.tokenize(d, TEXT)
+    chars = (
+        "list_append(list_transform(generate_series(1, length(word)),"
+        " i -> substring(word, i, 1)), '</w>')"
+    )
+    es = [
+        f"""docd AS (SELECT doc_id, {toks} AS toks FROM documents
+                     WHERE doc_id < 200)""",
+        f"""es0 AS MATERIALIZED (
+            SELECT word, {chars} AS syms
+            FROM (SELECT DISTINCT unnest(toks) AS word FROM docd) dw
+        )""",
+    ]
+    for k in range(1, BPE_N_MERGES + 1):
+        fold = _bpe_fold_sql("b.l", "b.r")
+        es.append(
+            f"""es{k} AS MATERIALIZED (
+                SELECT word, {fold} AS syms
+                FROM es{k - 1} LEFT JOIN best{k} b ON true
+            )""")
+    return f"""
+        WITH {_bpe_train_ctes(d, BPE_N_MERGES)},
+        {", ".join(es)},
+        flat AS (
+            SELECT w.doc_id, w.wpos,
+                   unnest(e.syms) AS sym,
+                   generate_subscripts(e.syms, 1) AS spos
+            FROM (SELECT doc_id, unnest(toks) AS word,
+                         generate_subscripts(toks, 1) AS wpos
+                  FROM docd) w
+            JOIN es{BPE_N_MERGES} e USING (word)
+        ),
+        agg AS (
+            SELECT doc_id, cast(count(*) as bigint) AS n_bpe_tokens,
+                   md5(string_agg(sym, ' ' ORDER BY wpos, spos)) AS encoding_md5
+            FROM flat GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+               coalesce(a.encoding_md5, md5('')) AS encoding_md5
+        FROM (SELECT DISTINCT doc_id FROM docd) d
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
 
 
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -6875,8 +7017,8 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "hourly_anomaly": (q_hourly_anomaly, _hourly_anomaly_sql),
     "tfidf_topk": (q_tfidf_topk, _tfidf_topk_sql),
     "pmi_collocations": (q_pmi_collocations, _pmi_collocations_sql),
-    "bpe_merges": (q_bpe_merges, None),
-    "bpe_encode": (q_bpe_encode, None),
+    "bpe_merges": (q_bpe_merges, _bpe_merges_sql),
+    "bpe_encode": (q_bpe_encode, _bpe_encode_sql),
     "column_profile": (q_column_profile, _column_profile_sql),
     "key_skew_report": (q_key_skew_report, _key_skew_sql),
     "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql),
