@@ -1350,21 +1350,19 @@ def _ann_recall_sql(d: str) -> str:
     Scale shape: the exact arm is a 5-query broadcast nested-loop over the
     corpus (the measurement cost every recall audit pays ONCE per
     snapshot); the hit joins each see <= 15 rows per arm."""
+    return f"WITH {_ann_exact_ctes(d)}{_ann_recall_tail(d)}"
+
+
+def _ann_exact_ctes(d: str) -> str:
+    """The exact brute-force ground-truth arm as a CTE prefix ending in
+    `exact(q_id, vec_id)` -- the in-session form (used verbatim by the
+    oracle and by the truth-index BUILD step)."""
     v = V.to_double_array(d, "embedding")
     nv = V.norm(d, "v", EMB_DIM)
     dotp = V.dot(d, "e.v", "q.v", EMB_DIM)
     cos = f"case when e.nv = 0.0 or q.nv = 0.0 then 0.0 else ({dotp}) / (e.nv * q.nv) end"
     hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
-    # each arm's pipeline executes ONCE: union both top-k sets tagged by
-    # method, LEFT-join exact, and take counts/hits from one aggregate
-    # (the first shipped form ran every arm twice -- once per scalar
-    # subquery -- doubling the ANN work for an audit output of 2 rows)
-    arm_union = "\n            UNION ALL ".join(
-        f"SELECT '{method}' AS method, q_id, vec_id FROM ({sql}) {method}_arm"
-        for method, sql in (("ivf", _ivf_ann_sql(d)), ("lsh", _ann_lsh_sql(d)))
-    )
-    return f"""
-        WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
+    return f"""emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
         emb AS (SELECT vec_id, v, {nv} AS nv FROM emb0),
         qv AS (SELECT vec_id AS qid, v, nv FROM emb WHERE vec_id < 5),
         scored AS (
@@ -1378,19 +1376,52 @@ def _ann_recall_sql(d: str) -> str:
                 FROM scored
             ) r WHERE rk <= 3
         ),
-        possible AS (SELECT cast(count(*) as bigint) AS n_exact,
+        """
+
+
+def _ann_recall_tail(d: str, approx_src: str | None = None) -> str:
+    """Everything downstream of `exact`: run both approximate arms once,
+    score them against the truth set, and emit one row per arm. Shared
+    verbatim by the in-session oracle and the truth-indexed Spark path, so
+    the two paths cannot drift. Each arm's pipeline executes ONCE: union
+    both top-k sets tagged by method, LEFT-join exact, aggregate (the
+    first shipped form ran every arm twice -- once per scalar subquery).
+    The final arm rows come from a VALUES method list LEFT-joined to the
+    aggregate (round-7 ADVICE): an arm that returns ZERO candidate rows
+    still appears, with recall/precision 0.0, instead of vanishing from
+    the audit. `approx_src`: an already-materialized (method, q_id,
+    vec_id) relation name replacing the inline arm union (the Spark path
+    materializes each arm's standalone-optimized plan once; inlining both
+    arm SQLs into this statement measured 7.5-10 s vs ~4.5 s at sf0.1 --
+    the fused mega-plan re-executes the shared embedding scans and
+    serializes the arms' stages)."""
+    if approx_src is not None:
+        arm_union = f"SELECT method, q_id, vec_id FROM {approx_src}"
+    else:
+        arm_union = "\n            UNION ALL ".join(
+            f"SELECT '{method}' AS method, q_id, vec_id FROM ({sql}) {method}_arm"
+            for method, sql in (("ivf", _ivf_ann_sql(d)), ("lsh", _ann_lsh_sql(d)))
+        )
+    return f"""possible AS (SELECT cast(count(*) as bigint) AS n_exact,
                             cast(count(distinct q_id) as bigint) AS n_queries
                      FROM exact),
         approx AS (
             {arm_union}
         ),
-        arms AS (
+        arms0 AS (
             SELECT a.method,
                    cast(count(*) as bigint) AS approx_rows,
                    cast(sum(case when x.q_id is null then 0 else 1 end) as bigint) AS hits
             FROM approx a
             LEFT JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
             GROUP BY a.method
+        ),
+        arms AS (
+            SELECT m.method,
+                   cast(coalesce(a.approx_rows, 0) as bigint) AS approx_rows,
+                   cast(coalesce(a.hits, 0) as bigint) AS hits
+            FROM (VALUES ('ivf'), ('lsh')) AS m(method)
+            LEFT JOIN arms0 a ON m.method = a.method
         )
         SELECT a.method, p.n_queries, a.approx_rows, a.hits, p.n_exact,
                cast(a.hits as double) / cast(p.n_exact as double) AS recall_at_3,
@@ -1402,10 +1433,69 @@ def _ann_recall_sql(d: str) -> str:
     """
 
 
+def _ensure_exact_knn_truth(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted exact-kNN ground truth for the standing audit query set
+    (q_id < 5, top-3): the brute-force corpus pass runs ONCE per corpus
+    snapshot and lands as a tiny (n_queries x k)-row table; every
+    subsequent recall audit is probe+join cost. Refresh policy (SCALE.md):
+    the truth is keyed to the sf_dir snapshot and immutable within it --
+    any corpus mutation (append/delete) is a NEW snapshot and rebuilds the
+    truth, exactly like the other persisted index artifacts."""
+    from .sources.tables import write_bucketed
+
+    table = _index_table_name("exact_knn_truth", sf_dir)
+    if not spark.catalog.tableExists(table):
+        _view(spark, sf_dir, "embeddings")
+        truth = spark.sql(
+            f"WITH {_ann_exact_ctes(D.SPARK)} x AS (SELECT 1) SELECT q_id, vec_id FROM exact"
+        )
+        # write_bucketed's explicit-location overwrite also recovers cleanly
+        # when a previous session left the warehouse directory behind (a
+        # managed saveAsTable would refuse: LOCATION_ALREADY_EXISTS)
+        write_bucketed(truth, table, "q_id", 1)
+    return table
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall/precision of the LSH and IVF ANN arms vs exact top-3."""
+    """Recall/precision of the LSH and IVF ANN arms vs exact top-3. The
+    exact arm reads the PERSISTED ground-truth table (built once per
+    corpus snapshot by _ensure_exact_knn_truth -- the
+    dedup_recall_report/*_indexed pattern): the recurring audit pays probe
+    +join cost, not a brute-force corpus pass per run. Each approximate
+    arm's UNCHANGED production plan executes standalone and its <= 15-row
+    result is inlined into the scoring tail as a VALUES relation; fusing
+    the arm SQLs into one statement re-executed the shared embedding
+    scans (see _ann_recall_tail). The
+    oracle is the unchanged in-session SQL; determinism of the exact arm
+    (cosine DESC, vec_id ASC tie-break over exact dyadic dots) makes the
+    two sources bit-identical."""
     _view(spark, sf_dir, "embeddings")
-    return spark.sql(_ann_recall_sql(D.SPARK))
+    table = _ensure_exact_knn_truth(spark, sf_dir)
+    # each arm returns <= n_queries*k rows: run each arm's own optimized
+    # plan and inline the tiny result as a VALUES relation (the bounded
+    # driver-collect pattern). A union+localCheckpoint of the two arm
+    # subplans in one job measured 5.7-7.6 s vs ~0.5 s/arm executed
+    # standalone at sf0.1.
+    # the arms are the PRODUCTION query functions (q_ivf_ann / q_ann_lsh)
+    # -- q_ann_lsh's Spark plan deliberately diverges from the oracle's SQL
+    # structure (checkpointed band relation vs a 1024-term inline
+    # projection, value-identical); auditing the oracle-shaped SQL instead
+    # measured 4.8-8 s for the lsh arm alone vs ~2 s for the served plan
+    rows: list[str] = []
+    for method, fn in (("ivf", q_ivf_ann), ("lsh", q_ann_lsh)):
+        for r in fn(spark, sf_dir).select("q_id", "vec_id").collect():
+            rows.append(f"('{method}', {r['q_id']}, {r['vec_id']})")
+    if rows:
+        approx_src = f"(VALUES {', '.join(rows)}) AS _ap(method, q_id, vec_id)"
+    else:  # both arms empty: a typed empty relation keeps the tail's schema
+        approx_src = (
+            "(SELECT cast(null as string) AS method, cast(null as bigint) AS q_id,"
+            " cast(null as bigint) AS vec_id WHERE 1 = 0) AS _ap"
+        )
+    return spark.sql(
+        f"WITH exact AS (SELECT q_id, vec_id FROM {table}),\n        "
+        + _ann_recall_tail(D.SPARK, approx_src=approx_src)
+    )
 
 
 
