@@ -312,6 +312,16 @@ def connected_components(
     # twice in the union's single job.
     edges, edge_ids = _tracked_ckpt(edges)
     spark = edges.sparkSession
+    if edge_spill_table is not None:
+        # per-run suffix (round-7 ADVICE): two concurrent SESSIONS running
+        # the same query must not overwrite each other's edge table or
+        # rmtree files the other is scanning -- the applicationId is unique
+        # per session. (Within one session, _tracked_ckpt's documented
+        # single-driver-thread assumption already applies.)
+        app = "".join(
+            c if c.isalnum() else "_" for c in spark.sparkContext.applicationId
+        )
+        edge_spill_table = f"{edge_spill_table}_{app}"
     und_plan = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -336,6 +346,8 @@ def connected_components(
         spilled = True
     else:
         und, und_ids = _tracked_ckpt(und_plan)
+    success = False
+    label_ids: list[int] = []
     try:
         labels, label_ids = _tracked_ckpt(
             und.select("a")
@@ -391,20 +403,24 @@ def connected_components(
                 " -- raise max_iter (a silent partial labeling would be a"
                 " WRONG dedup clustering, never return one)"
             )
+        success = True
+    finally:
+        # block cleanup runs on BOTH paths (round-7 ADVICE: a failed run
+        # must not leak driver/executor storage blocks in a long-lived
+        # session): und/edge checkpoints are dead once the loop ends either
+        # way; the last iteration's label blocks are the RESULT on success
+        # and dead on failure.
         _unpersist_ids(spark, und_ids)
         _unpersist_ids(spark, edge_ids)
-    finally:
+        if not success:
+            _unpersist_ids(spark, label_ids)
         # labels are checkpointed, so no result lineage references the
         # table; drop even on mid-loop failure (a leaked spill table would
         # shadow the next run's write). write_bucketed creates EXTERNAL
         # tables (explicit path), so DROP leaves the files -- remove the
         # location too, or every spilled CC run leaks its edge bytes on
-        # disk. (Local-FS removal matches this deployment; an object-store
-        # deployment would point write_bucketed at a lifecycle-managed
-        # prefix instead.)
+        # disk.
         if spilled:
-            import shutil
-
             try:
                 loc = (
                     spark.sql(f"DESCRIBE TABLE EXTENDED {edge_spill_table}")
@@ -414,10 +430,40 @@ def connected_components(
             except Exception:
                 loc = []
             spark.sql(f"DROP TABLE IF EXISTS {edge_spill_table}")
+            if not loc:
+                # a location we cannot resolve is a LEAK, not a no-op --
+                # say so instead of silently skipping (round-7 ADVICE)
+                import warnings
+
+                warnings.warn(
+                    f"CC spill cleanup: could not resolve the location of"
+                    f" {edge_spill_table}; its edge files were NOT removed",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             for r in loc:
+                # scheme-agnostic removal (round-7): resolve the filesystem
+                # FROM the location URI via the Hadoop FS API, so file:,
+                # hdfs:, s3a:, ... deployments all clean up -- the previous
+                # shutil.rmtree handled only file: and leaked edge bytes
+                # per run on object stores.
                 path = r["data_type"]
-                if path.startswith("file:"):
-                    shutil.rmtree(path[5:], ignore_errors=True)
+                try:
+                    jvm = spark._jvm
+                    hpath = jvm.org.apache.hadoop.fs.Path(path)
+                    fs = hpath.getFileSystem(
+                        spark.sparkContext._jsc.hadoopConfiguration()
+                    )
+                    fs.delete(hpath, True)
+                except Exception as exc:  # pragma: no cover - FS-specific
+                    import warnings
+
+                    warnings.warn(
+                        f"CC spill cleanup: deleting {path} failed ({exc});"
+                        f" its edge files were NOT removed",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
     return labels
 
 

@@ -112,7 +112,19 @@ def test_cc_edge_spill_matches_in_memory(spark):
         ).collect()
     }
     assert spilled == base
-    assert not spark.catalog.tableExists("cc_spill_test")
+    # cleanup must remove BOTH the catalog entry and the on-disk location
+    # (names carry a per-run applicationId suffix since round 7, so match
+    # by prefix; the location check goes through the Hadoop FS API the
+    # cleanup itself uses -- scheme-agnostic, not shutil)
+    leftover = [t.name for t in spark.catalog.listTables() if t.name.startswith("cc_spill_test")]
+    assert leftover == []
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    whp = jvm.org.apache.hadoop.fs.Path(wh)
+    fs = whp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(whp):
+        names = [f.getPath().getName() for f in fs.listStatus(whp)]
+        assert not any(n.startswith("cc_spill_test") for n in names), names
     # and both are the TRUE labeling, not merely equal partial states (the
     # 31-node chain outlives plain max_iter=25 propagation; the adaptive
     # path compression must carry it to the fixpoint)
@@ -132,8 +144,15 @@ def test_cc_long_chain_converges_via_path_compression(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(149)], ["id_a", "id_b"])
     got = {r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()}
     assert got == {n: 0 for n in range(150)}
+    sc = spark.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     with _pt.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, max_iter=3)
+    # the failure path must free EVERY block it created (round-7 ADVICE:
+    # und/edge checkpoints and the last iteration's labels) -- a long-lived
+    # session must not accumulate storage blocks from failed runs
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert after - before == set()
 
 
 def test_cc_edge_spill_round_plan_has_no_edge_exchange(spark):
