@@ -275,6 +275,7 @@ def connected_components(
     edge_spill_table: str | None = None,
     spill_threshold: int = 100_000,
     spill_buckets: int = 32,
+    jump_from: int = 8,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: (node, component) where
     component = min node id reachable -- the step that turns any pair emitter
@@ -361,13 +362,23 @@ def connected_components(
             # Adaptive path compression (round 6): plain min-label
             # propagation converges in O(diameter) rounds -- silent wrong
             # answers past max_iter on a pathological chain-shaped graph.
-            # From round 8 on, each round also replaces every label by its
-            # label's label (comp <- labels[comp]; comp is always a node
-            # id, so the self-join always matches) -- pointer jumping,
-            # which turns the remaining convergence into O(log diameter).
-            # Shallow near-dup graphs (the production case) converge
-            # before round 8 and never pay the extra node-sized join.
-            if it >= 8:
+            # From round `jump_from` on, each round also replaces every
+            # label by its label's label (comp <- labels[comp]; comp is
+            # always a node id, so the self-join always matches) -- pointer
+            # jumping, which turns the remaining convergence into
+            # O(log diameter). Shallow near-dup graphs (the production
+            # case, diameter ~2-4) converge before round `jump_from` and
+            # never pay the extra node-sized join. Default 8 is MEASURED
+            # (tools/cc_jump_bench.py, SCALE.md round-7) at 2M edges:
+            # with a deep 1500-node chain mixed in, jump-at-8 is fastest
+            # (42.9 s vs 45.5 at 4 -- early jumps join labels that plain
+            # propagation would have collapsed anyway -- and 58.4 at 12:
+            # every round of delay is a full extra pass over the edge
+            # relation); on a diameter-8 all-shallow graph later is
+            # better (14.4 s at 12 vs 17.7 at 8), but that boundary shape
+            # converges at round ~9 regardless -- the deep-chain blowup
+            # is the asymmetric risk the default must cover.
+            if it >= jump_from:
                 new_plan = new_plan.localCheckpoint(eager=False)
                 new_plan = (
                     new_plan.alias("x")

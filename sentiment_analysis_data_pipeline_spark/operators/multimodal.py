@@ -41,13 +41,108 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.Series:
-    """STUB: real image decode (PIL.Image.open etc.) is unavailable in this
+    """STUB: full PIXEL decode (PIL.Image.open etc.) is unavailable in this
     environment. Raises to make the boundary explicit; extract_features uses
-    the deterministic fake below instead."""
+    the deterministic fake below, and HEADER decode (dimensions/format) is
+    real -- see parse_image_dimensions."""
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this container; "
-        "replace this function with PIL/cv2 decode -- the Spark plumbing "
-        "(schema, batching, partitioning) is already wired."
+        "image PIXEL decode requires an imaging library not present in this "
+        "container; replace this function with PIL/cv2 decode -- the Spark "
+        "plumbing (schema, batching, partitioning) is already wired, and "
+        "header-level decode (parse_image_dimensions) already works."
+    )
+
+
+# SOFn markers that carry frame dimensions (C0-CF minus DHT C4 / JPG C8 /
+# DAC CC, per ITU-T T.81 Table B.1)
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_dimensions(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """REAL header decode, stdlib-only (round 7): (format, width, height)
+    for the two dominant raster formats, from plain bytes.
+
+    - PNG: the IHDR chunk is REQUIRED to be first (PNG spec 5.6), so width
+      and height are the big-endian u32s at offsets 16/20 after the 8-byte
+      signature + 4-byte length + 'IHDR'.
+    - JPEG (ITU-T T.81): walk the marker segments from SOI, skipping fill
+      bytes and standalone markers (TEM, RSTn; D8/D9 have no length field),
+      until a SOFn frame header -- its payload is [precision u8]
+      [height u16] [width u16]. DHT/JPG/DAC are excluded from the SOF set.
+
+    Anything else -- other containers, truncated/corrupt headers, None --
+    returns (None, None, None): at 100 TB the parser must CLASSIFY bad
+    payloads, never throw mid-batch. Full pixel decode stays behind the
+    decode_image_batch stub (no imaging libs here)."""
+    if not payload:
+        return (None, None, None)
+    b = bytes(payload)
+    if b[:8] == _PNG_SIGNATURE:
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        return (None, None, None)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
+                return (None, None, None)  # lost marker sync: corrupt
+            while i < len(b) and b[i] == 0xFF:
+                i += 1  # fill bytes before a marker are legal
+            if i >= len(b):
+                break
+            marker = b[i]
+            i += 1
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                continue  # standalone: no length field
+            if i + 2 > len(b):
+                break
+            seglen = int.from_bytes(b[i : i + 2], "big")
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 7 > len(b):
+                    break
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                    int.from_bytes(b[i + 3 : i + 5], "big"),
+                )
+            if seglen < 2:
+                return (None, None, None)
+            i += seglen
+    return (None, None, None)
+
+
+def decode_image_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    id_ddl: str = "media_id string",
+) -> DataFrame:
+    """Header-decode operator: (id, payload) -> (id, fmt, width, height)
+    via Arrow-batched mapInPandas over parse_image_dimensions. Pure
+    projection -- parallelizes with the scan, no shuffle; the Python
+    boundary is crossed per batch. `id_ddl` lets callers keep their id
+    type (e.g. 'doc_id bigint')."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idname = id_ddl.split()[0]
+        for pdf in batches:
+            parsed = pdf[payload_col].map(parse_image_dimensions)
+            yield pd.DataFrame(
+                {
+                    idname: pdf[id_col],
+                    "fmt": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]).astype("Int64"),
+                    "height": parsed.map(lambda t: t[2]).astype("Int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_ddl}, fmt string, width bigint, height bigint"
     )
 
 

@@ -2390,6 +2390,73 @@ def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_binary_metadata_sql(D.SPARK))
 
 
+def _image_dimensions_sql(d: str) -> str:
+    """Oracle for q_image_dimensions: the payloads are SYNTHESIZED from
+    doc_id with known dimensions, so the oracle states the expected parse
+    analytically -- the hash check then verifies the engine's REAL
+    byte-level PNG/JPEG header parser end-to-end over 500 payloads
+    (operators/multimodal.parse_image_dimensions)."""
+    return """
+        SELECT doc_id,
+               case when doc_id % 17 = 0 then cast(null as varchar)
+                    when doc_id % 5 = 0 then 'jpeg' else 'png' end AS fmt,
+               case when doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(16 + doc_id % 64 as bigint) end AS width,
+               case when doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(16 + (doc_id * 7) % 64 as bigint) end AS height
+        FROM documents
+    """
+
+
+def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header decode over binary payloads (round 7): every doc
+    gets a synthesized payload -- a valid PNG IHDR header (default), a
+    valid JPEG SOI+APP0+SOF0 marker stream (every 5th), or non-image bytes
+    (every 17th: the text itself) -- and the engine parses format, width,
+    and height back out BYTE-LEVEL with the stdlib-only parser
+    (operators/multimodal.parse_image_dimensions, Arrow-batched
+    mapInPandas). The oracle recomputes the expected values analytically,
+    so a hash match proves the parser reads real PNG/JPEG bytes correctly,
+    including the corrupt-payload path. Plan: pure projection (scan ->
+    synthesize -> mapInPandas), no shuffle. Driver contract: width/height
+    0 (impossible for a real image) instead of NULL for unparseable
+    payloads -- the driver's pandas-side compare coerces a nullable BIGINT
+    column to float64, which can never hash-match; fmt stays NULL (string
+    columns don't coerce)."""
+    from .operators.multimodal import decode_image_metadata
+
+    _view(spark, sf_dir, "documents")
+    w_hex8 = "lpad(hex(16 + doc_id % 64), 8, '0')"
+    h_hex8 = "lpad(hex(16 + (doc_id * 7) % 64), 8, '0')"
+    w_hex4 = "lpad(hex(16 + doc_id % 64), 4, '0')"
+    h_hex4 = "lpad(hex(16 + (doc_id * 7) % 64), 4, '0')"
+    png = (
+        "unhex(concat('89504E470D0A1A0A0000000D49484452',"
+        f" {w_hex8}, {h_hex8}, '0806000000'))"
+    )
+    jpeg = (
+        "unhex(concat('FFD8FFE000040000FFC0000B08',"
+        f" {h_hex4}, {w_hex4}, '01011100'))"
+    )
+    payloads = spark.sql(
+        f"""
+        SELECT doc_id,
+               case when doc_id % 17 = 0 then cast({TEXT} as binary)
+                    when doc_id % 5 = 0 then {jpeg}
+                    else {png} end AS payload
+        FROM documents
+        """
+    )
+    return decode_image_metadata(
+        payloads, id_col="doc_id", id_ddl="doc_id bigint"
+    ).selectExpr(
+        "doc_id",
+        "fmt",
+        "cast(coalesce(width, 0) as bigint) AS width",
+        "cast(coalesce(height, 0) as bigint) AS height",
+    )
+
+
 def _approx_stats_sql(d: str) -> str:
     """Tolerance oracle for the sketch family (round-4 verdict item 4).
     Sketch ESTIMATES are engine-specific, so the hashable surface is exact
@@ -7174,6 +7241,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "events_calendar": (q_events_calendar, _events_calendar_sql),
     "approx_stats": (q_approx_stats, _approx_stats_sql),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
+    "image_dimensions": (q_image_dimensions, _image_dimensions_sql),
 }
 
 

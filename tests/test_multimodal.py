@@ -75,3 +75,79 @@ def test_documents_text_is_ascii_for_byte_oracle(spark):
             f"from '/root/testdata/{sf}/documents.parquet'"
         ).fetchone()
         assert multibyte is False, f"{sf}: non-ASCII text breaks the byte oracle"
+
+
+def test_parse_image_dimensions_golden_bytes():
+    """Round 7: the stdlib header parser against hand-built REAL byte
+    sequences -- PNG IHDR, JPEG marker streams (with skipped segments,
+    fill bytes, restart markers), and every corrupt/truncation path."""
+    from sentiment_analysis_data_pipeline_spark.operators.multimodal import (
+        parse_image_dimensions,
+    )
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00"
+        )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sof0(w, h):
+        return seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00")
+
+    assert parse_image_dimensions(png(640, 480)) == ("png", 640, 480)
+    assert parse_image_dimensions(png(1, 1)) == ("png", 1, 1)
+    assert parse_image_dimensions(png(70000, 3)) == ("png", 70000, 3)  # >u16
+
+    soi = b"\xff\xd8"
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes(65))
+    # SOF0 straight after SOI
+    assert parse_image_dimensions(soi + sof0(320, 240)) == ("jpeg", 320, 240)
+    # segments to skip before the frame header, progressive SOF2, fill bytes
+    assert parse_image_dimensions(soi + app0 + dqt + sof0(12, 7)) == ("jpeg", 12, 7)
+    sof2 = seg(0xC2, b"\x08" + (99).to_bytes(2, "big") + (44).to_bytes(2, "big") + b"\x01\x01\x11\x00")
+    assert parse_image_dimensions(soi + app0 + sof2) == ("jpeg", 44, 99)
+    assert parse_image_dimensions(soi + b"\xff" + app0[1:] + sof0(5, 6)) == ("jpeg", 5, 6)
+    # DHT (C4) must NOT be taken for a SOF marker
+    dht = seg(0xC4, bytes(19))
+    assert parse_image_dimensions(soi + dht + sof0(8, 9)) == ("jpeg", 8, 9)
+    # standalone restart marker between segments
+    assert parse_image_dimensions(soi + b"\xff\xd0" + sof0(10, 11)) == ("jpeg", 10, 11)
+
+    none3 = (None, None, None)
+    assert parse_image_dimensions(None) == none3
+    assert parse_image_dimensions(b"") == none3
+    assert parse_image_dimensions(b"plain text payload") == none3
+    assert parse_image_dimensions(b"\x89PNG\r\n\x1a\n1234IHDX" + bytes(8)) == none3
+    assert parse_image_dimensions(png(640, 480)[:20]) == none3  # truncated IHDR
+    assert parse_image_dimensions(soi + app0[:5]) == none3      # truncated segment
+    assert parse_image_dimensions(soi + b"\x00\x00\x00") == none3  # lost sync
+    assert parse_image_dimensions(soi + seg(0xE0, b"")[:2] + b"\x00\x01") == none3  # seglen < 2
+
+
+def test_decode_image_metadata_operator(spark):
+    """The mapInPandas operator end-to-end: schema, NULL rows for
+    non-images, id type passthrough."""
+    from sentiment_analysis_data_pipeline_spark.operators.multimodal import (
+        decode_image_metadata,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (64).to_bytes(4, "big") + (32).to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = decode_image_metadata(df, id_col="doc_id", id_ddl="doc_id bigint")
+    assert out.schema.simpleString() == "struct<doc_id:bigint,fmt:string,width:bigint,height:bigint>"
+    rows = {r["doc_id"]: (r["fmt"], r["width"], r["height"]) for r in out.collect()}
+    assert rows == {1: ("png", 64, 32), 2: (None, None, None), 3: (None, None, None)}
