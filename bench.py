@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "ann_recall_report",
     "fleet_checksum",
+    # round-7 additions
+    "image_dimensions",
 ]
 
 

@@ -84,3 +84,121 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.format("parquet").saveAsTable(table)
+
+
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """The table's storage location URI from the catalog, or None when it
+    cannot be resolved."""
+    try:
+        rows = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+    except Exception:
+        return None
+    return rows[0]["data_type"] if rows else None
+
+
+def _fs_for(spark: SparkSession, path_uri: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_uri)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath
+
+
+def data_file_count(spark: SparkSession, table: str) -> int:
+    """Number of parquet data files under the table's location (bucket
+    health metric: a bucketed index appended to K times holds ~K files per
+    bucket and every probe opens all of them)."""
+    loc = table_location(spark, table)
+    if loc is None:
+        return 0
+    fs, hpath = _fs_for(spark, loc)
+    if not fs.exists(hpath):
+        return 0
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> dict[str, int]:
+    """Compact a bucketed index table back to ONE sorted file per bucket.
+
+    Why this exists (round 7): every streaming append
+    (dedup_stream.append_to_band_index, ann_stream ingest) lands a new
+    file set into the bucket directories -- the bucket SPEC survives, so
+    probes stay Exchange-free, but after K appends each probe opens ~K
+    files per bucket and the per-bucket sort order no longer spans files
+    (SortMergeJoin re-sorts). This is the standard LSM-ish maintenance
+    step: rewrite the table via one repartition(n_buckets, key) pass so
+    each bucket is again a single pre-sorted file.
+
+    Swap protocol (crash-safe-enough for a maintenance op, documented):
+    write the compacted copy as `<table>__compactN` (N probed free), DROP
+    the original, RENAME the copy into place, then delete the original's
+    files via the Hadoop FS API (scheme-agnostic). A crash before the
+    RENAME leaves the original intact plus a stray copy the next run
+    overwrites; a crash after the DROP loses only the catalog entry --
+    the copy holds the full data and the next run (or a manual RENAME)
+    completes the swap. Concurrent PROBES during the swap see the
+    original until the DROP; run compaction in the ingest pause the
+    append pipeline already serializes through.
+
+    Returns {"files_before": B, "files_after": A} so callers (and the
+    regression test) can assert the rewrite actually collapsed files.
+    """
+    from pyspark.sql import functions as F
+
+    files_before = data_file_count(spark, table)
+    old_loc = table_location(spark, table)
+    tmp = f"{table}__compact0"
+    i = 0
+    while spark.catalog.tableExists(tmp):
+        i += 1
+        tmp = f"{table}__compact{i}"
+    # bucketed READING must be off for the rewrite: the source scan's
+    # claimed HashPartitioning(key, n) lets the planner elide the
+    # repartition shuffle, and the write then emits one file per SCAN
+    # split instead of one per bucket (measured: 13 files from a 16-file
+    # source with the elision, exactly n_buckets without it)
+    prev = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        src = spark.table(table)
+        write_bucketed(
+            src.repartition(n_buckets, F.col(key)), tmp, key, n_buckets, sort
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    if old_loc is not None:
+        new_loc = table_location(spark, table)
+        if new_loc != old_loc:  # never delete the data we just renamed in
+            try:
+                fs, hpath = _fs_for(spark, old_loc)
+                fs.delete(hpath, True)
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    f"compact_bucketed: old location {old_loc} was not"
+                    " removed; its files leak until manually deleted",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+    return {
+        "files_before": files_before,
+        "files_after": data_file_count(spark, table),
+    }

@@ -69,3 +69,72 @@ def test_bucketed_band_key_candidate_join_is_shuffle_free(spark):
         assert joined.count() == n_mem > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_bands")
+
+
+def test_compact_bucketed_index(spark, tmp_path):
+    """Round 7: after K streaming appends a bucketed band index holds ~K
+    files per bucket; compact_bucketed must collapse it to one sorted file
+    per bucket while (a) preserving the exact row set, (b) keeping the
+    probe join Exchange-free over the renamed table."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from sentiment_analysis_data_pipeline_spark.operators.dedup import minhash_band_keys
+    from sentiment_analysis_data_pipeline_spark.operators.dedup_index import (
+        new_batch_candidates,
+    )
+    from sentiment_analysis_data_pipeline_spark.sources.tables import (
+        compact_bucketed,
+        data_file_count,
+        write_bucketed,
+    )
+
+    table = f"compact_idx_{uuid.uuid4().hex[:8]}"
+    n_buckets = 4
+    base = "one two three four five six seven eight nine ten eleven twelve "
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, base + f"doc {i}") for i in range(lo, hi)], "doc_id long, text string"
+        )
+
+    try:
+        write_bucketed(
+            minhash_band_keys(docs(0, 20), "text", "doc_id"), table, "band_key", n_buckets
+        )
+        # three appends -> multiple files per bucket
+        for lo in (20, 40, 60):
+            (
+                minhash_band_keys(docs(lo, lo + 20), "text", "doc_id")
+                .write.mode("append")
+                .bucketBy(n_buckets, "band_key")
+                .sortBy("band_key")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        before_rows = {tuple(r) for r in spark.table(table).collect()}
+        assert data_file_count(spark, table) > n_buckets
+
+        stats = compact_bucketed(spark, table, "band_key", n_buckets)
+        assert stats["files_after"] <= n_buckets
+        assert stats["files_after"] < stats["files_before"]
+        assert {tuple(r) for r in spark.table(table).collect()} == before_rows
+
+        # the renamed table still serves the zero-Exchange probe: the
+        # corpus side of the candidate join must scan buckets in place
+        probe = new_batch_candidates(spark, docs(1000, 1005), table=table)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # only the batch side may shuffle/broadcast: batch-side hash +
+        # pair-distinct. A third Exchange would mean the corpus scan lost
+        # its bucket metadata in the swap.
+        import re
+
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        assert n_exchange <= 2, plan
+        probe.collect()
+    finally:
+        for t in [r.name for r in spark.catalog.listTables()]:
+            if t.startswith(table):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
