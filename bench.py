@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "fleet_checksum",
     # round-7 additions
     "image_dimensions",
+    "bloom_dedup_probe",
 ]
 
 

@@ -2457,6 +2457,69 @@ def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M = 4096  # bits
+BLOOM_K = 5  # hash functions
+
+
+def _bloom_dedup_probe_sql(d: str) -> str:
+    """Bloom-filter membership pre-filter for exact dedup -- the cheap
+    first gate a 100 TB ingest runs BEFORE any shuffle-heavy exact
+    comparison: the seen-corpus collapses to an m-bit structure (here a
+    distinct-positions relation, <= m rows, broadcastable), each new doc
+    probes k positions, and only flagged docs proceed to exact
+    verification. No false negatives by construction; false positives are
+    the m/k trade and show up honestly in the output (flagged=1,
+    is_dup=0).
+
+    Spark's internal BloomFilterAggregate is not SQL-registered (it backs
+    runtime row-level filtering only), so the engine mirrors the exact
+    structure with the portable md5-derived hash family used everywhere
+    else -- which also makes the query fully HASH-checkable against the
+    oracle (both engines compute the identical bloom), instead of
+    tolerance-checked like the HLL/KLL sketches.
+
+    Corpus = doc_id < 400, probe batch = doc_id >= 300: rows 300-399 are
+    true duplicates (must all be flagged), 400+ are unseen (flags there
+    are the false-positive set)."""
+    probes = []
+    for i in range(BLOOM_K):
+        h = H.hex_to_bigint(d, f"md5(concat('bf{i}|', text))", 14)
+        probes.append(f"({h} % {BLOOM_M})")
+    arr = ", ".join(probes)
+    if d == D.SPARK:
+        ex = f"explode(array({arr}))"
+    else:
+        ex = f"unnest([{arr}])"
+    return f"""
+        WITH corpus AS (SELECT {TEXT} AS text FROM documents WHERE doc_id < 400),
+        cpos AS (SELECT DISTINCT {ex} AS pos FROM corpus),
+        batch AS (SELECT doc_id, {TEXT} AS text FROM documents WHERE doc_id >= 300),
+        bpos AS (SELECT doc_id, {ex} AS pos FROM batch),
+        probe AS (
+            SELECT b.doc_id,
+                   min(case when c.pos is null then 0 else 1 end) AS flagged
+            FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
+            GROUP BY b.doc_id
+        ),
+        truth AS (
+            SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text
+        )
+        SELECT p.doc_id, cast(p.flagged as bigint) AS flagged,
+               cast(case when t.doc_id is null then 0 else 1 end as bigint) AS is_dup
+        FROM probe p LEFT JOIN truth t ON p.doc_id = t.doc_id
+    """
+
+
+def q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership probe of a new batch against the seen corpus (see
+    _bloom_dedup_probe_sql). Plan: the corpus side collapses to <= m
+    distinct positions (broadcast side of the probe join); the batch side
+    is one explode + broadcast join + per-doc min -- no corpus-sized
+    shuffle anywhere."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_bloom_dedup_probe_sql(D.SPARK))
+
+
 def _approx_stats_sql(d: str) -> str:
     """Tolerance oracle for the sketch family (round-4 verdict item 4).
     Sketch ESTIMATES are engine-specific, so the hashable surface is exact
@@ -7242,6 +7305,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "approx_stats": (q_approx_stats, _approx_stats_sql),
     "binary_metadata": (q_binary_metadata, _binary_metadata_sql),
     "image_dimensions": (q_image_dimensions, _image_dimensions_sql),
+    "bloom_dedup_probe": (q_bloom_dedup_probe, _bloom_dedup_probe_sql),
 }
 
 
