@@ -432,49 +432,27 @@ def connected_components(
         # location too, or every spilled CC run leaks its edge bytes on
         # disk.
         if spilled:
-            try:
-                loc = (
-                    spark.sql(f"DESCRIBE TABLE EXTENDED {edge_spill_table}")
-                    .filter("col_name = 'Location'")
-                    .collect()
-                )
-            except Exception:
-                loc = []
-            spark.sql(f"DROP TABLE IF EXISTS {edge_spill_table}")
-            if not loc:
-                # a location we cannot resolve is a LEAK, not a no-op --
-                # say so instead of silently skipping (round-7 ADVICE)
+            # scheme-agnostic removal (round-7): the helper resolves the
+            # filesystem FROM the location URI via the Hadoop FS API, so
+            # file:, hdfs:, s3a:, ... deployments all clean up -- the
+            # previous shutil.rmtree handled only file: and leaked edge
+            # bytes per run on object stores. A location that cannot be
+            # resolved or deleted is a LEAK, not a no-op -- warn instead
+            # of silently skipping (round-7 ADVICE).
+            from ..sources.tables import drop_table_with_files, table_location
+
+            loc = table_location(spark, edge_spill_table)
+            removed = drop_table_with_files(spark, edge_spill_table)
+            if loc is None or not removed:
                 import warnings
 
                 warnings.warn(
-                    f"CC spill cleanup: could not resolve the location of"
-                    f" {edge_spill_table}; its edge files were NOT removed",
+                    f"CC spill cleanup: the location of {edge_spill_table}"
+                    f" ({loc}) was not removed; its edge files leak until"
+                    " manually deleted",
                     RuntimeWarning,
                     stacklevel=2,
                 )
-            for r in loc:
-                # scheme-agnostic removal (round-7): resolve the filesystem
-                # FROM the location URI via the Hadoop FS API, so file:,
-                # hdfs:, s3a:, ... deployments all clean up -- the previous
-                # shutil.rmtree handled only file: and leaked edge bytes
-                # per run on object stores.
-                path = r["data_type"]
-                try:
-                    jvm = spark._jvm
-                    hpath = jvm.org.apache.hadoop.fs.Path(path)
-                    fs = hpath.getFileSystem(
-                        spark.sparkContext._jsc.hadoopConfiguration()
-                    )
-                    fs.delete(hpath, True)
-                except Exception as exc:  # pragma: no cover - FS-specific
-                    import warnings
-
-                    warnings.warn(
-                        f"CC spill cleanup: deleting {path} failed ({exc});"
-                        f" its edge files were NOT removed",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
     return labels
 
 

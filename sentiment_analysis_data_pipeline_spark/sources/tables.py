@@ -202,3 +202,23 @@ def compact_bucketed(
         "files_before": files_before,
         "files_after": data_file_count(spark, table),
     }
+
+
+def drop_table_with_files(spark: SparkSession, table: str) -> bool:
+    """DROP TABLE IF EXISTS *and* delete its storage location via the
+    Hadoop FS API (scheme-agnostic). write_bucketed creates EXTERNAL
+    tables (explicit path), so a bare DROP leaves every data file behind
+    -- all test/maintenance cleanups must come through here or leak one
+    directory per run into spark-warehouse/. Returns False when the
+    location was resolved but could not be deleted."""
+    loc = table_location(spark, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if loc is None:
+        return True
+    try:
+        fs, hpath = _fs_for(spark, loc)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        return True
+    except Exception:
+        return False

@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 from sentiment_analysis_data_pipeline_spark.sources.tables import load_table, write_bucketed
+from sentiment_analysis_data_pipeline_spark.sources.tables import drop_table_with_files as _drop_with_files
 
 SF = "/root/testdata/sf0.001"
 
@@ -34,8 +35,8 @@ def test_bucketed_join_is_shuffle_free(spark):
         n_plain = li.join(od, li["l_orderkey"] == od["o_orderkey"]).count()
         assert joined.count() == n_plain
     finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
-        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        _drop_with_files(spark, "bkt_lineitem")
+        _drop_with_files(spark, "bkt_orders")
 
 
 def test_bucketed_band_key_candidate_join_is_shuffle_free(spark):
@@ -68,7 +69,7 @@ def test_bucketed_band_key_candidate_join_is_shuffle_free(spark):
         )
         assert joined.count() == n_mem > 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS bkt_bands")
+        _drop_with_files(spark, "bkt_bands")
 
 
 def test_compact_bucketed_index(spark, tmp_path):
@@ -137,4 +138,4 @@ def test_compact_bucketed_index(spark, tmp_path):
     finally:
         for t in [r.name for r in spark.catalog.listTables()]:
             if t.startswith(table):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                _drop_with_files(spark, t)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from sentiment_analysis_data_pipeline_spark.operators import dedup
+from sentiment_analysis_data_pipeline_spark.sources.tables import drop_table_with_files as _drop_with_files
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the spark engine "
@@ -195,7 +196,7 @@ def test_cc_edge_spill_round_plan_has_no_edge_exchange(spark):
         edge_branch = edge_side.split("Bucketed: true")[0]
         assert "Exchange" not in edge_branch, f"Exchange above the edge scan:\n{plan}"
     finally:
-        spark.sql("DROP TABLE IF EXISTS cc_plan_probe")
+        _drop_with_files(spark, "cc_plan_probe")
 
 
 def test_winnow_pairs_position_sensitive(spark):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from sentiment_analysis_data_pipeline_spark.operators import dedup_index as DX
 from sentiment_analysis_data_pipeline_spark.sources.tables import load_table
+from sentiment_analysis_data_pipeline_spark.sources.tables import drop_table_with_files as _drop_with_files
 
 SF = "/root/testdata/sf0.001"
 
@@ -52,7 +53,7 @@ def test_embedding_band_index_candidates(spark):
         want = {(r.id_a, r.id_b) for r in mem.collect()}
         assert got == want and len(got) > 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_emb_idx")
+        _drop_with_files(spark, "t_emb_idx")
 
 
 def test_winnow_index_pairs(spark):
@@ -72,7 +73,7 @@ def test_winnow_index_pairs(spark):
         want = {(r.id_a, r.id_b, r.shared_fp) for r in q_winnow_pairs(spark, SF).collect()}
         assert got == want and len(got) > 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_winnow_idx")
+        _drop_with_files(spark, "t_winnow_idx")
 
 
 def test_new_batch_candidates_corpus_side_stays_in_place(spark):
@@ -116,7 +117,7 @@ def test_new_batch_candidates_corpus_side_stays_in_place(spark):
         cand2 = DX.new_batch_candidates(spark, recrawled, table="t_nbc_idx")
         assert cand2.filter("new_doc = corpus_doc").count() == 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_nbc_idx")
+        _drop_with_files(spark, "t_nbc_idx")
 
 
 def test_minhash_pairs_indexed_matches_in_session(spark):
@@ -145,7 +146,7 @@ def test_minhash_pairs_indexed_matches_in_session(spark):
         want = {(r.id_a, r.id_b, r.jaccard) for r in q_minhash_pairs(spark, SF).collect()}
         assert got == want and len(got) > 0
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _drop_with_files(spark, table)
 
 
 def test_winnow_pairs_indexed_query_matches_in_session(spark):

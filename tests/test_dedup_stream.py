@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from sentiment_analysis_data_pipeline_spark.operators.dedup import minhash_band_keys
 from sentiment_analysis_data_pipeline_spark.sources.tables import write_bucketed
 from sentiment_analysis_data_pipeline_spark.streaming import dedup_stream
+from sentiment_analysis_data_pipeline_spark.sources.tables import drop_table_with_files as _drop_with_files
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat sleeps "
@@ -99,4 +100,4 @@ def test_streaming_dedup_grows_index(spark, tmp_path):
         for r in spark.read.parquet(pairs_path).filter("kind = 'corpus'").collect():
             assert 0.0 < r["jaccard"] <= 1.0
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _drop_with_files(spark, table)

@@ -15,6 +15,7 @@ from sentiment_analysis_data_pipeline_spark.plans.pipeline import sentiment_enri
 from sentiment_analysis_data_pipeline_spark.sources.tables import write_bucketed
 from sentiment_analysis_data_pipeline_spark.streaming import dedup_stream, full_pipeline
 from sentiment_analysis_data_pipeline_spark.streaming.curation_stream import curation_gate
+from sentiment_analysis_data_pipeline_spark.sources.tables import drop_table_with_files as _drop_with_files
 
 # gate-clean base texts (verified: every flag false -- low repetition,
 # >= 10 words, English-classified, quality above the bound)
@@ -143,8 +144,8 @@ def test_composed_stream_matches_batch_components(spark, tmp_path):
         curated2 = spark.read.parquet(curated_path)
         assert {r["doc_id"] for r in curated2.collect()} == {101, 102, 103, 104, 201, 202}
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {batch_table}")
+        _drop_with_files(spark, table)
+        _drop_with_files(spark, batch_table)
 
 
 def test_composed_epoch_replay_is_idempotent(spark, tmp_path):
@@ -183,4 +184,4 @@ def test_composed_epoch_replay_is_idempotent(spark, tmp_path):
         pairs = spark.read.parquet(pairs_path)
         assert pairs.select("batch_id").distinct().count() == 1
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _drop_with_files(spark, table)
