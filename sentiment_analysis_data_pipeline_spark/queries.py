@@ -1446,8 +1446,11 @@ def _ensure_exact_knn_truth(spark: SparkSession, sf_dir: str) -> str:
     table = _index_table_name("exact_knn_truth", sf_dir)
     if not spark.catalog.tableExists(table):
         _view(spark, sf_dir, "embeddings")
+        # _ann_exact_ctes ends with a trailing comma (it is a WITH prefix);
+        # the dummy CTE terminates it so the exact arm runs standalone
         truth = spark.sql(
-            f"WITH {_ann_exact_ctes(D.SPARK)} x AS (SELECT 1) SELECT q_id, vec_id FROM exact"
+            f"WITH {_ann_exact_ctes(D.SPARK)} _fin AS (SELECT 1) "
+            "SELECT q_id, vec_id FROM exact"
         )
         # write_bucketed's explicit-location overwrite also recovers cleanly
         # when a previous session left the warehouse directory behind (a
