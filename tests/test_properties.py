@@ -182,3 +182,39 @@ def test_temperature_targets_invariants(spark, srcs):
             assert r["kept_id_sum"] == sum(ranked[: r["target"]])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# Round-7: word pool heavy in idiom constituents, so generated sentences
+# constantly form/break idiom sequences, overlapping occurrences, idioms
+# adjacent to negators/boosters/'but', and consumed-position edge cases --
+# paths uniform random text essentially never hits.
+IDIOM_POOL = [
+    "cut", "the", "mustard", "hand", "to", "mouth", "back", "handed",
+    "blow", "blowing", "smoke", "upper", "break", "a", "leg", "cooking",
+    "with", "gas", "in", "black", "red", "on", "ball", "under", "weather",
+    "shit", "bomb", "bad", "ass", "bus", "stop", "yeah", "right", "kiss",
+    "of", "death", "die", "for", "beating", "broken", "heart",
+    "good", "great", "terrible", "love", "hate", "not", "never", "very",
+    "so", "kind", "sort", "but", "without", "doubt", "fine",
+]
+IDIOM_TEXTS = st.lists(
+    st.lists(st.sampled_from(IDIOM_POOL), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(IDIOM_TEXTS)
+def test_idiom_kernel_parity_on_adversarial_sequences(spark, texts):
+    """The SQL kernel's idiom mechanics (end-position weight, consumed
+    positions, but-clause over idioms) must agree bit-for-bit with the
+    Python replica on sentences DENSE in idiom fragments."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = sentiment_enrich(df, "coalesce(text, '')").collect()
+    for r in rows:
+        vc, tb = _py_kernel(texts[r["doc_id"]])
+        assert r["vader_compound"] == vc, texts[r["doc_id"]]
+        assert r["textblob_polarity"] == tb, texts[r["doc_id"]]
