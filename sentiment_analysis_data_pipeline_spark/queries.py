@@ -3822,21 +3822,20 @@ def _bpe_merges_sql(d: str) -> str:
     )
 
 
-def _bpe_encode_sql(d: str) -> str:
-    """bpe_encode oracle: re-learn the table (shared CTE chain), then apply
-    the ranks IN ORDER to the doc_id < 200 corpus slice -- per DISTINCT
-    word (the same memoization the Spark pandas UDF uses, as relational
-    shape: es{k} folds only the distinct-word relation), then reassemble
-    each document's encoding in (word position, symbol position) order.
-    Docs whose token array is NULL/empty keep the Spark contract:
-    0 tokens, md5('')."""
+def _bpe_encode_ctes(d: str) -> str:
+    """The train + encode CTE prefix shared by the bpe_encode and
+    bpe_fertility oracles: the unrolled training chain, the doc_id < 200
+    slice (docd, with source for the fertility rollup), the per-rank
+    distinct-word fold chain (es{k} -- the relational form of the Spark
+    pandas UDF's word memoization), and the per-doc reassembly aggregate
+    (agg: n_bpe_tokens + encoding md5 in (word pos, symbol pos) order)."""
     toks = TX.tokenize(d, TEXT)
     chars = (
         "list_append(list_transform(generate_series(1, length(word)),"
         " i -> substring(word, i, 1)), '</w>')"
     )
     es = [
-        f"""docd AS (SELECT doc_id, {toks} AS toks FROM documents
+        f"""docd AS (SELECT doc_id, source, {toks} AS toks FROM documents
                      WHERE doc_id < 200)""",
         f"""es0 AS MATERIALIZED (
             SELECT word, {chars} AS syms
@@ -3850,8 +3849,7 @@ def _bpe_encode_sql(d: str) -> str:
                 SELECT word, {fold} AS syms
                 FROM es{k - 1} LEFT JOIN best{k} b ON true
             )""")
-    return f"""
-        WITH {_bpe_train_ctes(d, BPE_N_MERGES)},
+    return f"""{_bpe_train_ctes(d, BPE_N_MERGES)},
         {", ".join(es)},
         flat AS (
             SELECT w.doc_id, w.wpos,
@@ -3866,7 +3864,19 @@ def _bpe_encode_sql(d: str) -> str:
             SELECT doc_id, cast(count(*) as bigint) AS n_bpe_tokens,
                    md5(string_agg(sym, ' ' ORDER BY wpos, spos)) AS encoding_md5
             FROM flat GROUP BY doc_id
-        )
+        )"""
+
+
+def _bpe_encode_sql(d: str) -> str:
+    """bpe_encode oracle: re-learn the table (shared CTE chain), then apply
+    the ranks IN ORDER to the doc_id < 200 corpus slice -- per DISTINCT
+    word (the same memoization the Spark pandas UDF uses, as relational
+    shape: es{k} folds only the distinct-word relation), then reassemble
+    each document's encoding in (word position, symbol position) order.
+    Docs whose token array is NULL/empty keep the Spark contract:
+    0 tokens, md5('')."""
+    return f"""
+        WITH {_bpe_encode_ctes(d)}
         SELECT d.doc_id,
                coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
                coalesce(a.encoding_md5, md5('')) AS encoding_md5
@@ -3874,6 +3884,92 @@ def _bpe_encode_sql(d: str) -> str:
         LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
     """
+
+
+def _bpe_fertility_sql(d: str) -> str:
+    """Oracle for q_bpe_fertility: per-doc word/char/bpe-token counts from
+    the shared encode chain, rolled up per source. Both ratios are single
+    IEEE divisions of exact BIGINT sums -- hash-identical cross-engine."""
+    return f"""
+        WITH {_bpe_encode_ctes(d)},
+        per_doc AS (
+            SELECT dd.source,
+                   cast(len(dd.toks) as bigint) AS words,
+                   cast(length(array_to_string(dd.toks, '')) as bigint) AS chars,
+                   cast(coalesce(a.n_bpe_tokens, 0) as bigint) AS bpe
+            FROM docd dd LEFT JOIN agg a USING (doc_id)
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(words) as bigint) AS n_words,
+               cast(sum(chars) as bigint) AS n_chars,
+               cast(sum(bpe) as bigint) AS n_bpe_tokens,
+               case when sum(words) = 0 then 0.0
+                    else cast(sum(bpe) as double) / cast(sum(words) as double)
+               end AS fertility,
+               case when sum(bpe) = 0 then 0.0
+                    else cast(sum(chars) as double) / cast(sum(bpe) as double)
+               end AS chars_per_token
+        FROM per_doc GROUP BY source
+        ORDER BY source
+    """
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (round 7) -- the standard tokenizer-QA
+    metric a training pipeline checks after learning a vocabulary: BPE
+    tokens emitted per whitespace word (fertility; includes the '</w>'
+    end-marks, so >= 1 by construction) and word-characters per BPE token,
+    rolled up per source over the same doc_id < 200 slice as bpe_encode.
+    High-fertility sources are under-served by the learned merges (more
+    sequence length spent per word). Counts are exact BIGINTs; the two
+    ratios are single divisions -- fully hash-checked against the
+    unrolled-chain oracle."""
+    from .operators.bpe import bpe_merges, encode_documents
+
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    words = spark.sql(
+        f"""
+        SELECT word, cast(count(*) as bigint) AS freq
+        FROM (SELECT explode({toks}) AS word FROM documents) t
+        GROUP BY word
+        """
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merges(spark, words, n_merges=BPE_N_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    docs = spark.sql(
+        f"SELECT doc_id, source, {toks} AS toks FROM documents WHERE doc_id < 200"
+    )
+    enc = encode_documents(docs, merges)
+    return (
+        enc.selectExpr(
+            "source",
+            "cast(size(toks) as bigint) AS words",
+            "cast(length(concat_ws('', toks)) as bigint) AS chars",
+            "cast(size(bpe_tokens) as bigint) AS bpe",
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(words) as bigint)").alias("n_words"),
+            F.expr("cast(sum(chars) as bigint)").alias("n_chars"),
+            F.expr("cast(sum(bpe) as bigint)").alias("n_bpe_tokens"),
+            F.expr(
+                "case when sum(words) = 0 then 0.0 "
+                "else cast(sum(bpe) as double) / cast(sum(words) as double) end"
+            ).alias("fertility"),
+            F.expr(
+                "case when sum(bpe) = 0 then 0.0 "
+                "else cast(sum(chars) as double) / cast(sum(bpe) as double) end"
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
 
 
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
@@ -7242,6 +7338,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "pmi_collocations": (q_pmi_collocations, _pmi_collocations_sql),
     "bpe_merges": (q_bpe_merges, _bpe_merges_sql),
     "bpe_encode": (q_bpe_encode, _bpe_encode_sql),
+    "bpe_fertility": (q_bpe_fertility, _bpe_fertility_sql),
     "column_profile": (q_column_profile, _column_profile_sql),
     "key_skew_report": (q_key_skew_report, _key_skew_sql),
     "winnow_pairs": (q_winnow_pairs, _winnow_pairs_sql),
