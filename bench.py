@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     # round-7 additions
     "image_dimensions",
     "bloom_dedup_probe",
+    "duplicate_spans",
+    "heldout_bigram_nll",
+    "pagerank_step",
 ]
 
 

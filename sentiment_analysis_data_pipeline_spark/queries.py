@@ -7235,6 +7235,287 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-7 batch 2: exact substring-dedup spans, held-out bigram LM scoring
+# with a real backoff path, PageRank over the near-dup graph
+# =========================================================================
+
+DUP_SPAN_K = 30  # minimum duplicated-substring length, chars
+
+
+def _dup_spans_body(d: str, h_def: str) -> str:
+    """Exact substring-duplication coverage per document over an
+    `h(doc_id, p, hh)` relation of md5-hashed {DUP_SPAN_K}-char shingles at
+    EVERY character position: a position is duplicated if its shingle
+    occurs >= 2 times anywhere in the corpus (other docs or elsewhere in
+    the same doc), and overlapping duplicated positions merge into maximal
+    spans -- the distributed equivalent of suffix-array exact substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), which MinHash/SimHash (whole-doc sketches) cannot
+    see: a long quoted passage inside an otherwise-unique doc.
+
+    The span merge is gaps-and-islands: all intervals share length
+    {DUP_SPAN_K}, so with positions sorted ascending the running max end
+    is simply prev_p + K - 1, and a new island starts exactly when
+    p - prev_p > K (the lag-NULL first row falls through CASE to 1).
+    Covered chars per island = max(p) - min(p) + K, exactly.
+
+    Scale shape: the duplicate-hash set aggregates with map-side combine
+    (boilerplate shingles collapse locally -- no hot-key window), then the
+    position relation joins it on the uniformly-distributed 128-bit hash
+    (AQE picks broadcast when the dup set is small, shuffled-hash
+    otherwise); the island windows shuffle only the DUPLICATED positions,
+    keyed by doc_id. Everything after the shingle explode is integers;
+    dup_frac is one division of identical bigints."""
+    K = DUP_SPAN_K
+    return f"""
+        WITH {h_def}
+        duph AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
+        dpos AS (SELECT h.doc_id, h.p FROM h JOIN duph ON h.hh = duph.hh),
+        isl AS (
+            SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {K}
+                        THEN 0 ELSE 1 END AS brk
+            FROM dpos
+        ),
+        grp AS (
+            SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS UNBOUNDED PRECEDING) AS g
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, g, min(p) AS s, max(p) + {K} - 1 AS e
+            FROM grp GROUP BY doc_id, g
+        ),
+        per_doc AS (
+            SELECT doc_id, cast(count(*) as bigint) AS n_spans,
+                   cast(sum(e - s + 1) as bigint) AS dup_chars
+            FROM spans GROUP BY doc_id
+        ),
+        docs AS (SELECT doc_id, length({TEXT}) AS n_chars FROM documents)
+        SELECT d.doc_id,
+               cast(d.n_chars as bigint) AS n_chars,
+               coalesce(pd.n_spans, cast(0 as bigint)) AS n_spans,
+               coalesce(pd.dup_chars, cast(0 as bigint)) AS dup_chars,
+               case when d.n_chars > 0
+                    then cast(coalesce(pd.dup_chars, 0) as double)
+                         / cast(d.n_chars as double)
+                    else cast(0.0 as double) end AS dup_frac
+        FROM docs d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+    """
+
+
+def _dup_shingle_sql(d: str) -> str:
+    """The `h(doc_id, p, hh)` shingle relation: one row per character
+    position of every doc long enough to hold a {DUP_SPAN_K}-char window.
+    The length filter runs BEFORE sequence(): Spark's sequence(1, 0)
+    generates a DESCENDING [1, 0], not an empty array."""
+    K = DUP_SPAN_K
+    if d == D.SPARK:
+        gen = f"explode(sequence(1, length(t) - {K} + 1))"
+    else:
+        gen = f"unnest(generate_series(1, length(t) - {K} + 1))"
+    return f"""
+            SELECT doc_id, p, md5(substring(t, p, {K})) AS hh
+            FROM (SELECT doc_id, {gen} AS p, t
+                  FROM (SELECT doc_id, {TEXT} AS t FROM documents
+                        WHERE length({TEXT}) >= {K}) e) x
+    """
+
+
+def _duplicate_spans_sql(d: str) -> str:
+    return _dup_spans_body(d, f"h AS ({_dup_shingle_sql(d)}),")
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup coverage report (see _dup_spans_body). The
+    shingle relation is materialized once (localCheckpoint): the statement
+    references `h` twice (dup-hash aggregate + position join) and CTE
+    re-inlining would run the position explode + md5 twice. On a cluster
+    the same barrier is a shuffle-reuse or an explicit parquet spill of
+    the (doc_id, p, hh) relation -- which IS the suffix-array analog's
+    on-disk posting table."""
+    _view(spark, sf_dir, "documents")
+    h = spark.sql(_dup_shingle_sql(D.SPARK))
+    h.localCheckpoint(eager=True).createOrReplaceTempView("dup_span_h")
+    return spark.sql(_dup_spans_body(D.SPARK, "h AS (SELECT * FROM dup_span_h),"))
+
+
+_BGLM_EVAL_MOD = 5  # doc_id % 5 == 0 -> held-out eval split; rest trains
+_BGLM_Q = 1 << 20
+
+
+def _bigram_nll_body(d: str, tokd_def: str) -> str:
+    """Held-out bigram-LM scoring with Stupid Backoff over a
+    `tokd(doc_id, toks)` token relation: train bigram/unigram counts on
+    docs with doc_id % {_BGLM_EVAL_MOD} != 0, score the held-out split's
+    bigrams as
+        NLL(w1 w2) = ln(c(w1) / c(w1 w2))              if the bigram trained
+                   = ln(5*(N+V) / (2*(c(w2)+1)))       otherwise
+    i.e. Stupid Backoff S = 0.4 * (c(w2)+1)/(N+V) with add-one smoothing
+    so unseen-eval-vocabulary (the real OOV path perplexity_bands' in-corpus
+    scoring can never hit) stays finite. 0.4 = 2/5 keeps both ln arguments
+    a single division of exact integers (the BM25 idf parity argument);
+    scores floor-quantize to 2^-20 fixed point before the per-doc sum.
+
+    This is the eval-side twin of perplexity_bands: that query trains and
+    scores on the same corpus (data-quality banding); this one scores text
+    the model has NOT seen -- the shape used to rank candidate corpora
+    against a trusted reference corpus (CCNet/pile-style quality filtering).
+
+    Scale shape: the LM relations are vocabulary-sized aggregates with
+    map-side combine; the backoff CASE is decided by two left joins on
+    uniformly-distributed token keys (broadcast at real vocab/corpus
+    ratios); the per-doc aggregate partial-combines. backoff_rate is exact
+    (integer counts, one division)."""
+    q = float(_BGLM_Q)
+    if d == D.SPARK:
+        w1 = "element_at(split(bg, '_'), 1)"
+        w2 = "element_at(split(bg, '_'), 2)"
+    else:
+        w1 = "split_part(bg, '_', 1)"
+        w2 = "split_part(bg, '_', 2)"
+    ex_t = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    bgs = TX.ngrams(d, "toks", 2)
+    ex_b = "explode(bgs)" if d == D.SPARK else "unnest(bgs)"
+    main_q = f"cast(floor(ln(cast(ua.c as double) / cast(tbg.c_ab as double)) * {q!r}) as bigint)"
+    back_q = (
+        f"cast(floor(ln(cast(5 * (s.n + s.v) as double)"
+        f" / cast(2 * (coalesce(ub.c, 0) + 1) as double)) * {q!r}) as bigint)"
+    )
+    return f"""
+        WITH {tokd_def}
+        train AS (SELECT toks FROM tokd WHERE doc_id % {_BGLM_EVAL_MOD} <> 0),
+        tuni AS (
+            SELECT t, cast(count(*) as bigint) AS c
+            FROM (SELECT {ex_t} AS t FROM train) u GROUP BY t
+        ),
+        s AS (SELECT cast(sum(c) as bigint) AS n, cast(count(*) as bigint) AS v FROM tuni),
+        tbg AS (
+            SELECT bg, cast(count(*) as bigint) AS c_ab
+            FROM (SELECT {ex_b} AS bg FROM (SELECT {bgs} AS bgs FROM train) g) u
+            GROUP BY bg
+        ),
+        ebg AS (
+            SELECT doc_id, bg, cast(count(*) as bigint) AS tf
+            FROM (SELECT doc_id, {ex_b} AS bg
+                  FROM (SELECT doc_id, {bgs} AS bgs FROM tokd
+                        WHERE doc_id % {_BGLM_EVAL_MOD} = 0) g) u
+            GROUP BY doc_id, bg
+        ),
+        scored AS (
+            SELECT e.doc_id, e.tf,
+                   CASE WHEN tbg.c_ab IS NOT NULL THEN {main_q} ELSE {back_q} END AS sq,
+                   CASE WHEN tbg.c_ab IS NULL THEN 1 ELSE 0 END AS backed
+            FROM ebg e
+            LEFT JOIN tbg ON tbg.bg = e.bg
+            LEFT JOIN tuni ua ON ua.t = {w1.replace("bg", "e.bg")}
+            LEFT JOIN tuni ub ON ub.t = {w2.replace("bg", "e.bg")}
+            CROSS JOIN s
+        ),
+        agg AS (
+            SELECT doc_id,
+                   cast(sum(tf) as bigint) AS n_bigrams,
+                   cast(sum(tf * sq) as bigint) AS ssq,
+                   cast(sum(tf * backed) as bigint) AS n_backoff
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               cast(ssq as double) / (cast(n_bigrams as double) * {q!r}) AS bigram_nll,
+               cast(n_backoff as double) / cast(n_bigrams as double) AS backoff_rate
+        FROM agg
+    """
+
+
+def _heldout_bigram_nll_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    return _bigram_nll_body(d, f"tokd AS (SELECT doc_id, {toks} AS toks FROM documents),")
+
+
+def q_heldout_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Stupid-Backoff bigram NLL per eval-split doc (see
+    _bigram_nll_body). The token relation is materialized once
+    (localCheckpoint): train-unigram, train-bigram, and eval-bigram
+    branches all consume it and CTE re-inlining would tokenize the corpus
+    three times."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    tokd = spark.sql(f"SELECT doc_id, {toks} AS toks FROM documents")
+    tokd.localCheckpoint(eager=True).createOrReplaceTempView("bglm_tokd")
+    return spark.sql(_bigram_nll_body(D.SPARK, "tokd AS (SELECT * FROM bglm_tokd),"))
+
+
+_PR_Q = 1 << 40  # PageRank fixed-point scale: every step is integer-exact
+_PR_TOP = 20
+
+
+def _pagerank_body(d: str, edges_def: str) -> str:
+    """One PageRank power iteration from the uniform vector over an
+    `edges(id_a, id_b)` near-dup graph (undirected -> both directions),
+    damping 0.85: pr1(v) = 0.15/N + 0.85 * sum_u->v pr0(u)/deg(u). The
+    top-{_PR_TOP} ranked nodes are the template/boilerplate cluster hubs --
+    the docs whose removal (or down-weighting in a cluster-aware sampler)
+    collapses the most near-duplicate mass, a finer signal than raw degree
+    because it weights neighbors by THEIR connectedness.
+
+    Exactness: pr0(u)/deg(u) = 1/(N*deg) quantizes to {_PR_Q} fixed point
+    by INTEGER division, the damping mix is (15*Q div (100*N)) +
+    (85*sum div 100) -- every step integer, both engines bit-identical,
+    one final cast-to-double division for display. Truncation error is
+    bounded by (in-degree+2) ulps of 2^-40 -- invisible at double display
+    precision but never engine-divergent.
+
+    Scale shape: two vocabulary-of-nodes-sized aggregates (degree, rank
+    accumulate) with map-side combine, one edge-sized join on the node key
+    -- the same join-agg round a full multi-iteration PageRank (or the CC
+    loop in operators/dedup.py) repeats; one iteration is the registry's
+    hash-checkable unit, matching kmeans_step/pca_power_step/logreg_step."""
+    n_deg = f"(n.n * dg.degree)"
+    return f"""
+        WITH edges AS ({edges_def}),
+        und AS (
+            SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM edges
+        ),
+        deg AS (SELECT src, cast(count(*) as bigint) AS degree FROM und GROUP BY src),
+        n AS (SELECT cast(count(*) as bigint) AS n FROM deg),
+        contrib AS (
+            SELECT u.dst AS node, {D.int_div(d, str(_PR_Q), n_deg)} AS cq
+            FROM und u JOIN deg dg ON dg.src = u.src CROSS JOIN n
+        ),
+        acc AS (SELECT node, cast(sum(cq) as bigint) AS sq FROM contrib GROUP BY node),
+        pr AS (
+            SELECT a.node, dg.degree,
+                   ({D.int_div(d, f"15 * {_PR_Q}", "(100 * n.n)")}
+                    + {D.int_div(d, "85 * a.sq", "100")}) AS pr_q
+            FROM acc a JOIN deg dg ON dg.src = a.node CROSS JOIN n
+        )
+        SELECT node, degree, cast(pr_q as double) / {float(_PR_Q)!r} AS pagerank
+        FROM pr ORDER BY pr_q DESC, node ASC LIMIT {_PR_TOP}
+    """
+
+
+def _pagerank_step_sql(d: str) -> str:
+    return _pagerank_body(d, _simhash_pairs_sql(d))
+
+
+def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer-exact PageRank iteration over the simhash near-dup
+    graph (see _pagerank_body). Edges come from _simhash_pairs_df -- the
+    materialized-fingerprint form shared with simhash_pairs /
+    dedup_graph_degrees / dedup_clusters. The pair relation itself is also
+    materialized (localCheckpoint): the statement walks it from four CTE
+    branches (und both directions, deg, contrib) and CTE re-inlining would
+    re-run the LSH candidate join + popcount verify per branch. Pairs are
+    the sparse LSH output -- a few rows per doc -- so the checkpoint is
+    edge-sized, the same barrier connected_components snapshots per round."""
+    edges = _simhash_pairs_df(spark, sf_dir).select("id_a", "id_b")
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("pagerank_edges")
+    return spark.sql(_pagerank_body(D.SPARK, "SELECT id_a, id_b FROM pagerank_edges"))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -7250,6 +7531,10 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-7 batch-2 additions (never driver-proven) ---
+    "duplicate_spans": (q_duplicate_spans, _duplicate_spans_sql),
+    "heldout_bigram_nll": (q_heldout_bigram_nll, _heldout_bigram_nll_sql),
+    "pagerank_step": (q_pagerank_step, _pagerank_step_sql),
     # --- round-5 batch-3 additions (never driver-proven) ---
     "part_supplier_counts": (q_part_supplier_counts, _part_supplier_counts_sql),
     "source_drift": (q_source_drift, _source_drift_sql),
