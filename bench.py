@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "heldout_bigram_nll",
     "pagerank_step",
+    "cdc_chunks",
+    "countmin_heavy_hitters",
+    "dup_span_pairs",
 ]
 
 

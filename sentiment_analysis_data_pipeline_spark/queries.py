@@ -7516,6 +7516,302 @@ def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-7 batch 3: content-defined chunking dedup, Count-Min heavy hitters,
+# cross-doc attribution of exact duplicated substrings
+# =========================================================================
+
+CDC_WINDOW = 3  # boundary decided by the hash of the last W tokens
+CDC_MOD = 16  # expected chunk length in tokens (1/P boundary probability)
+
+
+def _cdc_chunk_rel_sql(d: str) -> str:
+    """The `chunks(doc_id, g, n_toks, ch)` relation: tokenize ->
+    position-explode -> trailing-window hash -> boundary flag -> running
+    boundary count (chunk id g) -> per-chunk token count + content hash.
+    Deterministic content assembly: Spark sorts the collected (i, t)
+    structs by position; DuckDB uses ordered string_agg."""
+    K, P = CDC_WINDOW, CDC_MOD
+    toks = TX.tokenize(d, TEXT)
+    if d == D.SPARK:
+        ex = """SELECT doc_id, cast(pos + 1 as bigint) AS i, col AS t
+                FROM (SELECT doc_id, posexplode(toks) FROM tokd)"""
+        chunk_text = (
+            "array_join(transform(array_sort(collect_list(struct(i, t))),"
+            " s -> s.t), ' ')"
+        )
+    else:
+        ex = """SELECT doc_id, cast(generate_subscripts(toks, 1) as bigint) AS i,
+                       unnest(toks) AS t
+                FROM tokd"""
+        chunk_text = "string_agg(t, ' ' ORDER BY i)"
+    wh = H.hex_to_bigint(d, "wmd5", 8)
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        post AS ({ex}),
+        wnd AS (
+            SELECT doc_id, i, t,
+                   md5(concat_ws('_',
+                       lag(t, 2) OVER (PARTITION BY doc_id ORDER BY i),
+                       lag(t, 1) OVER (PARTITION BY doc_id ORDER BY i),
+                       t)) AS wmd5
+            FROM post
+        ),
+        bnd AS (
+            SELECT doc_id, i, t,
+                   CASE WHEN i >= {K} AND ({wh}) % {P} = 0 THEN 1 ELSE 0 END AS b
+            FROM wnd
+        ),
+        cid AS (
+            SELECT doc_id, i, t,
+                   coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS g
+            FROM bnd
+        )
+        SELECT doc_id, g, cast(count(*) as bigint) AS n_toks,
+               md5({chunk_text}) AS ch
+        FROM cid GROUP BY doc_id, g
+    """
+
+
+def _cdc_chunks_body(d: str, chunks_def: str) -> str:
+    """Content-defined chunking dedup report over a
+    `chunks(doc_id, g, n_toks, ch)` relation (_cdc_chunk_rel_sql): cut
+    points where the hash of the trailing
+    {CDC_WINDOW}-token window satisfies h % {CDC_MOD} == 0 (the LBFS /
+    FastCDC boundary rule at token granularity -- Muthitacharoen et al.
+    2001; Xia et al. 2016), so chunk boundaries are SHIFT-INVARIANT: an
+    insertion early in a document moves every byte offset but re-derives
+    the same cut points downstream, which fixed-size blocking cannot do.
+    Chunks dedup corpus-wide by content hash; the report is per-doc chunk
+    counts, duplicated-chunk counts, and the token mass held by chunks
+    whose content appears >= 2 times anywhere in the corpus -- the
+    variable-size middle ground between exact whole-doc dedup and
+    duplicate_spans' per-character suffix scan.
+
+    Boundary positions i < {CDC_WINDOW} never cut (no full window).
+    The cut closes the chunk AT the boundary token: chunk id = count of
+    boundaries strictly before i.
+
+    Scale shape: one doc_id window shuffle for the running boundary count
+    (the per-char duplicate_spans equivalent at 1/5 the row count); chunk
+    assembly is a (doc_id, chunk) partial agg over ~{CDC_MOD}-row groups
+    that reuses the window's doc_id partitioning (no extra Exchange); the
+    dup-hash set is a partial+final agg on the uniform md5 key (map-side
+    combine absorbs boilerplate chunks); everything after tokenization is
+    integer. The chunk relation feeds TWO branches (dup-hash set + per-doc
+    rollup), so the Spark path materializes it once -- CTE re-inlining
+    would run tokenize -> explode -> two windows -> chunk assembly twice
+    (observed in the executed plan before the checkpoint)."""
+    return f"""
+        WITH {chunks_def}
+        dupc AS (SELECT ch FROM chunks GROUP BY ch HAVING count(*) > 1),
+        per_doc AS (
+            SELECT c.doc_id,
+                   cast(count(*) as bigint) AS n_chunks,
+                   cast(sum(CASE WHEN dupc.ch IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+                       AS dup_chunks,
+                   cast(sum(CASE WHEN dupc.ch IS NOT NULL THEN c.n_toks ELSE 0 END) as bigint)
+                       AS dup_tokens,
+                   cast(sum(c.n_toks) as bigint) AS n_tokens
+            FROM chunks c LEFT JOIN dupc ON dupc.ch = c.ch
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(pd.n_chunks, cast(0 as bigint)) AS n_chunks,
+               coalesce(pd.dup_chunks, cast(0 as bigint)) AS dup_chunks,
+               coalesce(pd.dup_tokens, cast(0 as bigint)) AS dup_tokens,
+               coalesce(pd.n_tokens, cast(0 as bigint)) AS n_tokens,
+               case when coalesce(pd.n_tokens, 0) > 0
+                    then cast(pd.dup_tokens as double) / cast(pd.n_tokens as double)
+                    else cast(0.0 as double) end AS dup_token_frac
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+    """
+
+
+def _cdc_chunks_sql(d: str) -> str:
+    return _cdc_chunks_body(d, f"chunks AS ({_cdc_chunk_rel_sql(d)}),")
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report (see _cdc_chunks_body). The
+    chunk relation is materialized once (localCheckpoint): the dup-hash
+    aggregate and the per-doc rollup both consume it, and CTE re-inlining
+    re-ran tokenize -> explode -> two windows -> chunk assembly per branch
+    (observed in the executed plan). On a cluster the same barrier is the
+    natural parquet spill of the chunk table -- the artifact an
+    incremental CDC pipeline would persist anyway."""
+    _view(spark, sf_dir, "documents")
+    chunks = spark.sql(_cdc_chunk_rel_sql(D.SPARK))
+    chunks.localCheckpoint(eager=True).createOrReplaceTempView("cdc_chunk_rel")
+    return spark.sql(_cdc_chunks_body(D.SPARK, "chunks AS (SELECT * FROM cdc_chunk_rel),"))
+
+
+CM_DEPTH = 4  # Count-Min rows (independent hash functions)
+CM_WIDTH = 512  # Count-Min columns per row
+CM_TOP = 20
+
+
+def _countmin_th_rel_sql(d: str) -> str:
+    """The `th(t, h1, h2)` hashed-token relation: one row per token
+    OCCURRENCE with its md5-derived 56-bit hash halves. Feeds both the
+    sketch build and the exact-truth branch, so the Spark path
+    materializes it once."""
+    toks = TX.tokenize(d, TEXT)
+    ex_t = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    h1 = H.hex_to_bigint(d, "th", 14)
+    h2 = H.hex_to_bigint(d, "substring(th, 15, 14)", 14)
+    return f"""
+        SELECT t, ({h1}) AS h1, ({h2}) AS h2
+        FROM (SELECT t, md5(t) AS th
+              FROM (SELECT {ex_t} AS t
+                    FROM (SELECT {toks} AS toks FROM documents) dd) u) k
+    """
+
+
+def _countmin_body(d: str, th_def: str) -> str:
+    """Count-Min sketch audit (Cormode & Muthukrishnan 2005) over a
+    `th(t, h1, h2)` hashed-token-occurrence relation
+    (_countmin_th_rel_sql): build a {CM_DEPTH}x{CM_WIDTH} sketch -- cell (j, c) holds the
+    count of tokens whose j-th hash lands on column c -- then read back the
+    estimate min_j sketch[j][h_j(t)] for the exact top-{CM_TOP} tokens and
+    report the (always >= 0) overestimate. The hash family is
+    Kirsch-Mitzenmacher double hashing over the token md5 (h1 + j*h2, the
+    same construction the MinHash signatures use), so the whole structure
+    is deterministic and the oracle replays it bit-for-bit -- the sketch
+    family member beside hll_partition_merge, for counts instead of
+    cardinality.
+
+    Why it matters at 100 TB: the sketch is the MERGEABLE bounded-state
+    form of frequency counting -- each partition's partial aggregate is
+    itself a CM sketch ({CM_DEPTH}*{CM_WIDTH} cells, independent of
+    vocabulary size), partials merge by cell-wise sum (exactly what the
+    partial+final HashAggregate below does), and a streaming ingest can
+    maintain it with O(1) state where the exact vocabulary aggregate grows
+    without bound. The query audits its error against exact truth at a SF
+    where truth is still computable -- the ann_recall_report pattern for
+    frequency sketches.
+
+    Scale shape: sketch build = explode x {CM_DEPTH} hash rows -> one
+    (j, col)-keyed partial+final agg bounded at {CM_DEPTH}*{CM_WIDTH} rows;
+    exact top-{CM_TOP} = vocabulary-sized partial agg + TakeOrdered; the
+    readback joins the {CM_TOP}-row relation to the sketch (broadcast).
+    Integer-only arithmetic."""
+    j_seq = D.sequence(d, 0, CM_DEPTH - 1)
+    ex_j = f"explode({j_seq})" if d == D.SPARK else f"unnest({j_seq})"
+    return f"""
+        WITH {th_def}
+        cells AS (
+            SELECT j, (h1 + j * h2) % {CM_WIDTH} AS col,
+                   cast(count(*) as bigint) AS cnt
+            FROM (SELECT h1, h2, {ex_j} AS j FROM th) e
+            GROUP BY j, (h1 + j * h2) % {CM_WIDTH}
+        ),
+        exact AS (
+            SELECT t, cast(count(*) as bigint) AS exact_count,
+                   min(h1) AS h1, min(h2) AS h2
+            FROM th GROUP BY t
+            ORDER BY exact_count DESC, t ASC LIMIT {CM_TOP}
+        ),
+        est AS (
+            SELECT e.t, e.exact_count, min(c.cnt) AS cm_estimate
+            FROM exact e
+            JOIN cells c ON c.col = (e.h1 + c.j * e.h2) % {CM_WIDTH}
+            GROUP BY e.t, e.exact_count
+        )
+        SELECT t AS token, exact_count, cm_estimate,
+               cm_estimate - exact_count AS overestimate
+        FROM est
+        ORDER BY exact_count DESC, token ASC
+    """
+
+
+def _countmin_heavy_hitters_sql(d: str) -> str:
+    return _countmin_body(d, f"th AS ({_countmin_th_rel_sql(d)}),")
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build + heavy-hitter error audit (see
+    _countmin_body). The hashed-token relation is materialized once
+    (localCheckpoint): the sketch build and the exact-truth branch both
+    consume it, and CTE re-inlining would tokenize + md5 the corpus
+    twice."""
+    _view(spark, sf_dir, "documents")
+    th = spark.sql(_countmin_th_rel_sql(D.SPARK))
+    th.localCheckpoint(eager=True).createOrReplaceTempView("cm_th_rel")
+    return spark.sql(_countmin_body(D.SPARK, "th AS (SELECT * FROM cm_th_rel),"))
+
+
+DUP_PAIR_DF_CAP = 50  # drop shingle hashes occurring more often (boilerplate)
+DUP_PAIR_TOP = 50
+
+
+def _dup_span_pairs_body(d: str, posting_def: str) -> str:
+    """Cross-doc ATTRIBUTION of exact duplicated substrings: which document
+    pairs share {DUP_SPAN_K}-char shingles, scored by the count of distinct
+    shared shingle hashes (~ shared character mass) -- duplicate_spans says
+    each doc HAS duplicated text; this says WITH WHOM, the report that
+    turns span-level dedup into provenance (which template, which source
+    pair). Same inverted-index discipline as ngram_jaccard/containment:
+    shingle hashes occurring > {DUP_PAIR_DF_CAP} times corpus-wide are
+    boilerplate and are EXCLUDED before the self-join (the df-cap that
+    keeps the candidate join linear -- a hash shared by m docs would
+    otherwise fan out m^2 pairs), so the pair relation is bounded by
+    cap^2 per hash and in practice by true template pairs.
+
+    Scale shape: posting lists via one partial+final agg on the uniform
+    md5 key; the pair join meets on hash equality over DISTINCT (doc,
+    hash) postings (position multiplicity collapsed first -- a passage
+    repeated k times in one doc contributes its hashes once); per-pair
+    count-distinct partial-aggregates; top-{DUP_PAIR_TOP} via
+    TakeOrderedAndProject."""
+    return f"""
+        WITH {posting_def}
+        df AS (
+            SELECT hh FROM posting GROUP BY hh
+            HAVING count(*) BETWEEN 2 AND {DUP_PAIR_DF_CAP}
+        ),
+        keep AS (SELECT p.doc_id, p.hh FROM posting p JOIN df ON df.hh = p.hh),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(count(*) as bigint) AS shared_shingles
+            FROM keep a JOIN keep b
+              ON a.hh = b.hh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, shared_shingles,
+               cast(shared_shingles + {DUP_SPAN_K} - 1 as bigint) AS approx_shared_chars
+        FROM pairs
+        ORDER BY shared_shingles DESC, doc_a ASC, doc_b ASC
+        LIMIT {DUP_PAIR_TOP}
+    """
+
+
+def _dup_span_pairs_sql(d: str) -> str:
+    posting = (
+        f"posting AS (SELECT doc_id, hh FROM ({_dup_shingle_sql(d)}) h"
+        " GROUP BY doc_id, hh),"
+    )
+    return _dup_span_pairs_body(d, posting)
+
+
+def q_dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring attribution (see _dup_span_pairs_body).
+    The distinct-postings relation is materialized once (localCheckpoint):
+    the df-cap aggregate and BOTH self-join sides consume it, and CTE
+    re-inlining would re-run the per-character shingle explode + md5 three
+    times."""
+    _view(spark, sf_dir, "documents")
+    h = spark.sql(_dup_shingle_sql(D.SPARK))
+    posting = h.select("doc_id", "hh").distinct()
+    posting.localCheckpoint(eager=True).createOrReplaceTempView("dup_pair_posting")
+    return spark.sql(
+        _dup_span_pairs_body(D.SPARK, "posting AS (SELECT * FROM dup_pair_posting),")
+    )
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -7531,6 +7827,10 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-7 batch-3 additions (never driver-proven) ---
+    "cdc_chunks": (q_cdc_chunks, _cdc_chunks_sql),
+    "countmin_heavy_hitters": (q_countmin_heavy_hitters, _countmin_heavy_hitters_sql),
+    "dup_span_pairs": (q_dup_span_pairs, _dup_span_pairs_sql),
     # --- round-7 batch-2 additions (never driver-proven) ---
     "duplicate_spans": (q_duplicate_spans, _duplicate_spans_sql),
     "heldout_bigram_nll": (q_heldout_bigram_nll, _heldout_bigram_nll_sql),

@@ -164,3 +164,148 @@ def test_pagerank_step_mass_conservation_bound(spark):
     rows = _pagerank_over(spark, edges)
     total = sum(r["pagerank"] for r in rows)
     assert 0.999 < total <= 1.0 + 1e-12
+
+
+# ------------------------------------------------------------- cdc chunks
+
+
+def _cdc(spark):
+    return {r["doc_id"]: r for r in spark.sql(Q._cdc_chunks_sql(Q.D.SPARK)).collect()}
+
+
+def test_cdc_chunks_identical_docs_fully_dup(spark):
+    # Two identical docs: every chunk's content hash appears >= 2 times
+    # corpus-wide, so the whole token mass is duplicated.
+    body = " ".join(f"word{i} filler{i % 7} common{i % 3}" for i in range(40))
+    rows = [
+        (0, body, "en", "s", 1),
+        (1, body, "en", "s", 1),
+        (2, "totally different vocabulary everywhere zebra quux xylophone", "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = _cdc(spark)
+    for doc in (0, 1):
+        r = out[doc]
+        assert r["n_chunks"] >= 1
+        assert r["dup_chunks"] == r["n_chunks"]
+        assert r["dup_tokens"] == r["n_tokens"] == 120
+        assert r["dup_token_frac"] == 1.0
+    assert out[2]["dup_chunks"] == 0 and out[2]["dup_token_frac"] == 0.0
+
+
+def test_cdc_chunks_token_conservation_and_empty_doc(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "s", 1),
+        (1, "", "en", "s", 1),  # zero tokens -> all-zero row via left join
+    ]
+    _docs_view(spark, rows)
+    out = _cdc(spark)
+    assert out[0]["n_tokens"] == 5  # chunks partition the token stream exactly
+    assert out[1]["n_chunks"] == 0 and out[1]["n_tokens"] == 0
+    assert out[1]["dup_token_frac"] == 0.0
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    # The CDC property fixed-size blocking lacks: prepending words to a doc
+    # re-derives the SAME cut points in the shared tail (boundaries depend
+    # only on the trailing token window), so a large shared suffix still
+    # dedups chunk-for-chunk past the first post-insertion boundary.
+    tail = " ".join(f"tok{i} item{i % 11} val{i % 5}" for i in range(64))  # 192 tokens
+    rows = [
+        (0, tail, "en", "s", 1),
+        (1, "three inserted prefix words " + tail, "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = _cdc(spark)
+    # deterministic given the fixed text: at least one boundary falls in the
+    # shared 192-token tail, so both docs carry duplicated chunk mass
+    assert out[0]["dup_tokens"] > 0
+    assert out[1]["dup_tokens"] > 0
+    # doc 1's prefix head chunk differs, so it cannot be 100% duplicated
+    assert out[1]["dup_tokens"] < out[1]["n_tokens"]
+
+
+# ------------------------------------------------------- countmin sketch
+
+
+def test_countmin_exact_counts_and_no_underestimate(spark):
+    rows = [
+        (0, "apple apple apple banana banana cherry", "en", "s", 1),
+        (1, "apple apple banana date", "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._countmin_heavy_hitters_sql(Q.D.SPARK)).collect()
+    got = {r["token"]: r for r in out}
+    assert got["apple"]["exact_count"] == 5
+    assert got["banana"]["exact_count"] == 3
+    assert got["cherry"]["exact_count"] == 1
+    assert got["date"]["exact_count"] == 1
+    # CM never underestimates
+    for r in out:
+        assert r["cm_estimate"] >= r["exact_count"]
+        assert r["overestimate"] == r["cm_estimate"] - r["exact_count"]
+    # 4 distinct tokens in 512 columns: no all-4-rows collision in this
+    # fixed corpus, so the estimates are exact (deterministic given md5)
+    for r in out:
+        assert r["overestimate"] == 0
+    # ordered by exact count desc, token asc
+    assert [r["token"] for r in out[:2]] == ["apple", "banana"]
+
+
+# ------------------------------------------------------- dup span pairs
+
+
+def test_dup_span_pairs_basic_attribution(spark):
+    # SHARED is 45 chars -> 45-30+1 = 16 distinct shingle hashes shared by
+    # docs 0 and 1; approx_shared_chars = 16 + 29 = 45 (single island).
+    pre0, pre1 = "doc zero opening words here;", "another beginning entirelyQ"
+    rows = [
+        (0, pre0 + SHARED + "Atail zero", "en", "s", 1),
+        (1, pre1 + SHARED + "Bother tail", "en", "s", 1),
+        (2, "completely unique content with nothing shared anywhere at all", "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._dup_span_pairs_sql(Q.D.SPARK)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["shared_shingles"] == 16
+    assert r["approx_shared_chars"] == 45
+
+
+def test_dup_span_pairs_repeat_within_doc_counts_once(spark):
+    # Doc 1 contains the passage TWICE: postings are distinct (doc, hash)
+    # pairs, so the pair score is still the 16 distinct shared hashes.
+    pre0 = "doc zero opening words here;"
+    rows = [
+        (0, pre0 + SHARED + "Atail zero", "en", "s", 1),
+        (1, "copycat: " + SHARED + " gap gap gap " + SHARED, "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._dup_span_pairs_sql(Q.D.SPARK)).collect()
+    pair = {(r["doc_a"], r["doc_b"]): r for r in out}
+    # intra-doc adjacency in doc 1 creates a few extra shared windows at the
+    # junctions only if they also appear in doc 0 -- they don't, so exactly 16
+    assert pair[(0, 1)]["shared_shingles"] == 16
+
+
+def test_dup_span_pairs_df_cap_drops_boilerplate(spark):
+    # A passage shared verbatim by 55 docs exceeds DUP_PAIR_DF_CAP=50:
+    # every one of its shingle hashes is boilerplate-capped, so the 55-doc
+    # clique contributes NO pairs (instead of 55*54/2 = 1485 quadratic
+    # ones) -- while a passage shared by just two docs still pairs them.
+    # Docs are EXACTLY the passage: any decoration risks sub-cap shared
+    # windows between decorations (v1 of this fixture: "head 1"/"head 12"
+    # prefixes share their windows ending at the common first digit).
+    assert Q.DUP_PAIR_DF_CAP == 50
+    other = "an entirely different sentence that two documents quote in full"
+    rows = [(i, SHARED, "en", "s", 1) for i in range(55)]
+    rows += [
+        # heads end in DIFFERENT chars so no junction window is shared
+        (100, "first quoting doc:" + other, "en", "s", 1),
+        (101, "second quoting doc;" + other, "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._dup_span_pairs_sql(Q.D.SPARK)).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(100, 101)]
+    assert out[0]["shared_shingles"] == len(other) - K + 1
