@@ -30,7 +30,7 @@ from .functions import hashing as H
 from .functions import sentiment as S
 from .functions import text as TX
 from .functions import vectors as V
-from .operators import dedup, dedup_index, search, similarity, window_ops
+from .operators import dedup, dedup_index, search, similarity, sketch, window_ops
 from .plans.pipeline import DOC_URL_SQL, flagship_terms_agg, processed_docs
 
 TEXT = "coalesce(text, '')"
@@ -7648,9 +7648,11 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_cdc_chunks_body(D.SPARK, "chunks AS (SELECT * FROM cdc_chunk_rel),"))
 
 
-CM_DEPTH = 4  # Count-Min rows (independent hash functions)
-CM_WIDTH = 512  # Count-Min columns per row
-CM_TOP = 20
+# shared with the streaming sketch accumulator (streaming/sketch_stream.py):
+# one source of truth for the sketch geometry
+CM_DEPTH = sketch.CM_DEPTH
+CM_WIDTH = sketch.CM_WIDTH
+CM_TOP = sketch.CM_TOP
 
 
 def _countmin_th_rel_sql(d: str) -> str:
