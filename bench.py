@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "countmin_heavy_hitters",
     "dup_span_pairs",
+    "triangle_count",
+    "source_ngram_overlap",
 ]
 
 

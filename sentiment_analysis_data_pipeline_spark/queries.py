@@ -7814,6 +7814,243 @@ def q_dup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-7 batch 4: near-dup graph transitivity QA, source-overlap matrix
+# =========================================================================
+
+
+TRI_DEGREE_CAP = 100
+
+
+def _triangle_count_body(d: str, edges_def: str, cap: int = TRI_DEGREE_CAP) -> str:
+    """Graph-quality audit of the near-dup pair generator: triangle count
+    and global transitivity over an `edges(id_a, id_b)` relation. A
+    near-dup relation SHOULD be close to transitive (a~b and b~c usually
+    implies a~c for genuine template families); low transitivity means the
+    LSH stage is emitting incidental collisions that the verify threshold
+    is not catching -- the graph-shape complement to dedup_recall_report's
+    per-pair precision numbers, and the structural argument for the
+    keep-one-per-component policy dedup_keep applies (components of a
+    high-transitivity graph are genuine duplicate families, not chains of
+    unrelated borderline pairs).
+
+    Counting: edges canonicalize to a < b; HUB nodes (degree > cap, the
+    dup_span_pairs df-cap precedent lifted to graph nodes) are excluded
+    from enumeration and REPORTED (n_hub_nodes / n_hub_edges): a
+    degenerate mega-template family is a near-clique of thousands of docs
+    whose transitivity is a foregone ~1.0, and enumerating its
+    C(n,3)-proportional triangles is unbounded work for zero audit signal
+    (measured: the 10x marker-inflated probe corpus yields a 125M-edge /
+    50k-node graph with degree ~5000 -- ~10^10 triangles; no exact plan
+    survives that, and a template-heavy real corpus reproduces it).
+    Triangles over the remaining subgraph join (a,b)x(b,c)x(a,c) on the
+    oriented relation -- each triangle counted exactly once, fan-out per
+    node bounded by cap. Wedges (paths of length 2) use SUBGRAPH degrees:
+    sum over nodes of deg*(deg-1)/2, exact integers. Transitivity =
+    3*triangles / wedges over the same subgraph, one division of exact
+    BIGINTs (0.0 on a wedge-free graph); max_degree stays GLOBAL so the
+    hub mass is visible beside the capped statistics.
+
+    Scale shape: node-sized degree aggs, a broadcastable hub list
+    anti-joined onto the edge relation, then two subgraph-sized equi-joins
+    on node keys with cap-bounded fan-out -- the same join-agg rounds the
+    CC loop and pagerank_step run; no step materializes anything larger
+    than the edge relation."""
+    sub = f"""SELECT e.a, e.b
+            FROM edges e
+            LEFT JOIN hubs h1 ON h1.v = e.a
+            LEFT JOIN hubs h2 ON h2.v = e.b
+            WHERE h1.v IS NULL AND h2.v IS NULL"""
+    return _triangle_count_core(
+        d,
+        f"""SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+            FROM ({edges_def}) edges0
+            GROUP BY least(id_a, id_b), greatest(id_a, id_b)""",
+        sub,
+        cap,
+    )
+
+
+def _triangle_count_core(
+    d: str, canonical_edges_def: str, sub_edges_def: str, cap: int
+) -> str:
+    """Triangle/wedge statement over an ALREADY-canonical (a < b, distinct)
+    edge relation plus a hub-excluded subgraph relation. Split from
+    _triangle_count_body so the Spark path can checkpoint both relations
+    itself: with the dedup inside the statement, each of the five
+    consuming branches (triangle join x3, degrees, edge count) re-ran the
+    canonicalization Exchange+HashAggregate over the checkpointed raw
+    pairs (observed in the executed plan), and the hub anti-join would
+    re-run per subgraph branch."""
+    return f"""
+        WITH edges AS ({canonical_edges_def}),
+        und AS (
+            SELECT a AS v, b AS w FROM edges
+            UNION ALL
+            SELECT b AS v, a AS w FROM edges
+        ),
+        deg AS (SELECT v, cast(count(*) as bigint) AS degree FROM und GROUP BY v),
+        hubs AS (SELECT v FROM deg WHERE degree > {cap}),
+        sub AS ({sub_edges_def}),
+        und_s AS (
+            SELECT a AS v FROM sub
+            UNION ALL
+            SELECT b AS v FROM sub
+        ),
+        deg_s AS (SELECT v, cast(count(*) as bigint) AS degree FROM und_s GROUP BY v),
+        tri AS (
+            SELECT cast(count(*) as bigint) AS n_triangles
+            FROM sub e1
+            JOIN sub e2 ON e2.a = e1.b
+            JOIN sub e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        gstats AS (
+            SELECT cast(count(*) as bigint) AS n_nodes,
+                   cast(max(degree) as bigint) AS max_degree
+            FROM deg
+        ),
+        hstats AS (
+            SELECT cast(count(*) as bigint) AS n_hub_nodes FROM hubs
+        ),
+        sstats AS (
+            SELECT {D.int_div(d, "coalesce(cast(sum(degree * (degree - 1)) as bigint), 0)", "2")}
+                       AS n_wedges
+            FROM deg_s
+        ),
+        ecnt AS (SELECT cast(count(*) as bigint) AS n_edges FROM edges),
+        scnt AS (SELECT cast(count(*) as bigint) AS n_sub_edges FROM sub)
+        SELECT g.n_nodes, e.n_edges, h.n_hub_nodes,
+               e.n_edges - sc.n_sub_edges AS n_hub_edges,
+               cast(s.n_wedges as bigint) AS n_wedges,
+               t.n_triangles, g.max_degree,
+               case when s.n_wedges > 0
+                    then cast(3 * t.n_triangles as double)
+                         / cast(s.n_wedges as double)
+                    else cast(0.0 as double) end AS transitivity
+        FROM gstats g CROSS JOIN hstats h CROSS JOIN sstats s
+             CROSS JOIN tri t CROSS JOIN ecnt e CROSS JOIN scnt sc
+    """
+
+
+def _triangle_count_sql(d: str) -> str:
+    return _triangle_count_body(d, _simhash_pairs_sql(d))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph transitivity audit (see _triangle_count_body). The
+    CANONICAL edge relation is materialized once (localCheckpoint after
+    the least/greatest dedup agg): the statement reads it from several
+    branches, and CTE re-inlining would re-run the LSH candidate join +
+    popcount verify per branch -- the pagerank_step barrier; checkpointing
+    the raw pairs instead left five canonicalization Exchange+HashAggregate
+    rounds in the plan. The hub-excluded SUBGRAPH is checkpointed too
+    (triangle join x3 + subgraph degrees + edge count consume it; the hub
+    anti-join would otherwise repeat per branch)."""
+    _simhash_pairs_df(spark, sf_dir).select("id_a", "id_b").createOrReplaceTempView(
+        "tri_edges_raw"
+    )
+    canon = spark.sql(
+        """SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+           FROM tri_edges_raw
+           GROUP BY least(id_a, id_b), greatest(id_a, id_b)"""
+    )
+    canon.localCheckpoint(eager=True).createOrReplaceTempView("tri_edges")
+    sub = spark.sql(
+        f"""WITH und AS (SELECT a AS v FROM tri_edges
+                         UNION ALL SELECT b AS v FROM tri_edges),
+            deg AS (SELECT v, count(*) AS degree FROM und GROUP BY v),
+            hubs AS (SELECT v FROM deg WHERE degree > {TRI_DEGREE_CAP})
+            SELECT e.a, e.b
+            FROM tri_edges e
+            LEFT JOIN hubs h1 ON h1.v = e.a
+            LEFT JOIN hubs h2 ON h2.v = e.b
+            WHERE h1.v IS NULL AND h2.v IS NULL"""
+    )
+    sub.localCheckpoint(eager=True).createOrReplaceTempView("tri_edges_sub")
+    return spark.sql(
+        _triangle_count_core(
+            D.SPARK,
+            "SELECT a, b FROM tri_edges",
+            "SELECT a, b FROM tri_edges_sub",
+            TRI_DEGREE_CAP,
+        )
+    )
+
+
+SRC_OVERLAP_NGRAM = 3
+
+
+def _source_overlap_body(d: str, sh_def: str) -> str:
+    """Corpus-mixing overlap matrix over a DISTINCT `sh(source, hh)`
+    source-level shingle-set relation: pairwise n-gram Jaccard between
+    sources -- the mixture-QA companion to mixture_weights/source_drift
+    (weights say how much of each source the mixture takes; this says how
+    much of it is ALREADY covered by another source, the double-counting
+    a mixture planner must correct for). Every source pair always appears
+    (pair frame built from the per-source sizes, intersections LEFT-joined,
+    zero-coalesced) -- a fully disjoint pair reads as jaccard 0.0 instead
+    of vanishing, the ann_recall_report zero-arm lesson.
+
+    Scale shape: the shingle-set relation collapses per-source map-side
+    (DISTINCT on the uniform (source, md5) key); sizes are a sources-sized
+    agg; the intersection self-join meets on the md5 hash where each hash
+    fans out at most n_sources^2 pairs (source granularity, not doc -- no
+    df-cap needed); the pair frame is sources^2/2 rows. One division of
+    exact BIGINTs per pair."""
+    return f"""
+        WITH {sh_def}
+        sizes AS (SELECT source, cast(count(*) as bigint) AS n FROM sh GROUP BY source),
+        inter AS (
+            SELECT x.source AS sa, y.source AS sb, cast(count(*) as bigint) AS i
+            FROM sh x JOIN sh y ON x.hh = y.hh AND x.source < y.source
+            GROUP BY x.source, y.source
+        ),
+        pairs AS (
+            SELECT s1.source AS sa, s2.source AS sb, s1.n AS na, s2.n AS nb
+            FROM sizes s1 JOIN sizes s2 ON s1.source < s2.source
+        )
+        SELECT p.sa AS source_a, p.sb AS source_b,
+               p.na AS shingles_a, p.nb AS shingles_b,
+               coalesce(i.i, cast(0 as bigint)) AS shared,
+               case when p.na + p.nb - coalesce(i.i, 0) > 0
+                    then cast(coalesce(i.i, 0) as double)
+                         / cast(p.na + p.nb - coalesce(i.i, 0) as double)
+                    else cast(0.0 as double) end AS jaccard
+        FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+        ORDER BY jaccard DESC, source_a ASC, source_b ASC
+    """
+
+
+def _source_shingle_sql(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    sh = TX.ngrams(d, "toks", SRC_OVERLAP_NGRAM)
+    ex = "explode(shs)" if d == D.SPARK else "unnest(shs)"
+    return f"""
+            SELECT source, md5(s) AS hh
+            FROM (SELECT source, {ex} AS s
+                  FROM (SELECT source, {sh} AS shs
+                        FROM (SELECT source, {toks} AS toks FROM documents) tk) g) u
+            GROUP BY source, md5(s)
+    """
+
+
+def _source_ngram_overlap_sql(d: str) -> str:
+    return _source_overlap_body(d, f"sh AS ({_source_shingle_sql(d)}),")
+
+
+def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source n-gram overlap matrix (see _source_overlap_body).
+    The distinct source-shingle relation is materialized once
+    (localCheckpoint): sizes and BOTH intersection join sides consume it,
+    and CTE re-inlining would tokenize + shingle the corpus three times."""
+    _view(spark, sf_dir, "documents")
+    sh = spark.sql(_source_shingle_sql(D.SPARK))
+    sh.localCheckpoint(eager=True).createOrReplaceTempView("src_overlap_sh")
+    return spark.sql(
+        _source_overlap_body(D.SPARK, "sh AS (SELECT * FROM src_overlap_sh),")
+    )
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -7829,6 +8066,9 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-7 batch-4 additions (never driver-proven) ---
+    "triangle_count": (q_triangle_count, _triangle_count_sql),
+    "source_ngram_overlap": (q_source_ngram_overlap, _source_ngram_overlap_sql),
     # --- round-7 batch-3 additions (never driver-proven) ---
     "cdc_chunks": (q_cdc_chunks, _cdc_chunks_sql),
     "countmin_heavy_hitters": (q_countmin_heavy_hitters, _countmin_heavy_hitters_sql),

@@ -309,3 +309,100 @@ def test_dup_span_pairs_df_cap_drops_boilerplate(spark):
     out = spark.sql(Q._dup_span_pairs_sql(Q.D.SPARK)).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(100, 101)]
     assert out[0]["shared_shingles"] == len(other) - K + 1
+
+
+# ------------------------------------------------------- triangle count
+
+
+def _triangles_over(spark, edges, cap=Q.TRI_DEGREE_CAP):
+    spark.createDataFrame(edges, "id_a long, id_b long").createOrReplaceTempView(
+        "tri_test_edges"
+    )
+    return spark.sql(
+        Q._triangle_count_body(
+            Q.D.SPARK, "SELECT id_a, id_b FROM tri_test_edges", cap
+        )
+    ).collect()[0]
+
+
+def test_triangle_count_hand_graph(spark):
+    # K3 on {1,2,3} plus a pendant 4: one triangle; degrees 2,2,3,1 ->
+    # wedges = (2+2+6+0)/2 = 5; transitivity = 3*1/5.
+    r = _triangles_over(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["n_hub_nodes"] == 0 and r["n_hub_edges"] == 0
+    assert r["n_triangles"] == 1 and r["n_wedges"] == 5
+    assert r["max_degree"] == 3
+    assert r["transitivity"] == 3.0 / 5.0
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    # reversed + duplicate edges collapse before counting; a triangle-free
+    # path graph reports transitivity 0.0 with wedges > 0
+    r = _triangles_over(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    assert r["n_edges"] == 2 and r["n_triangles"] == 0
+    assert r["n_wedges"] == 1 and r["transitivity"] == 0.0
+
+
+def test_triangle_count_hub_exclusion(spark):
+    # star K1,5 around node 0 with cap 3: the hub (degree 5) is excluded
+    # and reported; the remaining subgraph is edge-free -> zero wedges/
+    # triangles, transitivity 0.0; global stats stay uncapped
+    star = [(0, i) for i in range(1, 6)]
+    r = _triangles_over(spark, star, cap=3)
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5 and r["max_degree"] == 5
+    assert r["n_hub_nodes"] == 1 and r["n_hub_edges"] == 5
+    assert r["n_wedges"] == 0 and r["n_triangles"] == 0
+    assert r["transitivity"] == 0.0
+
+
+def test_triangle_count_hub_exclusion_partial(spark):
+    # K3 {1,2,3} + hub 0 wired to everything (degree 5 > cap 3): hub
+    # edges drop, the K3 survives intact -> its triangle still counts
+    edges = [(1, 2), (2, 3), (1, 3), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5)]
+    r = _triangles_over(spark, edges, cap=3)
+    assert r["n_hub_nodes"] == 1 and r["n_hub_edges"] == 5
+    assert r["n_triangles"] == 1 and r["n_wedges"] == 3
+    assert r["transitivity"] == 1.0
+
+
+# ------------------------------------------------- source ngram overlap
+
+
+def test_source_ngram_overlap_matrix(spark):
+    rows = [
+        (0, "one two three four", "en", "alpha", 1),
+        (1, "two three four five", "en", "beta", 1),
+        (2, "zebra quux xylophone corge", "en", "gamma", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._source_ngram_overlap_sql(Q.D.SPARK)).collect()
+    # every pair present even when fully disjoint
+    assert len(out) == 3
+    by_pair = {(r["source_a"], r["source_b"]): r for r in out}
+    ab = by_pair[("alpha", "beta")]
+    # alpha trigrams {one_two_three, two_three_four}; beta {two_three_four,
+    # three_four_five}: shared 1 of union 3
+    assert ab["shingles_a"] == 2 and ab["shingles_b"] == 2 and ab["shared"] == 1
+    assert ab["jaccard"] == 1.0 / 3.0
+    assert by_pair[("alpha", "gamma")]["shared"] == 0
+    assert by_pair[("beta", "gamma")]["jaccard"] == 0.0
+    # sorted by jaccard desc first
+    assert (out[0]["source_a"], out[0]["source_b"]) == ("alpha", "beta")
+
+
+def test_source_ngram_overlap_dedups_within_source(spark):
+    # the SAME trigram appearing in two docs of one source counts once in
+    # that source's shingle-set size
+    rows = [
+        (0, "alpha repeated ngram here", "en", "s1", 1),
+        (1, "alpha repeated ngram there", "en", "s1", 1),
+        (2, "unrelated other content words", "en", "s2", 1),
+    ]
+    _docs_view(spark, rows)
+    out = {(r["source_a"], r["source_b"]): r for r in
+           spark.sql(Q._source_ngram_overlap_sql(Q.D.SPARK)).collect()}
+    r = out[("s1", "s2")]
+    # s1 docs: {alpha_repeated_ngram, repeated_ngram_here} and
+    # {alpha_repeated_ngram, repeated_ngram_there} -> 3 distinct
+    assert r["shingles_a"] == 3 and r["shingles_b"] == 2 and r["shared"] == 0

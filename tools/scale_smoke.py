@@ -121,6 +121,17 @@ def main() -> None:
         "source_drift",
         "pca_power_step",
         "ivf_cell_balance",
+        # round-7: per-char substring dedup + pair attribution, CDC chunk
+        # dedup, held-out LM scoring, near-dup-graph PageRank, CM sketch
+        # audit, bloom membership probe, image header decode
+        "duplicate_spans",
+        "dup_span_pairs",
+        "cdc_chunks",
+        "heldout_bigram_nll",
+        "pagerank_step",
+        "countmin_heavy_hitters",
+        "bloom_dedup_probe",
+        "image_dimensions",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
