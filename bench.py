@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "dup_span_pairs",
     "triangle_count",
     "source_ngram_overlap",
+    "pq_ann",
+    "pq_distortion",
 ]
 
 

@@ -29,14 +29,12 @@ from ..functions import vectors as V
 EMB_DIM = 64
 
 
-def build_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str) -> None:
-    """Build the persisted index from an embeddings DataFrame
-    (vec_id, label, embedding array<float>)."""
+def write_centroids(spark: SparkSession, emb: DataFrame, index_dir: str) -> None:
+    """Write the coarse codebook (`centroids.parquet`, nlist rows) for an
+    embeddings DataFrame (vec_id, label, embedding array<float>) -- shared
+    by the IVF build and the IVF-PQ build (pq_index.py)."""
     emb.createOrReplaceTempView("_ivf_build_emb")
     v = V.to_double_array(D.SPARK, "embedding")
-    nv = V.norm(D.SPARK, "v", EMB_DIM)
-    ncv = V.norm(D.SPARK, "cv", EMB_DIM)
-    dot = V.dot(D.SPARK, "e.v", "c.cv", EMB_DIM)
     cent = spark.sql(
         f"""
         WITH emb AS (SELECT vec_id, label, {v} AS v FROM _ivf_build_emb),
@@ -52,6 +50,12 @@ def build_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str) -> None
         """
     )
     cent.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+
+
+def build_ivf_index(spark: SparkSession, emb: DataFrame, index_dir: str) -> None:
+    """Build the persisted index from an embeddings DataFrame
+    (vec_id, label, embedding array<float>)."""
+    write_centroids(spark, emb, index_dir)
     assign = _assign_to_cells(spark, index_dir, "_ivf_build_emb")
     assign.write.mode("overwrite").partitionBy("cell").parquet(f"{index_dir}/assignments")
 

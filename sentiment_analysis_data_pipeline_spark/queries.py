@@ -8051,6 +8051,226 @@ def q_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-7 batch 5: product quantization (PQ) ANN + codebook QA
+# =========================================================================
+
+PQ_M = 16  # subspaces (EMB_DIM 64 -> 4 dims each)
+PQ_SUBDIM = 4
+PQ_K = 16  # codes per subspace
+PQ_SCALE = 1073741824  # 2^30 fixed point for products / squared diffs
+PQ_TOPK = 3
+PQ_NQ = 5  # fixed query set vec_id < 5 (matches ivf_ann / ann_lsh)
+
+
+PQ_SIGN_BITS = (
+    "sum(case when j = 0 and x > 0 then 1 when j = 1 and x > 0 then 2"
+    " when j = 2 and x > 0 then 4 when j = 3 and x > 0 then 8 else 0 end)"
+)
+
+
+def _pq_cent_sql(d: str) -> str:
+    """Per-subspace PQ codebook: K=16 deterministic 'sign-orthant init +
+    one Lloyd step' centroids per subspace. The init partitions each
+    subspace by the SIGN PATTERN of its first 4 components (the
+    hyperplane-LSH orthant partition -- a real geometric quantizer), and
+    the centroid is the decimal-exact floor-quantized mean (_qmean) of
+    each orthant's subvectors -- reproducible at any parallelism,
+    replayable by the oracle. An md5-random init was measured useless
+    here: random training groups all average to the subspace MEAN
+    (exactly zero for residual spaces), every centroid collapses to the
+    same point, and the reconstruction carries no signal. Output:
+    (m, code, j, c) <= 8 x 16 x 8 = 1024 rows (empty orthants are
+    absent)."""
+    v = V.to_double_array(d, "embedding")
+    if d == D.SPARK:
+        ex = "SELECT vec_id, posexplode(v) AS (idx, x) FROM emb"
+    else:
+        ex = (
+            "SELECT vec_id, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x"
+            " FROM emb"
+        )
+    m = D.int_div(d, "idx", str(PQ_SUBDIM))
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        ex0 AS ({ex}),
+        vx AS (
+            SELECT vec_id, cast({m} as bigint) AS m,
+                   cast(idx % {PQ_SUBDIM} as bigint) AS j, x
+            FROM ex0
+        ),
+        grp AS (
+            SELECT vec_id, m, cast({PQ_SIGN_BITS} as bigint) AS g
+            FROM vx GROUP BY vec_id, m
+        )
+        SELECT vx.m, g.g AS code, vx.j, {_qmean('vx.x', 'c')}
+        FROM vx JOIN grp g ON g.vec_id = vx.vec_id AND g.m = vx.m
+        GROUP BY vx.m, g.g, vx.j
+    """
+
+
+def _pq_body(d: str, cent_def: str, tail: str) -> str:
+    """Shared PQ statement frame: embeddings -> flat (vec_id, m, j, x)
+    subvector rows -> per-(vector, subspace, code) quantized-L2 against the
+    codebook -> nearest-code encoding. Distances are floor-quantized to
+    2^-30 fixed point BEFORE the 8-term sum, so the per-code distance is
+    an exact BIGINT (order-free, both engines identical) -- the _qmean
+    trick applied to distances; ties break on code ASC."""
+    v = V.to_double_array(d, "embedding")
+    nv = V.norm(d, "v", EMB_DIM)
+    if d == D.SPARK:
+        ex = "SELECT vec_id, posexplode(v) AS (idx, x) FROM emb0"
+    else:
+        ex = (
+            "SELECT vec_id, generate_subscripts(v, 1) - 1 AS idx, unnest(v) AS x"
+            " FROM emb0"
+        )
+    m = D.int_div(d, "idx", str(PQ_SUBDIM))
+    return f"""
+        WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, v, {nv} AS nv FROM emb0),
+        ex0 AS ({ex}),
+        vx AS (
+            SELECT vec_id, cast({m} as bigint) AS m,
+                   cast(idx % {PQ_SUBDIM} as bigint) AS j, x
+            FROM ex0
+        ),
+        cent AS ({cent_def}),
+        enc0 AS (
+            SELECT vx.vec_id, vx.m, cent.code,
+                   cast(sum(cast(floor((vx.x - cent.c) * (vx.x - cent.c)
+                                       * {PQ_SCALE}.0) as bigint)) as bigint)
+                       AS qdist
+            FROM vx JOIN cent ON cent.m = vx.m AND cent.j = vx.j
+            GROUP BY vx.vec_id, vx.m, cent.code
+        ),
+        enc AS (
+            SELECT vec_id, m, code, qdist FROM (
+                SELECT vec_id, m, code, qdist,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY qdist ASC, code ASC) AS rn
+                FROM enc0
+            ) r WHERE rn = 1
+        ){tail}
+    """
+
+
+def _pq_ann_sql(d: str, cent_def: str | None = None) -> str:
+    """PQ asymmetric-distance (ADC) ANN: the memory-bounded ANN pattern at
+    100 TB -- the corpus lives as M=8 one-byte codes + one stored norm per
+    vector (a 64-float vector becomes 8 codes), and a query scans CODES,
+    never raw vectors (Jegou, Douze, Schmid 2011). Per query: an M x K
+    lookup table of query-subvector x centroid dot products
+    (floor-quantized to 2^-30 fixed point so every LUT entry is an exact
+    BIGINT), then approximate dot(q, x) = sum over subspaces of
+    LUT[m, code_m(x)] -- an integer sum, order-free and engine-identical;
+    approximate cosine divides by the exact stored norms. Top-3 per query,
+    tie-broken on vec_id.
+
+    Scale shape: encode is a (vec_id, m, j)-flat join against the 1024-row
+    broadcast codebook (linear in N with constant 1024); the ADC join
+    touches N x M code rows against an nq x M x K broadcast LUT -- linear
+    scan of the code relation per query batch, the PQ promise. Candidate
+    recall vs exact truth is ann_recall_report's job; this arm reports its
+    approximate cosines directly."""
+    tail = f""",
+        q AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS qnv
+            FROM emb WHERE vec_id < {PQ_NQ}
+        ),
+        qx AS (
+            SELECT q.q_id, vx.m, vx.j, vx.x AS qx
+            FROM vx JOIN q ON vx.vec_id = q.q_id
+        ),
+        lut AS (
+            SELECT qx.q_id, qx.m, cent.code,
+                   cast(sum(cast(floor(qx.qx * cent.c * {PQ_SCALE}.0)
+                                 as bigint)) as bigint) AS lv
+            FROM qx JOIN cent ON cent.m = qx.m AND cent.j = qx.j
+            GROUP BY qx.q_id, qx.m, cent.code
+        ),
+        adc AS (
+            SELECT l.q_id, e.vec_id, cast(sum(l.lv) as bigint) AS s
+            FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+            WHERE e.vec_id <> l.q_id
+            GROUP BY l.q_id, e.vec_id
+        ),
+        scored AS (
+            SELECT a.q_id, a.vec_id,
+                   (case when n.nv = 0.0 or q.qnv = 0.0 then 0.0
+                         else (cast(a.s as double) / {PQ_SCALE}.0)
+                              / (n.nv * q.qnv) end) AS approx_cosine
+            FROM adc a
+            JOIN emb n ON n.vec_id = a.vec_id
+            JOIN q ON q.q_id = a.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, approx_cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY approx_cosine DESC, vec_id ASC)
+                       AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, approx_cosine, cast(rnk as bigint) AS rnk
+        FROM ranked WHERE rnk <= {PQ_TOPK}"""
+    return _pq_body(d, cent_def if cent_def is not None else _pq_cent_sql(d), tail)
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC ANN (see _pq_ann_sql). The 1024-row codebook is materialized
+    once (localCheckpoint): the encode join and the query LUT both consume
+    it, and CTE re-inlining would re-run the training group-agg twice."""
+    _view(spark, sf_dir, "embeddings")
+    cent = spark.sql(_pq_cent_sql(D.SPARK))
+    cent.localCheckpoint(eager=True).createOrReplaceTempView("pq_cent")
+    return spark.sql(_pq_ann_sql(D.SPARK, "SELECT m, code, j, c FROM pq_cent"))
+
+
+def _pq_distortion_sql(d: str, cent_def: str | None = None) -> str:
+    """PQ codebook QA: per-subspace quantization error and code balance --
+    the audit a deployment runs after (re)training a codebook (the
+    ivf_cell_balance pattern one level down). Per subspace: mean chosen-
+    code quantized L2 (decimal-exact sum of the BIGINT fixed-point
+    distances -- the _qmean overflow lesson applies at corpus scale),
+    number of codes actually used (dead codes = wasted codebook capacity),
+    and the hottest code's share (skew = ADC join hot keys). All counts
+    exact; the two divisions are one IEEE step each."""
+    tail = f""",
+        per_code AS (
+            SELECT m, code, cast(count(*) as bigint) AS n_vecs
+            FROM enc GROUP BY m, code
+        ),
+        bal AS (
+            SELECT m, cast(count(*) as bigint) AS codes_used,
+                   cast(max(n_vecs) as bigint) AS hottest,
+                   cast(sum(n_vecs) as bigint) AS n
+            FROM per_code GROUP BY m
+        ),
+        dist AS (
+            SELECT m,
+                   cast(cast(sum(cast(qdist as decimal(38,0))) as double)
+                        / (count(*) * {PQ_SCALE}.0) as double) AS mean_qerr
+            FROM enc GROUP BY m
+        )
+        SELECT b.m, b.codes_used, b.hottest,
+               cast(b.hottest as double) / cast(b.n as double) AS hottest_share,
+               d2.mean_qerr
+        FROM bal b JOIN dist d2 ON d2.m = b.m
+        ORDER BY b.m ASC"""
+    return _pq_body(d, cent_def if cent_def is not None else _pq_cent_sql(d), tail)
+
+
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook QA (see _pq_distortion_sql); codebook checkpointed once
+    (encode consumes it; re-inlining would re-run the training agg)."""
+    _view(spark, sf_dir, "embeddings")
+    cent = spark.sql(_pq_cent_sql(D.SPARK))
+    cent.localCheckpoint(eager=True).createOrReplaceTempView("pq_cent")
+    return spark.sql(
+        _pq_distortion_sql(D.SPARK, "SELECT m, code, j, c FROM pq_cent")
+    )
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -8066,6 +8286,9 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-7 batch-5 additions (never driver-proven) ---
+    "pq_ann": (q_pq_ann, _pq_ann_sql),
+    "pq_distortion": (q_pq_distortion, _pq_distortion_sql),
     # --- round-7 batch-4 additions (never driver-proven) ---
     "triangle_count": (q_triangle_count, _triangle_count_sql),
     "source_ngram_overlap": (q_source_ngram_overlap, _source_ngram_overlap_sql),

@@ -132,6 +132,9 @@ def main() -> None:
         "countmin_heavy_hitters",
         "bloom_dedup_probe",
         "image_dimensions",
+        # round-7 batch 5: PQ ADC ANN + codebook QA (embeddings-side)
+        "pq_ann",
+        "pq_distortion",
     ):
         t0 = time.perf_counter()
         extra_counts[name] = qs[name](spark, out).count()
