@@ -1338,10 +1338,12 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_recall_sql(d: str) -> str:
     """ANN quality report (round 6, VERDICT r5 item 5): recall@3 and
-    precision of BOTH approximate arms (banded-LSH, multi-probe IVF)
-    against the exact brute-force top-3 -- the ANN analog of
-    dedup_recall_report. The approximate arms are the UNCHANGED production
-    SQL (_ann_lsh_sql / _ivf_ann_sql wrapped as subqueries), so the report
+    precision of ALL approximate arms (banded-LSH, multi-probe IVF, and
+    since r7 the PQ ADC arm -- the lossy-code path whose recall the
+    engine must surface honestly) against the exact brute-force top-3 --
+    the ANN analog of dedup_recall_report. The approximate arms are the
+    UNCHANGED production
+    SQL (_ann_lsh_sql / _ivf_ann_sql / _pq_ann_sql subqueries), so the report
     measures what the engine actually serves, and the exact arm uses the
     same cosine + (cosine DESC, vec_id ASC) tie-break so rank sets are
     deterministic cross-engine. All counts are exact BIGINTs; recall and
@@ -1400,7 +1402,11 @@ def _ann_recall_tail(d: str, approx_src: str | None = None) -> str:
     else:
         arm_union = "\n            UNION ALL ".join(
             f"SELECT '{method}' AS method, q_id, vec_id FROM ({sql}) {method}_arm"
-            for method, sql in (("ivf", _ivf_ann_sql(d)), ("lsh", _ann_lsh_sql(d)))
+            for method, sql in (
+                ("ivf", _ivf_ann_sql(d)),
+                ("lsh", _ann_lsh_sql(d)),
+                ("pq", _pq_ann_sql(d)),
+            )
         )
     return f"""possible AS (SELECT cast(count(*) as bigint) AS n_exact,
                             cast(count(distinct q_id) as bigint) AS n_queries
@@ -1420,7 +1426,7 @@ def _ann_recall_tail(d: str, approx_src: str | None = None) -> str:
             SELECT m.method,
                    cast(coalesce(a.approx_rows, 0) as bigint) AS approx_rows,
                    cast(coalesce(a.hits, 0) as bigint) AS hits
-            FROM (VALUES ('ivf'), ('lsh')) AS m(method)
+            FROM (VALUES ('ivf'), ('lsh'), ('pq')) AS m(method)
             LEFT JOIN arms0 a ON m.method = a.method
         )
         SELECT a.method, p.n_queries, a.approx_rows, a.hits, p.n_exact,
@@ -1460,7 +1466,7 @@ def _ensure_exact_knn_truth(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall/precision of the LSH and IVF ANN arms vs exact top-3. The
+    """Recall/precision of the LSH, IVF, and PQ ANN arms vs exact top-3. The
     exact arm reads the PERSISTED ground-truth table (built once per
     corpus snapshot by _ensure_exact_knn_truth -- the
     dedup_recall_report/*_indexed pattern): the recurring audit pays probe
@@ -1485,7 +1491,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection, value-identical); auditing the oracle-shaped SQL instead
     # measured 4.8-8 s for the lsh arm alone vs ~2 s for the served plan
     rows: list[str] = []
-    for method, fn in (("ivf", q_ivf_ann), ("lsh", q_ann_lsh)):
+    for method, fn in (("ivf", q_ivf_ann), ("lsh", q_ann_lsh), ("pq", q_pq_ann)):
         for r in fn(spark, sf_dir).select("q_id", "vec_id").collect():
             rows.append(f"('{method}', {r['q_id']}, {r['vec_id']})")
     if rows:
