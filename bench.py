@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "source_ngram_overlap",
     "pq_ann",
     "pq_distortion",
+    "lsh_band_sweep",
 ]
 
 

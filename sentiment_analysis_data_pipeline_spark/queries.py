@@ -8277,6 +8277,178 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-7 batch 6: LSH banding parameter sweep
+# =========================================================================
+
+# Every partition of the k=16 minhash signature into bands x rows-per-band;
+# the S-curve midpoint (1/b)^(1/r) spans ~0.06 -> ~0.92 across them, so the
+# sweep brackets any realistic near-dup threshold choice.
+SWEEP_CONFIGS: tuple[tuple[int, int], ...] = ((16, 1), (8, 2), (4, 4), (2, 8))
+# Band keys shared by more docs than this are hub keys (a single hot minhash
+# value -- usually a boilerplate shingle that is the min for thousands of
+# docs). At b=16/r=1 EVERY common low-hash shingle becomes such a key and the
+# candidate equi-join goes quadratic (the uncapped-shingle bomb ngram_jaccard
+# and dup_span_pairs already cap); hub keys are excluded from pair generation
+# and REPORTED per config instead of silently exploding.
+SWEEP_KEY_CAP = 256
+SWEEP_TRUTH_DF_CAP = 1024  # mirrors ngram_jaccard_pairs' hot-shingle cap
+
+
+def _sweep_hashed_sql(d: str) -> str:
+    """(doc, h): one md5 per DISTINCT 3-token shingle per doc -- the shared
+    upstream of BOTH the minhash signatures and the exact-Jaccard truth
+    (same chain as _minhash_sql through `hashed`)."""
+    toks = TX.tokenize(d, TEXT)
+    shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
+    explode_sh = (
+        "SELECT doc, explode(shingles) AS s FROM nonempty"
+        if d == D.SPARK
+        else "SELECT doc, unnest(shingles) AS s FROM nonempty"
+    )
+    return f"""
+        WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents),
+        shingled AS (SELECT doc, {shingles} AS shingles FROM tokd),
+        nonempty AS (SELECT doc, shingles FROM shingled WHERE {D.arr_size(d, 'shingles')} > 0),
+        exploded AS ({explode_sh})
+        SELECT doc, md5(s) AS h FROM exploded
+    """
+
+
+def _sweep_sigs_from(d: str, hashed_src: str) -> str:
+    """k=16 minhash signature (doc, m0..m15) from the shared hashed relation
+    -- same KM double-hashing aggregate shape as _minhash_sql."""
+    h1, h2 = H.hash_halves_cols(d, "h")
+    aggs = ", ".join(H.km_minhash_aggs(16))
+    return (
+        f"SELECT doc, {aggs} FROM "
+        f"(SELECT doc, {h1} AS h1, {h2} AS h2 FROM ({hashed_src}) hsrc) halves "
+        f"GROUP BY doc"
+    )
+
+
+def _sweep_capped_from(d: str, hashed_src: str) -> str:
+    """df-capped inverted shingle index (doc, sh): shingle hashes in more
+    than SWEEP_TRUTH_DF_CAP docs dropped before sizes AND the self-join
+    (identical rule to _ngram_jaccard_sql, so n_truth is consistent with
+    the ngram_jaccard_pairs registry query)."""
+    return (
+        f"SELECT doc, h AS sh FROM "
+        f"(SELECT doc, h, count(*) OVER (PARTITION BY h) AS df_ FROM ({hashed_src}) h0) c "
+        f"WHERE df_ <= {SWEEP_TRUTH_DF_CAP}"
+    )
+
+
+def _sweep_truth_from(d: str, capped_src: str) -> str:
+    """Exact ground-truth near-dup pairs (Jaccard >= 0.5) from the capped
+    inverted index -- the _ngram_jaccard_sql co-count, pairs only."""
+    return f"""
+        SELECT co.id_a, co.id_b
+        FROM (SELECT a.doc AS id_a, b.doc AS id_b, cast(count(*) as bigint) AS inter
+              FROM ({capped_src}) a JOIN ({capped_src}) b ON a.sh = b.sh
+              WHERE a.doc < b.doc GROUP BY a.doc, b.doc) co
+        JOIN (SELECT doc, cast(count(*) as bigint) AS n FROM ({capped_src}) i GROUP BY doc) na
+             ON na.doc = co.id_a
+        JOIN (SELECT doc, cast(count(*) as bigint) AS n FROM ({capped_src}) i2 GROUP BY doc) nb
+             ON nb.doc = co.id_b
+        WHERE cast(co.inter as double) / cast(na.n + nb.n - co.inter as double) >= 0.5
+    """
+
+
+def _band_sweep_core(d: str, sigs_src: str, truth_src: str) -> str:
+    """One statement scoring every SWEEP_CONFIGS banding against the exact
+    truth: candidate count, hub-key count, hits (candidates that are true
+    >= 0.5 pairs), precision and recall at the 0.5 threshold. The s_curve_tau
+    literal (1/b)^(1/r) is computed driver-side and inlined, so both engines
+    parse the identical decimal literal (no cross-engine pow()).
+
+    Scale shape per config: band keys collapse map-side on the uniform
+    (band_key) string; the hub cap bounds per-key fan-out at
+    SWEEP_KEY_CAP^2/2 pairs; the stat LEFT JOIN meets truth on the (id_a,
+    id_b) pair key. The sweep reads SIGNATURES (one row per doc), not text:
+    re-banding is signature-local arithmetic, which is exactly why a planner
+    can afford to sweep before committing a threshold at 100 TB."""
+    explode = "explode(band_arr)" if d == D.SPARK else "unnest(band_arr)"
+    blocks: list[str] = []
+    selects: list[str] = []
+    for b, r in SWEEP_CONFIGS:
+        tau = repr((1.0 / b) ** (1.0 / r))
+        keys = H.band_keys_from_members(d, bands=b, rows=r)
+        blocks.append(f"""
+        arr{b} AS (SELECT doc, {keys} AS band_arr FROM sigs),
+        bk{b} AS (SELECT doc, {explode} AS band_key FROM arr{b}),
+        kdf{b} AS (SELECT band_key, doc, count(*) OVER (PARTITION BY band_key) AS kdf FROM bk{b}),
+        ok{b} AS (SELECT band_key, doc FROM kdf{b} WHERE kdf <= {SWEEP_KEY_CAP}),
+        hub{b} AS (SELECT cast(count(DISTINCT band_key) as bigint) AS n_hub_keys
+                   FROM kdf{b} WHERE kdf > {SWEEP_KEY_CAP}),
+        cand{b} AS (SELECT DISTINCT a.doc AS id_a, c.doc AS id_b
+                    FROM ok{b} a JOIN ok{b} c ON a.band_key = c.band_key
+                    WHERE a.doc < c.doc),
+        stat{b} AS (SELECT cast(count(*) as bigint) AS n_candidates,
+                           cast(count(t.id_a) as bigint) AS n_hits
+                    FROM cand{b} c LEFT JOIN truth t
+                         ON t.id_a = c.id_a AND t.id_b = c.id_b)""")
+        selects.append(f"""
+        SELECT cast({b} as bigint) AS bands, cast({r} as bigint) AS rows_per_band,
+               cast({tau} as double) AS s_curve_tau,
+               s.n_candidates, s.n_hits, h.n_hub_keys, t.n_truth,
+               case when s.n_candidates > 0
+                    then cast(s.n_hits as double) / cast(s.n_candidates as double)
+                    else cast(0.0 as double) end AS precision_at_half,
+               case when t.n_truth > 0
+                    then cast(s.n_hits as double) / cast(t.n_truth as double)
+                    else cast(0.0 as double) end AS recall_at_half
+        FROM stat{b} s CROSS JOIN hub{b} h CROSS JOIN tcnt t""")
+    return f"""
+        WITH sigs AS ({sigs_src}),
+        truth AS ({truth_src}),
+        tcnt AS (SELECT cast(count(*) as bigint) AS n_truth FROM truth),
+        {",".join(blocks)}
+        {" UNION ALL ".join(selects)}
+    """
+
+
+def _lsh_band_sweep_sql(d: str) -> str:
+    hashed = _sweep_hashed_sql(d)
+    return _band_sweep_core(
+        d,
+        _sweep_sigs_from(d, hashed),
+        _sweep_truth_from(d, _sweep_capped_from(d, hashed)),
+    )
+
+
+def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep (see _band_sweep_core): which (bands,
+    rows-per-band) partition of the k=16 signature should the dedup family
+    run at this corpus? Answered with measured candidate volume, hub-key
+    count, precision and recall at the production 0.5 threshold, per config,
+    from ONE signature pass.
+
+    Materialization ladder (each relation consumed by several branches, and
+    CTE re-inlining would re-run the upstream chain per branch -- the
+    pagerank_step/triangle_count barrier): the shared shingle-hash relation
+    once (sigs + truth both derive from it), the df-capped inverted index
+    once (3 truth branches), the signatures once (4 config branches), and
+    the truth pairs once (4 stat LEFT JOINs + tcnt)."""
+    _view(spark, sf_dir, "documents")
+    hashed = spark.sql(_sweep_hashed_sql(D.SPARK))
+    hashed.localCheckpoint(eager=True).createOrReplaceTempView("sweep_hashed")
+    hashed_src = "SELECT doc, h FROM sweep_hashed"
+    capped = spark.sql(_sweep_capped_from(D.SPARK, hashed_src))
+    capped.localCheckpoint(eager=True).createOrReplaceTempView("sweep_capped")
+    sigs = spark.sql(_sweep_sigs_from(D.SPARK, hashed_src))
+    sigs.localCheckpoint(eager=True).createOrReplaceTempView("sweep_sigs")
+    truth = spark.sql(_sweep_truth_from(D.SPARK, "SELECT doc, sh FROM sweep_capped"))
+    truth.localCheckpoint(eager=True).createOrReplaceTempView("sweep_truth")
+    return spark.sql(
+        _band_sweep_core(
+            D.SPARK,
+            "SELECT * FROM sweep_sigs",
+            "SELECT id_a, id_b FROM sweep_truth",
+        )
+    )
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -8292,6 +8464,8 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-7 batch-6 additions (never driver-proven) ---
+    "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

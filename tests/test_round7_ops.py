@@ -406,3 +406,61 @@ def test_source_ngram_overlap_dedups_within_source(spark):
     # s1 docs: {alpha_repeated_ngram, repeated_ngram_here} and
     # {alpha_repeated_ngram, repeated_ngram_there} -> 3 distinct
     assert r["shingles_a"] == 3 and r["shingles_b"] == 2 and r["shared"] == 0
+
+
+# ---------------------------------------------------------- lsh band sweep
+
+
+def test_lsh_band_sweep_identical_pair_all_configs(spark):
+    # Two identical docs share the full signature, hence at least one band
+    # key in EVERY banding config; with exactly one true >= 0.5 pair, every
+    # config reports recall 1.0. Unique docs contribute no truth pairs.
+    dup = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, dup, "en", "s", 1),
+        (1, dup, "en", "s", 1),
+        (2, "completely different words about entirely other topics and things", "en", "s", 1),
+        (3, "yet another unrelated document speaking of separate matters only", "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._lsh_band_sweep_sql(Q.D.SPARK)).collect()
+    assert len(out) == 4
+    assert {(r["bands"], r["rows_per_band"]) for r in out} == set(Q.SWEEP_CONFIGS)
+    for r in out:
+        assert r["n_truth"] == 1
+        assert r["n_hits"] == 1 and r["n_candidates"] >= 1
+        assert r["recall_at_half"] == 1.0
+        assert 0.0 < r["precision_at_half"] <= 1.0
+        assert r["n_hub_keys"] == 0
+    # S-curve midpoints: finer banding -> lower threshold
+    taus = {(r["bands"], r["rows_per_band"]): r["s_curve_tau"] for r in out}
+    assert taus[(16, 1)] < taus[(8, 2)] < taus[(4, 4)] < taus[(2, 8)]
+
+
+def test_lsh_band_sweep_hub_cap_excludes_and_reports(spark):
+    # SWEEP_KEY_CAP + 4 identical docs: every band key of every config is
+    # shared by all of them -> all keys are hub keys -> zero candidates, a
+    # positive hub-key count, and the truth pairs (below the truth df cap)
+    # are honestly reported as missed (recall 0.0), not silently exploded
+    # into cap^2 candidate pairs.
+    n = Q.SWEEP_KEY_CAP + 4
+    txt = "one common passage repeated verbatim across every document in this synthetic hub corpus"
+    rows = [(i, txt, "en", "s", 1) for i in range(n)]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._lsh_band_sweep_sql(Q.D.SPARK)).collect()
+    expect_truth = n * (n - 1) // 2
+    for r in out:
+        assert r["n_truth"] == expect_truth
+        assert r["n_candidates"] == 0 and r["n_hits"] == 0
+        assert r["n_hub_keys"] >= 1
+        assert r["recall_at_half"] == 0.0 and r["precision_at_half"] == 0.0
+
+
+def test_lsh_band_sweep_truth_consistent_with_ngram_jaccard(spark):
+    # n_truth uses the same df-capped inverted-index rule as the
+    # ngram_jaccard_pairs registry query: the counts must agree on real data.
+    sf = "/root/testdata/sf0.001"
+    sweep = Q.q_lsh_band_sweep(spark, sf).collect()
+    truths = {r["n_truth"] for r in sweep}
+    assert len(truths) == 1
+    assert truths.pop() == Q.q_ngram_jaccard_pairs(spark, sf).count()
