@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "pq_ann",
     "pq_distortion",
     "lsh_band_sweep",
+    "classifier_score",
 ]
 
 

@@ -6518,6 +6518,116 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_logreg_step_sql(D.SPARK))
 
 
+_LR_RATE = 0.5  # dyadic learning rate for the applied step (exact in IEEE)
+
+
+def _clf_feats_sql(d: str) -> str:
+    """(source, x1..x3, y): the logreg_step feature row extended with the
+    source key -- shared upstream of the gradient AND the scoring pass."""
+    toks = TX.tokenize(d, TEXT)
+    nt = D.arr_size(d, toks)
+    f1 = "(cast(n_chars as double) / 1000.0)"
+    f2 = f"(cast({nt} as double) / 100.0)"
+    f3 = f"(cast(n_chars as double) / (cast({nt} as double) + 1.0) / 10.0)"
+    return (
+        f"SELECT source, {f1} AS x1, {f2} AS x2, {f3} AS x3, "
+        f"case when lang = 'en' then 1 else 0 end AS y FROM documents"
+    )
+
+
+def _classifier_score_core(d: str, feats_src: str) -> str:
+    """Train-then-apply quality-classifier report: take ONE logreg gradient
+    step from _LR_W0 (the exact _logreg_step_sql arithmetic, inlined), apply
+    the updated weights to every document, and report the per-source score
+    DISTRIBUTION -- n_docs, share and mean per 0.1-wide score band. This is
+    the report a curation planner reads before choosing a keep threshold
+    (fasttext-quality-classifier workflow), and it closes the engine's
+    train->infer loop: logreg_step produces the gradient, this consumes it.
+
+    Parity: the gradient replay is bit-identical to _logreg_step_sql
+    (same 2^-20 sigmoid floor, decimal(38,0) accumulators); the updated
+    weights are a fixed chain of IEEE ops on those exact sums; per-doc
+    scores are re-floored to 2^-20 so the band assignment is integer-exact
+    (band = sq*10 div 2^20 -- no float comparison at the boundary); band
+    shares and means divide exact BIGINT/decimal sums.
+
+    Scale shape: two linear passes over the feature relation (one
+    all-columns partial agg for the gradient, one scan for scoring) + a
+    1-row broadcast cross join carrying the weights; the histogram is a
+    (source, band)-keyed partial agg. No per-row Python, no wide state."""
+    q = float(_LR_Q)
+    qi = int(_LR_Q)
+    w = _LR_W0
+    z0 = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2 + {w[3]!r} * x3)"
+    sig_q = f"cast(floor((1.0 / (1.0 + exp(-{z0}))) * {q!r}) as bigint)"
+    gsum = lambda fx: (  # noqa: E731
+        f"sum(cast(rq * cast(floor({fx} * {q!r}) as bigint) as decimal(38,0)))"
+    )
+    wj = lambda j, gj: (  # noqa: E731
+        f"({w[j]!r} - {_LR_RATE!r} * (cast({gj} as double) / (n * {q * q!r}))) AS c{j}"
+    )
+    z1 = "(c0 + c1 * x1 + c2 * x2 + c3 * x3)"
+    sq1 = f"cast(floor((1.0 / (1.0 + exp(-{z1}))) * {q!r}) as bigint)"
+    band = f"least(cast(9 as bigint), {D.int_div(d, '(sq * 10)', str(qi))})"
+    return f"""
+        WITH feats AS ({feats_src}),
+        resid AS (
+            SELECT x1, x2, x3, {sig_q} - y * {qi} AS rq FROM feats
+        ),
+        agg AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   {gsum("1.0")} AS g0, {gsum("x1")} AS g1,
+                   {gsum("x2")} AS g2, {gsum("x3")} AS g3
+            FROM resid
+        ),
+        w1 AS (
+            SELECT {wj(0, "g0")}, {wj(1, "g1")}, {wj(2, "g2")}, {wj(3, "g3")}
+            FROM agg
+        ),
+        scored AS (
+            SELECT f.source, {sq1} AS sq
+            FROM feats f CROSS JOIN w1
+        ),
+        banded AS (
+            SELECT source, {band} AS band, sq FROM scored
+        ),
+        hist AS (
+            SELECT source, band,
+                   cast(count(*) as bigint) AS n_docs,
+                   sum(cast(sq as decimal(38,0))) AS sqsum
+            FROM banded GROUP BY source, band
+        ),
+        totals AS (
+            SELECT source, cast(sum(n_docs) as bigint) AS nsrc FROM hist GROUP BY source
+        )
+        SELECT h.source, h.band,
+               cast(h.band as double) / 10.0 AS band_lo,
+               h.n_docs,
+               cast(h.n_docs as double) / cast(t.nsrc as double) AS share,
+               cast(cast(h.sqsum as double) / (cast(h.n_docs as double) * {q!r}) as double)
+                   AS band_mean_score
+        FROM hist h JOIN totals t ON t.source = h.source
+        ORDER BY h.source ASC, h.band ASC
+    """
+
+
+def _classifier_score_sql(d: str) -> str:
+    return _classifier_score_core(d, _clf_feats_sql(d))
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration report (see _classifier_score_core).
+    The feature relation is materialized once: the gradient agg and the
+    scoring scan both consume it, and CTE re-inlining would tokenize the
+    corpus twice (x2/x3 need token counts)."""
+    _view(spark, sf_dir, "documents")
+    feats = spark.sql(_clf_feats_sql(D.SPARK))
+    feats.localCheckpoint(eager=True).createOrReplaceTempView("clf_feats")
+    return spark.sql(
+        _classifier_score_core(D.SPARK, "SELECT source, x1, x2, x3, y FROM clf_feats")
+    )
+
+
 def _copurchase_pairs_sql(d: str) -> str:
     """Co-occurrence mining (the "also bought" building block): part pairs
     appearing in the same order, counted across all orders, top-50 by
@@ -8466,6 +8576,7 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
+    "classifier_score": (q_classifier_score, _classifier_score_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

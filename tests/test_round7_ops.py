@@ -464,3 +464,84 @@ def test_lsh_band_sweep_truth_consistent_with_ngram_jaccard(spark):
     truths = {r["n_truth"] for r in sweep}
     assert len(truths) == 1
     assert truths.pop() == Q.q_ngram_jaccard_pairs(spark, sf).count()
+
+
+# -------------------------------------------------------- classifier score
+
+
+def _clf_replica(rows):
+    """Pure-Python bit-for-bit replica of _classifier_score_core for texts
+    of plain lowercase space-separated words (tokenize == str.split)."""
+    import math
+
+    QI = 1 << 20
+    qf = float(QI)
+    W0 = Q._LR_W0
+    LR = Q._LR_RATE
+    feats = []
+    for _doc_id, text, lang, source, n_chars in rows:
+        nt = len(text.split())
+        x1 = n_chars / 1000.0
+        x2 = nt / 100.0
+        x3 = n_chars / (nt + 1.0) / 10.0
+        feats.append((source, x1, x2, x3, 1 if lang == "en" else 0))
+    n = len(feats)
+    g = [0, 0, 0, 0]
+    for _s, x1, x2, x3, y in feats:
+        z0 = W0[0] + W0[1] * x1 + W0[2] * x2 + W0[3] * x3
+        rq = math.floor((1.0 / (1.0 + math.exp(-z0))) * qf) - y * QI
+        for j, fx in enumerate((1.0, x1, x2, x3)):
+            g[j] += rq * math.floor(fx * qf)
+    qq = qf * qf
+    w1 = [W0[j] - LR * (float(g[j]) / (n * qq)) for j in range(4)]
+    cells: dict = {}
+    for s, x1, x2, x3, _y in feats:
+        z1 = w1[0] + w1[1] * x1 + w1[2] * x2 + w1[3] * x3
+        sq = math.floor((1.0 / (1.0 + math.exp(-z1))) * qf)
+        band = min(9, (sq * 10) // QI)
+        c, t = cells.get((s, band), (0, 0))
+        cells[(s, band)] = (c + 1, t + sq)
+    totals: dict = {}
+    for (s, _b), (c, _t) in cells.items():
+        totals[s] = totals.get(s, 0) + c
+    return {
+        (s, b): (
+            c,
+            float(b) / 10.0,
+            float(c) / float(totals[s]),
+            (float(t) / (float(c) * qf)),
+        )
+        for (s, b), (c, t) in cells.items()
+    }
+
+
+def test_classifier_score_replica_exact(spark):
+    rows = [
+        (0, "short words here now", "en", "alpha", 120),
+        (1, "a much longer document with many more tokens than the first one has", "en", "alpha", 900),
+        (2, "medium length text with several words inside it", "fr", "beta", 450),
+        (3, "tiny", "en", "beta", 8),
+        (4, "another alpha doc of middling size and ordinary words", "en", "alpha", 300),
+    ]
+    _docs_view(spark, rows)
+    got = {
+        (r["source"], r["band"]): (
+            r["n_docs"], r["band_lo"], r["share"], r["band_mean_score"],
+        )
+        for r in spark.sql(Q._classifier_score_sql(Q.D.SPARK)).collect()
+    }
+    assert got == _clf_replica(rows)
+
+
+def test_classifier_score_bands_partition_sources(spark):
+    # shares within one source sum to 1.0 (exact: each is c/total with the
+    # same total) and every band is in [0, 9]
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_classifier_score(spark, sf).collect()
+    per_src: dict = {}
+    for r in out:
+        assert 0 <= r["band"] <= 9
+        per_src.setdefault(r["source"], []).append(r)
+    for _s, rs in per_src.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-12
+        assert sum(r["n_docs"] for r in rs) >= 1
