@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "pq_distortion",
     "lsh_band_sweep",
     "classifier_score",
+    "char_entropy",
 ]
 
 

@@ -6628,6 +6628,89 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENT_Q = 1 << 20
+# 1/ln(2) as a driver-side literal: log2(x) = ln(x) * INV_LN2 leaves ONE
+# transcendental (ln) in the expression -- both engines parse the identical
+# decimal constant instead of each computing their own ln(2.0)
+_INV_LN2 = 1.4426950408889634
+
+
+def _char_entropy_sql(d: str) -> str:
+    """Per-source character-entropy distribution -- the compressibility /
+    repetitiveness quality proxy (CCNet-style pipelines use the gzip ratio;
+    Shannon char entropy is its deterministic, distributable analog; a doc
+    of one repeated char scores 0 bits, English prose ~4.1). Complements
+    repetition_metrics (line/ngram duplication) and quality_score
+    (length/punct ratios) with a signal neither captures: low-diversity
+    character streams (padded logs, ASCII art, base64 walls).
+
+    Exactness: per (doc, char) term c * floor(log2(L/c) * 2^20) is an exact
+    BIGINT (ln's last-ulp is quantized away by the floor -- the zipf_slope
+    treatment); the per-doc sum is order-free; per-doc entropy quantizes
+    once more via integer division by L (2^-20-bit units), so source-level
+    mean/min/max/share aggregate exact BIGINTs and divide once at the end.
+
+    Scale shape: the char explode is one row per character (the
+    duplicate_spans posting relation without the md5), collapsed map-side
+    by the (doc, char) partial agg to ~alphabet-size rows per doc before
+    any shuffle; everything after is doc- then source-sized."""
+    q = float(_ENT_Q)
+    qi = int(_ENT_Q)
+    if d == D.SPARK:
+        gen = "explode(sequence(1, length(t)))"
+    else:
+        gen = "unnest(generate_series(1, length(t)))"
+    log2_term = f"ln(cast(l.L as double) / cast(f.c as double)) * {_INV_LN2!r}"
+    return f"""
+        WITH chars AS (
+            SELECT doc_id, source, substring(t, p, 1) AS ch
+            FROM (SELECT doc_id, source, {gen} AS p, t
+                  FROM (SELECT doc_id, source, {TEXT} AS t FROM documents
+                        WHERE length({TEXT}) >= 1) e) x
+        ),
+        freq AS (
+            SELECT doc_id, source, ch, cast(count(*) as bigint) AS c
+            FROM chars GROUP BY doc_id, source, ch
+        ),
+        lens AS (
+            SELECT doc_id, cast(sum(c) as bigint) AS L,
+                   cast(count(*) as bigint) AS n_distinct
+            FROM freq GROUP BY doc_id
+        ),
+        ent AS (
+            SELECT f.doc_id, f.source,
+                   {D.int_div(d,
+                       f"sum(f.c * cast(floor(({log2_term}) * {q!r}) as bigint))",
+                       "max(l.L)")} AS eq,
+                   max(l.n_distinct) AS n_distinct
+            FROM freq f JOIN lens l ON l.doc_id = f.doc_id
+            GROUP BY f.doc_id, f.source
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(cast(sum(eq) as double) / (cast(count(*) as double) * {q!r}) as double)
+                   AS mean_entropy_bits,
+               cast(cast(min(eq) as double) / {q!r} as double) AS min_entropy_bits,
+               cast(cast(max(eq) as double) / {q!r} as double) AS max_entropy_bits,
+               cast(sum(case when eq < {2 * qi} then 1 else 0 end) as bigint)
+                   AS n_low_entropy,
+               cast(cast(sum(n_distinct) as double) / cast(count(*) as double) as double)
+                   AS mean_distinct_chars
+        FROM ent
+        GROUP BY source
+        ORDER BY source ASC
+    """
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-entropy quality report (see _char_entropy_sql).
+    Single linear statement -- no relation is consumed twice, so no
+    checkpoint is needed; the (doc, char) partial agg collapses the char
+    explode map-side before the only wide shuffle."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_char_entropy_sql(D.SPARK))
+
+
 def _copurchase_pairs_sql(d: str) -> str:
     """Co-occurrence mining (the "also bought" building block): part pairs
     appearing in the same order, counted across all orders, top-50 by
@@ -8577,6 +8660,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),
+    "char_entropy": (q_char_entropy, _char_entropy_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

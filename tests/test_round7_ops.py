@@ -545,3 +545,68 @@ def test_classifier_score_bands_partition_sources(spark):
     for _s, rs in per_src.items():
         assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-12
         assert sum(r["n_docs"] for r in rs) >= 1
+
+
+# ----------------------------------------------------------- char entropy
+
+
+def _entropy_replica(rows):
+    """Pure-Python bit-for-bit replica of _char_entropy_sql."""
+    import math
+    from collections import Counter
+
+    QE = Q._ENT_Q
+    qf = float(QE)
+    per_doc: dict = {}
+    for _doc_id, text, _lang, source, _n in rows:
+        if len(text) < 1:
+            continue
+        freq = Counter(text)
+        L = len(text)
+        eq = sum(
+            c * math.floor((math.log(L / c) * Q._INV_LN2) * qf)
+            for c in freq.values()
+        ) // L
+        per_doc.setdefault(source, []).append((eq, len(freq)))
+    out = {}
+    for s, docs in per_doc.items():
+        n = len(docs)
+        out[s] = (
+            n,
+            float(sum(e for e, _ in docs)) / (float(n) * qf),
+            float(min(e for e, _ in docs)) / qf,
+            float(max(e for e, _ in docs)) / qf,
+            sum(1 for e, _ in docs if e < 2 * QE),
+            float(sum(d for _, d in docs)) / float(n),
+        )
+    return out
+
+
+def test_char_entropy_replica_exact(spark):
+    rows = [
+        (0, "aaaaaaaaaa", "en", "alpha", 1),          # 0 bits: one symbol
+        (1, "abababababab", "en", "alpha", 1),        # 1 bit: two symbols 50/50
+        (2, "the quick brown fox jumps over it", "en", "alpha", 1),
+        (3, "", "en", "alpha", 1),                    # empty: excluded
+        (4, "abcdabcdabcdabcd", "en", "beta", 1),     # 2 bits: four symbols even
+        (5, "zzzzzzzzzzzzzzzzzzzzzq", "en", "beta", 1),  # near-0: skewed
+    ]
+    _docs_view(spark, rows)
+    got = {
+        r["source"]: (
+            r["n_docs"], r["mean_entropy_bits"], r["min_entropy_bits"],
+            r["max_entropy_bits"], r["n_low_entropy"], r["mean_distinct_chars"],
+        )
+        for r in spark.sql(Q._char_entropy_sql(Q.D.SPARK)).collect()
+    }
+    exp = _entropy_replica(rows)
+    assert got == exp
+    # semantic anchors: alpha excludes the empty doc; the single-symbol doc
+    # scores exactly 0 bits (ln(1.0) is exact); the two- and four-symbol
+    # uniform docs land within one 2^-20 quantum of 1 and 2 bits
+    assert got["alpha"][0] == 3 and got["alpha"][2] == 0.0
+    assert got["beta"][0] == 2
+    qe = 1.0 / Q._ENT_Q
+    # ab doc ~1 bit, abcd doc ~2 bits (floor may shave one quantum)
+    assert 1.0 - 2 * qe <= _entropy_replica([rows[1]])["alpha"][1] <= 1.0
+    assert 2.0 - 2 * qe <= _entropy_replica([rows[4]])["beta"][1] <= 2.0
