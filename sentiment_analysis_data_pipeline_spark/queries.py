@@ -8600,6 +8600,116 @@ def _band_sweep_core(d: str, sigs_src: str, truth_src: str) -> str:
     """
 
 
+def _minhash_error_core(d: str, sigs_src: str, capped_src: str) -> str:
+    """MinHash ESTIMATOR-quality audit -- the sketch-QA family member for
+    minhash (pq_distortion audits the PQ codebook, ivf_cell_balance the
+    coarse cells; this audits the signature): over the PRODUCTION (4,4)
+    banding's candidate pairs, compare the signature-estimated Jaccard
+    (matching components / 16 -- Broder's unbiased estimator, k=16 std
+    ~= sqrt(J(1-J)/16) <= 0.125) against the exact df-capped Jaccard, and
+    report the |error| distribution in 0.05-wide bands with per-band mean
+    estimated/exact values. The report surfaces the CANDIDACY SELECTION
+    BIAS head-on: every candidate shares >= 1 band = 4 equal components,
+    so est >= 0.25 by construction while incidental collisions have exact
+    J ~ 0 -- those land in the high-error bands, quantifying exactly how
+    much overshoot the verify stage must filter (at sf0.001 only ~18% of
+    candidates sit below |err| 0.25). A drifting error profile means the
+    shingle space changed (e.g. boilerplate injection) and k or the
+    banding needs re-calibration -- the signal lsh_band_sweep consumes one
+    level up.
+
+    Exactness: per-pair error |matches/16 - inter/u| becomes the integer
+    |matches*u - 16*inter| over 16*u, floor-quantized to 2^-20 by integer
+    division; exact Jaccard quantizes the same way; band assignment is
+    (err_q*20) div 2^20 -- every aggregate sums exact BIGINTs, divisions
+    happen once per output cell. Pairs whose docs lost ALL shingles to the
+    df cap are dropped by the inner sizes join (un-scorable, consistently
+    in both engines)."""
+    explode = "explode(band_arr)" if d == D.SPARK else "unnest(band_arr)"
+    keys = H.band_keys_from_members(d, bands=4, rows=4)
+    matches = " + ".join(
+        f"(case when sa.m{i} = sb.m{i} then 1 else 0 end)" for i in range(16)
+    )
+    qi = int(_ENT_Q)
+    err_q = D.int_div(d, f"(abs(matches * u - 16 * inter) * {qi})", "(16 * u)")
+    jacc_q = D.int_div(d, f"(inter * {qi})", "u")
+    band = f"least(cast(19 as bigint), {D.int_div(d, '(err_q * 20)', str(qi))})"
+    return f"""
+        WITH sigs AS ({sigs_src}),
+        capped AS ({capped_src}),
+        bandarr AS (SELECT doc, {keys} AS band_arr FROM sigs),
+        bands AS (SELECT doc, {explode} AS band_key FROM bandarr),
+        cand AS (
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM bands a JOIN bands b ON a.band_key = b.band_key
+            WHERE a.doc < b.doc
+        ),
+        co AS (
+            SELECT a.doc AS id_a, b.doc AS id_b, cast(count(*) as bigint) AS inter
+            FROM capped a JOIN capped b ON a.sh = b.sh
+            WHERE a.doc < b.doc GROUP BY a.doc, b.doc
+        ),
+        sizes AS (SELECT doc, cast(count(*) as bigint) AS n FROM capped GROUP BY doc),
+        perpair AS (
+            SELECT cast(({matches}) as bigint) AS matches,
+                   coalesce(co.inter, cast(0 as bigint)) AS inter,
+                   na.n + nb.n - coalesce(co.inter, cast(0 as bigint)) AS u
+            FROM cand c
+            JOIN sizes na ON na.doc = c.id_a
+            JOIN sizes nb ON nb.doc = c.id_b
+            JOIN sigs sa ON sa.doc = c.id_a
+            JOIN sigs sb ON sb.doc = c.id_b
+            LEFT JOIN co ON co.id_a = c.id_a AND co.id_b = c.id_b
+        ),
+        quant AS (
+            SELECT matches, {err_q} AS err_q, {jacc_q} AS jacc_q FROM perpair
+        ),
+        binned AS (SELECT {band} AS err_band, matches, jacc_q FROM quant),
+        tcnt AS (SELECT cast(count(*) as bigint) AS total FROM binned)
+        SELECT b.err_band,
+               cast(b.err_band as double) / 20.0 AS band_lo,
+               cast(count(*) as bigint) AS n_pairs,
+               cast(count(*) as double) / cast(max(t.total) as double) AS share,
+               cast(cast(sum(b.matches) as double)
+                    / (16.0 * cast(count(*) as double)) as double) AS mean_est_jaccard,
+               cast(cast(sum(b.jacc_q) as double)
+                    / (cast(count(*) as double) * {float(qi)!r}) as double)
+                   AS mean_exact_jaccard
+        FROM binned b CROSS JOIN tcnt t
+        GROUP BY b.err_band
+        ORDER BY b.err_band ASC
+    """
+
+
+def _minhash_error_sql(d: str) -> str:
+    hashed = _sweep_hashed_sql(d)
+    return _minhash_error_core(
+        d, _sweep_sigs_from(d, hashed), _sweep_capped_from(d, hashed)
+    )
+
+
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-error audit (see _minhash_error_core). Same
+    materialization ladder as lsh_band_sweep: the shared shingle-hash
+    relation once, the df-capped index once (co + two sizes branches), the
+    signatures once (band explode + two per-pair joins)."""
+    _view(spark, sf_dir, "documents")
+    hashed = spark.sql(_sweep_hashed_sql(D.SPARK))
+    hashed.localCheckpoint(eager=True).createOrReplaceTempView("mhe_hashed")
+    hashed_src = "SELECT doc, h FROM mhe_hashed"
+    capped = spark.sql(_sweep_capped_from(D.SPARK, hashed_src))
+    capped.localCheckpoint(eager=True).createOrReplaceTempView("mhe_capped")
+    sigs = spark.sql(_sweep_sigs_from(D.SPARK, hashed_src))
+    sigs.localCheckpoint(eager=True).createOrReplaceTempView("mhe_sigs")
+    return spark.sql(
+        _minhash_error_core(
+            D.SPARK,
+            "SELECT * FROM mhe_sigs",
+            "SELECT doc, sh FROM mhe_capped",
+        )
+    )
+
+
 def _lsh_band_sweep_sql(d: str) -> str:
     hashed = _sweep_hashed_sql(d)
     return _band_sweep_core(
@@ -8661,6 +8771,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),
     "char_entropy": (q_char_entropy, _char_entropy_sql),
+    "minhash_error": (q_minhash_error, _minhash_error_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

@@ -610,3 +610,45 @@ def test_char_entropy_replica_exact(spark):
     # ab doc ~1 bit, abcd doc ~2 bits (floor may shave one quantum)
     assert 1.0 - 2 * qe <= _entropy_replica([rows[1]])["alpha"][1] <= 1.0
     assert 2.0 - 2 * qe <= _entropy_replica([rows[4]])["beta"][1] <= 2.0
+
+
+# ---------------------------------------------------------- minhash error
+
+
+def test_minhash_error_identical_pair_zero_error(spark):
+    # two identical docs: all 16 signature components match (est = 1.0) and
+    # exact Jaccard is 1.0 -> the single candidate pair lands in band 0
+    # with zero error; unique docs produce no candidates
+    dup = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, dup, "en", "s", 1),
+        (1, dup, "en", "s", 1),
+        (2, "completely different words about entirely other topics and things", "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = spark.sql(Q._minhash_error_sql(Q.D.SPARK)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["err_band"] == 0 and r["n_pairs"] == 1 and r["share"] == 1.0
+    assert r["mean_est_jaccard"] == 1.0 and r["mean_exact_jaccard"] == 1.0
+
+
+def test_minhash_error_distribution_structure(spark):
+    # real data: bands within [0, 19], shares sum to 1, means within [0, 1].
+    # The audit's headline finding is the CANDIDACY SELECTION BIAS: a
+    # candidate shares >= 1 band = 4 equal signature components, so
+    # est >= 4/16 = 0.25 for EVERY candidate pair -- incidental collisions
+    # (exact J ~ 0) therefore sit in the high-error bands by construction
+    # (measured at sf0.001: only ~18% of candidates below |err| 0.25).
+    # That overshoot-given-candidacy is what the verify stage exists to
+    # filter, and what this report quantifies.
+    out = Q.q_minhash_error(spark, "/root/testdata/sf0.001").collect()
+    assert out, "sf0.001 must yield candidate pairs"
+    total_share = sum(r["share"] for r in out)
+    assert abs(total_share - 1.0) < 1e-9
+    for r in out:
+        assert 0 <= r["err_band"] <= 19
+        # the structural floor: every candidate has >= 4/16 matching
+        # components, so every band's mean estimate is >= 0.25
+        assert 0.25 <= r["mean_est_jaccard"] <= 1.0
+        assert 0.0 <= r["mean_exact_jaccard"] <= 1.0
