@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "lsh_band_sweep",
     "classifier_score",
     "char_entropy",
+    "fk_integrity",
 ]
 
 

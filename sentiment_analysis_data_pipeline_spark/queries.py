@@ -6711,6 +6711,65 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_char_entropy_sql(D.SPARK))
 
 
+# Every FK edge of the driver star schema: (edge label, child table, fk
+# column, parent table, pk column). fleet_checksum audits VALUES per table;
+# this audits the LINKS between them.
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_integrity_sql(d: str) -> str:
+    """Referential-integrity audit over every FK edge of the star schema:
+    child rows, NULL foreign keys, orphan rows (non-null FK with no parent)
+    and the orphan rate per edge -- the first report a warehouse migration
+    or an incremental-ingest pipeline checks after load, and the fleet-QA
+    sibling of fleet_checksum (values per table vs links between tables).
+    Every edge always appears, zero-orphan edges read 0, not missing.
+
+    Scale shape per edge: the child collapses to DISTINCT-FK granularity
+    FIRST (map-side partial agg on the key -- the join then moves one row
+    per distinct key, not one per child row, which is the difference
+    between shuffling 6B lineitems and 1.5B orderkeys at TPC-H scale); the
+    parent side is a DISTINCT key projection (column-pruned scan), and
+    small dims broadcast. Identical SQL text in both dialects -- no
+    engine-specific function anywhere in the statement."""
+    blocks = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        blocks.append(f"""
+        SELECT '{label}' AS edge,
+               cast(sum(c) as bigint) AS n_child,
+               cast(coalesce(sum(case when k IS NULL then c end), 0) as bigint)
+                   AS n_null_fk,
+               cast(coalesce(sum(case when k IS NOT NULL AND pkk IS NULL then c end), 0)
+                    as bigint) AS n_orphans,
+               cast(cast(coalesce(sum(case when k IS NOT NULL AND pkk IS NULL then c end), 0)
+                         as double) / cast(sum(c) as double) as double) AS orphan_rate
+        FROM (
+            SELECT ck.k, ck.c, pk.k AS pkk
+            FROM (SELECT {fk} AS k, cast(count(*) as bigint) AS c
+                  FROM {child} GROUP BY {fk}) ck
+            LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) pk ON ck.k = pk.k
+        ) j""")
+        # sum(c) over the distinct-key relation == count(*) of the child
+    return " UNION ALL ".join(blocks) + " ORDER BY edge ASC"
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-edge integrity audit (see _fk_integrity_sql)."""
+    _view(
+        spark, sf_dir,
+        "orders", "lineitem", "customer", "supplier", "nation", "region", "part",
+    )
+    return spark.sql(_fk_integrity_sql(D.SPARK))
+
+
 def _copurchase_pairs_sql(d: str) -> str:
     """Co-occurrence mining (the "also bought" building block): part pairs
     appearing in the same order, counted across all orders, top-50 by
@@ -8772,6 +8831,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "classifier_score": (q_classifier_score, _classifier_score_sql),
     "char_entropy": (q_char_entropy, _char_entropy_sql),
     "minhash_error": (q_minhash_error, _minhash_error_sql),
+    "fk_integrity": (q_fk_integrity, _fk_integrity_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

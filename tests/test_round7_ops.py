@@ -652,3 +652,42 @@ def test_minhash_error_distribution_structure(spark):
         # components, so every band's mean estimate is >= 0.25
         assert 0.25 <= r["mean_est_jaccard"] <= 1.0
         assert 0.0 <= r["mean_exact_jaccard"] <= 1.0
+
+
+# ----------------------------------------------------------- fk integrity
+
+
+def test_fk_integrity_orphans_nulls_and_clean_edges(spark):
+    mk = lambda rows, schema, name: spark.createDataFrame(  # noqa: E731
+        rows, schema
+    ).createOrReplaceTempView(name)
+    mk([(10, "r")], "r_regionkey long, r_name string", "region")
+    mk([(1, "n1", 10), (2, "n2", 99)],
+       "n_nationkey long, n_name string, n_regionkey long", "nation")
+    mk([(100, 1), (101, None), (102, 7)],
+       "c_custkey long, c_nationkey long", "customer")
+    mk([(200, 1)], "s_suppkey long, s_nationkey long", "supplier")
+    mk([(300,)], "p_partkey long", "part")
+    mk([(1000, 100), (1001, 999), (1002, 100)],
+       "o_orderkey long, o_custkey long", "orders")
+    mk([(1000, 300, 200), (9999, 300, 200), (1000, 301, 200), (1000, 300, None)],
+       "l_orderkey long, l_partkey long, l_suppkey long", "lineitem")
+    out = {r["edge"]: r for r in spark.sql(Q._fk_integrity_sql(Q.D.SPARK)).collect()}
+    assert len(out) == 7  # every edge present, clean ones read 0 not missing
+    e = out["orders.o_custkey->customer"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (3, 0, 1)
+    assert e["orphan_rate"] == 1.0 / 3.0
+    e = out["lineitem.l_orderkey->orders"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (4, 0, 1)
+    e = out["lineitem.l_partkey->part"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (4, 0, 1)
+    e = out["lineitem.l_suppkey->supplier"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (4, 1, 0)
+    assert e["orphan_rate"] == 0.0
+    e = out["customer.c_nationkey->nation"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (3, 1, 1)
+    e = out["supplier.s_nationkey->nation"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (1, 0, 0)
+    e = out["nation.n_regionkey->region"]
+    assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (2, 0, 1)
+    assert e["orphan_rate"] == 0.5
