@@ -231,3 +231,25 @@ def test_bm25_indexed_reads_postings_not_text(spark):
     assert "TakeOrderedAndProject" in plan
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and all("text" not in ln for ln in rs)
+
+
+def test_classifier_score_broadcast_weights_no_shuffle_join(spark):
+    # the 1-row stepped-weights relation reaches every doc via a broadcast
+    # nested-loop cross join -- never a shuffled CartesianProduct; the only
+    # wide operators are the gradient agg and the (source, band) histogram
+    plan = _run(spark, "classifier_score")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fk_integrity_aggregates_child_before_parent_join(spark):
+    # scale claim: each child collapses to distinct-FK granularity BEFORE
+    # meeting its parent (HashAggregate feeds the join build/stream side),
+    # and small dim parents broadcast -- no shuffle join anywhere at the
+    # dims, no cartesian
+    plan = _run(spark, "fk_integrity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # every edge pre-aggregates: 7 edges x (partial+final) key aggs present
+    assert plan.count("HashAggregate") >= 14
