@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "classifier_score",
     "char_entropy",
     "fk_integrity",
+    "zorder_stats",
 ]
 
 

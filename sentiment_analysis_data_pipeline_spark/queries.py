@@ -6770,6 +6770,95 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fk_integrity_sql(D.SPARK))
 
 
+_Z_FILES = 64  # simulated file count for the layout advisor
+_Z_N = 1 << 10  # buckets per dimension (operators/zorder.py ZBITS)
+
+
+def _zorder_stats_sql(d: str) -> str:
+    """Z-order layout ADVISOR (operators/zorder.py holds the writer): for
+    the (l_partkey, l_suppkey) pair of independently-queried dimensions,
+    simulate {_Z_FILES} files under (a) the Morton-interleaved z-order
+    layout and (b) the single-key linear layout, and report how many file
+    min/max envelopes each of three predicate classes (x-only band, y-only
+    band, 2-D box -- each the middle 1/8 of its dimension) could SKIP.
+    This is the number a 100 TB deployment reads before paying for an
+    OPTIMIZE ZORDER rewrite: linear skips ~7/8 for its own key and ~0 for
+    the other dimension; z-order trades a little x selectivity for
+    symmetric pruning on both.
+
+    Exactness: buckets are scaled integer division over broadcast min/max
+    extents (no window, no global sort); the Morton key is 20 div/mod
+    terms; envelopes and skip counts are exact BIGINT min/max/sums; the
+    only division is the final rate. Identical logic in both dialects via
+    int_div."""
+    idiv = lambda a, b: D.int_div(d, a, b)  # noqa: E731
+    n = _Z_N
+    xb = (
+        f"least({n - 1}, greatest(0, "
+        f"{idiv(f'((l_partkey - e.minx) * {n})', '(e.maxx - e.minx + 1)')}))"
+    )
+    yb = (
+        f"least({n - 1}, greatest(0, "
+        f"{idiv(f'((l_suppkey - e.miny) * {n})', '(e.maxy - e.miny + 1)')}))"
+    )
+    terms = []
+    for i in range(10):
+        terms.append(f"({idiv('xb', str(1 << i))} % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"({idiv('yb', str(1 << i))} % 2) * {1 << (2 * i)}")
+    inter = "(" + " + ".join(terms) + ")"
+    lo, hi = (n * 7) // 16, (n * 9) // 16 - 1  # middle 1/8 band: [448, 575]
+    return f"""
+        WITH e AS (
+            SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+                   min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+            FROM lineitem
+        ),
+        b AS (SELECT {xb} AS xb, {yb} AS yb FROM lineitem CROSS JOIN e),
+        z AS (SELECT xb, yb, {inter} AS zk FROM b),
+        files AS (
+            SELECT 'zorder' AS layout, {idiv(f'(zk * {_Z_FILES})', str(n * n))} AS file_id,
+                   xb, yb FROM z
+            UNION ALL
+            SELECT 'linear' AS layout, {idiv(f'(xb * {_Z_FILES})', str(n))} AS file_id,
+                   xb, yb FROM z
+        ),
+        env AS (
+            SELECT layout, file_id,
+                   min(xb) AS xlo, max(xb) AS xhi,
+                   min(yb) AS ylo, max(yb) AS yhi
+            FROM files GROUP BY layout, file_id
+        ),
+        preds AS (
+            SELECT * FROM (VALUES
+                ('x_only', {lo}, {hi}, 0, {n - 1}),
+                ('y_only', 0, {n - 1}, {lo}, {hi}),
+                ('xy_box', {lo}, {hi}, {lo}, {hi})
+            ) AS p(pred, px0, px1, py0, py1)
+        )
+        SELECT v.layout, p.pred,
+               cast(count(*) as bigint) AS n_files,
+               cast(sum(case when v.xhi < p.px0 OR v.xlo > p.px1
+                               OR v.yhi < p.py0 OR v.ylo > p.py1
+                        then 1 else 0 end) as bigint) AS n_skipped,
+               cast(cast(sum(case when v.xhi < p.px0 OR v.xlo > p.px1
+                                    OR v.yhi < p.py0 OR v.ylo > p.py1
+                             then 1 else 0 end) as double)
+                    / cast(count(*) as double) as double) AS skip_rate
+        FROM env v CROSS JOIN preds p
+        GROUP BY v.layout, p.pred
+        ORDER BY v.layout ASC, p.pred ASC
+    """
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout advisor (see _zorder_stats_sql). All map-side until
+    the (layout, file_id) envelope agg; the two layout branches re-derive
+    the bucket arithmetic rather than checkpointing a per-row relation --
+    a second map pass is cheaper than materializing row-count state."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_zorder_stats_sql(D.SPARK))
+
+
 def _copurchase_pairs_sql(d: str) -> str:
     """Co-occurrence mining (the "also bought" building block): part pairs
     appearing in the same order, counted across all orders, top-50 by
@@ -8832,6 +8921,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "char_entropy": (q_char_entropy, _char_entropy_sql),
     "minhash_error": (q_minhash_error, _minhash_error_sql),
     "fk_integrity": (q_fk_integrity, _fk_integrity_sql),
+    "zorder_stats": (q_zorder_stats, _zorder_stats_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),
