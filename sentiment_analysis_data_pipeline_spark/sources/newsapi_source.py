@@ -30,7 +30,12 @@ import json
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schemas import ENVELOPE_SCHEMA
 
@@ -81,29 +86,76 @@ class _PageReader(DataSourceReader):
         # envelope rows -- producers/newsapi_producer.py:59-63's dict build,
         # typed. A page whose "status" is not ok is a hard error, mirroring
         # the producer's response check (newsapi_producer.py:44-46).
-        with open(partition.value) as f:
-            body = json.load(f)
-        if body.get("status") != "ok":
-            raise ValueError(f"page {partition.value}: status={body.get('status')}")
-        fetched_at = _dt.datetime(2024, 1, 1)  # env has no clock authority in tests
-        for a in body.get("articles", []):
-            src = a.get("source") or {}
-            yield (
-                self.source_api,
-                fetched_at,
-                None,  # inserted_at: set by the sink MERGE, not the source
-                (
-                    a.get("title"),
-                    a.get("description"),
-                    a.get("content"),
-                    a.get("url"),
-                    _parse_ts(a.get("publishedAt")),
-                    a.get("author"),
-                    (src.get("id"), src.get("name"), src.get("url")),
-                    a.get("urlToImage"),
-                    a.get("image"),
-                ),
-            )
+        yield from _page_rows(partition.value, self.source_api)
+
+
+def _page_rows(path: str, source_api: str) -> Iterator[tuple]:
+    """Shared page-body -> envelope-row conversion (batch partitions and
+    stream micro-batches emit identical rows for identical pages)."""
+    with open(path) as f:
+        body = json.load(f)
+    if body.get("status") != "ok":
+        raise ValueError(f"page {path}: status={body.get('status')}")
+    fetched_at = _dt.datetime(2024, 1, 1)
+    for a in body.get("articles", []):
+        src = a.get("source") or {}
+        yield (
+            source_api,
+            fetched_at,
+            None,
+            (
+                a.get("title"),
+                a.get("description"),
+                a.get("content"),
+                a.get("url"),
+                _parse_ts(a.get("publishedAt")),
+                a.get("author"),
+                (src.get("id"), src.get("name"), src.get("url")),
+                a.get("urlToImage"),
+                a.get("image"),
+            ),
+        )
+
+
+class _PageStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: pages land in the fixture dir over time (the polled
+    NewsAPI cadence, scripts/start_producers.py's 5-minute loop) and each
+    micro-batch consumes every page beyond the committed offset. The offset
+    is {'pages_done': k} over the SORTED page list, so readBetweenOffsets
+    replays any epoch deterministically from the same files -- the
+    exactly-once property the engine's MERGE sinks assume upstream."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("newsapi_fixture requires .option('path', <dir>)")
+        self.source_api = options.get("source_api", "newsapi")
+
+    def _pages(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.startswith("page-") and f.endswith(".json")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"pages_done": 0}
+
+    def read(self, start: dict):
+        pages = self._pages()
+        k = int(start["pages_done"])
+        new = pages[k:]
+        end = {"pages_done": k + len(new)}
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator (datasource_internal.py), and
+        # generators are not copyable -- a list iterator is
+        rows = [r for p in new for r in _page_rows(p, self.source_api)]
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        pages = self._pages()[int(start["pages_done"]) : int(end["pages_done"])]
+        for p in pages:
+            yield from _page_rows(p, self.source_api)
 
 
 class NewsApiFixtureDataSource(DataSource):
@@ -116,3 +168,6 @@ class NewsApiFixtureDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _PageReader(self.options, schema)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _PageStreamReader(self.options)

@@ -84,3 +84,48 @@ def test_composes_with_validation_lineage(spark, tmp_path):
         published_at="article.publishedAt",
     )
     assert ok.count() == 2
+
+
+def test_streaming_pages_arrive_incrementally(spark, tmp_path):
+    # the streaming twin: each micro-batch consumes pages beyond the
+    # committed offset; a page landing later is picked up by a later epoch,
+    # and nothing is double-read
+    import time
+
+    d = str(tmp_path / "stream_fx")
+    NS.write_fixture_pages(d, _articles(4, "s"), page_size=2)  # page-1, page-2
+    spark.dataSource.register(NS.NewsApiFixtureDataSource)
+    q = (
+        spark.readStream.format(NS.FORMAT_NAME)
+        .option("path", d)
+        .option("source_api", "newsapi")
+        .load()
+        .selectExpr("article.url AS url")
+        .writeStream.format("memory")
+        .queryName("newsapi_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def wait_count(n, timeout=60):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if spark.table("newsapi_mem").count() >= n:
+                    return spark.table("newsapi_mem").count()
+                time.sleep(0.5)
+            return spark.table("newsapi_mem").count()
+
+        assert wait_count(4) == 4
+        # a third page lands mid-stream (the next poll of the API)
+        import json, os  # noqa: E401
+
+        with open(os.path.join(d, "page-3.json"), "w") as f:
+            json.dump(
+                {"status": "ok", "totalResults": 6,
+                 "articles": _articles(2, "late")}, f)
+        assert wait_count(6) == 6
+    finally:
+        q.stop()
+    urls = {r["url"] for r in spark.table("newsapi_mem").collect()}
+    assert len(urls) == 6  # no double-read across epochs
