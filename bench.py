@@ -149,6 +149,11 @@ BENCH_QUERIES = [
     "char_entropy",
     "fk_integrity",
     "zorder_stats",
+    "wminhash_pairs",
+    "audio_metadata",
+    "hdr_quantiles",
+    "interval_overlap",
+    "k_anonymity",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

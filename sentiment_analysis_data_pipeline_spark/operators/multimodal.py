@@ -146,6 +146,90 @@ def decode_image_metadata(
     )
 
 
+def parse_wav_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """REAL audio header decode, stdlib-only: (format, sample_rate, channels,
+    bits_per_sample, n_frames) for RIFF/WAVE containers -- the audio sibling
+    of parse_image_dimensions.
+
+    RIFF (Microsoft/IBM 1991, the WAVE container): bytes 0-3 'RIFF',
+    8-11 'WAVE', then a chunk walk -- [id u32][size u32 LE][body], chunks
+    word-aligned (odd sizes padded). The 'fmt ' chunk body carries
+    [audio_format u16][channels u16][sample_rate u32][byte_rate u32]
+    [block_align u16][bits_per_sample u16], all little-endian; the 'data'
+    chunk's size divided by block_align is the frame count (duration =
+    n_frames / sample_rate). Both chunks are required; order is not fixed
+    by the spec, so the walk continues until both are seen.
+
+    Anything else -- other containers, truncated/corrupt headers, a zero
+    block_align, None -- returns all-None: at 100 TB the parser must
+    CLASSIFY bad payloads, never throw mid-batch. Full sample decode stays
+    behind the decode_image_batch-style stub boundary (no audio libs here).
+    """
+    bad = (None, None, None, None, None)
+    if not payload:
+        return bad
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return bad
+    i = 12
+    rate = channels = bits = block_align = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt ":
+            if body + 16 > len(b):
+                return bad
+            channels = int.from_bytes(b[body + 2 : body + 4], "little")
+            rate = int.from_bytes(b[body + 4 : body + 8], "little")
+            block_align = int.from_bytes(b[body + 12 : body + 14], "little")
+            bits = int.from_bytes(b[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_size = size
+        if rate is not None and data_size is not None:
+            if not block_align:
+                return bad
+            return ("wav", rate, channels, bits, data_size // block_align)
+        i = body + size + (size & 1)  # chunks are word-aligned
+    return bad
+
+
+def decode_audio_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    id_ddl: str = "media_id string",
+) -> DataFrame:
+    """Header-decode operator: (id, payload) -> (id, fmt, sample_rate,
+    channels, bits, n_frames) via Arrow-batched mapInPandas over
+    parse_wav_header. Pure projection -- parallelizes with the scan, no
+    shuffle; the Python boundary is crossed per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idname = id_ddl.split()[0]
+        for pdf in batches:
+            parsed = pdf[payload_col].map(parse_wav_header)
+            yield pd.DataFrame(
+                {
+                    idname: pdf[id_col],
+                    "fmt": parsed.map(lambda t: t[0]),
+                    "sample_rate": parsed.map(lambda t: t[1]).astype("Int64"),
+                    "channels": parsed.map(lambda t: t[2]).astype("Int64"),
+                    "bits": parsed.map(lambda t: t[3]).astype("Int64"),
+                    "n_frames": parsed.map(lambda t: t[4]).astype("Int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_ddl}, fmt string, sample_rate bigint, channels bigint,"
+        " bits bigint, n_frames bigint",
+    )
+
+
 def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in feature extractor: md5-derived floats in [0,1).
     Keeps the full pipeline testable end-to-end with stable goldens."""

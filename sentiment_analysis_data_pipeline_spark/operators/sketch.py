@@ -72,3 +72,54 @@ def estimate_counts(cells: DataFrame, tokens: DataFrame) -> DataFrame:
         .groupBy("token")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+# --------------------------------------------------------------- HDR hist
+# The quantile member of the mergeable-sketch trio (HLL = distinct,
+# Count-Min = frequency, this = quantiles): HdrHistogram's log-linear
+# binning (Gil Tene, hdrhistogram.org) over non-negative integer values.
+# Values below 2^HDR_SUB_BITS get exact unit buckets; above, each power-of-2
+# range splits into 2^HDR_SUB_BITS sub-buckets, so the bucket LOWER BOUND
+# under-estimates any member by at most a factor 2^-HDR_SUB_BITS (6.25%
+# relative error at 4 bits) while total state stays <= ~16 * 60 rows per
+# segment REGARDLESS of value cardinality. Fully deterministic integer
+# arithmetic -- a DuckDB oracle or a replayed stream rebuilds it
+# bit-for-bit (the countmin_cells property, for quantiles).
+
+HDR_SUB_BITS = 4
+HDR_SUB = 1 << HDR_SUB_BITS
+
+
+def hdr_index_sql(v: str) -> str:
+    """Bucket index of a non-negative BIGINT expression. Identical SQL text
+    in both dialects (bin/length/greatest/>> agree): msb via the binary
+    string length, shift = max(msb - sub_bits, 0), index = shift * 2^s +
+    (v >> shift). Linear region (v < 2^s) falls out of the same formula
+    with shift = 0."""
+    msb = f"(length(bin({v})) - 1)"
+    shift = f"greatest({msb} - {HDR_SUB_BITS}, 0)"
+    return f"({shift} * {HDR_SUB} + ({v} >> {shift}))"
+
+
+def hdr_lower_sql(idx: str) -> str:
+    """Inverse: the smallest value mapping to bucket `idx` -- the
+    deterministic quantile answer the histogram serves."""
+    shift = f"greatest(({idx} >> {HDR_SUB_BITS}) - 1, 0)"
+    return f"(({idx} - {shift} * {HDR_SUB}) << {shift})"
+
+
+def hdr_cells(
+    events: DataFrame, segment_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """(segment, idx, cnt) histogram cells for `events` -- bounded rows per
+    segment regardless of input size; doubles enter as exact floor-cents
+    (one IEEE multiply both engines share), negatives/nulls clamp to the
+    zero bucket. A partial IS a histogram: partials merge by (segment, idx)
+    sum, which is what the streaming twin's read side does."""
+    v = f"cast(floor(greatest(coalesce({value_col}, 0), 0) * 100) as bigint)"
+    return (
+        events.selectExpr(f"{segment_col} AS segment", f"{v} AS v")
+        .selectExpr("segment", f"{hdr_index_sql('v')} AS idx")
+        .groupBy("segment", "idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

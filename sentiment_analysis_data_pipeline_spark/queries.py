@@ -2466,6 +2466,93 @@ def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_metadata_sql(d: str) -> str:
+    """Oracle for q_audio_metadata: the payloads are SYNTHESIZED from
+    doc_id with known WAV header fields, so the oracle states the expected
+    parse analytically -- the hash check then verifies the engine's REAL
+    byte-level RIFF/WAVE chunk-walk parser end-to-end over 500 payloads
+    (operators/multimodal.parse_wav_header), including the corrupt arm and
+    the odd-size-chunk word-alignment path (every 3rd payload carries a
+    5-byte LIST chunk before fmt)."""
+    return """
+        SELECT doc_id,
+               case when doc_id % 17 = 0 then cast(null as varchar)
+                    else 'wav' end AS fmt,
+               case when doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(8000 + (doc_id % 8) * 4000 as bigint) end AS sample_rate,
+               case when doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(1 + doc_id % 2 as bigint) end AS channels,
+               case when doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(8 * (1 + doc_id % 3) as bigint) end AS bits,
+               case when doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(100 + doc_id % 400 as bigint) end AS n_frames
+        FROM documents
+    """
+
+
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio header decode over binary payloads: every doc gets a
+    synthesized RIFF/WAVE header with doc_id-derived sample rate, channel
+    count, bit depth, and data-chunk size (every 17th doc gets non-audio
+    bytes -- the text itself; every 3rd gets an odd-length LIST chunk
+    inserted before fmt, exercising the chunk walk's word-alignment rule),
+    and the engine parses the fields back out BYTE-LEVEL with the
+    stdlib-only parser (operators/multimodal.parse_wav_header,
+    Arrow-batched mapInPandas) -- the audio sibling of image_dimensions.
+    The oracle recomputes the expected values analytically, so a hash match
+    proves the parser walks real RIFF bytes correctly. Plan: pure
+    projection (scan -> synthesize -> mapInPandas), no shuffle. Driver
+    contract: numeric fields 0 (impossible for real audio) instead of NULL
+    for unparseable payloads -- NULLs would coerce the BIGINT column to
+    float64 in the driver's pandas compare; fmt stays NULL."""
+    from .operators.multimodal import decode_audio_metadata
+
+    _view(spark, sf_dir, "documents")
+
+    def le32(e: str) -> str:
+        h = f"lpad(hex(cast({e} as bigint)), 8, '0')"
+        return (
+            f"concat(substring({h},7,2), substring({h},5,2),"
+            f" substring({h},3,2), substring({h},1,2))"
+        )
+
+    def le16(e: str) -> str:
+        h = f"lpad(hex(cast({e} as bigint)), 4, '0')"
+        return f"concat(substring({h},3,2), substring({h},1,2))"
+
+    rate = "(8000 + (doc_id % 8) * 4000)"
+    ch = "(1 + doc_id % 2)"
+    bits = "(8 * (1 + doc_id % 3))"
+    block_align = f"({ch} * (1 + doc_id % 3))"  # ch * bits/8
+    n_frames = "(100 + doc_id % 400)"
+    data_size = f"({block_align} * {n_frames})"
+    # odd-size LIST chunk (5 bytes 'ABCDE' + 1 alignment pad) before fmt
+    junk = "case when doc_id % 3 = 0 then '4C49535405000000414243444500' else '' end"
+    wav = f"""unhex(concat(
+        '52494646', {le32(f"36 + {data_size}")}, '57415645', {junk},
+        '666d7420', {le32("16")}, '0100', {le16(ch)}, {le32(rate)},
+        {le32(f"{rate} * {block_align}")}, {le16(block_align)}, {le16(bits)},
+        '64617461', {le32(data_size)}))"""
+    payloads = spark.sql(
+        f"""
+        SELECT doc_id,
+               case when doc_id % 17 = 0 then cast({TEXT} as binary)
+                    else {wav} end AS payload
+        FROM documents
+        """
+    )
+    return decode_audio_metadata(
+        payloads, id_col="doc_id", id_ddl="doc_id bigint"
+    ).selectExpr(
+        "doc_id",
+        "fmt",
+        "cast(coalesce(sample_rate, 0) as bigint) AS sample_rate",
+        "cast(coalesce(channels, 0) as bigint) AS channels",
+        "cast(coalesce(bits, 0) as bigint) AS bits",
+        "cast(coalesce(n_frames, 0) as bigint) AS n_frames",
+    )
+
+
 BLOOM_M = 4096  # bits
 BLOOM_K = 5  # hash functions
 
@@ -2691,6 +2778,70 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document PII counts + redacted text (email/phone/IPv4)."""
     _view(spark, sf_dir, "documents")
     return spark.sql(_pii_redact_sql(D.SPARK))
+
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def _k_anonymity_sql(d: str) -> str:
+    """k-anonymity audit (Sweeney 2002) -- the privacy-QA sibling of
+    pii_redact: pii_redact scrubs direct identifiers from TEXT; this
+    measures re-identification risk from QUASI-identifier COLUMNS. A row is
+    k-anonymous when at least k rows share its full quasi-identifier tuple
+    (here nation x market segment x account-balance thousand-band for the
+    customer table); classes below k are linkage-attack surface, and the
+    release decision needs exactly this report.
+
+    Scale shape: ONE hash aggregate collapses the table to its equivalence
+    classes (map-side partial agg; class count <= |quasi-space|, tiny); the
+    thresholds then join a 3-row VALUES relation against the CLASS
+    relation, never the table. The balance band shifts by +1000 before the
+    integer divide: acctbal can be negative and Spark's `div` truncates
+    toward zero while DuckDB's `//` floors -- they agree only on
+    non-negative operands. Output: one row per k (always present),
+    all-BIGINT counts plus one exact int/int division for the at-risk
+    share."""
+    band = D.int_div(d, "(cast(floor(c_acctbal) as bigint) + 1000)", "1000")
+    rows = ", ".join(f"({k})" for k in K_ANON_THRESHOLDS)
+    ks = (
+        f"(VALUES {rows}) AS t(k)" if d == D.SPARK else f"(VALUES {rows}) t(k)"
+    )
+    return f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment, {band} AS bal_band,
+                   cast(count(*) as bigint) AS c
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment, {band}
+        ),
+        tot AS (
+            SELECT cast(count(*) as bigint) AS n_classes,
+                   cast(sum(c) as bigint) AS n_rows,
+                   cast(min(c) as bigint) AS min_class
+            FROM classes
+        ),
+        per_k AS (
+            SELECT t.k,
+                   cast(sum(case when cl.c < t.k then 1 else 0 end) as bigint)
+                       AS classes_below_k,
+                   cast(sum(case when cl.c < t.k then cl.c else 0 end) as bigint)
+                       AS rows_below_k
+            FROM classes cl JOIN {ks} ON 1 = 1
+            GROUP BY t.k
+        )
+        SELECT p.k, t.n_classes, t.n_rows, t.min_class,
+               p.classes_below_k, p.rows_below_k,
+               cast(p.rows_below_k as double) / cast(t.n_rows as double)
+                   AS at_risk_share
+        FROM per_k p CROSS JOIN tot t
+        ORDER BY p.k
+    """
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity equivalence-class audit over customer quasi-identifiers
+    (see _k_anonymity_sql)."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_k_anonymity_sql(D.SPARK))
 
 
 def _repetition_sql(d: str) -> str:
@@ -4354,40 +4505,57 @@ FUZZY_BLOCK_CAP = 1000  # drop blocking keys with more members than this
 
 
 def _fuzzy_join_sql(d: str) -> str:
-    """Blocked fuzzy self-join (entity resolution): candidate pairs meet only
-    inside a blocking key -- here the final word of the normalized part name
-    -- then a cheap length-band prefilter and an exact levenshtein <= 2
-    refine. NEVER all-pairs: the quadratic cost is bounded per block, and
-    blocks larger than FUZZY_BLOCK_CAP are dropped outright (a key shared by
-    that many entities carries no discriminating signal, same reasoning as
-    the shingle df-cap in ngram_jaccard_pairs) -- so one hot key cannot go
-    cartesian or skew the shuffle at 100 TB. Both engines ship the same
-    levenshtein definition, so distances are exact integers."""
+    """Blocked fuzzy self-join (entity resolution) over DISTINCT entity
+    names: collapse rows to (name, n_rows) FIRST, then block on the final
+    word, length-band prefilter, exact levenshtein <= 2 refine, and report
+    each surviving NAME pair once with both sides' row counts.
+
+    The distinct-collapse is the load-bearing scale decision (r7 rework,
+    measured): entity names repeat heavily in real catalogs (this corpus:
+    64 distinct names over 20k rows at sf0.1), and the previous row-level
+    formulation paid the quadratic stage per ROW pair -- ~31^2 emitted rows
+    per matching name pair at sf0.01 -- then fell off a cliff at sf0.1
+    where every block crossed FUZZY_BLOCK_CAP and the output became 0 rows
+    (a dead operator disguised as a green gate, caught by the bench's
+    rows-per-query record). Collapsing first makes the quadratic stage
+    O(distinct-names^2 within block), INVARIANT to row multiplicity; the
+    per-name multiplicities ride along as counts (what a MERGE/cluster step
+    actually needs). Blocks of distinct names larger than FUZZY_BLOCK_CAP
+    are still dropped -- at that point the key carries no discriminating
+    signal (the ngram_jaccard df-cap reasoning) -- but the cap now guards
+    genuine hub keys instead of tracking raw table growth. Both engines
+    ship the same levenshtein definition: exact integer distances."""
     name = "lower(p_name)"
     key = (
-        f"regexp_extract({name}, '[a-z]+$', 0)"
+        "regexp_extract(name, '[a-z]+$', 0)"
         if d == D.SPARK
-        else f"regexp_extract({name}, '[a-z]+$')"
+        else "regexp_extract(name, '[a-z]+$')"
     )
     return f"""
         WITH named AS (
-            SELECT p_partkey AS id, {name} AS name, {key} AS bkey
+            SELECT {name} AS name, cast(count(*) as bigint) AS n_rows
             FROM part WHERE trim(p_name) <> ''
+            GROUP BY {name}
         ),
         keyed AS (
-            SELECT id, name, bkey,
-                   cast(count(*) OVER (PARTITION BY bkey) as bigint) AS bsize
-            FROM named
+            SELECT name, n_rows, {key} AS bkey FROM named
         ),
-        blocked AS (SELECT id, name, bkey FROM keyed WHERE bsize <= {FUZZY_BLOCK_CAP}),
+        sized AS (
+            SELECT name, n_rows, bkey,
+                   cast(count(*) OVER (PARTITION BY bkey) as bigint) AS bsize
+            FROM keyed
+        ),
+        blocked AS (
+            SELECT name, n_rows, bkey FROM sized WHERE bsize <= {FUZZY_BLOCK_CAP}
+        ),
         pairs AS (
-            SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n_rows AS rows_a, b.n_rows AS rows_b
             FROM blocked a JOIN blocked b ON a.bkey = b.bkey
-            WHERE a.id < b.id
-              AND a.name <> b.name
+            WHERE a.name < b.name
               AND abs(length(a.name) - length(b.name)) <= 2
         )
-        SELECT id_a, id_b, name_a, name_b,
+        SELECT name_a, name_b, rows_a, rows_b,
                cast(levenshtein(name_a, name_b) as bigint) AS dist
         FROM pairs
         WHERE levenshtein(name_a, name_b) <= 2
@@ -4395,8 +4563,10 @@ def _fuzzy_join_sql(d: str) -> str:
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution fuzzy join over part names: last-word blocking +
-    length band + levenshtein refine (bounded-block, never all-pairs)."""
+    """Entity-resolution fuzzy join over DISTINCT part names: collapse to
+    (name, count) first, then last-word blocking + length band +
+    levenshtein refine (bounded-block, never all-pairs, multiplicity-
+    invariant -- see _fuzzy_join_sql)."""
     _view(spark, sf_dir, "part")
     return spark.sql(_fuzzy_join_sql(D.SPARK))
 
@@ -4464,6 +4634,83 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse-bin equi-join + exact refine (no cartesian fallback)."""
     _events_view(spark, sf_dir)
     return spark.sql(_range_join_sql(D.SPARK))
+
+
+def _interval_overlap_sql(d: str) -> str:
+    """INTERVAL x INTERVAL overlap join -- the missing sibling of
+    range_join's point-in-interval shape (sessions x outages, incident x
+    maintenance windows: the workhorse temporal join Spark has no native
+    operator for; naive `a.lo < b.hi AND b.lo < a.hi` has no equi-key and
+    falls back to BroadcastNestedLoop/cartesian).
+
+    Scale shape, two tricks:
+    1. BINNED DECOMPOSITION: each interval explodes into the coarse bins it
+       touches (<= 3 for 2 h intervals on 1 h bins, constant per row);
+       candidates meet on an (event_type, bin) EQUI-join. Shuffle is
+       O(3*|A| + 3*|B|) on a sortable low-skew key.
+    2. EMIT-ONCE CANONICAL BIN: two overlapping intervals can share SEVERAL
+       bins, so the naive bin join emits duplicate pairs and needs a
+       DISTINCT -- a second full shuffle of the (potentially huge) pair
+       relation. Instead the join keeps only the bin containing the overlap
+       START (bin = greatest(a.lo, b.lo) div W): that bin is touched by
+       BOTH intervals by construction (the overlap start lies inside each),
+       and it is unique per pair -- exactly-once emission as a FILTER, no
+       dedup Exchange.
+
+    Intervals from events: among each type's 100 earliest events, the
+    even-ranked each open a 6 h incident [ts, ts+6h) and the odd-ranked
+    each close a 6 h review window [ts-6h, ts) -- interleaved in time, so
+    overlapping pairs exist at every SF's event density (the
+    earliest-vs-latest construction was measured time-disjoint at
+    sf0.001: 0 rows proves nothing). Half-open semantics throughout;
+    overlap_us > 0 required. All integer epoch-us arithmetic --
+    hash-exact in both engines."""
+    ts = _ts_us(d)
+    six_h = 6 * RANGE_BIN_US
+    bins = (
+        "explode(sequence(lo div {w}, (hi - 1) div {w}))"
+        if d == D.SPARK
+        else "unnest(range(lo // {w}, (hi - 1) // {w} + 1))"
+    ).format(w=RANGE_BIN_US)
+    canon = D.int_div(d, "greatest(a.lo, b.lo)", str(RANGE_BIN_US))
+    return f"""
+        WITH ev AS (
+            SELECT event_id, event_type, cast({ts} as bigint) AS ts_us
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_id, event_type, ts_us,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts_us ASC, event_id ASC) AS rn_asc
+            FROM ev
+        ),
+        incidents AS (
+            SELECT event_id AS a_id, event_type, ts_us AS lo,
+                   ts_us + {six_h} AS hi
+            FROM ranked WHERE rn_asc <= 100 AND rn_asc % 2 = 0
+        ),
+        reviews AS (
+            SELECT event_id AS b_id, event_type, ts_us - {six_h} AS lo,
+                   ts_us AS hi
+            FROM ranked WHERE rn_asc <= 100 AND rn_asc % 2 = 1
+        ),
+        abins AS (SELECT a_id, event_type, lo, hi, {bins} AS bin FROM incidents),
+        bbins AS (SELECT b_id, event_type, lo, hi, {bins} AS bin FROM reviews)
+        SELECT a.a_id, b.b_id, a.event_type,
+               cast(least(a.hi, b.hi) - greatest(a.lo, b.lo) as bigint) AS overlap_us
+        FROM abins a
+        JOIN bbins b
+          ON b.event_type = a.event_type AND b.bin = a.bin
+        WHERE greatest(a.lo, b.lo) < least(a.hi, b.hi)
+          AND a.bin = {canon}
+    """
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval-overlap join with emit-once canonical-bin rule (see
+    _interval_overlap_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_interval_overlap_sql(D.SPARK))
 
 
 def _chi2_keywords_sql(d: str) -> str:
@@ -8092,6 +8339,116 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_countmin_body(D.SPARK, "th AS (SELECT * FROM cm_th_rel),"))
 
 
+def _hdr_quantiles_sql(d: str) -> str:
+    """HDR-histogram quantile sketch + exact-percentile error audit -- the
+    QUANTILE member of the mergeable-sketch trio (hll_partition_merge =
+    distinct, countmin_heavy_hitters = frequency, this = percentiles), over
+    per-type event values. HdrHistogram's log-linear binning (Gil Tene,
+    hdrhistogram.org -- the latency-monitoring standard): unit buckets
+    below 2^4, then 16 sub-buckets per power-of-2 range, so the served
+    quantile (a bucket LOWER BOUND) under-estimates by at most 6.25%
+    relative while per-segment state stays <= ~16 * 60 rows regardless of
+    value cardinality. Fully deterministic integer arithmetic (bin/>>/<<
+    agree across engines), so unlike HLL/approx_percentile the audit is
+    HASH-exact, not tolerance-checked.
+
+    Why this is the 100 TB shape: a histogram partial IS a histogram --
+    partials merge by (segment, idx) sum, so the hist arm map-side
+    collapses each partition to bounded rows before the only shuffle, daily
+    partials answer any date-range percentile by merge without re-scanning
+    raw events (the streaming twin in streaming/hdr_stream.py appends one
+    partial per micro-batch), and the served answer reads the merged cells
+    only. The EXACT arm (row_number per segment -- a per-segment sort) is
+    the audit, priced like countmin's exact top-20: it runs on a
+    calibration sample at production scale, never per-query.
+
+    Output per event_type: n, est/exact p50/p90/p99 (floor-cents BIGINTs)
+    -- est >= lower-bound property visible as est <= exact always."""
+    idx = sketch.hdr_index_sql("v")
+    lo50, lo90, lo99 = (sketch.hdr_lower_sql(f"i{p}") for p in (50, 90, 99))
+    k50 = D.int_div(d, "(n + 1)", "2")
+    k90 = D.int_div(d, "(9 * n + 9)", "10")
+    k99 = D.int_div(d, "(99 * n + 99)", "100")
+    return f"""
+        WITH vals AS (
+            SELECT event_type,
+                   cast(floor(greatest(coalesce(value, 0), 0) * 100) as bigint) AS v
+            FROM events
+        ),
+        hist AS (
+            SELECT event_type, {idx} AS idx, cast(count(*) as bigint) AS cnt
+            FROM vals GROUP BY event_type, {idx}
+        ),
+        tot AS (SELECT event_type, cast(sum(cnt) as bigint) AS n FROM hist GROUP BY event_type),
+        ranks AS (
+            SELECT event_type, n, {k50} AS k50, {k90} AS k90, {k99} AS k99
+            FROM tot
+        ),
+        cum AS (
+            SELECT event_type, idx,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum
+            FROM hist
+        ),
+        est AS (
+            SELECT r.event_type, r.n,
+                   min(case when c.cum >= r.k50 then c.idx end) AS i50,
+                   min(case when c.cum >= r.k90 then c.idx end) AS i90,
+                   min(case when c.cum >= r.k99 then c.idx end) AS i99
+            FROM ranks r JOIN cum c ON c.event_type = r.event_type
+            GROUP BY r.event_type, r.n
+        ),
+        ordered AS (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+            FROM vals
+        ),
+        exact AS (
+            SELECT o.event_type,
+                   max(case when o.rn = r.k50 then o.v end) AS p50_exact,
+                   max(case when o.rn = r.k90 then o.v end) AS p90_exact,
+                   max(case when o.rn = r.k99 then o.v end) AS p99_exact
+            FROM ordered o JOIN ranks r ON r.event_type = o.event_type
+            GROUP BY o.event_type
+        )
+        SELECT e.event_type,
+               e.n AS n_events,
+               cast({lo50} as bigint) AS p50_est,
+               cast(x.p50_exact as bigint) AS p50_exact,
+               cast({lo90} as bigint) AS p90_est,
+               cast(x.p90_exact as bigint) AS p90_exact,
+               cast({lo99} as bigint) AS p99_est,
+               cast(x.p99_exact as bigint) AS p99_exact
+        FROM est e JOIN exact x ON x.event_type = e.event_type
+        ORDER BY e.event_type
+    """
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantiles + exact audit (see _hdr_quantiles_sql). The
+    floor-cents value relation is materialized once: the bounded hist arm
+    and the exact (sort) audit arm both consume it, and Spark's CTE
+    inlining would re-read + re-convert events per arm."""
+    _events_view(spark, sf_dir)
+    vals = spark.sql(
+        """
+        SELECT event_type,
+               cast(floor(greatest(coalesce(value, 0), 0) * 100) as bigint) AS v
+        FROM events
+        """
+    )
+    vals.localCheckpoint(eager=True).createOrReplaceTempView("hdr_vals")
+    body = _hdr_quantiles_sql(D.SPARK)
+    body = body.replace(
+        """vals AS (
+            SELECT event_type,
+                   cast(floor(greatest(coalesce(value, 0), 0) * 100) as bigint) AS v
+            FROM events
+        )""",
+        "vals AS (SELECT event_type, v FROM hdr_vals)",
+    )
+    return spark.sql(body)
+
+
 DUP_PAIR_DF_CAP = 50  # drop shingle hashes occurring more often (boilerplate)
 DUP_PAIR_TOP = 50
 
@@ -8748,6 +9105,189 @@ def _band_sweep_core(d: str, sigs_src: str, truth_src: str) -> str:
     """
 
 
+WMH_TF_CAP = 8  # per-token multiplicity cap in the expanded multiset
+WMH_K = 32  # signature width (31*h2 <= 31*2^56 < 2^61: BIGINT-safe)
+WMH_BANDS, WMH_ROWS = 8, 4  # S-curve midpoint (1/8)^(1/4) ~ 0.595
+WMH_THRESHOLD = 0.7  # exact weighted-Jaccard keep threshold
+WMH_PREMATCH = 22  # signature-match prefilter: >= 22/32 components equal
+
+
+def _wmh_tf_sql(d: str) -> str:
+    """(doc, tok, wtf): capped per-doc token frequencies -- the weight
+    relation BOTH the estimator (via multiset expansion) and the exact
+    verify consume, so the estimator estimates exactly the quantity the
+    verify computes."""
+    toks = TX.tokenize(d, TEXT)
+    explode_t = (
+        "SELECT doc, explode(toks) AS tok FROM tokd"
+        if d == D.SPARK
+        else "SELECT doc, unnest(toks) AS tok FROM tokd"
+    )
+    return f"""
+        SELECT doc, tok, least(cast(count(*) as bigint), {WMH_TF_CAP}) AS wtf
+        FROM (
+            WITH tokd AS (SELECT doc_id AS doc, {toks} AS toks FROM documents)
+            {explode_t}
+        ) e GROUP BY doc, tok
+    """
+
+
+def _wmh_xor_keys() -> list[int]:
+    """32 fixed 56-bit XOR constants, md5-derived so both dialects inline
+    identical literals."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"wmh{i}".encode()).hexdigest()[:14], 16)
+        for i in range(WMH_K)
+    ]
+
+
+def _wminhash_sigs_sql(d: str, tf_src: str) -> str:
+    """k=32 MinHash signature (m0..m31) per doc over the INTEGER MULTISET
+    EXPANSION of the capped tf relation: each token contributes min(tf, cap)
+    elements (tok, 1..i) -- the classic reduction (Broder): the expanded
+    SETS' intersection/union are exactly the min/max tf sums, so set-MinHash
+    over them IS weighted MinHash, with none of ICWS's transcendentals.
+
+    The hash family is XOR-perturbation (h1 XOR K_i over fixed md5-derived
+    constants), NOT the shingle family's Kirsch-Mitzenmacher h1 + i*h2.
+    Measured reason: KM's g_i are affine in (h1, h2), so one element with
+    small h1 AND small h2 attains the min for EVERY i -- over the SMALL,
+    corpus-SHARED token universe (116k distinct (doc,tok) at sf0.1, vs
+    doc-specific shingles where KM is fine) this collapsed entire
+    same-template doc groups to identical 32-component signatures: the
+    largest band key held 2,476 of 5,000 docs (3M+ candidate pairs from one
+    key, 19s in the pair join). XOR by an independent constant re-ranks the
+    universe per function (a bijection, approximately min-wise independent),
+    making band collisions pairwise ~J^rows; the hub keys dissolve. The
+    estimator only drives candidacy -- the exact verify computes the
+    reported J_w -- so approximate min-wise independence is sufficient."""
+    h1, _h2 = H.hash_halves_cols(d, "h")
+    xor = (lambda a, k: f"({a} ^ {k})") if d == D.SPARK else (
+        lambda a, k: f"xor({a}, {k})"
+    )
+    aggs = ", ".join(
+        f"min({xor('h1', k)}) AS m{i}" for i, k in enumerate(_wmh_xor_keys())
+    )
+    cs = "string" if d == D.SPARK else "varchar"
+    gen = (
+        "explode(sequence(1, wtf))" if d == D.SPARK
+        else "unnest(generate_series(1, wtf))"
+    )
+    return f"""
+        SELECT doc, {aggs} FROM (
+            SELECT doc, {h1} AS h1 FROM (
+                SELECT doc, md5(concat(tok, ':', cast(i as {cs}))) AS h
+                FROM (SELECT doc, tok, {gen} AS i FROM ({tf_src}) tfw) x
+            ) hx
+        ) halves GROUP BY doc
+    """
+
+
+def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
+    """Weighted (bag-of-words) MinHash near-dup pairs: exact weighted Jaccard
+    J_w(A,B) = sum_t min(tf_A, tf_B) / sum_t max(tf_A, tf_B) over capped
+    token frequencies, reported for pairs that survive the LSH candidate
+    ladder. See _wminhash_sigs_sql for the multiset-expansion estimator.
+
+    What this adds over the shingle family: ORDER-INVARIANCE and
+    REPETITION-AWARENESS. A doc and its paragraph-shuffled copy share few
+    3-gram shingles (minhash_pairs misses them) but identical bags --
+    J_w = 1.0 here; two docs equal except for how often tokens repeat
+    differ here while distinct-token Jaccard calls them identical.
+
+    Threshold and banding are MEASURED against this corpus class, not
+    inherited from the shingle family: bag-of-words Jaccard between
+    UNRELATED docs is high (same vocabulary, similar lengths -- at sf0.001,
+    85% of ALL pairs have J_w >= 0.2 and 12% >= 0.5, vs ~0 for 3-gram
+    shingles), while the true order-shuffled/bag-dup cluster sits at
+    J_w >= 0.7. A 0.5 threshold with (4,4)x16 banding therefore outputs
+    ~817k background pairs at sf0.1 (measured) -- quadratic-ish, useless.
+    So: threshold {WMH_THRESHOLD}, k={WMH_K} signatures banded
+    ({WMH_BANDS},{WMH_ROWS}) putting the S-curve midpoint at
+    (1/{WMH_BANDS})^(1/{WMH_ROWS}) ~ 0.84 (candidate P ~ .89 at J=.9,
+    ~.003 at J=.4), and a signature-match PREFILTER (>= {WMH_PREMATCH}/{WMH_K}
+    equal components, i.e. estimated J >= 0.75) between banding and the
+    exact verify -- 32 integer comparisons per candidate vs a
+    vocab-sized join, cutting verify volume ~20x on the 0.4-0.5
+    background band that banding alone still admits.
+
+    Scale shape: expansion <= {WMH_TF_CAP}x the distinct (doc, tok)
+    relation; signatures collapse map-side (km min aggs); bands equi-join
+    on uniform keys; prefilter is a projection join against the doc-sized
+    sigs relation; the exact verify (pairs x vocab(a) rows, never token-df
+    fan-out -- no stopword df bomb) runs only on prefilter survivors.
+    Exact integer min/max sums, one double division per surviving pair."""
+    bands = H.band_keys_from_members(d, bands=WMH_BANDS, rows=WMH_ROWS)
+    explode_bands = (
+        "SELECT doc, explode(band_arr) AS band_key FROM bandarr"
+        if d == D.SPARK
+        else "SELECT doc, unnest(band_arr) AS band_key FROM bandarr"
+    )
+    matches = " + ".join(
+        f"(case when sa.m{i} = sb.m{i} then 1 else 0 end)" for i in range(WMH_K)
+    )
+    return f"""
+        WITH tfc AS ({tf_src}),
+        sigs AS ({sigs_src}),
+        bandarr AS (SELECT doc, {bands} AS band_arr FROM sigs),
+        bands AS ({explode_bands}),
+        pairs AS (
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM bands a JOIN bands b ON a.band_key = b.band_key
+            WHERE a.doc < b.doc
+        ),
+        cands AS (
+            SELECT p.id_a, p.id_b
+            FROM pairs p
+            JOIN sigs sa ON sa.doc = p.id_a
+            JOIN sigs sb ON sb.doc = p.id_b
+            WHERE {matches} >= {WMH_PREMATCH}
+        ),
+        totals AS (SELECT doc, cast(sum(wtf) as bigint) AS tot FROM tfc GROUP BY doc),
+        inter AS (
+            SELECT p.id_a, p.id_b,
+                   cast(sum(least(ta.wtf, tb.wtf)) as bigint) AS minsum
+            FROM cands p
+            JOIN tfc ta ON ta.doc = p.id_a
+            JOIN tfc tb ON tb.doc = p.id_b AND tb.tok = ta.tok
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               cast(i.minsum as double)
+                   / cast(na.tot + nb.tot - i.minsum as double) AS wjaccard
+        FROM inter i
+        JOIN totals na ON na.doc = i.id_a
+        JOIN totals nb ON nb.doc = i.id_b
+        WHERE cast(i.minsum as double)
+              / cast(na.tot + nb.tot - i.minsum as double) >= {WMH_THRESHOLD}
+    """
+
+
+def _wminhash_sql(d: str) -> str:
+    tf = _wmh_tf_sql(d)
+    return _wminhash_core(d, tf, _wminhash_sigs_sql(d, tf))
+
+
+def q_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-MinHash near-dup pairs (see _wminhash_core). The capped tf
+    relation is materialized once (the expansion, totals, and the exact
+    verify all consume it; re-inlining would re-tokenize per branch), and
+    the sigs relation once (banding plus BOTH sides of the prefilter join
+    consume it; Spark inlines CTEs, so un-checkpointed it would re-run the
+    8x expansion and 32 min-aggs three times)."""
+    _view(spark, sf_dir, "documents")
+    tfc = spark.sql(_wmh_tf_sql(D.SPARK))
+    tfc.localCheckpoint(eager=True).createOrReplaceTempView("wmh_tfc")
+    tf_src = "SELECT doc, tok, wtf FROM wmh_tfc"
+    sigs = spark.sql(_wminhash_sigs_sql(D.SPARK, tf_src))
+    sigs.localCheckpoint(eager=True).createOrReplaceTempView("wmh_sigs")
+    return spark.sql(
+        _wminhash_core(D.SPARK, tf_src, "SELECT * FROM wmh_sigs")
+    )
+
+
 def _minhash_error_core(d: str, sigs_src: str, capped_src: str) -> str:
     """MinHash ESTIMATOR-quality audit -- the sketch-QA family member for
     minhash (pq_distortion audits the PQ codebook, ivf_cell_balance the
@@ -8922,6 +9462,11 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "minhash_error": (q_minhash_error, _minhash_error_sql),
     "fk_integrity": (q_fk_integrity, _fk_integrity_sql),
     "zorder_stats": (q_zorder_stats, _zorder_stats_sql),
+    "wminhash_pairs": (q_wminhash_pairs, _wminhash_sql),
+    "audio_metadata": (q_audio_metadata, _audio_metadata_sql),
+    "hdr_quantiles": (q_hdr_quantiles, _hdr_quantiles_sql),
+    "interval_overlap": (q_interval_overlap, _interval_overlap_sql),
+    "k_anonymity": (q_k_anonymity, _k_anonymity_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

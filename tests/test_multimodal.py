@@ -151,3 +151,54 @@ def test_decode_image_metadata_operator(spark):
     assert out.schema.simpleString() == "struct<doc_id:bigint,fmt:string,width:bigint,height:bigint>"
     rows = {r["doc_id"]: (r["fmt"], r["width"], r["height"]) for r in out.collect()}
     assert rows == {1: ("png", 64, 32), 2: (None, None, None), 3: (None, None, None)}
+
+
+def _wav(rate=44100, channels=2, bits=16, n_frames=1000, pre_chunks=b"", fmt_tag=1):
+    """Build a real RIFF/WAVE header with struct-packed fields."""
+    import struct
+
+    block_align = channels * bits // 8
+    data_size = n_frames * block_align
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * block_align, block_align, bits
+    )
+    chunks = pre_chunks
+    chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) + data_size) + b"WAVE" + chunks
+
+
+def test_parse_wav_header_golden_bytes():
+    p = multimodal.parse_wav_header
+    assert p(_wav()) == ("wav", 44100, 2, 16, 1000)
+    assert p(_wav(rate=8000, channels=1, bits=8, n_frames=77)) == ("wav", 8000, 1, 8, 77)
+    # odd-size chunk before fmt: the walk must apply the word-alignment pad
+    odd = b"LIST" + (5).to_bytes(4, "little") + b"ABCDE" + b"\x00"
+    assert p(_wav(pre_chunks=odd)) == ("wav", 44100, 2, 16, 1000)
+    # even-size pre-chunk, no pad
+    even = b"LIST" + (4).to_bytes(4, "little") + b"ABCD"
+    assert p(_wav(pre_chunks=even)) == ("wav", 44100, 2, 16, 1000)
+    bad = (None, None, None, None, None)
+    assert p(None) == bad
+    assert p(b"") == bad
+    assert p(b"not audio at all") == bad
+    assert p(b"RIFF\x00\x00\x00\x00AVI ") == bad  # other RIFF container
+    assert p(_wav()[:20]) == bad  # truncated inside fmt
+    # data chunk but no fmt chunk seen: walk runs off the end -> bad
+    assert p(b"RIFF\x10\x00\x00\x00WAVEdata\x04\x00\x00\x00abcd") == bad
+    # zero block_align must classify, not ZeroDivisionError
+    z = _wav(channels=0, bits=0)
+    assert p(z) == bad
+
+
+def test_decode_audio_metadata_operator(spark):
+    rows = [("a", _wav(rate=16000, channels=1, bits=16, n_frames=320)),
+            ("b", b"garbage"), ("c", None)]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in multimodal.decode_audio_metadata(df).collect()}
+    a = out["a"]
+    assert (a["fmt"], a["sample_rate"], a["channels"], a["bits"], a["n_frames"]) == (
+        "wav", 16000, 1, 16, 320
+    )
+    assert out["b"]["fmt"] is None and out["b"]["sample_rate"] is None
+    assert out["c"]["fmt"] is None

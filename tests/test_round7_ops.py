@@ -691,3 +691,152 @@ def test_fk_integrity_orphans_nulls_and_clean_edges(spark):
     e = out["nation.n_regionkey->region"]
     assert (e["n_child"], e["n_null_fk"], e["n_orphans"]) == (2, 0, 1)
     assert e["orphan_rate"] == 0.5
+
+
+# ------------------------------------------------------- weighted minhash
+
+
+def test_wminhash_order_invariance_and_repetition(spark):
+    """The two claims that distinguish wminhash_pairs from the shingle
+    family: a paragraph-shuffled copy is J_w = 1.0 (order invariance), and
+    a doc whose tokens repeat 5x as often as its twin's is NOT a near-dup
+    (repetition awareness: distinct-token Jaccard would call them equal)."""
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    assert len(words) == 30
+    shuffled = " ".join(reversed(words))
+    inflated = " ".join(w for w in words for _ in range(5))
+    other = " ".join(
+        "gamma delta2 epsilon zeta eta theta iota kappa lam mu nu xi "
+        "omicron pi rho sigma tau upsilon phi chi psi omega extra more "
+        "words here that share nothing at all".split()
+    )
+    rows = [
+        (0, " ".join(words), "en", "s", 1),
+        (1, shuffled, "en", "s", 1),
+        (2, inflated, "en", "s", 1),
+        (3, other, "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in spark.sql(Q._wminhash_sql(Q.D.SPARK)).collect()
+    }
+    # shuffled copy: identical bag, exact J_w = 1.0, banding cannot miss it
+    # (all 32 signature components equal)
+    assert out[(0, 1)] == 1.0
+    # 5x-inflated twin: sum(min)=30, sum(max)=min(5,cap)*30 -> J_w = 0.2
+    assert (0, 2) not in out and (1, 2) not in out
+    # unrelated doc pairs with nothing shared
+    assert all(3 not in p for p in out)
+
+
+def test_wminhash_tf_cap_saturates(spark):
+    """Multiplicities above WMH_TF_CAP are indistinguishable: a token
+    repeated 100x and one repeated exactly cap times yield identical capped
+    bags -> J_w = 1.0."""
+    base = "padding tokens shared by both documents equally every time"
+    rows = [
+        (0, base + " spam" * 100, "en", "s", 1),
+        (1, base + " spam" * Q.WMH_TF_CAP, "en", "s", 1),
+    ]
+    _docs_view(spark, rows)
+    out = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in spark.sql(Q._wminhash_sql(Q.D.SPARK)).collect()
+    }
+    assert out[(0, 1)] == 1.0
+
+
+# ------------------------------------------------------ interval overlap
+
+
+def test_interval_overlap_emit_once_and_values(spark):
+    """The emit-once canonical-bin rule: a pair sharing SEVERAL coarse bins
+    yields exactly ONE row (no DISTINCT needed), with the exact half-open
+    overlap; non-overlapping and touching-at-boundary pairs are excluded."""
+    H = 3_600_000_000  # 1 h in epoch-us
+
+    def ns(us):
+        return us * 1000
+
+    rows = [
+        (1, ns(0 * H), 10, "t", 0.0, None),   # rn1 odd  -> review [-6h, 0)
+        (2, ns(1 * H), 10, "t", 0.0, None),   # rn2 even -> incident [1h, 7h)
+        (3, ns(3 * H), 10, "t", 0.0, None),   # rn3 odd  -> review [-3h, 3h)
+        (4, ns(10 * H), 10, "t", 0.0, None),  # rn4 even -> incident [10h, 16h)
+        (5, ns(0 * H), 10, "u", 0.0, None),   # lone odd in another type
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).createOrReplaceTempView("events")
+    df = spark.sql(Q._interval_overlap_sql(Q.D.SPARK))
+    out = df.collect()
+    # incident e2 [1h,7h) x review e3 [-3h,3h): overlap [1h,3h) -- they
+    # share bins 1 AND 2, but exactly one row comes out. e2 x e1 touches at
+    # the boundary (review ends at 0 < incident start 1h): excluded.
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a_id"], r["b_id"], r["event_type"]) == (2, 3, "t")
+    assert r["overlap_us"] == 2 * H
+    # the decomposition must never fall back to a non-equi join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_hand_counted_classes(spark):
+    """Hand-built quasi-identifier classes: sizes {3, 2, 1, 1} -> at k=2
+    the two singletons are at risk; at k=5 everything is."""
+    rows = [
+        # class A: nation 1, SEG1, band of 500.0 -> 3 rows
+        (1, "n", 1, 500.0, "SEG1"),
+        (2, "n", 1, 700.0, "SEG1"),   # same thousand-band (0 after floor/1000)
+        (3, "n", 1, 999.0, "SEG1"),
+        # class B: nation 1, SEG1, band 1 (1200-1800) -> 2 rows
+        (4, "n", 1, 1200.0, "SEG1"),
+        (5, "n", 1, 1800.0, "SEG1"),
+        # class C: singleton, different segment
+        (6, "n", 1, 500.0, "SEG2"),
+        # class D: singleton via NEGATIVE balance (the floor-vs-trunc trap:
+        # -400 must land in band -1's shifted bucket, not band 0's)
+        (7, "n", 1, -400.0, "SEG1"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).createOrReplaceTempView("customer")
+    out = {r["k"]: r for r in spark.sql(Q._k_anonymity_sql(Q.D.SPARK)).collect()}
+    assert set(out) == set(Q.K_ANON_THRESHOLDS)
+    for r in out.values():
+        assert (r["n_classes"], r["n_rows"], r["min_class"]) == (4, 7, 1)
+    assert (out[2]["classes_below_k"], out[2]["rows_below_k"]) == (2, 2)
+    assert (out[5]["classes_below_k"], out[5]["rows_below_k"]) == (4, 7)
+    assert out[5]["at_risk_share"] == 1.0
+    assert (out[10]["classes_below_k"], out[10]["rows_below_k"]) == (4, 7)
+    assert out[2]["at_risk_share"] == 2.0 / 7.0
+
+
+def test_k_anonymity_negative_band_distinct_from_zero_band(spark):
+    """-400 and +400 must be DIFFERENT bands (shifted integer divide); a
+    trunc-toward-zero divide would merge them into one k=2 class."""
+    rows = [
+        (1, "n", 1, -400.0, "SEG1"),
+        (2, "n", 1, 400.0, "SEG1"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).createOrReplaceTempView("customer")
+    out = {r["k"]: r for r in spark.sql(Q._k_anonymity_sql(Q.D.SPARK)).collect()}
+    assert out[2]["n_classes"] == 2 and out[2]["rows_below_k"] == 2
