@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "hdr_quantiles",
     "interval_overlap",
     "k_anonymity",
+    "join_size_sketch",
+    "weighted_sample",
+    "shard_manifest",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

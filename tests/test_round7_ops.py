@@ -840,3 +840,95 @@ def test_k_anonymity_negative_band_distinct_from_zero_band(spark):
     ).createOrReplaceTempView("customer")
     out = {r["k"]: r for r in spark.sql(Q._k_anonymity_sql(Q.D.SPARK)).collect()}
     assert out[2]["n_classes"] == 2 and out[2]["rows_below_k"] == 2
+
+
+# --------------------------------------------------------- join size AGMS
+
+
+def test_join_size_sketch_exact_arm_and_estimate_sanity(spark):
+    """Hand-computed join size: lineitem key counts {1:3, 2:2, 4:5} x
+    orders keys {1, 2, 3} -> sum = 3 + 2 = 5. The AGMS estimate over a
+    5-key universe in 512 buckets has (almost surely) no bucket
+    collisions, and with no collisions every depth's signed inner product
+    is EXACTLY s_j(k)^2-weighted truth = truth."""
+    li = [(1,), (1,), (1,), (2,), (2,), (4,), (4,), (4,), (4,), (4,)]
+    spark.createDataFrame(li, "l_orderkey long").createOrReplaceTempView("lineitem")
+    spark.createDataFrame([(1,), (2,), (3,)], "o_orderkey long").createOrReplaceTempView(
+        "orders"
+    )
+    rows = spark.sql(Q._join_size_sketch_sql(Q.D.SPARK)).collect()
+    assert len(rows) == Q.CM_DEPTH
+    assert all(r["exact_join_size"] == 5 for r in rows)
+    # depth estimates may differ only via collisions; with 5 keys in 512
+    # buckets a collision would need two md5s agreeing mod 512 AT THE SAME
+    # depth -- if one ever appears this assert should be relaxed, but the
+    # unbiased-sign property makes equality the expected outcome here
+    assert all(r["depth_estimate"] == 5 for r in rows)
+    assert rows[0]["agms_estimate"] == 5 and rows[0]["rel_error"] == 0.0
+
+
+# ------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """Exact replica of the ES key pipeline (md5 -> h1 -> -ln(u)/w ->
+    2^-30 floor) in pure Python pins the selected ids and ranks."""
+    import hashlib
+    import math
+
+    rows = [(i, f"doc {i}", "en", f"s{i % 2}", (i * 37) % 400 + 5) for i in range(60)]
+    _docs_view(spark, rows)
+    out = [
+        (r["source"], r["rnk"], r["doc_id"], r["es_key"])
+        for r in spark.sql(Q._weighted_sample_sql(Q.D.SPARK)).collect()
+    ]
+
+    def es_key(doc_id: int, w: int) -> int:
+        h1 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:14], 16)
+        u = (h1 + 1.0) / 72057594037927936.0
+        return math.floor(-math.log(u) / max(w, 1) * 1073741824.0)
+
+    want = []
+    by_src: dict[str, list] = {}
+    for i, _, _, src, nch in rows:
+        by_src.setdefault(src, []).append((es_key(i, max(nch, 1)), i, max(nch, 1)))
+    for src, ks in by_src.items():
+        for rnk, (k, i, w) in enumerate(sorted(ks), start=1):
+            if rnk <= Q.WS_K:
+                want.append((src, rnk, i, k))
+    assert sorted(out) == sorted(want)
+
+
+def test_weighted_sample_heavy_doc_selected(spark):
+    """A doc 10^4x heavier than its stratum peers is (deterministically,
+    for this fixture) in the sample: P(miss) ~ (k-sized tail of 59 draws
+    each needing u^(1/w) to beat the giant) is astronomically small, and
+    the fixture is fixed so the assertion is stable."""
+    rows = [(i, "x", "en", "s", 3) for i in range(59)] + [(99, "x", "en", "s", 30000)]
+    _docs_view(spark, rows)
+    ids = {r["doc_id"] for r in spark.sql(Q._weighted_sample_sql(Q.D.SPARK)).collect()}
+    assert 99 in ids
+
+
+# -------------------------------------------------------- shard manifest
+
+
+def test_shard_manifest_snake_balances_ramp(spark):
+    """16 docs on a linear size ramp dealt in snake order over 8 shards:
+    shard s gets rank s+1 (forward pass) and rank 16-s (reverse pass), so
+    every shard holds EXACTLY the same char mass -- the property plain
+    round-robin lacks on sorted input (it would leave a 1400-char spread
+    on this fixture; the snake leaves 0)."""
+    sizes = [1600 - 100 * i for i in range(16)]  # 1600, 1500, ..., 100
+    rows = [(i, "t", "en", "s", sizes[i]) for i in range(16)]
+    _docs_view(spark, rows)
+    out = {r["shard"]: r for r in spark.sql(Q._shard_manifest_sql(Q.D.SPARK)).collect()}
+    assert set(out) == set(range(8))
+    total = sum(sizes)
+    for s in range(8):
+        r = out[s]
+        want = sizes[s] + sizes[15 - s]  # snake pairing
+        assert r["n_docs"] == 2 and r["total_chars"] == want
+        assert r["share"] == want / total
+    chars = [out[s]["total_chars"] for s in range(8)]
+    assert max(chars) == min(chars)  # the ramp cancels exactly
