@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "join_size_sketch",
     "weighted_sample",
     "shard_manifest",
+    "late_data_audit",
+    "gt_discounts",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -4820,6 +4820,80 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_interval_overlap_sql(D.SPARK))
 
 
+LATE_DELAYS_US = (60_000_000, 600_000_000, 3_600_000_000)  # 1m / 10m / 1h
+
+
+def _late_data_audit_sql(d: str) -> str:
+    """Watermark-delay audit: how out-of-order does each event stream
+    actually arrive, and what would each candidate watermark DROP? The
+    streaming operators take a watermark as a parameter
+    (streaming/ingest.py); this query is where the parameter COMES FROM --
+    the design step a deployment runs on history before picking '10
+    minutes'. An event's disorder is how far behind the maximum event time
+    already seen it arrives; under a watermark of delay W exactly the
+    events with disorder > W would be dropped by a watermarked
+    aggregation.
+
+    The events table records event time only, and the synthetic generator
+    emits it already sorted -- measured: disorder 0 everywhere, an audit
+    with nothing to audit (the fuzzy_join degenerate-fixture lesson). So
+    arrival time is SYNTHESIZED deterministically (the pii_redact
+    precedent): each event suffers an md5-derived ingest delay of 0-20
+    min, and the audit measures the REAL disorder of that jittered
+    arrival sequence -- late_1m large, late_1h exactly 0 by construction
+    (delay < 20 min), the whole pipeline (running max over arrival order,
+    per-delay drop counts) exercised for real. Swapping the synthesized
+    delay for a recorded arrival_ts column is a one-line change.
+
+    Scale shape: ONE running-max window per type over arrival order (the
+    same single pass a real watermark tracker makes), then a conditional
+    aggregate -- every candidate delay is a CASE column over the same
+    disorder value, so auditing more candidates is free. All integer
+    epoch-us; shares are exact int/int divisions."""
+    ts = _ts_us(d)
+    h1 = H.hex_to_bigint(d, "md5(" + D.cast_str(d, "event_id") + ")", 14)
+    lates = ", ".join(
+        f"""cast(sum(case when disorder_us > {w} then 1 else 0 end) as bigint)
+                   AS late_{tag}"""
+        for w, tag in zip(LATE_DELAYS_US, ("1m", "10m", "1h"))
+    )
+    return f"""
+        WITH ev AS (
+            SELECT event_id, event_type, cast({ts} as bigint) AS ts_us,
+                   cast({ts} as bigint) + ({h1} % 1200000000) AS arrival_us
+            FROM events
+        ),
+        dis AS (
+            SELECT event_type,
+                   greatest(
+                       coalesce(
+                           max(ts_us) OVER (PARTITION BY event_type
+                                            ORDER BY arrival_us ASC, event_id ASC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING),
+                           ts_us),
+                       ts_us) - ts_us AS disorder_us
+            FROM ev
+        )
+        SELECT event_type,
+               cast(count(*) as bigint) AS n_events,
+               cast(max(disorder_us) as bigint) AS max_disorder_us,
+               {lates},
+               cast(sum(case when disorder_us > {LATE_DELAYS_US[1]} then 1 else 0 end) as double)
+                   / cast(count(*) as double) AS late_10m_share
+        FROM dis
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness / watermark-drop audit per event stream (see
+    _late_data_audit_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_late_data_audit_sql(D.SPARK))
+
+
 def _chi2_keywords_sql(d: str) -> str:
     """Per-source discriminative keywords by chi-square association -- the
     standard labeled-subset keyword extractor (what differs about THIS
@@ -8133,6 +8207,59 @@ def _heldout_bigram_nll_sql(d: str) -> str:
     return _bigram_nll_body(d, f"tokd AS (SELECT doc_id, {toks} AS toks FROM documents),")
 
 
+def _gt_discounts_sql(d: str) -> str:
+    """Good-Turing count-of-counts calibration table over corpus bigrams
+    (Good 1953; the smoothing-parameter source for Katz/Kneser-Ney-class
+    LMs) -- the TRAINING-side sibling of heldout_bigram_nll's eval-side
+    scoring: before an n-gram LM ships, this is the table that says how
+    much probability mass the raw counts over-claim. For each count class
+    c: N_c = how many distinct bigrams occur exactly c times, and the GT
+    adjusted count c* = (c+1) * N_{{c+1}} / N_c; the missing-mass estimate
+    N_1 / total (Good's estimator for unseen-event probability) is the
+    single number that justifies any smoothing at all.
+
+    Scale shape: bigram counts are ONE vocabulary-sized aggregate with
+    map-side combine; the count-of-counts relation collapses that to
+    <= max-count rows, and totals derive from the count-of-counts (sum of
+    c * N_c), so the vocabulary relation is consumed exactly once -- no
+    second corpus pass, no checkpoint needed. Integer counts throughout;
+    c* and missing mass are single exact-int divisions."""
+    toks = TX.tokenize(d, TEXT)
+    bgs = TX.ngrams(d, "toks", 2)
+    ex_b = "explode(bgs)" if d == D.SPARK else "unnest(bgs)"
+    return f"""
+        WITH tokd AS (SELECT {toks} AS toks FROM documents),
+        bgc AS (
+            SELECT bg, cast(count(*) as bigint) AS c
+            FROM (SELECT {ex_b} AS bg FROM (SELECT {bgs} AS bgs FROM tokd) g) u
+            GROUP BY bg
+        ),
+        coc AS (SELECT c, cast(count(*) as bigint) AS n_c FROM bgc GROUP BY c),
+        tot AS (
+            SELECT cast(sum(c * n_c) as bigint) AS total_bigrams,
+                   cast(sum(n_c) as bigint) AS distinct_bigrams,
+                   cast(sum(case when c = 1 then n_c else 0 end) as bigint) AS n1
+            FROM coc
+        )
+        SELECT a.c, a.n_c,
+               cast(a.c + 1 as double) * cast(coalesce(b.n_c, 0) as double)
+                   / cast(a.n_c as double) AS gt_cstar,
+               t.total_bigrams, t.distinct_bigrams,
+               cast(t.n1 as double) / cast(t.total_bigrams as double)
+                   AS missing_mass
+        FROM coc a LEFT JOIN coc b ON b.c = a.c + 1 CROSS JOIN tot t
+        WHERE a.c <= 10
+        ORDER BY a.c
+    """
+
+
+def q_gt_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts + missing-mass table (see
+    _gt_discounts_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_gt_discounts_sql(D.SPARK))
+
+
 def q_heldout_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out Stupid-Backoff bigram NLL per eval-split doc (see
     _bigram_nll_body). The token relation is materialized once
@@ -9671,6 +9798,8 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "join_size_sketch": (q_join_size_sketch, _join_size_sketch_sql),
     "weighted_sample": (q_weighted_sample, _weighted_sample_sql),
     "shard_manifest": (q_shard_manifest, _shard_manifest_sql),
+    "late_data_audit": (q_late_data_audit, _late_data_audit_sql),
+    "gt_discounts": (q_gt_discounts, _gt_discounts_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

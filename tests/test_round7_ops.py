@@ -932,3 +932,68 @@ def test_shard_manifest_snake_balances_ramp(spark):
         assert r["share"] == want / total
     chars = [out[s]["total_chars"] for s in range(8)]
     assert max(chars) == min(chars)  # the ramp cancels exactly
+
+
+# -------------------------------------------------------- late data audit
+
+
+def test_late_data_audit_matches_python_replica(spark):
+    """Pure-Python replica of the jittered-arrival disorder pipeline pins
+    per-type late counts and the max disorder on a 60-event fixture."""
+    import hashlib
+
+    H1 = lambda eid: int(hashlib.md5(str(eid).encode()).hexdigest()[:14], 16)  # noqa: E731
+    US = 1_000_000
+    rows = []
+    for i in range(60):
+        # event time: every 30 s, two types interleaved
+        rows.append((i, (1_700_000_000 + 30 * i) * US * 1000,  # ns
+                     7, "a" if i % 2 == 0 else "b", 1.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).createOrReplaceTempView("events")
+    out = {r["event_type"]: r for r in spark.sql(Q._late_data_audit_sql(Q.D.SPARK)).collect()}
+
+    want: dict[str, dict] = {}
+    for typ in ("a", "b"):
+        evs = [(i, (1_700_000_000 + 30 * i) * US) for i, r in enumerate(rows)
+               if (("a" if i % 2 == 0 else "b") == typ)]
+        arr = sorted(evs, key=lambda e: (e[1] + H1(e[0]) % 1_200_000_000, e[0]))
+        seen_max, lates, mx = None, {60 * US: 0, 600 * US: 0, 3600 * US: 0}, 0
+        for eid, ts in arr:
+            dis = max((seen_max or ts) - ts, 0)
+            mx = max(mx, dis)
+            for w in lates:
+                if dis > w:
+                    lates[w] += 1
+            seen_max = ts if seen_max is None else max(seen_max, ts)
+        want[typ] = {"n": len(evs), "mx": mx, "l1": lates[60 * US],
+                     "l10": lates[600 * US], "l1h": lates[3600 * US]}
+    for typ, w in want.items():
+        r = out[typ]
+        assert r["n_events"] == w["n"]
+        assert r["max_disorder_us"] == w["mx"]
+        assert (r["late_1m"], r["late_10m"], r["late_1h"]) == (w["l1"], w["l10"], w["l1h"])
+        assert r["late_10m_share"] == w["l10"] / w["n"]
+    # 30s cadence with up-to-20min jitter MUST produce real disorder
+    assert out["a"]["late_1m"] > 0
+
+
+# --------------------------------------------------------- good-turing
+
+
+def test_gt_discounts_hand_counted(spark):
+    """'a b a b' + 'c d' -> bigram counts {a_b:2, b_a:1, c_d:1}: N_1=2,
+    N_2=1, total=4, missing mass = 2/4, c*=2*N_2/N_1=1.0 at c=1 and
+    3*N_3/N_2=0 at c=2."""
+    rows = [(1, "a b a b", "en", "s", 7), (2, "c d", "en", "s", 3)]
+    _docs_view(spark, rows)
+    out = {r["c"]: r for r in spark.sql(Q._gt_discounts_sql(Q.D.SPARK)).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["total_bigrams"] == 4 and r["distinct_bigrams"] == 3
+        assert r["missing_mass"] == 0.5
+    assert out[1]["n_c"] == 2 and out[1]["gt_cstar"] == 2 * 1 / 2  # (c+1)*N2/N1
+    assert out[2]["n_c"] == 1 and out[2]["gt_cstar"] == 0.0  # no N_3
