@@ -123,3 +123,30 @@ def hdr_cells(
         .groupBy("segment", "idx")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+# ------------------------------------------------------------ ES reservoir
+# Efraimidis-Spirakis weighted-sampling keys (2006): item with weight w
+# draws u in (0,1] and the k smallest -ln(u)/w keys ARE a weighted sample
+# without replacement. The key set is MERGEABLE exactly like a sketch --
+# the k smallest keys of a union of partials equal the k smallest over the
+# union -- which is what makes both the distributed batch top-k and the
+# streaming reservoir below correct. Shared by queries.weighted_sample and
+# streaming/reservoir_stream.py so the two paths cannot drift.
+
+ES_SCALE = 1073741824.0  # 2^30 floor quantization after the one ln
+ES_U_DEN = 72057594037927936.0  # 2^56: u = (h1+1)/2^56, an exact dyadic
+
+
+def es_key_sql(d: str, kh_col: str, weight_expr: str) -> str:
+    """Floor-quantized ES key: floor(-ln(u)/w * 2^30) as BIGINT, with u
+    derived from a PRECOMPUTED md5-hex column (callers materialize
+    md5(id) in a subquery once -- inlining it here would recompute the
+    md5 for each of the 14 hex-digit extractions inside hex_to_bigint).
+    Deterministic, cross-engine (the char_entropy ln-then-floor
+    precedent). Smaller key = more likely sampled."""
+    h1 = H.hex_to_bigint(d, kh_col, 14)
+    return (
+        f"cast(floor((-ln((cast({h1} as double) + 1.0) / {ES_U_DEN!r}))"
+        f" / cast({weight_expr} as double) * {ES_SCALE!r}) as bigint)"
+    )

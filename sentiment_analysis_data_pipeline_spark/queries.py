@@ -2229,19 +2229,17 @@ def _weighted_sample_sql(d: str) -> str:
     the ES key makes weighted sampling a per-group top-k
     (TakeOrderedAndProject-class work), and the same keys support
     distributed reservoir MERGE (keep the k smallest keys of any union of
-    partials). Cross-engine determinism: the key is floor-quantized at
-    2^-30 AFTER the one transcendental (ln of an exactly-shared double) --
-    the char_entropy precedent; ties broken by doc_id."""
-    h1 = H.hex_to_bigint(d, "kh", 14)
+    partials -- the streaming twin in streaming/reservoir_stream.py relies
+    on exactly this). Cross-engine determinism: the key is floor-quantized
+    at 2^-30 AFTER the one transcendental (ln of an exactly-shared double)
+    -- the char_entropy precedent; ties broken by doc_id. The key formula
+    lives in operators/sketch.es_key_sql, shared with the streaming twin
+    so the two paths cannot drift."""
     return f"""
         WITH keyed AS (
             SELECT doc_id, source,
                    cast(greatest(n_chars, 1) as bigint) AS weight,
-                   cast(floor(
-                       (-ln((cast({h1} as double) + 1.0) / 72057594037927936.0))
-                       / cast(greatest(n_chars, 1) as double)
-                       * 1073741824.0
-                   ) as bigint) AS es_key
+                   {sketch.es_key_sql(d, "kh", "greatest(n_chars, 1)")} AS es_key
             FROM (SELECT doc_id, source, n_chars,
                          md5({D.cast_str(d, "doc_id")}) AS kh
                   FROM documents) h
