@@ -253,3 +253,77 @@ def test_fk_integrity_aggregates_child_before_parent_join(spark):
     assert "CartesianProduct" not in plan
     # every edge pre-aggregates: 7 edges x (partial+final) key aggs present
     assert plan.count("HashAggregate") >= 14
+
+
+# ---------------------------------------------------- r7 continuation ops
+
+
+def test_hdr_quantiles_partial_agg_and_no_cartesian(spark):
+    """The hist arm must collapse map-side (partial_ forms of the
+    (segment, idx) aggregate) before its shuffle; the tiny est/exact
+    combine joins stay off cartesian fallbacks."""
+    plan = _run(spark, "hdr_quantiles")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_size_sketch_sides_never_meet_raw(spark):
+    """Scale claim: the two sketched sides meet only at sketch granularity
+    -- the inner-product join's inputs are the (j, col)-keyed aggregates
+    (partial_sum forms present, map-side collapse before the shuffle). The
+    plan's only nested-loop joins are the 1-row served/exact combines
+    (BNLJ Cross over BroadcastExchange of single-row aggregates -- the
+    bounded-combine shape, not a fan-out); never a shuffled
+    CartesianProduct."""
+    plan = _run(spark, "join_size_sketch")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    # every BNLJ is a 1-row cross combine (2 joins; "formatted" prints
+    # each node twice -- tree line + detail block)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_weighted_sample_no_global_sort(spark):
+    """The ES top-k is per-stratum window work: no global Sort over an
+    un-partitioned exchange of the full doc relation (the window sorts
+    WITHIN source partitions)."""
+    plan = _run(spark, "weighted_sample")
+    assert "hashpartitioning(source" in plan
+    # rangepartitioning = a global ORDER BY crept in
+    assert "rangepartitioning" not in plan
+
+
+def test_k_anonymity_single_class_aggregate(spark):
+    """The table collapses to equivalence classes in ONE partial+final
+    aggregate; threshold work happens against the class relation."""
+    plan = _run(spark, "k_anonymity")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan  # VALUES join is broadcast
+
+
+def test_audio_metadata_pure_projection(spark):
+    """Header decode is scan -> synthesize -> mapInPandas: the only
+    Exchange is the deliberate round-robin scatter of the single-file
+    documents table (sources/tables.scattered) -- never a KEYED shuffle in
+    the decode lineage."""
+    plan = _run(spark, "audio_metadata")
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_interval_overlap_equi_join_only(spark):
+    plan = _run(spark, "interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gt_discounts_single_vocab_pass(spark):
+    """The vocabulary-sized bigram aggregate feeds count-of-counts once;
+    totals derive from count-of-counts, so the plan holds exactly one
+    bigram-relation aggregate pair (partial+final over bg)."""
+    plan = _run(spark, "gt_discounts")
+    # one partial_count over the bigram keys (the vocab agg), and no
+    # second explode chain: a single Generate from the token arrays
+    assert plan.count("Generate explode") <= 1
+    assert "CartesianProduct" not in plan
