@@ -8205,6 +8205,109 @@ def _heldout_bigram_nll_sql(d: str) -> str:
     return _bigram_nll_body(d, f"tokd AS (SELECT doc_id, {toks} AS toks FROM documents),")
 
 
+KMV_K = 256  # k-minimum-values sketch size
+KMV_SPACE = 1 << 56  # hash space (md5 first 14 hex chars)
+
+
+def _kmv_intersection_sql(d: str) -> str:
+    """KMV / theta-sketch SET INTERSECTION between segments -- the set-
+    algebra member of the sketch family that HLL cannot provide: HLL
+    unions losslessly but has no intersection (inclusion-exclusion over
+    HLLs explodes the error for small overlaps); the k-minimum-values
+    sketch (Bar-Yossef et al. 2002; theta-sketch framing: Dasgupta et al.
+    2016, the Apache DataSketches model) supports it directly. Per
+    segment, keep the {KMV_K} smallest distinct md5 hashes of the member
+    keys; theta = the k-th smallest (the sampled fraction of hash space),
+    distinct estimate = (k-1)/theta, and for two segments the overlap
+    estimate counts sketch hashes BELOW min(theta_a, theta_b) present in
+    both sketches, divided by that min -- each sketch is a uniform sample
+    of its set at known rate, so the intersection of the samples estimates
+    the intersection of the sets. A sketch with fewer than k values IS its
+    set (theta = 1, estimates exact) -- sf0.001 exercises that branch,
+    sf0.1 the estimator branch.
+
+    Why it matters at 100 TB: per-segment KMV partials are mergeable by
+    union -> k-smallest (the ES-reservoir algebra), so daily audience
+    sketches answer ANY cross-segment overlap/Jaccard question -- the
+    'how many users did both X and Y' class -- without rescanning events;
+    the exact arm here is the bench-SF audit (countmin precedent). Fully
+    deterministic md5 KMV: the oracle replays every sketch bit-for-bit,
+    so this is hash-checked, not tolerance-checked. Integer hashes and
+    counts; estimates are single exact-int divisions."""
+    h1 = H.hex_to_bigint(d, "uh", 14)
+    return f"""
+        WITH members AS (
+            SELECT DISTINCT event_type AS seg, user_id FROM events
+        ),
+        hashed AS (
+            SELECT seg, {h1} AS h
+            FROM (SELECT seg, md5({D.cast_str(d, "user_id")}) AS uh
+                  FROM members) m
+        ),
+        sk AS (
+            SELECT seg, h FROM (
+                SELECT seg, h,
+                       row_number() OVER (PARTITION BY seg ORDER BY h ASC) AS rnk
+                FROM hashed
+            ) r WHERE rnk <= {KMV_K}
+        ),
+        theta AS (
+            SELECT seg, cast(count(*) as bigint) AS n_sk,
+                   cast(case when count(*) < {KMV_K} then {KMV_SPACE}
+                             else max(h) end as bigint) AS theta_int
+            FROM sk GROUP BY seg
+        ),
+        est AS (
+            SELECT seg, n_sk, theta_int,
+                   case when n_sk < {KMV_K} then cast(n_sk as double)
+                        else cast({KMV_K} - 1 as double) * {float(KMV_SPACE)!r}
+                             / cast(theta_int as double) end AS est_distinct
+            FROM theta
+        ),
+        pairs AS (
+            SELECT a.seg AS seg_a, b.seg AS seg_b,
+                   least(a.theta_int, b.theta_int) AS theta_ab,
+                   a.est_distinct AS est_users_a, b.est_distinct AS est_users_b
+            FROM est a JOIN est b ON a.seg < b.seg
+        ),
+        overlap AS (
+            SELECT p.seg_a, p.seg_b,
+                   cast(count(*) as bigint) AS m_below
+            FROM pairs p
+            JOIN sk sa ON sa.seg = p.seg_a
+            JOIN sk sb ON sb.seg = p.seg_b AND sb.h = sa.h
+            WHERE sa.h < p.theta_ab OR p.theta_ab = {KMV_SPACE}
+            GROUP BY p.seg_a, p.seg_b
+        ),
+        exact AS (
+            SELECT a.seg AS seg_a, b.seg AS seg_b,
+                   cast(count(*) as bigint) AS exact_intersection
+            FROM members a JOIN members b
+              ON b.user_id = a.user_id AND a.seg < b.seg
+            GROUP BY a.seg, b.seg
+        )
+        SELECT p.seg_a, p.seg_b, p.est_users_a, p.est_users_b,
+               case when p.theta_ab = {KMV_SPACE}
+                    then cast(coalesce(o.m_below, 0) as double)
+                    else cast(coalesce(o.m_below, 0) as double)
+                         * {float(KMV_SPACE)!r} / cast(p.theta_ab as double)
+               end AS est_intersection,
+               cast(coalesce(x.exact_intersection, 0) as bigint)
+                   AS exact_intersection
+        FROM pairs p
+        LEFT JOIN overlap o ON o.seg_a = p.seg_a AND o.seg_b = p.seg_b
+        LEFT JOIN exact x ON x.seg_a = p.seg_a AND x.seg_b = p.seg_b
+        ORDER BY p.seg_a, p.seg_b
+    """
+
+
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch distinct-user overlap between event segments (see
+    _kmv_intersection_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_kmv_intersection_sql(D.SPARK))
+
+
 def _gt_discounts_sql(d: str) -> str:
     """Good-Turing count-of-counts calibration table over corpus bigrams
     (Good 1953; the smoothing-parameter source for Katz/Kneser-Ney-class
@@ -9798,6 +9901,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "shard_manifest": (q_shard_manifest, _shard_manifest_sql),
     "late_data_audit": (q_late_data_audit, _late_data_audit_sql),
     "gt_discounts": (q_gt_discounts, _gt_discounts_sql),
+    "kmv_intersection": (q_kmv_intersection, _kmv_intersection_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

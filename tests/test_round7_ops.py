@@ -997,3 +997,59 @@ def test_gt_discounts_hand_counted(spark):
         assert r["missing_mass"] == 0.5
     assert out[1]["n_c"] == 2 and out[1]["gt_cstar"] == 2 * 1 / 2  # (c+1)*N2/N1
     assert out[2]["n_c"] == 1 and out[2]["gt_cstar"] == 0.0  # no N_3
+
+
+# ----------------------------------------------------- kmv intersection
+
+
+def _events_view_rows(spark, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).createOrReplaceTempView("events")
+
+
+def test_kmv_intersection_exact_branch_small_sets(spark):
+    """Segments with fewer than k distinct users: the sketch IS the set
+    (theta = 1), so both distinct and intersection estimates are exact."""
+    rows = []
+    eid = 0
+    for u in range(1, 51):  # A: users 1..50
+        rows.append((eid, 0, u, "a", 1.0, None)); eid += 1
+    for u in range(30, 81):  # B: users 30..80 -> overlap 30..50 = 21 users
+        rows.append((eid, 0, u, "b", 1.0, None)); eid += 1
+        rows.append((eid, 0, u, "b", 1.0, None)); eid += 1  # dup events
+    _events_view_rows(spark, rows)
+    out = spark.sql(Q._kmv_intersection_sql(Q.D.SPARK)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["seg_a"], r["seg_b"]) == ("a", "b")
+    assert r["est_users_a"] == 50.0 and r["est_users_b"] == 51.0
+    assert r["est_intersection"] == 21.0 and r["exact_intersection"] == 21
+
+
+def test_kmv_intersection_estimator_branch_within_rsd(spark):
+    """Above-k segments use the theta estimator: with k=256 the rsd is
+    ~1/sqrt(k-1) ~ 6.3%; assert the deterministic fixture lands within
+    4 sigma of truth for both the distinct and the overlap estimates,
+    and that a disjoint pair reads (near) zero."""
+    rows = []
+    eid = 0
+    for u in range(0, 2000):  # A: 2000 users
+        rows.append((eid, 0, u, "a", 1.0, None)); eid += 1
+    for u in range(1000, 3000):  # B: 2000 users, overlap 1000
+        rows.append((eid, 0, u, "b", 1.0, None)); eid += 1
+    for u in range(50_000, 52_000):  # C: disjoint from both
+        rows.append((eid, 0, u, "c", 1.0, None)); eid += 1
+    _events_view_rows(spark, rows)
+    out = {(r["seg_a"], r["seg_b"]): r for r in spark.sql(Q._kmv_intersection_sql(Q.D.SPARK)).collect()}
+    ab = out[("a", "b")]
+    assert abs(ab["est_users_a"] - 2000) < 2000 * 0.25
+    assert abs(ab["exact_intersection"] - 1000) == 0
+    assert abs(ab["est_intersection"] - 1000) < 1000 * 0.4  # overlap noisier
+    for pair in (("a", "c"), ("b", "c")):
+        r = out[pair]
+        assert r["exact_intersection"] == 0
+        # a few incidental sketch collisions at most
+        assert r["est_intersection"] < 0.1 * 2000
