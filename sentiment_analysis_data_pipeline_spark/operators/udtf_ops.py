@@ -30,7 +30,14 @@ ASCII_WS = " \t\n\r\f\v"
 SENTENCE_SPLIT_PATTERN = r"[.!?]+[ \t\n\r\f\v]+"
 
 
-@udtf(returnType="sentence_idx bigint, sentence string")
+# useArrow=True EXPLICITLY: @udtf resolves the arrow decision at
+# decoration/creation time, not plan time, so the session conf
+# (spark.sql.execution.pythonUDTF.arrow.enabled) set later cannot switch
+# an already-created UDTF -- measured: conf-only left the plan on
+# row-at-a-time BatchEvalPythonUDTF, the one hard tools/plan_lint.py
+# violation in the registry; with the explicit flag the plan runs
+# ArrowEvalPythonUDTF and the ASCII-exact parity golden still holds.
+@udtf(returnType="sentence_idx bigint, sentence string", useArrow=True)
 class SentenceSplit:
     """(text) -> one row per sentence, with its 0-based index."""
 
