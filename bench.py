@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "late_data_audit",
     "gt_discounts",
     "kmv_intersection",
+    "lang_mix",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -881,6 +881,94 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_langid_sql(D.SPARK))
 
 
+LANG_MIX_CHUNKS = 4
+
+
+def _lang_mix_sql(d: str) -> str:
+    """Code-switching / mixed-language detection per source -- the corpus-QA
+    signal doc-level lang_id cannot give: a document that is half English
+    half German classifies confidently as ONE of them and then poisons
+    whichever monolingual training mixture it lands in. Each doc's token
+    array splits into {LANG_MIX_CHUNKS} equal chunks (remainder dropped --
+    chunk-length uniformity beats covering the last few tokens), each
+    chunk classifies independently through the SAME marker-argmax the
+    doc-level lang_id uses (functions/text.lang_id -- shared builder, the
+    two cannot drift), and a doc is MIXED when >= 2 chunks disagree on a
+    non-'und' language.
+
+    The synthetic corpus is monolingual enough that every chunk agrees
+    (measured: n_mixed = 0 at all three SFs -- a detector whose positive
+    branch the gate never exercises), so contamination is SYNTHESIZED
+    deterministically (the pii_redact precedent): every 13th doc gets a
+    German-marker tail sized ~1/4 of its text, and the audit then
+    measures REAL code-switching both engines agree on -- German-labeled
+    docs stay unmixed (their chunks already classify de), so the detector
+    must separate contamination from native language, not just count
+    doc_id % 13.
+
+    Output per source: docs, docs with any classifiable chunk, mixed docs,
+    mixed share -- the table a mixture planner reads before trusting the
+    per-language quotas. Scale shape: pure per-row projection (tokenize +
+    4 bounded slices + 4 marker HOFs) then one per-source aggregate;
+    no joins, no explode -- the chunk count is a constant, so the work is
+    4x lang_id's per-doc cost, linear."""
+    tail = "' der die das und ist nicht mit ein'"
+    aug = (
+        f"case when doc_id % 13 = 0 then concat({TEXT}, "
+        f"repeat({tail}, cast(greatest(n_chars, 400) / 200 as int))) "
+        f"else {TEXT} end"
+    )
+    toks = TX.tokenize(d, aug)
+    chunk_langs = []
+    for i in range(LANG_MIX_CHUNKS):
+        if d == D.SPARK:
+            sl = f"slice(toks, {i} * n4 + 1, n4)"
+        else:
+            sl = f"toks[{i} * n4 + 1 : ({i} + 1) * n4]"
+        chunk_langs.append(TX.lang_id(d, sl))
+    langs_arr = (
+        f"array({', '.join(chunk_langs)})"
+        if d == D.SPARK
+        else f"[{', '.join(chunk_langs)}]"
+    )
+    n_langs = D.arr_size(
+        d, D.arr_filter(d, D.arr_distinct(d, "cl"), "x -> x <> 'und'")
+    )
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id, source, toks,
+                   {D.int_div(d, D.arr_size(d, "toks"), str(LANG_MIX_CHUNKS))} AS n4
+            FROM (SELECT doc_id, source, {toks} AS toks FROM documents) t
+        ),
+        chunked AS (
+            SELECT doc_id, source, {langs_arr} AS cl FROM tokd
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   cast({n_langs} as bigint) AS n_chunk_langs
+            FROM chunked
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(case when n_chunk_langs >= 1 then 1 else 0 end) as bigint)
+                   AS n_classifiable,
+               cast(sum(case when n_chunk_langs >= 2 then 1 else 0 end) as bigint)
+                   AS n_mixed,
+               cast(sum(case when n_chunk_langs >= 2 then 1 else 0 end) as double)
+                   / cast(count(*) as double) AS mixed_share
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language (code-switching) audit per source (see
+    _lang_mix_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_lang_mix_sql(D.SPARK))
+
+
 def _quality_score_sql(d: str) -> str:
     qs = TX.quality_score(d, TEXT)
     return f"SELECT doc_id, {qs} AS quality_score FROM documents"
@@ -9902,6 +9990,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "late_data_audit": (q_late_data_audit, _late_data_audit_sql),
     "gt_discounts": (q_gt_discounts, _gt_discounts_sql),
     "kmv_intersection": (q_kmv_intersection, _kmv_intersection_sql),
+    "lang_mix": (q_lang_mix, _lang_mix_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

@@ -1053,3 +1053,28 @@ def test_kmv_intersection_estimator_branch_within_rsd(spark):
         assert r["exact_intersection"] == 0
         # a few incidental sketch collisions at most
         assert r["est_intersection"] < 0.1 * 2000
+
+
+# --------------------------------------------------------------- lang mix
+
+
+def test_lang_mix_detects_code_switching(spark):
+    """Hand fixture: a half-English half-German doc is mixed; a pure
+    English doc is not; a GERMAN doc receiving the %13 contamination tail
+    stays unmixed (its chunks already classify de -- the detector
+    separates contamination from native language); a tiny doc (< 4
+    tokens) has empty chunks -> unclassifiable, not mixed."""
+    en = "the cat and the dog of the house is that for with the thing "
+    de = "der hund die katze das und ist nicht mit ein der die das und "
+    rows = [
+        (1, en * 4 + de * 4, "en", "sA", 800),   # half/half -> mixed
+        (2, en * 8, "en", "sB", 800),            # pure -> classifiable, unmixed
+        (13, de * 8, "de", "sC", 800),           # contaminated (13%13=0) German -> stays de, unmixed
+        (3, "x y", "en", "sD", 2),               # < 4 tokens -> und chunks
+    ]
+    _docs_view(spark, rows)
+    out = {r["source"]: r for r in spark.sql(Q._lang_mix_sql(Q.D.SPARK)).collect()}
+    assert out["sA"]["n_mixed"] == 1 and out["sA"]["mixed_share"] == 1.0
+    assert out["sB"]["n_classifiable"] == 1 and out["sB"]["n_mixed"] == 0
+    assert out["sC"]["n_classifiable"] == 1 and out["sC"]["n_mixed"] == 0
+    assert out["sD"]["n_classifiable"] == 0 and out["sD"]["n_mixed"] == 0
