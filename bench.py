@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "gt_discounts",
     "kmv_intersection",
     "lang_mix",
+    "dim_truncation_recall",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

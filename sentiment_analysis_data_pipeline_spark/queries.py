@@ -3327,6 +3327,85 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_knn_batch_sql(D.SPARK))
 
 
+TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def _dim_truncation_sql(d: str) -> str:
+    """Embedding DIMENSION-truncation recall audit (the Matryoshka /
+    MRL-style trade: serve the first m dims of a {EMB_DIM}-dim vector,
+    store/shuffle m/{EMB_DIM} of the bytes): for the knn_batch query set,
+    top-{KNN_K} by cosine over the m-dim PREFIX vs the full-dimension
+    exact top-{KNN_K}, recall per prefix width. The third member of the
+    vector-compression audit family -- pq_distortion audits the CODEBOOK,
+    embedding_quantization the per-value BIT WIDTH, this the DIMENSION
+    COUNT; together they answer which compression a 100 TB vector store
+    should buy. The m={EMB_DIM} row is a built-in self-check (recall
+    exactly 1.0 by construction).
+
+    Scale shape: ONE broadcast-query scoring pass computes every prefix
+    width's cosine simultaneously (the prefix dot is a prefix of the same
+    flat expansion -- scoring 8+16+32+64 dims costs ~2x one 64-dim pass,
+    not 4x), then one rank window per width over the same scored relation;
+    recall joins are K-row-per-query relations. Counts are exact BIGINTs;
+    recall is one exact int/int division per width."""
+    v = V.to_double_array(d, "embedding")
+    hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
+    norms = ", ".join(
+        f"{V.norm(d, 'v', m)} AS nv{m}" for m in TRUNC_DIMS
+    )
+    cosines = ", ".join(
+        f"case when e.nv{m} = 0.0 or q.nv{m} = 0.0 then 0.0 "
+        f"else ({V.dot(d, 'e.v', 'q.v', m)}) / (e.nv{m} * q.nv{m}) end AS c{m}"
+        for m in TRUNC_DIMS
+    )
+    ranked = ", ".join(
+        f"""r{m} AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY c{m} DESC, vec_id) AS rk
+                FROM scored
+            ) t WHERE rk <= {KNN_K}
+        )"""
+        for m in TRUNC_DIMS
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT {m} AS prefix_dim,
+                   cast(count(*) as bigint) AS hits
+            FROM r{m} a JOIN r{EMB_DIM} f
+              ON f.qid = a.qid AND f.vec_id = a.vec_id"""
+        for m in TRUNC_DIMS
+    )
+    return f"""
+        WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, v, {norms} FROM emb0),
+        q AS (SELECT vec_id AS qid, v,
+                     {', '.join(f'nv{m}' for m in TRUNC_DIMS)}
+              FROM emb WHERE vec_id % {KNN_QUERY_MOD} = 0),
+        scored AS (
+            SELECT {hint}q.qid, e.vec_id, {cosines}
+            FROM emb e JOIN q ON e.vec_id <> q.qid
+        ),
+        {ranked},
+        nq AS (SELECT cast(count(*) as bigint) AS n_queries FROM q),
+        hits AS ({arms})
+        SELECT h.prefix_dim, n.n_queries,
+               h.hits,
+               n.n_queries * {KNN_K} AS possible,
+               cast(h.hits as double) / cast(n.n_queries * {KNN_K} as double)
+                   AS recall
+        FROM hits h CROSS JOIN nq n
+        ORDER BY h.prefix_dim
+    """
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension top-k recall vs full-dimension exact (see
+    _dim_truncation_sql)."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_dim_truncation_sql(D.SPARK))
+
+
 def _vocab_topk_sql(d: str) -> str:
     """Corpus vocabulary table: top-100 tokens by collection frequency with
     document frequency and cumulative corpus coverage -- the counting pass a
@@ -9991,6 +10070,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "gt_discounts": (q_gt_discounts, _gt_discounts_sql),
     "kmv_intersection": (q_kmv_intersection, _kmv_intersection_sql),
     "lang_mix": (q_lang_mix, _lang_mix_sql),
+    "dim_truncation_recall": (q_dim_truncation_recall, _dim_truncation_sql),
     # --- round-7 batch-5 additions (never driver-proven) ---
     "pq_ann": (q_pq_ann, _pq_ann_sql),
     "pq_distortion": (q_pq_distortion, _pq_distortion_sql),

@@ -1078,3 +1078,65 @@ def test_lang_mix_detects_code_switching(spark):
     assert out["sB"]["n_classifiable"] == 1 and out["sB"]["n_mixed"] == 0
     assert out["sC"]["n_classifiable"] == 1 and out["sC"]["n_mixed"] == 0
     assert out["sD"]["n_classifiable"] == 0 and out["sD"]["n_mixed"] == 0
+
+
+# ---------------------------------------------------- dimension truncation
+
+
+def test_dim_truncation_recall_matches_python_replica(spark):
+    """Exact replica: deterministic small vectors, cosine ranked per prefix
+    width in Python with the same left-to-right double arithmetic; hits
+    and recalls must match exactly, and the full-width row must read 1.0."""
+    import math
+
+    def vec(i):
+        # deterministic, varied, exactly-representable doubles
+        return [((i * 31 + j * 17) % 13) / 4.0 - 1.5 for j in range(64)]
+
+    rows = [(i, [float(x) for x in vec(i)]) for i in range(120)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").createOrReplaceTempView(
+        "embeddings"
+    )
+    out = {r["prefix_dim"]: r for r in spark.sql(Q._dim_truncation_sql(Q.D.SPARK)).collect()}
+
+    # replica -- NOTE: Spark reads array<float>, so values pass through
+    # float32 before the double cast; replicate that
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vs = {i: [f32(x) for x in vec(i)] for i in range(120)}
+    qids = [i for i in vs if i % Q.KNN_QUERY_MOD == 0]
+
+    def topk(m):
+        res = {}
+        for q in qids:
+            scored = []
+            for e, v in vs.items():
+                if e == q:
+                    continue
+                dot = 0.0
+                na = 0.0
+                nb = 0.0
+                for j in range(m):
+                    dot += v[j] * vs[q][j]
+                for j in range(m):
+                    na += v[j] * v[j]
+                for j in range(m):
+                    nb += vs[q][j] * vs[q][j]
+                na, nb = math.sqrt(na), math.sqrt(nb)
+                c = 0.0 if na == 0.0 or nb == 0.0 else dot / (na * nb)
+                scored.append((-c, e))
+            scored.sort()
+            res[q] = {e for _, e in scored[: Q.KNN_K]}
+        return res
+
+    full = topk(64)
+    for m in Q.TRUNC_DIMS:
+        got = out[m]
+        want_hits = sum(len(topk(m)[q] & full[q]) for q in qids)
+        assert got["n_queries"] == len(qids)
+        assert got["hits"] == want_hits, m
+        assert got["recall"] == want_hits / (len(qids) * Q.KNN_K)
+    assert out[64]["recall"] == 1.0
