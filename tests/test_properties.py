@@ -218,3 +218,97 @@ def test_idiom_kernel_parity_on_adversarial_sequences(spark, texts):
         vc, tb = _py_kernel(texts[r["doc_id"]])
         assert r["vader_compound"] == vc, texts[r["doc_id"]]
         assert r["textblob_polarity"] == tb, texts[r["doc_id"]]
+
+
+# ------------------------------------------------- r7-continuation kernels
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**50))
+def test_hdr_index_lower_roundtrip_and_error_bound(v):
+    """HDR bucket math (operators/sketch): lower(idx(v)) <= v, re-indexing
+    the lower bound is idempotent, and the under-estimate is within the
+    2^-HDR_SUB_BITS relative envelope -- for ARBITRARY values, pure-Python
+    replica of the SQL integer arithmetic."""
+    from sentiment_analysis_data_pipeline_spark.operators.sketch import (
+        HDR_SUB,
+        HDR_SUB_BITS,
+    )
+
+    msb = v.bit_length() - 1 if v > 0 else 0
+    shift = max(msb - HDR_SUB_BITS, 0)
+    idx = shift * HDR_SUB + (v >> shift)
+    shift2 = max((idx >> HDR_SUB_BITS) - 1, 0)
+    lower = (idx - shift2 * HDR_SUB) << shift2
+    assert lower <= v
+    assert v - lower < max(v >> HDR_SUB_BITS, 1) + 1
+    # idempotence: the lower bound maps back to the same bucket
+    msb2 = lower.bit_length() - 1 if lower > 0 else 0
+    s3 = max(msb2 - HDR_SUB_BITS, 0)
+    assert s3 * HDR_SUB + (lower >> s3) == idx
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 10**5)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 5),
+)
+def test_es_reservoir_merge_property(items, n_parts):
+    """The algebra reservoir_stream relies on, for ARBITRARY (id, weight)
+    sets and arbitrary partitionings: the k smallest ES keys of the union
+    equal the k smallest over the per-partition k-smallest partials --
+    pure-Python replica of sketch.es_key_sql's arithmetic."""
+    import hashlib
+    import math
+
+    K = 20
+
+    def key(i, w):
+        h1 = int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+        u = (h1 + 1.0) / 72057594037927936.0
+        return (math.floor(-math.log(u) / max(w, 1) * 1073741824.0), i)
+
+    keyed = sorted(key(i, w) for i, w in items)
+    want = keyed[:K]
+    partials = []
+    for p in range(n_parts):
+        part = sorted(key(i, w) for j, (i, w) in enumerate(items) if j % n_parts == p)
+        partials.extend(part[:K])
+    got = sorted(partials)[:K]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**7), min_size=2, max_size=60),
+    # review windows are [lo-6h, lo): keep lo >= 6h so every bound stays
+    # non-negative -- the domain the SQL guarantees (epoch-us timestamps;
+    # Spark div truncates while Python // floors, they agree only there)
+    st.lists(st.integers(6 * 3600, 10**7), min_size=2, max_size=60),
+)
+def test_interval_overlap_canonical_bin_exactly_once(los_a, los_b):
+    """The emit-once rule for ARBITRARY interval sets: for every
+    overlapping pair, the bin of the overlap start is touched by BOTH
+    intervals and is unique -- so the bin-join + canonical filter emits
+    each pair exactly once. Pure-Python replica of the SQL rule over
+    half-open 6h-intervals on 1h bins (scaled down 1000x for speed)."""
+    W = 3600
+    a_iv = [(lo, lo + 6 * W) for lo in los_a]
+    b_iv = [(lo - 6 * W, lo) for lo in los_b]
+
+    def bins(lo, hi):
+        return set(range(lo // W, (hi - 1) // W + 1))
+
+    for alo, ahi in a_iv:
+        for blo, bhi in b_iv:
+            if max(alo, blo) < min(ahi, bhi):  # overlaps
+                canon = max(alo, blo) // W
+                shared = bins(alo, ahi) & bins(blo, bhi)
+                assert canon in shared  # emitted
+                # exactly once: the filter keys on ONE bin value
+                assert sum(1 for b in shared if b == canon) == 1
