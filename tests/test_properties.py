@@ -312,3 +312,29 @@ def test_interval_overlap_canonical_bin_exactly_once(los_a, los_b):
                 assert canon in shared  # emitted
                 # exactly once: the filter keys on ONE bin value
                 assert sum(1 for b in shared if b == canon) == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=400, unique=True),
+    st.integers(2, 4),
+)
+def test_kmv_sketch_merge_property(ids, n_parts):
+    """The KMV algebra kmv_intersection's mergeability claim rests on, for
+    ARBITRARY member sets under arbitrary partitionings: the k smallest
+    hashes of the union equal the k smallest over the per-partition
+    k-smallest partials (same ES-reservoir algebra, hash domain) -- so
+    daily sketches union into range sketches losslessly."""
+    import hashlib
+
+    K = 64
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16)
+
+    want = sorted(h(i) for i in ids)[:K]
+    partials = []
+    for p in range(n_parts):
+        part = sorted(h(i) for j, i in enumerate(ids) if j % n_parts == p)
+        partials.extend(part[:K])
+    assert sorted(partials)[:K] == want
