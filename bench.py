@@ -3,13 +3,18 @@
 
 The LAST stdout line is exactly ONE compact JSON object (driver-parsed):
   {"metric": ..., "value": total_sec, "unit": "sec", "sf": ..., "runs": N,
-   "queries": {name: sec-rounded-to-ms}}
-Row counts and per-query [min, max] sample spread move to BENCH_DETAIL.json
-(and an earlier, non-final stdout line) -- round 4's record was lost because
-the single line carrying rows+spread for 52 queries outgrew the driver's
-tail-capture window and truncated from the HEAD, leaving "parsed": null.
-A selfcheck asserts the final line stays < LINE_BUDGET bytes and round-trips
-through json.loads before it is printed.
+   "n_queries": N, "queries": {flagship-subset name: sec}, "anchor": s,
+   "unstable": count}
+The FULL per-query map, row counts, and per-query [min, max] sample spread
+live in BENCH_DETAIL.json (and an earlier, non-final stdout line). History:
+round 4's record was lost because one line carrying rows+spread for 52
+queries outgrew the driver's tail-capture window; round 7's was lost AGAIN
+because the per-query map alone (108 entries, ~2.9 KB) outgrew the window
+the driver actually has -- MEASURED at exactly 2,000 bytes from the
+decapitated BENCH_r07.json tail. The final line now carries only a FIXED
+flagship subset (FINAL_LINE_QUERIES) so its size is growth-proof; a
+selfcheck asserts it stays < LINE_BUDGET bytes and round-trips through
+json.loads before it is printed.
 
 Methodology (changed round 4 after the r3 minhash_pairs 3.3x phantom
 regression -- isolated re-measurement showed 0.72-0.93 s vs the r3 bench's
@@ -170,12 +175,39 @@ BENCH_QUERIES = [
 
 
 # Byte budget for the driver-parsed final line; must stay comfortably inside
-# the driver's stdout tail-capture window (round 4 overflowed it at ~6 KB).
-LINE_BUDGET = 4096
-# The observed tail-capture window (round 4's ~6 KB line truncated): the
-# 2x-headline-growth simulation in tests/test_bench_contract.py asserts
-# against THIS bound; the strict LINE_BUDGET above gates the real emission.
-DRIVER_WINDOW = 5500
+# the driver's stdout tail-capture window. Round 4 overflowed at ~6 KB; round
+# 7 MEASURED the real window at exactly 2,000 bytes (BENCH_r07.json's tail was
+# len == 2000 with the line decapitated) while the then-4096 budget passed --
+# the guard was modeling a window wider than the driver's. The final line now
+# carries total+anchor+unstable plus a FIXED flagship-subset queries dict
+# (FINAL_LINE_QUERIES); the full per-query map stays in BENCH_DETAIL.json and
+# the earlier non-final stdout detail line, so the final line's size no longer
+# grows with the headline set at all.
+LINE_BUDGET = 1500
+# The driver's MEASURED stdout tail-capture window (round 7: 2,000 bytes).
+# tests/test_bench_contract.py asserts the growth simulation against THIS
+# bound; the strict LINE_BUDGET above gates the real emission.
+DRIVER_WINDOW = 2000
+
+# The per-query entries allowed on the driver-parsed final line: one
+# representative per operator family, FIXED so the line size is growth-proof.
+# Everything in BENCH_QUERIES is still timed; the full map goes to
+# BENCH_DETAIL.json + the non-final detail stdout line.
+FINAL_LINE_QUERIES = [
+    "sentiment_scores",      # flagship sentiment pipeline
+    "pricing_summary",       # classic OLAP agg
+    "top_customer_revenue",  # join family
+    "sessionize",            # window family
+    "minhash_pairs",         # LSH dedup family
+    "semantic_clusters",     # heaviest standing query (CC clustering)
+    "bm25_search",           # search family
+    "ivf_ann",               # ANN family
+    "ann_recall_report",     # audit family
+    "corpus_prep",           # curation pipeline
+    "fleet_checksum",        # integrity family
+    "hdr_quantiles",         # sketch family
+    "dim_truncation_recall", # bounded-audit family (round-8 budget cap)
+]
 # A query whose max/min sample ratio exceeds this is re-sampled once --
 # but only when the ABSOLUTE spread also clears a floor: a 1.5x ratio on a
 # 0.2 s query is 100 ms of scheduler noise, not a regression signal
@@ -262,6 +294,10 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     unstable: list[str] = []
+    # Both sample sets for every retried query (round-8, verdict item 7):
+    # the retry rule keeps the cleaner sample, but the detail artifact must
+    # show BOTH so a "final" bench's noise floor is auditable.
+    retried: dict[str, dict[str, list[float]]] = {}
     def _noisy(samples: list[float]) -> bool:
         return (
             min(samples) > 0
@@ -276,6 +312,10 @@ def main() -> None:
             # samples once so noise can't masquerade as a regression.
             _sweep(spark)
             retry, n = _sample(spark, qs[name], runs)
+            retried[name] = {
+                "first": [round(s, 4) for s in samples],
+                "retry": [round(s, 4) for s in retry],
+            }
             if median(retry) < median(samples):
                 samples = retry
             if _noisy(samples):
@@ -293,7 +333,9 @@ def main() -> None:
     detail = {
         "rows": rows,
         "spread": spread,
+        "timings": timings,
         "unstable": unstable,
+        "retried": retried,
         "spread_ratio_bound": SPREAD_RATIO_BOUND,
         "anchor_sec": anchor,
     }
@@ -306,16 +348,28 @@ def main() -> None:
     # Non-final line: full detail for humans/logs (driver ignores it).
     print(json.dumps({"detail": detail}))
 
-    print(final_line(timings, sf_val, runs, anchor))
+    print(final_line(timings, sf_val, runs, anchor, unstable))
 
 
-def build_result(timings: dict[str, float], sf_val, runs: int, anchor: float | None = None) -> dict:
+def build_result(
+    timings: dict[str, float],
+    sf_val,
+    runs: int,
+    anchor: float | None = None,
+    unstable: list[str] | None = None,
+) -> dict:
     """The driver-parsed result dict -- the ONE place its shape is defined.
 
     final_line serializes this under the strict LINE_BUDGET; the contract
-    test simulates the driver's wider tail-capture window on the SAME dict,
-    so format drift can't silently diverge the test from the emission path.
-    `anchor` is the cross-run drift guard (drift_anchor docstring).
+    test simulates the driver's MEASURED 2,000-byte tail-capture window on
+    the SAME dict, so format drift can't silently diverge the test from the
+    emission path. `value` is the total over ALL timed queries; `queries`
+    carries only the fixed FINAL_LINE_QUERIES subset (round 8 -- the full
+    per-query map lives in BENCH_DETAIL.json; round 7's 108-entry map grew
+    the line past the driver's real window and the round shipped with
+    "parsed": null). `anchor` is the cross-run drift guard (drift_anchor
+    docstring); `unstable` is the count + names of still-noisy queries
+    after the one-retry rule so the driver artifact records bench health.
     """
     out = {
         "metric": "headline_queries_total",
@@ -323,21 +377,32 @@ def build_result(timings: dict[str, float], sf_val, runs: int, anchor: float | N
         "unit": "sec",
         "sf": sf_val,
         "runs": runs,
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "n_queries": len(timings),
+        "queries": {
+            k: round(timings[k], 3) for k in FINAL_LINE_QUERIES if k in timings
+        },
     }
     if anchor is not None:
         out["anchor"] = anchor
+    if unstable is not None:
+        out["unstable"] = len(unstable)
     return out
 
 
-def final_line(timings: dict[str, float], sf_val, runs: int, anchor: float | None = None) -> str:
+def final_line(
+    timings: dict[str, float],
+    sf_val,
+    runs: int,
+    anchor: float | None = None,
+    unstable: list[str] | None = None,
+) -> str:
     """Build + selfcheck the single driver-parsed JSON line.
 
     The line must round-trip through json.loads and fit the driver's tail
     -capture window. Trim nothing silently -- fail loudly so the proof chain
     can't quietly break again (round 4's BENCH record was lost this way).
     """
-    result = build_result(timings, sf_val, runs, anchor)
+    result = build_result(timings, sf_val, runs, anchor, unstable)
     line = json.dumps(result, separators=(",", ":"))
     assert json.loads(line)["value"] == result["value"]
     assert len(line) < LINE_BUDGET, f"final bench line {len(line)}B >= {LINE_BUDGET}B"

@@ -2,9 +2,13 @@
 
 Round 4's BENCH record was driver-unparseable ("parsed": null): the single
 JSON line carrying rows+spread for 52 queries outgrew the driver's tail
--capture window and truncated from the head. These tests pin the fix --
-the final line stays compact and round-trips even with generous headroom
-over the current headline-set size.
+-capture window and truncated from the head. Round 7 lost the record AGAIN:
+the per-query map alone (108 entries, ~2.9 KB) passed the then-4096 budget
+but overflowed the driver's REAL window, measured at exactly 2,000 bytes
+from BENCH_r07.json's decapitated tail. These tests pin the round-8 fix --
+the final line carries a FIXED flagship subset of queries (size no longer
+grows with the headline set at all) and is asserted against the MEASURED
+2,000-byte window, not a guessed one.
 """
 
 import json
@@ -12,38 +16,58 @@ import json
 import bench
 
 
-def test_final_line_fits_budget_today_and_window_at_growth():
+def test_final_line_fits_measured_window_at_any_growth():
     # Today's real headline set must clear the STRICT emission budget...
     today = {n: 123.456 for n in bench.BENCH_QUERIES}
-    assert len(bench.final_line(today, 0.1, 5)) < bench.LINE_BUDGET
-    # ...and 1.5x the set stays inside the driver's OBSERVED tail-capture
-    # window. Recalibrated r7: the sim was 2x when the headline set held
-    # ~50 names; at 107 names a literal 2x (214) is ~7 rounds of measured
-    # growth (~10-15 names/round) and overflowed the window while TODAY's
-    # real line sits at 2.9 KB of the 4 KB strict budget -- the in-process
-    # final_line assert remains the hard gate; this sim is the ~3-round
-    # early warning.
-    timings = dict(today)
-    half = list(bench.BENCH_QUERIES)[: len(bench.BENCH_QUERIES) // 2]
-    timings.update({f"{n}_b": 123.456 for n in half})
-    # Same dict-builder the real emission path uses (final_line = this +
-    # the strict budget assert) -- so format drift there is drift HERE too.
-    line = json.dumps(bench.build_result(timings, 0.1, 5), separators=(",", ":"))
+    line = bench.final_line(today, 0.1, 5, anchor=0.631, unstable=["a", "b"])
+    assert len(line) < bench.LINE_BUDGET
+    # ...and stay inside the driver's MEASURED 2,000-byte tail window.
     assert len(line) < bench.DRIVER_WINDOW
-    parsed = json.loads(line)
+    # Growth-proof: TRIPLE the headline set changes the final line size only
+    # via the "value"/"n_queries" digits -- the queries dict is the fixed
+    # flagship subset, so unlike rounds 4 and 7 there is no growth path back
+    # over the window.
+    timings = dict(today)
+    timings.update({f"{n}_b": 123.456 for n in bench.BENCH_QUERIES})
+    timings.update({f"{n}_c": 123.456 for n in bench.BENCH_QUERIES})
+    grown = json.dumps(
+        bench.build_result(timings, 0.1, 5, anchor=0.631, unstable=[]),
+        separators=(",", ":"),
+    )
+    assert len(grown) < bench.DRIVER_WINDOW
+    assert abs(len(grown) - len(line)) < 32
+
+
+def test_final_line_shape():
+    today = {n: 1.0 for n in bench.BENCH_QUERIES}
+    parsed = json.loads(bench.final_line(today, 0.1, 5, 0.7, ["x"]))
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["unit"] == "sec"
-    assert set(parsed["queries"]) == set(timings)
-    # rows/spread must NOT be on the driver-parsed line (they overflowed r4).
+    assert parsed["value"] == round(float(len(today)), 3)
+    assert parsed["n_queries"] == len(today)
+    assert parsed["anchor"] == 0.7
+    assert parsed["unstable"] == 1
+    # queries = exactly the flagship subset (all of which are timed today)
+    assert set(parsed["queries"]) == set(bench.FINAL_LINE_QUERIES)
+    # rows/spread must NOT be on the driver-parsed line (they overflowed r4);
+    # the full timing map must not be either (it overflowed r7).
     assert "rows" not in parsed and "spread" not in parsed
+    assert len(parsed["queries"]) < len(today)
 
 
 def test_final_line_values_ms_rounded():
-    line = bench.final_line({"q1": 1.23456, "q2": 0.00049}, 0.01, 5)
+    line = bench.final_line(
+        {"pricing_summary": 1.23456, "bm25_search": 0.00049}, 0.01, 5
+    )
     parsed = json.loads(line)
-    assert parsed["queries"]["q1"] == 1.235
-    assert parsed["queries"]["q2"] == 0.0
+    assert parsed["queries"]["pricing_summary"] == 1.235
+    assert parsed["queries"]["bm25_search"] == 0.0
     assert parsed["value"] == round(1.23456 + 0.00049, 3)
+
+
+def test_flagship_subset_is_timed_and_registered():
+    missing = [n for n in bench.FINAL_LINE_QUERIES if n not in bench.BENCH_QUERIES]
+    assert not missing, f"final-line names not in the timed set: {missing}"
 
 
 def test_headline_names_exist_in_registry():
