@@ -36,7 +36,7 @@ from ..functions import hashing as H
 from ..functions import text as TX
 from ..functions import vectors as V
 from ..functions import dialect as D
-from ..sources.tables import write_bucketed
+from ..sources.tables import write_bucketed_atomic
 
 EMB_DIM = 64
 
@@ -120,7 +120,7 @@ def build_embedding_band_index(
     bands = embedding_band_keys(spark, emb).select(
         "vec_id", F.concat_ws(":", "band", "bkey").alias("band_key")
     )
-    write_bucketed(bands, table, "band_key", n_buckets)
+    write_bucketed_atomic(bands, table, "band_key", n_buckets)
 
 
 def embedding_candidate_pairs(
@@ -196,7 +196,7 @@ def build_winnow_index(
     the fingerprint hash: the df-cap aggregation and both pair-join sides
     then read co-located bucket files with no Exchange."""
     docs.createOrReplaceTempView("_wdx_docs")
-    write_bucketed(spark.sql(winnow_fp_sql("_wdx_docs")), table, "mh", n_buckets)
+    write_bucketed_atomic(spark.sql(winnow_fp_sql("_wdx_docs")), table, "mh", n_buckets)
 
 
 def winnow_candidate_pairs(

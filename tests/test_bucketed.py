@@ -139,3 +139,52 @@ def test_compact_bucketed_index(spark, tmp_path):
         for t in [r.name for r in spark.catalog.listTables()]:
             if t.startswith(table):
                 _drop_with_files(spark, t)
+
+
+def test_atomic_swap_rebuild_keeps_location_and_bucketing(spark):
+    """write_bucketed_atomic (round 8): rebuilds swap via tmp-write/RENAME --
+    the final location stays deterministic (cross-session readers key off
+    the directory, not this session's catalog), no __build_/__old_
+    stragglers survive, and the swapped-in table still serves zero-Exchange
+    bucketed self-joins."""
+    import glob
+    import os
+    import re
+
+    from sentiment_analysis_data_pipeline_spark.sources.tables import (
+        table_location,
+        write_bucketed_atomic,
+    )
+
+    table = "t_atomic_swap"
+    try:
+        write_bucketed_atomic(
+            spark.range(100).selectExpr("id AS k", "id * 2 AS v"), table, "k", 4
+        )
+        loc1 = table_location(spark, table)
+        assert spark.table(table).count() == 100
+        write_bucketed_atomic(
+            spark.range(50).selectExpr("id AS k", "id * 3 AS v"), table, "k", 4
+        )
+        assert table_location(spark, table) == loc1  # deterministic location
+        rows = spark.table(table).collect()
+        assert len(rows) == 50
+        assert {(r["k"], r["v"]) for r in rows} == {(i, i * 3) for i in range(50)}
+        # no tmp/trash directories left behind
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        strays = glob.glob(os.path.join(repo_root, "spark-warehouse", f"{table}__*"))
+        assert not strays, strays
+        # bucket metadata survived the swap: self-join with no Exchange
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(table).join(
+                spark.table(table).selectExpr("k", "v AS v2"), "k"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert not re.search(r"Exchange (hash|range)partitioning", plan), plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        _drop_with_files(spark, table)
