@@ -10265,21 +10265,26 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
 }
 
 
-def _proven_names(
+def _proven_rounds(
     base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
-) -> set[str]:
-    """Names already driver-proven: any CORRECTNESS_r*.json row with a green
-    hash (or a recorded rows-only run for oracle-less queries). A failed row
-    with no later green does NOT count -- those re-enter the front of the
-    queue for re-proof. A rows-only proof also stops counting the moment the
-    registry entry GAINS an oracle builder (e.g. approx_stats' round-5
-    tolerance oracle): the strengthened check must be driver-run afresh."""
+) -> dict[str, int]:
+    """Name -> LATEST round with a green driver row: a CORRECTNESS_r*.json
+    row with a green hash (or a recorded rows-only run for oracle-less
+    queries). A failed row with no later green does NOT count -- those
+    re-enter the front of the queue for re-proof. A rows-only proof also
+    stops counting the moment the registry entry GAINS an oracle builder
+    (e.g. approx_stats' round-5 tolerance oracle): the strengthened check
+    must be driver-run afresh. The round number drives staleness rotation
+    (_driver_order)."""
     import glob
     import json
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proven: set[str] = set()
+    proven: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -10291,21 +10296,39 @@ def _proven_names(
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                proven.add(name)
+                proven[name] = max(proven.get(name, 0), rnd)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # rows-only by design; counts only while still oracle-less
                 has_oracle = name in base and base[name][1] is not None
                 if not has_oracle:
-                    proven.add(name)
+                    proven[name] = max(proven.get(name, 0), rnd)
     return proven
+
+
+def _proven_names(
+    base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
+) -> set[str]:
+    return set(_proven_rounds(base))
 
 
 def _driver_order(
     base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
 ) -> dict[str, tuple[SparkQuery, Callable[[str], str] | None]]:
-    proven = _proven_names(base)
+    """Never-proven names first (declared order), then proven names ordered
+    OLDEST green round first (declared order within a round). The driver
+    records correctness rows for the first ~50 entries only; with the whole
+    registry ever-proven, a static proven-group order would re-submit the
+    SAME 50 every round and the rest would never get a fresh driver row
+    again (round-7 verdict item 4) -- staleness rotation re-proves the 50
+    stalest each round instead."""
+    proven = _proven_rounds(base)
+    declared = {n: i for i, n in enumerate(base)}
     ordered = {n: v for n, v in base.items() if n not in proven}
-    ordered.update((n, v) for n, v in base.items() if n in proven)
+    ordered.update(
+        (n, base[n])
+        for n in sorted(proven, key=lambda n: (proven[n], declared[n]))
+        if n in base
+    )
     return ordered
 
 

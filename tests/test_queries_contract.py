@@ -15,25 +15,40 @@ def test_entry_smoke(spark):
     assert df.columns == ["key", "doc_count"]
 
 
-def test_registry_order_unproven_first():
+def test_registry_order_unproven_first_then_stalest():
     """The driver proves only the first 50 REGISTRY entries per round; the
     mechanical ordering must float every never-proven name ahead of every
-    proven one so proof coverage can't silently cap (round-3 verdict #3)."""
+    proven one so proof coverage can't silently cap (round-3 verdict #3),
+    and within the proven group order by OLDEST latest-green round first so
+    each round re-proves the stalest entries instead of re-submitting the
+    same 50 forever (round-7 verdict #4)."""
     from sentiment_analysis_data_pipeline_spark.queries import (
         REGISTRY,
         _REGISTRY_BASE,
-        _proven_names,
+        _proven_rounds,
     )
 
     assert set(REGISTRY) == set(_REGISTRY_BASE)
-    proven = _proven_names(_REGISTRY_BASE)
+    proven = _proven_rounds(_REGISTRY_BASE)
     names = list(REGISTRY)
     seen_proven = False
+    prev_round = 0
     for n in names:
         if n in proven:
             seen_proven = True
+            assert proven[n] >= prev_round, (
+                f"proven {n!r} (r{proven[n]}) listed after a fresher entry (r{prev_round})"
+            )
+            prev_round = proven[n]
         else:
             assert not seen_proven, f"unproven {n!r} listed after a proven entry"
+    # With the whole registry ever-proven (r01-r07 union), the driver's
+    # next 50-row window must hit the stalest proofs, not the newest.
+    if len(proven) == len(names):
+        first50_rounds = [proven[n] for n in names[:50]]
+        assert max(first50_rounds) <= min(
+            proven[n] for n in names[50:]
+        ), "rotation failed: a fresher proof precedes a staler one across the 50-row window"
 
 
 def test_oracle_coverage():
