@@ -56,19 +56,26 @@ def countmin_cells(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def estimate_counts(cells: DataFrame, tokens: DataFrame) -> DataFrame:
     """Point-query the sketch: for each row of `tokens(token)` return
     (token, cm_estimate) = min over the CM_DEPTH rows of the addressed
-    cell. `cells` may be partial-merged already or raw partials -- the
-    lookup sums duplicates per (j, col) first, so both work."""
+    cell, with an ABSENT cell counting as 0 (the CM definition: a counter
+    never incremented is zero). Implemented as an explicit per-(token, j)
+    probe relation LEFT-joined to the cells -- the earlier inner join
+    dropped empty-cell hash rows from the min (an estimate looser than
+    CM's) and lost all-cells-empty tokens from the output entirely
+    (round-8 ADVICE fix). `cells` may be partial-merged already or raw
+    partials -- the lookup sums duplicates per (j, col) first, so both
+    work."""
     merged = cells.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
     h1 = H.hex_to_bigint(D.SPARK, "th", 14)
     h2 = H.hex_to_bigint(D.SPARK, "substring(th, 15, 14)", 14)
-    keyed = tokens.selectExpr("token", "md5(token) AS th").selectExpr(
-        "token", f"({h1}) AS h1", f"({h2}) AS h2"
+    probes = (
+        tokens.selectExpr("token", "md5(token) AS th")
+        .selectExpr("token", f"({h1}) AS h1", f"({h2}) AS h2")
+        .selectExpr("token", f"explode(sequence(0, {CM_DEPTH - 1})) AS j", "h1", "h2")
+        .selectExpr("token", "j", f"(h1 + j * h2) % {CM_WIDTH} AS col")
     )
     return (
-        keyed.join(
-            F.broadcast(merged),
-            F.expr(f"col = (h1 + j * h2) % {CM_WIDTH}"),
-        )
+        probes.join(F.broadcast(merged), ["j", "col"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
         .groupBy("token")
         .agg(F.min("cnt").alias("cm_estimate"))
     )

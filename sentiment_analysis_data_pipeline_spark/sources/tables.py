@@ -126,25 +126,37 @@ def write_bucketed_atomic(
         drop_table_with_files(spark, tmp_table)
     write_bucketed(df, tmp_table, key, n_buckets, sort)
     tmp_loc = os.path.join(repo_root, "spark-warehouse", tmp_table.lower())
-    trash_loc = f"{final_loc}__old_{app}"
-    fs, final_path = _fs_for(spark, final_loc)
-    _, tmp_path = _fs_for(spark, tmp_loc)
-    _, trash_path = _fs_for(spark, trash_loc)
-    if fs.exists(trash_path):
-        fs.delete(trash_path, True)
     # Catalog first (metadata only -- this session runs no query in between),
     # then the two atomic directory renames.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
     spark.sql(f"ALTER TABLE {table} SET LOCATION '{final_loc}'")
+    swap_directory(spark, tmp_loc, final_loc)
+    spark.catalog.refreshTable(table)
+
+
+def swap_directory(spark: SparkSession, tmp_loc: str, final_loc: str) -> None:
+    """Atomically replace `final_loc`'s contents with `tmp_loc`'s: rename
+    old aside, rename tmp into place (both single atomic FS renames), then
+    delete the old files. A reader sees old-complete or new-complete files,
+    never a half-written directory; a crash between the renames leaves
+    `final_loc` briefly absent but both complete file sets on disk. Shared
+    by write_bucketed_atomic (index builds) and the streaming accumulators'
+    compaction (sketch/hll/hdr/reservoir epoch logs)."""
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    trash_loc = f"{final_loc.rstrip('/')}__old_{app}"
+    fs, final_path = _fs_for(spark, final_loc)
+    _, tmp_path = _fs_for(spark, tmp_loc)
+    _, trash_path = _fs_for(spark, trash_loc)
+    if fs.exists(trash_path):
+        fs.delete(trash_path, True)
     had_old = fs.exists(final_path)
     if had_old and not fs.rename(final_path, trash_path):
-        raise RuntimeError(f"atomic index swap: could not move aside {final_loc}")
+        raise RuntimeError(f"atomic swap: could not move aside {final_loc}")
     if not fs.rename(tmp_path, final_path):
-        if had_old:  # restore the old table before failing loudly
+        if had_old:  # restore the old directory before failing loudly
             fs.rename(trash_path, final_path)
-        raise RuntimeError(f"atomic index swap: could not move {tmp_loc} into place")
-    spark.catalog.refreshTable(table)
+        raise RuntimeError(f"atomic swap: could not move {tmp_loc} into place")
     if had_old:
         try:
             fs.delete(trash_path, True)
@@ -152,7 +164,7 @@ def write_bucketed_atomic(
             import warnings
 
             warnings.warn(
-                f"write_bucketed_atomic: old location {trash_loc} was not"
+                f"swap_directory: old location {trash_loc} was not"
                 " removed; its files leak until manually deleted",
                 RuntimeWarning,
                 stacklevel=2,

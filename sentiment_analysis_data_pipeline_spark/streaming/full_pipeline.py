@@ -93,11 +93,16 @@ def curated_epoch(
             F.col("textblob_polarity"),
         ).alias("sentiment"),
     )
-    try:
+    # Path-absent (first epoch) is an FS existence check, not a swallowed
+    # exception: any real read error must propagate, or a replayed epoch
+    # would silently skip the idempotence anti-join and land duplicate
+    # curated rows (round-8 ADVICE fix).
+    from ..sources.tables import _fs_for
+
+    fs, hpath = _fs_for(bs, curated_path)
+    if fs.exists(hpath):
         landed = bs.read.parquet(curated_path).select("doc_id")
         scored = scored.join(landed, "doc_id", "left_anti")
-    except Exception:
-        pass
     scored.write.mode("append").parquet(curated_path)
 
     append_to_band_index(bs, kept, index_table)

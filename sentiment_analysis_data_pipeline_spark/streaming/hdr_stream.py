@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dialect as D
 from ..operators.sketch import HDR_SUB_BITS, hdr_cells, hdr_lower_sql
+from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
 
 CELLS_SCHEMA = "segment string, idx bigint, cnt bigint, batch_id bigint"
 EVENT_STREAM_SCHEMA = "event_id long, event_type string, value double"
@@ -39,16 +40,9 @@ def append_batch_cells(
     """Collapse one micro-batch to its histogram partial and append it,
     replay-idempotently: if this epoch's id is already in the log (a
     foreachBatch retry after a successful write), land nothing."""
-    try:
-        seen = (
-            spark.read.schema(CELLS_SCHEMA)
-            .parquet(cells_path)
-            .filter(F.col("batch_id") == batch_id)
-            .take(1)
-        )
-    except Exception:  # first epoch: log does not exist yet
-        seen = []
-    if seen:
+    # path-absent is an FS check; real read errors propagate so a retry
+    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
+    if log_has_epoch(spark, cells_path, CELLS_SCHEMA, batch_id):
         return
     (
         hdr_cells(batch)
@@ -99,20 +93,13 @@ def quantiles_from_hist(hist: DataFrame, percent: int = 50) -> DataFrame:
 
 def compact_cells(spark: SparkSession, cells_path: str) -> None:
     """Fold the epoch log back to one merged partial (batch_id = -1):
-    bounded read-side work after many epochs. Staged through a tmp dir,
-    deleted via the Hadoop FS API so cleanup follows the URI scheme."""
-    from ..sources.tables import _fs_for
-
+    bounded read-side work after many epochs. Crash-safe via the shared
+    stage-then-atomic-rename swap (_log.compact_log); run only in an
+    ingest pause (_log.py contract)."""
     merged = read_hist(spark, cells_path).withColumn(
-        "batch_id", F.lit(-1).cast("long")
+        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
     )
-    tmp = cells_path.rstrip("/") + "__compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.schema(CELLS_SCHEMA).parquet(tmp).write.mode("overwrite").parquet(
-        cells_path
-    )
-    fs, hpath = _fs_for(spark, tmp)
-    fs.delete(hpath, True)
+    compact_log(spark, cells_path, merged)
 
 
 def run_streaming_hdr(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
 
 SKETCH_SCHEMA = "event_type string, sk binary, batch_id bigint"
 EVENT_STREAM_SCHEMA = "event_type string, user_id long"
@@ -43,16 +44,9 @@ def append_batch_sketches(
     """Collapse one micro-batch to its per-segment sketch partials and
     append them, replay-idempotently: if this epoch's id is already in the
     log (a foreachBatch retry after a successful write), land nothing."""
-    try:
-        seen = (
-            spark.read.schema(SKETCH_SCHEMA)
-            .parquet(log_path)
-            .filter(F.col("batch_id") == batch_id)
-            .take(1)
-        )
-    except Exception:  # first epoch: log does not exist yet
-        seen = []
-    if seen:
+    # path-absent is an FS check; real read errors propagate so a retry
+    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
+    if log_has_epoch(spark, log_path, SKETCH_SCHEMA, batch_id):
         return
     (
         batch_sketches(batch)
@@ -92,25 +86,16 @@ def read_global_estimate(spark: SparkSession, log_path: str) -> int:
 
 def compact_sketches(spark: SparkSession, log_path: str) -> None:
     """Fold the epoch log back to one partial per segment (batch_id = -1).
-    Staged through a tmp dir (overwriting the source of a lazy plan would
-    read its own half-written output), tmp deleted via the Hadoop FS API so
-    cleanup follows the URI scheme (file:/hdfs:/s3a: alike)."""
-    from ..sources.tables import _fs_for
-
+    Crash-safe via the shared stage-then-atomic-rename swap
+    (_log.compact_log); run only in an ingest pause (_log.py contract)."""
     merged = (
         spark.read.schema(SKETCH_SCHEMA)
         .parquet(log_path)
         .groupBy("event_type")
         .agg(F.expr("hll_union_agg(sk)").alias("sk"))
-        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn("batch_id", F.lit(COMPACTED_STAMP).cast("long"))
     )
-    tmp = log_path.rstrip("/") + "__compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.schema(SKETCH_SCHEMA).parquet(tmp).write.mode("overwrite").parquet(
-        log_path
-    )
-    fs, hpath = _fs_for(spark, tmp)
-    fs.delete(hpath, True)
+    compact_log(spark, log_path, merged)
 
 
 def run_streaming_hll(

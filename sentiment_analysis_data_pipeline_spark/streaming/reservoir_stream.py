@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dialect as D
 from ..operators.sketch import es_key_sql
+from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
 
 RESERVOIR_K = 20  # sample size per stratum (matches queries.WS_K)
 SAMPLE_SCHEMA = (
@@ -69,16 +70,9 @@ def append_batch_sample(
     """Collapse one micro-batch to its k-per-stratum partial and append
     it, replay-idempotently: if this epoch's id is already in the log (a
     foreachBatch retry after a successful write), land nothing."""
-    try:
-        seen = (
-            spark.read.schema(SAMPLE_SCHEMA)
-            .parquet(sample_path)
-            .filter(F.col("batch_id") == batch_id)
-            .take(1)
-        )
-    except Exception:  # first epoch: log does not exist yet
-        seen = []
-    if seen:
+    # path-absent is an FS check; real read errors propagate so a retry
+    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
+    if log_has_epoch(spark, sample_path, SAMPLE_SCHEMA, batch_id):
         return
     (
         batch_sample(batch)
@@ -109,20 +103,13 @@ def read_sample(spark: SparkSession, sample_path: str, k: int = RESERVOIR_K) -> 
 
 def compact_samples(spark: SparkSession, sample_path: str) -> None:
     """Fold the epoch log back to one merged partial (batch_id = -1):
-    bounded read-side work after many epochs. Staged through a tmp dir,
-    deleted via the Hadoop FS API so cleanup follows the URI scheme."""
-    from ..sources.tables import _fs_for
-
+    bounded read-side work after many epochs. Crash-safe via the shared
+    stage-then-atomic-rename swap (_log.compact_log); run only in an
+    ingest pause (_log.py contract)."""
     merged = read_sample(spark, sample_path).withColumn(
-        "batch_id", F.lit(-1).cast("long")
+        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
     )
-    tmp = sample_path.rstrip("/") + "__compact_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.schema(SAMPLE_SCHEMA).parquet(tmp).write.mode("overwrite").parquet(
-        sample_path
-    )
-    fs, hpath = _fs_for(spark, tmp)
-    fs.delete(hpath, True)
+    compact_log(spark, sample_path, merged)
 
 
 def run_streaming_reservoir(

@@ -103,6 +103,10 @@ def test_estimates_never_underestimate_and_compaction(spark, tmp_path):
     # 7 distinct tokens in a 4x512 sketch: no all-rows collision here, so
     # estimates are exact (deterministic given md5)
     assert est["apple"] == 5 and est["banana"] == 3 and est["cherry"] == 3
+    # CM point-query semantics (round-8 ADVICE fix): an absent counter is
+    # 0, so a never-seen token APPEARS in the output with estimate 0
+    # instead of vanishing (all 4 addressed cells empty here)
+    assert est["missing"] == 0
     # compaction folds the log to one batch_id=-1 partial, same merged state
     before = _cells_dict(sketch_stream.read_sketch(spark, cells))
     sketch_stream.compact_cells(spark, cells)
@@ -144,3 +148,43 @@ def test_streamed_estimates_match_batch_audit_query(spark, tmp_path):
     }
     for r in audit:
         assert est[r["token"]] == r["cm_estimate"], r["token"]
+
+
+def test_replay_guard_raises_on_corrupt_log_not_silent_pass(spark, tmp_path):
+    """A real read error on the epoch log must PROPAGATE (round-8 ADVICE
+    fix): the old broad-except treated any failure as 'first epoch', so a
+    transient flake during a foreachBatch retry double-appended the batch.
+    Path-absent stays a clean False (first epoch)."""
+    import pytest
+
+    from sentiment_analysis_data_pipeline_spark.streaming._log import log_has_epoch
+
+    missing = str(tmp_path / "nope")
+    assert log_has_epoch(spark, missing, sketch_stream.CELLS_SCHEMA, 0) is False
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        log_has_epoch(spark, str(corrupt), sketch_stream.CELLS_SCHEMA, 0)
+
+
+def test_compact_is_swap_based_no_partial_live_state(spark, tmp_path):
+    """Compaction stages to a tmp dir and atomically renames into place: at
+    no point is the live log deleted-then-repopulated, and the tmp/trash
+    dirs are gone afterwards (round-8 ADVICE fix, compact_bucketed swap)."""
+    import os
+
+    cells = str(tmp_path / "cells")
+    for i, docs in enumerate((DOCS_A, DOCS_B)):
+        sketch_stream.append_batch_cells(
+            spark, spark.createDataFrame(docs, "doc_id long, text string"), cells, i
+        )
+    before = _cells_dict(sketch_stream.read_sketch(spark, cells))
+    sketch_stream.compact_cells(spark, cells)
+    assert _cells_dict(sketch_stream.read_sketch(spark, cells)) == before
+    leftovers = [
+        p
+        for p in os.listdir(tmp_path)
+        if p.startswith("cells") and p != "cells"
+    ]
+    assert not leftovers, leftovers
