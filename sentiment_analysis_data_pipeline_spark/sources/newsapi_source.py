@@ -40,6 +40,29 @@ from pyspark.sql.datasource import (
 from ..schemas import ENVELOPE_SCHEMA
 
 FORMAT_NAME = "newsapi_fixture"
+GNEWS_FORMAT_NAME = "gnews_fixture"
+
+# Both reference producers speak "paginated article API", but the page
+# BODIES differ (round-8: GNews promoted to a first-class source twin):
+# - NewsAPI (producers/newsapi_producer.py:44-52): {"status": "ok",
+#   "totalResults": N, "articles": [...]}; a non-ok status is a hard
+#   producer error.
+# - GNews (producers/gnews_producer.py:33-37): {"totalArticles": N,
+#   "articles": [...]} -- NO status field; the producer's validity check is
+#   the presence of the "articles" key ("Invalid response format" error).
+# Article-shape differences (image vs urlToImage, source{name,url} vs
+# source{id,name}) are absorbed by the union-reconciled ENVELOPE_SCHEMA --
+# _page_rows reads both spellings; absent fields stay null.
+_PROTOCOLS = {"newsapi": "newsapi", "gnews": "gnews"}
+
+
+def _check_body(body: dict, protocol: str, path: str) -> None:
+    if protocol == "gnews":
+        if "articles" not in body:
+            raise ValueError(f"page {path}: invalid GNews response format")
+    else:
+        if body.get("status") != "ok":
+            raise ValueError(f"page {path}: status={body.get('status')}")
 
 
 def write_fixture_pages(path: str, articles: list[dict], page_size: int = 20) -> int:
@@ -50,6 +73,20 @@ def write_fixture_pages(path: str, articles: list[dict], page_size: int = 20) ->
     pages = [articles[i : i + page_size] for i in range(0, len(articles), page_size)]
     for n, page in enumerate(pages, start=1):
         body = {"status": "ok", "totalResults": len(articles), "articles": page}
+        with open(os.path.join(path, f"page-{n}.json"), "w") as f:
+            json.dump(body, f)
+    return len(pages)
+
+
+def write_gnews_fixture_pages(
+    path: str, articles: list[dict], page_size: int = 20
+) -> int:
+    """GNews twin of write_fixture_pages: the body carries totalArticles and
+    no status field (producers/gnews_producer.py:33-37's shape)."""
+    os.makedirs(path, exist_ok=True)
+    pages = [articles[i : i + page_size] for i in range(0, len(articles), page_size)]
+    for n, page in enumerate(pages, start=1):
+        body = {"totalArticles": len(articles), "articles": page}
         with open(os.path.join(path, f"page-{n}.json"), "w") as f:
             json.dump(body, f)
     return len(pages)
@@ -91,11 +128,13 @@ class _PageReader(DataSourceReader):
 
 def _page_rows(path: str, source_api: str) -> Iterator[tuple]:
     """Shared page-body -> envelope-row conversion (batch partitions and
-    stream micro-batches emit identical rows for identical pages)."""
+    stream micro-batches emit identical rows for identical pages). The
+    body validity check follows the source's protocol (_check_body);
+    article fields are read under BOTH producers' spellings, mirroring the
+    unionByName reconciliation the batch layer does."""
     with open(path) as f:
         body = json.load(f)
-    if body.get("status") != "ok":
-        raise ValueError(f"page {path}: status={body.get('status')}")
+    _check_body(body, _PROTOCOLS.get(source_api, "newsapi"), path)
     fetched_at = _dt.datetime(2024, 1, 1)
     for a in body.get("articles", []):
         src = a.get("source") or {}
@@ -171,3 +210,29 @@ class NewsApiFixtureDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _PageStreamReader(self.options)
+
+
+class GnewsFixtureDataSource(DataSource):
+    """GNews twin (producers/gnews_producer.py:17-46): same page-per
+    -partition planning and envelope rows, GNews body protocol (no status
+    field; articles-key presence is the validity check) and article shape
+    (image / source{name,url}) -- the remaining differences the batch
+    layer's unionByName used to absorb are handled at the source, so BOTH
+    reference producers are first-class Spark sources."""
+
+    @classmethod
+    def name(cls) -> str:
+        return GNEWS_FORMAT_NAME
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        opts = dict(self.options)
+        opts.setdefault("source_api", "gnews")
+        return _PageReader(opts, schema)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        opts = dict(self.options)
+        opts.setdefault("source_api", "gnews")
+        return _PageStreamReader(opts)
