@@ -13,36 +13,28 @@ Kafka test runs; install delta-spark and the Delta branch runs.
 from __future__ import annotations
 
 import json
-import os
-import socket
 import uuid
 
 import pytest
 
+from sentiment_analysis_data_pipeline_spark.capabilities import (
+    KAFKA_BOOTSTRAP,
+    kafka_broker_reachable as _broker_reachable,
+)
 from sentiment_analysis_data_pipeline_spark.streaming.ingest import (
     delta_available,
     kafka_article_stream,
     merge_into_parquet,
 )
 
-KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
-
-
-def _broker_reachable(bootstrap: str) -> bool:
-    host, _, port = bootstrap.partition(":")
-    try:
-        with socket.create_connection((host, int(port or 9092)), timeout=1):
-            return True
-    except OSError:
-        return False
-
 
 def _kafka_connector_present(spark) -> bool:
+    from sentiment_analysis_data_pipeline_spark.capabilities import (
+        kafka_connector_present,
+    )
+
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-        )
-        return True
+        return kafka_connector_present(spark)
     except Exception:
         return False
 

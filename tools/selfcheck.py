@@ -92,6 +92,12 @@ def main() -> int:
 
         spark = get_spark("selfcheck")
 
+    # one-line capability report: which env-gated paths (Delta MERGE, live
+    # Kafka, real lexicon libs, pixel decode) would activate in THIS env
+    from sentiment_analysis_data_pipeline_spark.capabilities import report_line
+
+    print(report_line(spark), flush=True)
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
