@@ -167,6 +167,13 @@ BENCH_QUERIES = [
     "kmv_intersection",
     "lang_mix",
     "dim_truncation_recall",
+    # round-8 additions
+    "psi_drift",
+    "funnel_windowed",
+    "cohort_retention",
+    "cohens_kappa",
+    "benford_digits",
+    "hard_negatives",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -10058,6 +10058,323 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-8 additions: corpus/product analytics a training-data pipeline
+# monitors continuously -- distribution drift (PSI), behavioral funnels and
+# retention cohorts over the event stream, annotator agreement (kappa),
+# value-integrity (Benford), and contrastive-pair mining (hard negatives).
+# =========================================================================
+
+PSI_BAND_WIDTH = 50  # n_chars per PSI bin (corpus spans ~11 bins at sf0.1)
+
+
+def _psi_drift_sql(d: str) -> str:
+    """Population Stability Index over the document-length distribution,
+    old-half vs new-half (doc_id parity = the deterministic snapshot split
+    the chi2 monitor source_drift also uses). source_drift watches the
+    CATEGORICAL source mix; this watches a NUMERIC feature's distribution
+    -- the standard pre-retrain drift gate (PSI > 0.2 = investigate).
+    Counts are exact BIGINTs; each bin's contribution is
+    (p_new - p_old) * ln(p_new / p_old) with +1 Laplace smoothing so an
+    empty bin cannot produce ln(0). The ln() output is quantized to 2^-30
+    fixed point (the zipf_slope treatment): libm ln differs by ulps
+    between engines, so the raw double hash-mismatched; every other op in
+    the chain is the same IEEE +-*/ on identical operands. Scale shape:
+    ONE (band, half) hash-agg partial collapses the table; bins-sized
+    output; the 1-row total broadcasts."""
+    band = D.int_div(d, "n_chars", str(PSI_BAND_WIDTH))
+    p_new = "(cast(b.n_new + 1 as double) / cast(t.t_new + t.n_bands as double))"
+    p_old = "(cast(b.n_old + 1 as double) / cast(t.t_old + t.n_bands as double))"
+    q = float(1 << 30)
+    lnq = f"(cast(floor(ln({p_new} / {p_old}) * {q!r}) as bigint))"
+    return f"""
+        WITH binned AS (
+            SELECT {band} AS band,
+                   cast(sum(case when doc_id % 2 = 0 then 1 else 0 end) as bigint) AS n_old,
+                   cast(sum(case when doc_id % 2 = 1 then 1 else 0 end) as bigint) AS n_new
+            FROM documents
+            GROUP BY {band}
+        ),
+        tot AS (
+            SELECT cast(sum(n_old) as bigint) AS t_old,
+                   cast(sum(n_new) as bigint) AS t_new,
+                   cast(count(*) as bigint) AS n_bands
+            FROM binned
+        )
+        SELECT b.band, b.n_old, b.n_new,
+               ({p_new} - {p_old})
+               * (cast({lnq} as double) / {q!r}) AS psi_contrib
+        FROM binned b CROSS JOIN tot t
+        ORDER BY b.band
+    """
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI contributions of the length distribution, old vs new
+    corpus half (see _psi_drift_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_psi_drift_sql(D.SPARK))
+
+
+# Funnel windows (epoch-us): a click counts within 24 h of the user's first
+# view; a purchase within 72 h of that click. Time-bounded steps on purpose:
+# the dense synthetic event stream converts ~100% on unbounded "ever after"
+# steps, which would be the green-gate-with-degenerate-output trap -- the
+# bounded windows measure 150 -> 60 -> 45 at sf0.01.
+FUNNEL_CLICK_WINDOW_US = 24 * 3600 * 1000000
+FUNNEL_PURCHASE_WINDOW_US = 72 * 3600 * 1000000
+
+
+def _funnel_windowed_sql(d: str) -> str:
+    """Time-WINDOWED three-step funnel: first view -> first click within
+    24 h -> first purchase within 72 h of that click. Sibling of
+    funnel_conversion (the unbounded ever-after cascade): on this dense
+    synthetic stream the unbounded funnel converts ~100% at every step
+    (an honest but signal-free answer), while the windowed variant is the
+    product-analytics form that actually discriminates (150 -> 60 -> 45
+    at sf0.01).
+    The product-analytics query every event pipeline serves; each step is
+    a per-user MIN over a time-bounded predicate against the previous
+    step's anchor, so the whole funnel is three hash-aggs and two
+    broadcast-sized joins on the per-user relations -- the raw stream is
+    scanned ONCE. Users and conversion are exact; conversion divides
+    BIGINTs as double with a 0-guard (ANSI mode throws on /0)."""
+    us = _ts_us(d)
+    return f"""
+        WITH ev AS (SELECT user_id, event_type, {us} AS us FROM events),
+        u AS (
+            SELECT user_id,
+                   min(case when event_type = 'view' then us end) AS v
+            FROM ev GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.us) AS c_us
+            FROM ev e JOIN u ON e.user_id = u.user_id
+            WHERE e.event_type = 'click' AND u.v IS NOT NULL
+              AND e.us > u.v AND e.us <= u.v + {FUNNEL_CLICK_WINDOW_US}
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.us) AS p_us
+            FROM ev e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.us > c.c_us AND e.us <= c.c_us + {FUNNEL_PURCHASE_WINDOW_US}
+            GROUP BY e.user_id
+        ),
+        steps AS (
+            SELECT 1 AS step_idx, 'view' AS step,
+                   cast(sum(case when v IS NOT NULL then 1 else 0 end) as bigint) AS users
+            FROM u
+            UNION ALL
+            SELECT 2, 'click_24h', cast(count(*) as bigint) FROM c
+            UNION ALL
+            SELECT 3, 'purchase_72h', cast(count(*) as bigint) FROM p
+        )
+        SELECT s.step_idx, s.step, s.users,
+               case when p.users IS NULL or p.users = 0 then 1.0
+                    else cast(s.users as double) / cast(p.users as double)
+               end AS conversion
+        FROM steps s LEFT JOIN steps p ON p.step_idx = s.step_idx - 1
+        ORDER BY s.step_idx
+    """
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click(24h) -> purchase(72h) funnel with per-step conversion
+    (see _funnel_windowed_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_funnel_windowed_sql(D.SPARK))
+
+
+DAY_US = 86400000000  # epoch-us per day (bigint-safe literal)
+
+
+def _cohort_retention_sql(d: str) -> str:
+    """Daily retention cohorts over PURCHASE events: users cohorted by
+    first-purchase day, retention = share of the cohort purchasing again
+    at each day offset. Sibling of retention_cohorts (the all-events
+    count triangle): restricting to the rare event class + emitting the
+    ratio is what gives the measure spread on this dense stream. Purchases (not all events) on purpose: the dense
+    synthetic stream makes every user active every week, so an all-events
+    weekly cohort reads 1.0 everywhere (degenerate); purchase-day
+    granularity measures real spread (0.09-1.0 at sf0.01, 11 cohorts).
+    Scale shape: the stream collapses to DISTINCT (user, day) purchase
+    facts first; cohorts and activity are hash-aggs over that relation;
+    the cohort-size join is cohort-count-sized. Output rows =
+    cohorts x observed offsets (bounded by the corpus time span)."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    return f"""
+        WITH ev AS (
+            SELECT DISTINCT user_id, {day} AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        first AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id),
+        sizes AS (
+            SELECT cohort_d, cast(count(*) as bigint) AS cohort_size
+            FROM first GROUP BY cohort_d
+        ),
+        active AS (
+            SELECT f.cohort_d, e.d - f.cohort_d AS offset_d,
+                   cast(count(DISTINCT e.user_id) as bigint) AS active_users
+            FROM ev e JOIN first f ON e.user_id = f.user_id
+            GROUP BY f.cohort_d, e.d - f.cohort_d
+        )
+        SELECT a.cohort_d, a.offset_d, s.cohort_size, a.active_users,
+               cast(a.active_users as double) / cast(s.cohort_size as double)
+                   AS retention
+        FROM active a JOIN sizes s ON a.cohort_d = s.cohort_d
+        ORDER BY a.cohort_d, a.offset_d
+    """
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-day retention cohorts (see _cohort_retention_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_cohort_retention_sql(D.SPARK))
+
+
+KAPPA_CHARS_MIN = 200  # annotator A: keep iff n_chars >= this
+KAPPA_WORDS_MIN = 40  # annotator B: keep iff whitespace tokens >= this
+
+
+def _cohens_kappa_sql(d: str) -> str:
+    """Cohen's kappa between two deterministic keep/drop annotators over
+    the corpus (A: length rule, B: token-count rule) -- the
+    inter-annotator-agreement statistic a labeling/curation pipeline
+    reports before trusting a rule as a silver label. One pass builds the
+    2x2 confusion cells as exact BIGINTs; po/pe/kappa are fixed IEEE
+    chains on those counts. Kappa is guarded at pe = 1 (perfect chance
+    agreement -- both rules constant -- reads as kappa 0, not /0).
+    Scale shape: one map-side-combinable agg over the table; 1-row
+    output."""
+    wc = TX.word_count(d, "coalesce(text, '')")
+    return f"""
+        WITH marks AS (
+            SELECT case when n_chars >= {KAPPA_CHARS_MIN} then 1 else 0 end AS a,
+                   case when {wc} >= {KAPPA_WORDS_MIN} then 1 else 0 end AS b
+            FROM documents
+        ),
+        cells AS (
+            SELECT cast(sum(a * b) as bigint) AS both_keep,
+                   cast(sum(a * (1 - b)) as bigint) AS only_a,
+                   cast(sum((1 - a) * b) as bigint) AS only_b,
+                   cast(sum((1 - a) * (1 - b)) as bigint) AS both_drop,
+                   cast(count(*) as bigint) AS n
+            FROM marks
+        ),
+        agg AS (
+            SELECT both_keep, only_a, only_b, both_drop, n,
+                   cast(both_keep + both_drop as double) / cast(n as double) AS po,
+                   (cast(both_keep + only_a as double) * cast(both_keep + only_b as double)
+                    + cast(only_b + both_drop as double) * cast(only_a + both_drop as double))
+                   / (cast(n as double) * cast(n as double)) AS pe
+            FROM cells
+        )
+        SELECT both_keep, only_a, only_b, both_drop, n, po, pe,
+               case when pe = 1.0 then 0.0 else (po - pe) / (1.0 - pe) end AS kappa
+        FROM agg
+    """
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rule agreement (Cohen's kappa) between the length and
+    token-count keep rules (see _cohens_kappa_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_cohens_kappa_sql(D.SPARK))
+
+
+def _benford_digits_sql(d: str) -> str:
+    """Benford leading-digit audit of lineitem extended prices: observed
+    share per digit vs the Benford expectation log10(1 + 1/d), plus the
+    chi2 contribution -- the value-integrity screen for fabricated or
+    truncated numeric columns (synthetic TPC-H prices are ~uniform in the
+    leading digit, and the audit SAYS so: digit 1 at ~0.15 vs 0.30
+    expected). The leading digit comes from the STRING of the floored
+    BIGINT (integer-to-string rendering is identical across engines;
+    floating log10/pow chains could disagree in the last ulp at decade
+    boundaries). The digit panel is a 9-row VALUES relation LEFT-joined so
+    absent digits report 0, not a missing row. Scale shape: one hash-agg
+    to <= 9 rows, then 9-row joins."""
+    lead = f"cast(substring({D.cast_str(d, 'cast(floor(l_extendedprice) as bigint)')}, 1, 1) as bigint)"
+    rows = ", ".join(f"({k})" for k in range(1, 10))
+    panel = f"(VALUES {rows}) AS t(dg)" if d == D.SPARK else f"(VALUES {rows}) t(dg)"
+    return f"""
+        WITH lead AS (
+            SELECT {lead} AS digit FROM lineitem WHERE l_extendedprice >= 1
+        ),
+        obs AS (SELECT digit, cast(count(*) as bigint) AS n FROM lead GROUP BY digit),
+        tot AS (SELECT cast(sum(n) as bigint) AS total FROM obs),
+        panel AS (SELECT dg FROM {panel})
+        SELECT p.dg AS digit,
+               cast(coalesce(o.n, 0) as bigint) AS n,
+               cast(coalesce(o.n, 0) as double) / cast(t.total as double) AS share,
+               ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0) AS benford_p,
+               (cast(coalesce(o.n, 0) as double)
+                - cast(t.total as double) * (ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0)))
+               * (cast(coalesce(o.n, 0) as double)
+                - cast(t.total as double) * (ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0)))
+               / (cast(t.total as double) * (ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0)))
+                   AS chi2_contrib
+        FROM panel p LEFT JOIN obs o ON p.dg = o.digit CROSS JOIN tot t
+        ORDER BY p.dg
+    """
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution vs Benford expectation on lineitem
+    prices (see _benford_digits_sql)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_benford_digits_sql(D.SPARK))
+
+
+HARDNEG_K = 3  # negatives mined per panel query
+
+
+def _hard_negatives_sql(d: str) -> str:
+    """Contrastive hard-negative mining: for each query in the bounded
+    audit panel (KNN_QUERY_PRED -- the same enforced budget as the
+    knn_batch family), the top-{HARDNEG_K} most-similar vectors with a
+    DIFFERENT label. The pair-mining pass a contrastive/embedding-training
+    pipeline runs to build (anchor, hard negative) batches: easy negatives
+    are everywhere, the informative ones are the near-misses. Scale shape:
+    the panel broadcasts against the corpus (linear in corpus at fixed
+    budget); norms hoisted once per row; rank window per query; ties
+    broken by vec_id so ranks are deterministic cross-engine."""
+    v = V.to_double_array(d, "embedding")
+    nv = V.norm(d, "v", EMB_DIM)
+    dotp = V.dot(d, "e.v", "q.v", EMB_DIM)
+    cos = f"case when e.nv = 0.0 or q.nv = 0.0 then 0.0 else ({dotp}) / (e.nv * q.nv) end"
+    hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
+    return f"""
+        WITH emb0 AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, label, v, {nv} AS nv FROM emb0),
+        q AS (SELECT vec_id AS qid, label AS q_label, v, nv FROM emb
+              WHERE {KNN_QUERY_PRED}),
+        scored AS (
+            SELECT {hint}q.qid, q.q_label, e.vec_id, e.label AS neg_label,
+                   {cos} AS cosine
+            FROM emb e JOIN q
+              ON e.vec_id <> q.qid AND e.label <> q.q_label
+        ),
+        ranked AS (
+            SELECT qid, q_label, vec_id, neg_label, cosine,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT qid, q_label, vec_id, neg_label, cosine, cast(rk as bigint) AS rk
+        FROM ranked WHERE rk <= {HARDNEG_K}
+    """
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 different-label near-misses per panel query -- contrastive
+    hard-negative mining (see _hard_negatives_sql)."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_hard_negatives_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -10073,6 +10390,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-8 additions (never driver-proven) ---
+    "psi_drift": (q_psi_drift, _psi_drift_sql),
+    "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),
+    "cohort_retention": (q_cohort_retention, _cohort_retention_sql),
+    "cohens_kappa": (q_cohens_kappa, _cohens_kappa_sql),
+    "benford_digits": (q_benford_digits, _benford_digits_sql),
+    "hard_negatives": (q_hard_negatives, _hard_negatives_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),
