@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "cohens_kappa",
     "benford_digits",
     "hard_negatives",
+    "zscore_days",
+    "cramers_v",
+    "cusum_shift",
+    "kcenter_coreset",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -101,3 +101,23 @@ def hyperplane_signs(d: str, a: str, dim: int, planes: int) -> str:
             s = f"list_reduce(list_transform(range(1, {dim + 1}), i -> ({a})[i] * ({h})[i]), (acc, x) -> acc + x)"
         comps.append(f"case when ({s}) >= 0.0 then '1' else '0' end")
     return f"concat({', '.join(comps)})"
+
+
+def l2sq_literal(d: str, a: str, weights: list[float]) -> str:
+    """Squared L2 distance of an array column against a CONSTANT vector,
+    expanded flat with the literals inlined -- term-for-term the same
+    left-associated chain as l2sq(), so a value computed here is
+    bit-identical to l2sq() on a column holding the same doubles (Python
+    repr round-trips doubles exactly). Used by the kcenter driver loop,
+    where each round's centers are bounded 1-row collects."""
+    if d == D.SPARK:
+        terms = [
+            f"(element_at({a}, {i}) - {w!r}) * (element_at({a}, {i}) - {w!r})"
+            for i, w in enumerate(weights, start=1)
+        ]
+    else:
+        terms = [
+            f"(({a})[{i}] - {w!r}) * (({a})[{i}] - {w!r})"
+            for i, w in enumerate(weights, start=1)
+        ]
+    return f"({' + '.join(terms)})"

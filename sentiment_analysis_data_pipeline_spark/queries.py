@@ -10374,6 +10374,288 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hard_negatives_sql(D.SPARK))
 
 
+ZSCORE_EVENT = "error"  # the monitored event class (rate spikes = incidents)
+
+
+def _zscore_days_sql(d: str) -> str:
+    """Daily-rate anomaly screen: z-score of each day's {ZSCORE_EVENT}-event
+    count against the full-period mean/std -- the ops-monitoring query every
+    event pipeline serves ("which days were anomalous?"). Counts and the
+    moment sums (s1, s2) are exact BIGINTs; mean/variance/z are fixed IEEE
+    chains on those three integers per row (no cross-row float summation
+    anywhere), and sqrt is correctly-rounded per IEEE-754 so both engines
+    agree bit-for-bit. Zero variance (all days equal -- detected EXACTLY as
+    the integer identity s2*k == s1*s1) reads as z = 0, not /0 (ANSI).
+    Scale shape: one (day) hash-agg collapses the stream; the 1-row moment
+    relation broadcasts; output is days-sized."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    mean = "(cast(s.s1 as double) / cast(s.k as double))"
+    var = f"((cast(s.s2 as double) / cast(s.k as double)) - {mean} * {mean})"
+    z = f"(cast(dy.n as double) - {mean}) / sqrt({var})"
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS d, cast(count(*) as bigint) AS n
+            FROM events WHERE event_type = '{ZSCORE_EVENT}'
+            GROUP BY {day}
+        ),
+        s AS (
+            SELECT cast(count(*) as bigint) AS k,
+                   cast(sum(n) as bigint) AS s1,
+                   cast(sum(n * n) as bigint) AS s2
+            FROM daily
+        )
+        SELECT dy.d, dy.n,
+               case when s.s2 * s.k = s.s1 * s.s1 then 0.0 else {z} end AS z,
+               case when s.s2 * s.k <> s.s1 * s.s1 and ({z} > 2.0 or {z} < -2.0)
+                    then true else false end AS is_anomaly
+        FROM daily dy CROSS JOIN s
+        ORDER BY dy.d
+    """
+
+
+def q_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day error-rate z-scores with a |z|>2 anomaly flag (see
+    _zscore_days_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_zscore_days_sql(D.SPARK))
+
+
+# chi2 contributions quantized to 2^-20 fixed point BEFORE the cross-row
+# sum: float addition is order-dependent and Spark's partial-agg order is
+# nondeterministic; integer sums are order-free (the _SURPRISAL_Q rule).
+_CRAMERS_Q = 1 << 20
+
+
+def _cramers_v_sql(d: str) -> str:
+    """Cramer's V association between the lang and source columns -- "does
+    WHERE a document comes from determine its language?", the corpus-design
+    diagnostic behind per-source language-filter decisions (V near 1 means
+    per-source langID shortcuts work; near 0 means every source needs the
+    full detector). chi2 cell contributions are fixed IEEE chains on exact
+    BIGINT margins, quantized to 2^-20 fixed point per CELL and summed as
+    integers (order-free); V = sqrt(chi2 / (n * min(r-1, c-1))) with the
+    degenerate single-row/column table guarded to 0. Scale shape: one
+    (lang, source) hash-agg collapses the corpus; everything after is
+    cells-sized (r x c)."""
+    contrib = (
+        "(cast(ce.n as double)"
+        " - cast(rm.rn as double) * cast(cm.cn as double) / cast(m.total as double))"
+        " * (cast(ce.n as double)"
+        " - cast(rm.rn as double) * cast(cm.cn as double) / cast(m.total as double))"
+        " / (cast(rm.rn as double) * cast(cm.cn as double) / cast(m.total as double))"
+    )
+    q = float(_CRAMERS_Q)
+    return f"""
+        WITH cells AS (
+            SELECT lang, source, cast(count(*) as bigint) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        m AS (
+            SELECT cast(sum(n) as bigint) AS total,
+                   cast(count(DISTINCT lang) as bigint) AS r,
+                   cast(count(DISTINCT source) as bigint) AS c
+            FROM cells
+        ),
+        rm AS (SELECT lang, cast(sum(n) as bigint) AS rn FROM cells GROUP BY lang),
+        cm AS (SELECT source, cast(sum(n) as bigint) AS cn FROM cells GROUP BY source),
+        chi AS (
+            SELECT cast(sum(cast(floor({contrib} * {q!r}) as bigint)) as bigint) AS chi2_q
+            FROM cells ce
+            JOIN rm ON ce.lang = rm.lang
+            JOIN cm ON ce.source = cm.source
+            CROSS JOIN m
+        )
+        SELECT m.total AS n_docs, m.r AS n_langs, m.c AS n_sources,
+               cast(chi.chi2_q as double) / {q!r} AS chi2,
+               case when m.total = 0 or m.r <= 1 or m.c <= 1 then 0.0
+                    else sqrt((cast(chi.chi2_q as double) / {q!r})
+                              / (cast(m.total as double)
+                                 * cast(case when m.r - 1 < m.c - 1 then m.r - 1
+                                             else m.c - 1 end as double)))
+               end AS cramers_v
+        FROM chi CROSS JOIN m
+    """
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang x source association strength (see _cramers_v_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_cramers_v_sql(D.SPARK))
+
+
+def _cusum_shift_sql(d: str) -> str:
+    """CUSUM level-shift detector over daily purchase revenue: the
+    cumulative sum of (day_value - period_mean), in exact integer
+    arithmetic -- a sustained drift in the daily level shows as a monotone
+    CUSUM ramp long before any single day trips a z-score. Scale: values
+    floor to exact cents per row (floor, not cast: DuckDB's double->bigint
+    cast ROUNDS while Spark's truncates); the mean subtraction is done in
+    cross-multiplied integer form (v*k - s) so the running window sum is
+    BIGINT-exact and order-free; the window is ORDER BY day ROWS UNBOUNDED
+    PRECEDING over a days-sized relation (never the raw stream)."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS d,
+                   cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS v_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY {day}
+        ),
+        m AS (SELECT cast(sum(v_cents) as bigint) AS s,
+                     cast(count(*) as bigint) AS k
+              FROM daily)
+        SELECT dy.d, dy.v_cents,
+               cast(sum(dy.v_cents * m.k - m.s)
+                    OVER (ORDER BY dy.d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) as bigint) AS cusum_scaled,
+               cast(dy.v_cents * m.k - m.s as bigint) AS dev_scaled
+        FROM daily dy CROSS JOIN m
+        ORDER BY dy.d
+    """
+
+
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM of daily purchase revenue vs the period mean
+    (see _cusum_shift_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_cusum_shift_sql(D.SPARK))
+
+
+KCENTER_K = 4  # greedy farthest-point iterations (seed + 3)
+
+
+def _kcenter_coreset_sql(d: str) -> str:
+    """Greedy k-center coreset over the embedding corpus: seed = min
+    vec_id, then {KCENTER_K}-1 rounds of farthest-point selection (argmax
+    over the corpus of the min squared-L2 distance to the chosen centers,
+    vec_id tie-break), then every vector assigned to its nearest center --
+    the diversity-sampling pass a training-data pipeline runs to pick
+    maximally-spread exemplars (k-center is the classic coreset
+    construction; farthest-point gives the 2-approximation). The bounded
+    iteration count unrolls mechanically into per-round CTEs (the
+    bpe_merges oracle pattern), so the full computation is ONE SQL
+    statement in both engines -- no driver loop. Distances are the flat
+    expanded l2sq chains (exact same IEEE op order cross-engine); argmax
+    and assignment tie-break on vec_id so selection is deterministic.
+    Output: one row per center with its population and coverage radius
+    (count/max are order-free; no cross-row float sums). Scale shape:
+    each round is one broadcast of <= k single-row centers against the
+    corpus -- linear in corpus per round, k rounds total."""
+    v = V.to_double_array(d, "embedding")
+    ctes = [
+        f"emb AS (SELECT vec_id, {v} AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM emb WHERE vec_id = (SELECT min(vec_id) FROM emb))",
+    ]
+    for k in range(1, KCENTER_K):
+        dists = ", ".join(
+            f"{V.l2sq(d, 'e.v', f'c{j}.v', EMB_DIM)} AS d{j}" for j in range(k)
+        )
+        joins = " CROSS JOIN ".join(f"c{j}" for j in range(k))
+        not_center = " AND ".join(f"e.vec_id <> c{j}.vec_id" for j in range(k))
+        dmin = f"d{k - 1}" if k == 1 else "least(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+        ctes.append(
+            f"""cand{k} AS (
+            SELECT e.vec_id, {dists}
+            FROM emb e CROSS JOIN {joins}
+            WHERE {not_center}
+        )"""
+        )
+        ctes.append(
+            f"""pick{k} AS (
+            SELECT vec_id FROM (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY {dmin} DESC, vec_id ASC) AS rn
+                FROM cand{k}
+            ) t WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.vec_id, e.v FROM emb e JOIN pick{k} p ON e.vec_id = p.vec_id)"
+        )
+    center_union = " UNION ALL ".join(
+        f"SELECT {j} AS center_rank, vec_id, v FROM c{j}" for j in range(KCENTER_K)
+    )
+    assign_d = V.l2sq(d, "e.v", "ct.v", EMB_DIM)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f""",
+        centers AS ({center_union}),
+        assign AS (
+            SELECT e.vec_id, ct.center_rank, ct.vec_id AS center_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {assign_d} ASC, ct.vec_id ASC) AS rn,
+                   {assign_d} AS d2
+            FROM emb e CROSS JOIN centers ct
+        )
+        SELECT center_rank, center_id,
+               cast(count(*) as bigint) AS n_assigned,
+               max(d2) AS radius_sq
+        FROM assign WHERE rn = 1
+        GROUP BY center_rank, center_id
+        ORDER BY center_rank
+    """
+    )
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point k-center coreset with per-center population
+    and coverage radius. The ORACLE runs the fully-unrolled single
+    statement (_kcenter_coreset_sql); the Spark path materializes each
+    round instead -- Catalyst inlines WITH-CTEs, so round k's plan
+    re-derives every earlier round and the unrolled statement measured
+    54 s at sf0.01 vs ~2 s materialized. Each selected center is a
+    BOUNDED 1-row collect (the ANN-arm pattern) inlined into the next
+    round as literal doubles; l2sq_literal builds term-for-term the same
+    IEEE chain as the oracle's l2sq, so the two paths stay
+    bit-identical."""
+    _view(spark, sf_dir, "embeddings")
+    v = V.to_double_array(D.SPARK, "embedding")
+    emb = spark.sql(f"SELECT vec_id, {v} AS v FROM embeddings")
+    emb.localCheckpoint(eager=True).createOrReplaceTempView("kc_emb")
+    seed = spark.sql(
+        "SELECT vec_id, v FROM kc_emb WHERE vec_id = (SELECT min(vec_id) FROM kc_emb)"
+    ).collect()[0]
+    centers: list[tuple[int, int, list[float]]] = [
+        (0, seed["vec_id"], [float(x) for x in seed["v"]])
+    ]
+    for k in range(1, KCENTER_K):
+        dists = [V.l2sq_literal(D.SPARK, "v", c[2]) for c in centers]
+        dmin = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+        not_c = " AND ".join(f"vec_id <> {c[1]}" for c in centers)
+        # ORDER BY + LIMIT 1 compiles to TakeOrderedAndProject (per-partition
+        # top-1, driver merge) -- an unpartitioned row_number window here
+        # moved the whole corpus to ONE partition (WindowExec warning)
+        row = spark.sql(
+            f"""SELECT vec_id, v FROM kc_emb WHERE {not_c}
+                ORDER BY {dmin} DESC, vec_id ASC LIMIT 1"""
+        ).collect()[0]
+        centers.append((k, row["vec_id"], [float(x) for x in row["v"]]))
+    scored = " UNION ALL ".join(
+        f"SELECT vec_id, {rank} AS center_rank, {vid} AS center_id,"
+        f" {V.l2sq_literal(D.SPARK, 'v', vec)} AS d2 FROM kc_emb"
+        for rank, vid, vec in centers
+    )
+    return spark.sql(
+        f"""
+        WITH assign AS (
+            SELECT vec_id, center_rank, center_id, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, center_id ASC) AS rn
+            FROM ({scored}) s
+        )
+        SELECT center_rank, cast(center_id as bigint) AS center_id,
+               cast(count(*) as bigint) AS n_assigned,
+               max(d2) AS radius_sq
+        FROM assign WHERE rn = 1
+        GROUP BY center_rank, center_id
+        ORDER BY center_rank
+    """
+    )
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -10397,6 +10679,10 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "cohens_kappa": (q_cohens_kappa, _cohens_kappa_sql),
     "benford_digits": (q_benford_digits, _benford_digits_sql),
     "hard_negatives": (q_hard_negatives, _hard_negatives_sql),
+    "zscore_days": (q_zscore_days, _zscore_days_sql),
+    "cramers_v": (q_cramers_v, _cramers_v_sql),
+    "cusum_shift": (q_cusum_shift, _cusum_shift_sql),
+    "kcenter_coreset": (q_kcenter_coreset, _kcenter_coreset_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),

@@ -88,6 +88,7 @@ def main() -> None:
     names = [
         "psi_drift", "funnel_windowed", "cohort_retention",
         "cohens_kappa", "benford_digits", "hard_negatives",
+        "zscore_days", "cramers_v", "cusum_shift", "kcenter_coreset",
     ]
     for name in names:
         res = {}
