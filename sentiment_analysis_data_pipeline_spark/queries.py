@@ -10082,18 +10082,29 @@ def _psi_drift_sql(d: str) -> str:
     ONE (band, half) hash-agg partial collapses the table; bins-sized
     output; the 1-row total broadcasts."""
     band = D.int_div(d, "n_chars", str(PSI_BAND_WIDTH))
-    p_new = "(cast(b.n_new + 1 as double) / cast(t.t_new + t.n_bands as double))"
-    p_old = "(cast(b.n_old + 1 as double) / cast(t.t_old + t.n_bands as double))"
-    q = float(1 << 30)
-    lnq = f"(cast(floor(ln({p_new} / {p_old}) * {q!r}) as bigint))"
-    return f"""
-        WITH binned AS (
+    binned = f"""binned AS (
             SELECT {band} AS band,
                    cast(sum(case when doc_id % 2 = 0 then 1 else 0 end) as bigint) AS n_old,
                    cast(sum(case when doc_id % 2 = 1 then 1 else 0 end) as bigint) AS n_new
             FROM documents
             GROUP BY {band}
-        ),
+        )"""
+    return psi_tail_sql(binned)
+
+
+def psi_tail_sql(binned_cte: str) -> str:
+    """Everything downstream of a `binned(band, n_old, n_new)` relation:
+    smoothing, the quantized-ln contribution, the per-band report. Shared
+    VERBATIM by the batch psi_drift query (and its oracle) and the
+    streaming drift accumulator's read side (streaming/drift_stream.py),
+    so the two paths cannot drift -- identical SQL text means identical
+    IEEE chains means bit-identical psi values on identical counts."""
+    p_new = "(cast(b.n_new + 1 as double) / cast(t.t_new + t.n_bands as double))"
+    p_old = "(cast(b.n_old + 1 as double) / cast(t.t_old + t.n_bands as double))"
+    q = float(1 << 30)
+    lnq = f"(cast(floor(ln({p_new} / {p_old}) * {q!r}) as bigint))"
+    return f"""
+        WITH {binned_cte},
         tot AS (
             SELECT cast(sum(n_old) as bigint) AS t_old,
                    cast(sum(n_new) as bigint) AS t_new,
