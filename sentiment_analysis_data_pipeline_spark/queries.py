@@ -10667,6 +10667,146 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The pipeline's recurring join/group keys, audited for skew in one report.
+_SKEW_KEYS = (
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("events.user_id", "events", "user_id"),
+    ("documents.source", "documents", "source"),
+)
+
+
+def _key_skew_sql(d: str) -> str:
+    """Join-key skew audit over the pipeline's recurring shuffle keys --
+    the input to every salting / AQE-skew-join decision at 100 TB: per key
+    column, the key count, Gini coefficient of the per-key row counts,
+    and the p50/p99/max counts. Gini uses the rank formula
+    sum((2i - n - 1) * c_i) / (n * total) over counts ranked ascending
+    (key tie-break): the numerator is an exact BIGINT sum (order-free),
+    the single division happens once per 1-row report. Percentile picks
+    are exact rank lookups, not approximations. Scale shape: per key ONE
+    hash-agg to key-cardinality size, one keys-sized rank window, then
+    1-row joins; the final report is len(_SKEW_KEYS) rows."""
+    blocks = []
+    for label, table, key in _SKEW_KEYS:
+        p50_rank = D.int_div(d, "(s.n + 1)", "2")
+        p99_off = D.int_div(d, "(s.n - 1)", "100")
+        blocks.append(
+            f"""SELECT '{label}' AS key_name, s.n AS n_keys, s.tot AS n_rows,
+                   cast(g.num as double) / (cast(s.n as double) * cast(s.tot as double)) AS gini,
+                   p50.c AS p50_rows, p99.c AS p99_rows, mx.c AS max_rows
+            FROM (SELECT cast(count(*) as bigint) AS n, cast(sum(c) as bigint) AS tot
+                  FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
+                        FROM {table} GROUP BY {key}) k0) s
+            CROSS JOIN (
+                SELECT cast(sum((2 * r.i - s2.n - 1) * r.c) as bigint) AS num
+                FROM (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
+                      FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
+                            FROM {table} GROUP BY {key}) k1) r
+                CROSS JOIN (SELECT cast(count(DISTINCT {key}) as bigint) AS n
+                            FROM {table}) s2
+            ) g
+            JOIN (
+                SELECT r.c FROM
+                    (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
+                     FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
+                           FROM {table} GROUP BY {key}) k2) r
+                    CROSS JOIN (SELECT cast(count(DISTINCT {key}) as bigint) AS n
+                                FROM {table}) s
+                WHERE r.i = {p50_rank}
+            ) p50 ON 1 = 1
+            JOIN (
+                SELECT r.c FROM
+                    (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
+                     FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
+                           FROM {table} GROUP BY {key}) k3) r
+                    CROSS JOIN (SELECT cast(count(DISTINCT {key}) as bigint) AS n
+                                FROM {table}) s
+                WHERE r.i = s.n - {p99_off}
+            ) p99 ON 1 = 1
+            JOIN (
+                SELECT max(c) AS c
+                FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
+                      FROM {table} GROUP BY {key}) k4
+            ) mx ON 1 = 1"""
+        )
+        # rank windows above order by (c, k); the string key column casts
+        # implicitly -- keep k typed per table, ties broken identically
+    return (
+        " UNION ALL ".join(blocks)
+        + " ORDER BY key_name"
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini + exact percentile row counts per recurring join key (see
+    _key_skew_sql)."""
+    _view(spark, sf_dir, "lineitem", "documents")
+    _events_view(spark, sf_dir)
+    return spark.sql(_key_skew_sql(D.SPARK))
+
+
+KS_SOURCE_A = "src0"
+KS_SOURCE_B = "src1"
+
+
+def _ks_sources_sql(d: str) -> str:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two sources'
+    document-length distributions -- the distribution-equality test behind
+    "did this crawl change shape?" (PSI bins; KS doesn't -- complementary
+    gates). Exactness: the max CDF deviation is found on the CROSS-
+    MULTIPLIED integer lattice |F_a * n_b - F_b * n_a| (BIGINT-exact,
+    deterministic argmax with value tie-break); the single division to the
+    [0,1] statistic happens once, on the 1-row answer. Scale shape: one
+    (value, side) hash-agg collapses both samples, one values-sized running
+    window, TakeOrderedAndProject for the argmax -- never a raw-row sort."""
+    return f"""
+        WITH u AS (
+            SELECT n_chars AS v,
+                   case when source = '{KS_SOURCE_A}' then 1 else 0 end AS ca,
+                   case when source = '{KS_SOURCE_B}' then 1 else 0 end AS cb
+            FROM documents
+            WHERE source = '{KS_SOURCE_A}' OR source = '{KS_SOURCE_B}'
+        ),
+        merged AS (
+            SELECT v, cast(sum(ca) as bigint) AS ca, cast(sum(cb) as bigint) AS cb
+            FROM u GROUP BY v
+        ),
+        n AS (
+            SELECT cast(sum(ca) as bigint) AS na, cast(sum(cb) as bigint) AS nb
+            FROM merged
+        ),
+        cdf AS (
+            SELECT v,
+                   cast(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) as bigint) AS fa,
+                   cast(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) as bigint) AS fb
+            FROM merged
+        ),
+        dev AS (
+            SELECT c.v, c.fa, c.fb,
+                   cast(abs(c.fa * n.nb - c.fb * n.na) as bigint) AS dev_scaled
+            FROM cdf c CROSS JOIN n
+        )
+        SELECT d2.v AS at_value, d2.fa AS cdf_a_count, d2.fb AS cdf_b_count,
+               n.na AS n_a, n.nb AS n_b,
+               case when n.na = 0 or n.nb = 0 then 0.0
+                    else cast(d2.dev_scaled as double)
+                         / (cast(n.na as double) * cast(n.nb as double))
+               end AS ks
+        FROM dev d2 CROSS JOIN n
+        ORDER BY d2.dev_scaled DESC, d2.v ASC
+        LIMIT 1
+    """
+
+
+def q_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between src0 and src1 length
+    distributions (see _ks_sources_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_ks_sources_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -10694,6 +10834,8 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "cramers_v": (q_cramers_v, _cramers_v_sql),
     "cusum_shift": (q_cusum_shift, _cusum_shift_sql),
     "kcenter_coreset": (q_kcenter_coreset, _kcenter_coreset_sql),
+    "key_skew": (q_key_skew, _key_skew_sql),
+    "ks_sources": (q_ks_sources, _ks_sources_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),

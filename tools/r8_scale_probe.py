@@ -89,6 +89,7 @@ def main() -> None:
         "psi_drift", "funnel_windowed", "cohort_retention",
         "cohens_kappa", "benford_digits", "hard_negatives",
         "zscore_days", "cramers_v", "cusum_shift", "kcenter_coreset",
+        "key_skew", "ks_sources",
     ]
     for name in names:
         res = {}
