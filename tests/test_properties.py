@@ -338,3 +338,106 @@ def test_kmv_sketch_merge_property(ids, n_parts):
         part = sorted(h(i) for j, i in enumerate(ids) if j % n_parts == p)
         partials.extend(part[:K])
     assert sorted(partials)[:K] == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=1000), min_size=2, max_size=40)
+)
+def test_gini_rank_formula_matches_definition(counts):
+    """key_skew's Gini: the rank formula sum((2i - n - 1) c_i) / (n total)
+    over ascending-sorted counts equals the mean-absolute-difference
+    definition sum_ij |c_i - c_j| / (2 n^2 mu) for ARBITRARY count
+    multisets -- and the numerator is integer-exact (the order-free BIGINT
+    sum the SQL relies on). Pure-python twin of the SQL math."""
+    from fractions import Fraction
+
+    n = len(counts)
+    total = sum(counts)
+    xs = sorted(counts)
+    num = sum((2 * (i + 1) - n - 1) * c for i, c in enumerate(xs))
+    rank_gini = Fraction(num, n * total)
+    mad = sum(abs(a - b) for a in counts for b in counts)
+    def_gini = Fraction(mad, 2 * n * n) / Fraction(total, n)
+    assert rank_gini == def_gini
+    assert 0 <= rank_gini < 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+)
+def test_ks_integer_lattice_equals_float_cdf_max(a, b):
+    """ks_sources' exactness claim: the max over merged values of the
+    cross-multiplied integer deviation |F_a n_b - F_b n_a| / (n_a n_b)
+    equals the direct float max |F_a/n_a - F_b/n_b| for ARBITRARY samples
+    -- the integer lattice loses nothing and gains determinism."""
+    from fractions import Fraction
+
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    best_lattice = 0
+    best_float = Fraction(0)
+    for v in values:
+        fa = sum(1 for x in a if x <= v)
+        fb = sum(1 for x in b if x <= v)
+        best_lattice = max(best_lattice, abs(fa * nb - fb * na))
+        best_float = max(best_float, abs(Fraction(fa, na) - Fraction(fb, nb)))
+    assert Fraction(best_lattice, na * nb) == best_float
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=6),
+)
+def test_psi_band_partials_merge_losslessly(lengths, n_parts):
+    """drift_stream's accumulator algebra: per-band counts from ARBITRARY
+    micro-batch partitionings sum to the whole-corpus band counts -- the
+    property that makes the band log a mergeable distribution sketch (and
+    the precondition for the bit-identical psi_tail_sql parity the stream
+    test asserts)."""
+    from collections import Counter
+
+    W = 50
+    whole = Counter(x // W for x in lengths)
+    merged: Counter = Counter()
+    for p in range(n_parts):
+        merged.update(Counter(x // W for i, x in enumerate(lengths) if i % n_parts == p))
+    assert merged == whole
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-100, max_value=100),
+                  st.integers(min_value=-100, max_value=100)),
+        min_size=2, max_size=25, unique=True,
+    )
+)
+def test_kcenter_greedy_radius_is_2_approximation(points):
+    """kcenter_coreset's guarantee: greedy farthest-point with k centers
+    achieves radius <= 2x the optimal k-center radius (Gonzalez 1985).
+    Verified against brute-force optimal over all k-subsets for small
+    instances, squared distances (so the bound is 4x on d2)."""
+    from itertools import combinations
+
+    k = 2
+    if len(points) <= k:
+        return
+
+    def d2(p, q):
+        return (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+
+    # greedy: seed = first point (deterministic), then farthest-point
+    centers = [points[0]]
+    for _ in range(k - 1):
+        centers.append(max(points, key=lambda p: (min(d2(p, c) for c in centers), p)))
+    greedy_r2 = max(min(d2(p, c) for c in centers) for p in points)
+
+    opt_r2 = min(
+        max(min(d2(p, c) for c in cs) for p in points)
+        for cs in combinations(points, k)
+    )
+    assert greedy_r2 <= 4 * opt_r2  # (2x radius)^2
