@@ -338,6 +338,13 @@ def main() -> None:
         rows[name] = n
         _sweep(spark)
 
+    # Bracket the run: the environment can swing a lot over one bench
+    # (round 8 measured the anchor at 0.537 during a run and 0.763 within
+    # the hour -- a 42% drift that would otherwise masquerade as per-query
+    # regression). anchor = start, anchor_end = end; cross-round compares
+    # should treat [min, max] of the pair as the run's environment window.
+    anchor_end = drift_anchor(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -351,6 +358,7 @@ def main() -> None:
         "retried": retried,
         "spread_ratio_bound": SPREAD_RATIO_BOUND,
         "anchor_sec": anchor,
+        "anchor_end_sec": anchor_end,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -361,7 +369,7 @@ def main() -> None:
     # Non-final line: full detail for humans/logs (driver ignores it).
     print(json.dumps({"detail": detail}))
 
-    print(final_line(timings, sf_val, runs, anchor, unstable))
+    print(final_line(timings, sf_val, runs, anchor, unstable, anchor_end))
 
 
 def build_result(
@@ -370,6 +378,7 @@ def build_result(
     runs: int,
     anchor: float | None = None,
     unstable: list[str] | None = None,
+    anchor_end: float | None = None,
 ) -> dict:
     """The driver-parsed result dict -- the ONE place its shape is defined.
 
@@ -397,6 +406,8 @@ def build_result(
     }
     if anchor is not None:
         out["anchor"] = anchor
+    if anchor_end is not None:
+        out["anchor_end"] = anchor_end
     if unstable is not None:
         out["unstable"] = len(unstable)
     return out
@@ -408,6 +419,7 @@ def final_line(
     runs: int,
     anchor: float | None = None,
     unstable: list[str] | None = None,
+    anchor_end: float | None = None,
 ) -> str:
     """Build + selfcheck the single driver-parsed JSON line.
 
@@ -415,7 +427,7 @@ def final_line(
     -capture window. Trim nothing silently -- fail loudly so the proof chain
     can't quietly break again (round 4's BENCH record was lost this way).
     """
-    result = build_result(timings, sf_val, runs, anchor, unstable)
+    result = build_result(timings, sf_val, runs, anchor, unstable, anchor_end)
     line = json.dumps(result, separators=(",", ":"))
     assert json.loads(line)["value"] == result["value"]
     assert len(line) < LINE_BUDGET, f"final bench line {len(line)}B >= {LINE_BUDGET}B"
