@@ -10807,6 +10807,71 @@ def q_ks_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ks_sources_sql(D.SPARK))
 
 
+def _revenue_rollup_sql(d: str) -> str:
+    """Region -> nation revenue ROLLUP with subtotal and grand-total rows
+    -- the grouping-sets surface the reference's ES terms agg can't
+    express but any OLAP consumer of this engine will ask for. GROUPING()
+    bits make the subtotal rows explicit (gid 0 = leaf, 1 = per-region
+    subtotal, 3 = grand total) and coalesce labels them; money sums go
+    through the exact decimal cast (_dsum) so every level is
+    bit-identical cross-engine. Scale shape: Spark expands rollup into
+    one Expand + hash-agg pass -- still a single scan of the join result,
+    with the two dimension joins broadcast (25/5-row dims)."""
+    return f"""
+        SELECT coalesce(r.r_name, '(all)') AS region,
+               coalesce(n.n_name, '(all)') AS nation,
+               cast(grouping(r.r_name) * 2 + grouping(n.n_name) as bigint) AS gid,
+               cast(count(*) as bigint) AS n_orders,
+               {_dsum("o.o_totalprice", "revenue")}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+        ORDER BY gid, region, nation
+    """
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/nation revenue with ROLLUP subtotals (see
+    _revenue_rollup_sql)."""
+    _view(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(_revenue_rollup_sql(D.SPARK))
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _lang_pivot_sql(d: str) -> str:
+    """Per-source language-mix pivot: one row per source, one count column
+    per language plus a row total -- the wide monitoring table a corpus
+    dashboard serves. Written as conditional aggregation (identical text
+    in both dialects) rather than engine PIVOT syntax, which diverges
+    between Spark and DuckDB; Catalyst compiles it to the same single
+    hash-agg pass either way. Unknown languages land in n_other so the
+    row total always reconciles."""
+    cols = ", ".join(
+        f"cast(sum(case when lang = '{lg}' then 1 else 0 end) as bigint) AS n_{lg}"
+        for lg in PIVOT_LANGS
+    )
+    known = ", ".join(f"'{lg}'" for lg in PIVOT_LANGS)
+    return f"""
+        SELECT source, {cols},
+               cast(sum(case when lang IN ({known}) then 0 else 1 end) as bigint)
+                   AS n_other,
+               cast(count(*) as bigint) AS n_total
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language count pivot (see _lang_pivot_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_lang_pivot_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -10836,6 +10901,8 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "kcenter_coreset": (q_kcenter_coreset, _kcenter_coreset_sql),
     "key_skew": (q_key_skew, _key_skew_sql),
     "ks_sources": (q_ks_sources, _ks_sources_sql),
+    "revenue_rollup": (q_revenue_rollup, _revenue_rollup_sql),
+    "lang_pivot": (q_lang_pivot, _lang_pivot_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),
