@@ -73,3 +73,72 @@ def test_ann_recall_report_rebuilds_after_drop(spark):
         assert rows["ivf"]["hits"] > 0  # positive branch exercised
     finally:
         _drop_everywhere(spark, table)
+
+
+def test_round8_operator_invariants(spark):
+    """Structural invariants the hash gate can't state (each hash-green run
+    is one fixed corpus; these hold for ANY corpus by the operators' math):
+    funnel monotonicity, retention anchor, PSI non-negativity, Benford
+    share reconciliation, kappa bounds, skew percentile ordering, KS range,
+    hard-negative label disjointness, kcenter full coverage."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    sf = SF
+
+    steps = Q.q_funnel_windowed(spark, sf).collect()
+    users = [r["users"] for r in sorted(steps, key=lambda r: r["step_idx"])]
+    assert users == sorted(users, reverse=True)  # funnel never widens
+
+    coh = Q.q_cohort_retention(spark, sf).collect()
+    assert coh, "cohorts empty"
+    for r in coh:
+        if r["offset_d"] == 0:
+            assert r["retention"] == 1.0  # cohort day anchors at 1
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["active_users"] <= r["cohort_size"]
+
+    psi = Q.q_psi_drift(spark, sf).collect()
+    # (p-q) ln(p/q) >= 0 for every band -- PSI contributions are pointwise
+    # non-negative (up to the 2^-30 quantization of ln)
+    assert all(r["psi_contrib"] >= -2.0 ** -29 for r in psi)
+
+    ben = Q.q_benford_digits(spark, sf).collect()
+    assert len(ben) == 9
+    assert abs(sum(r["share"] for r in ben) - 1.0) < 1e-9
+    assert abs(sum(r["benford_p"] for r in ben) - 1.0) < 1e-9
+
+    kap = Q.q_cohens_kappa(spark, sf).collect()[0]
+    assert kap["both_keep"] + kap["only_a"] + kap["only_b"] + kap["both_drop"] == kap["n"]
+    assert -1.0 <= kap["kappa"] <= 1.0
+
+    for r in Q.q_key_skew(spark, sf).collect():
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["p50_rows"] <= r["p99_rows"] <= r["max_rows"]
+
+    ks = Q.q_ks_sources(spark, sf).collect()[0]
+    assert 0.0 <= ks["ks"] <= 1.0
+    assert ks["cdf_a_count"] <= ks["n_a"] and ks["cdf_b_count"] <= ks["n_b"]
+
+    hn = Q.q_hard_negatives(spark, sf).collect()
+    assert hn, "no hard negatives mined"
+    assert all(r["neg_label"] != r["q_label"] for r in hn)
+    from collections import Counter
+
+    per_q = Counter(r["qid"] for r in hn)
+    assert all(v <= 3 for v in per_q.values())
+
+    kc = Q.q_kcenter_coreset(spark, sf).collect()
+    n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r["n_assigned"] for r in kc) == n_emb  # full coverage
+    assert len({r["center_id"] for r in kc}) == len(kc)  # distinct centers
+
+    roll = Q.q_revenue_rollup(spark, sf).collect()
+    leaf = sum(r["revenue"] for r in roll if r["gid"] == 0)
+    grand = [r for r in roll if r["gid"] == 3]
+    assert len(grand) == 1
+    assert abs(grand[0]["revenue"] - leaf) < 1e-6  # exact decimal sums agree
+
+    piv = Q.q_lang_pivot(spark, sf).collect()
+    for r in piv:
+        known = sum(r[f"n_{lg}"] for lg in Q.PIVOT_LANGS)
+        assert known + r["n_other"] == r["n_total"]
