@@ -10872,6 +10872,86 @@ def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_lang_pivot_sql(D.SPARK))
 
 
+# UNIMAX budget = 9/10 of corpus tokens at epoch cap 1 -- chosen so BOTH
+# waterfall branches fire on this corpus (the smallest sources bind at
+# their cap, the rest split the remainder equally).
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 9, 10
+UNIMAX_EPOCHS = 1
+
+
+def _unimax_sql(d: str) -> str:
+    """UNIMAX-style sampling allocation over per-source token counts
+    (Chung et al. 2023, "UniMax: Fairer and More Effective Language
+    Sampling"): distribute a token budget as uniformly as possible across
+    groups, capping each at {UNIMAX_EPOCHS} epoch(s) of its own data --
+    the language/source-balancing pass a multilingual training-data
+    pipeline runs instead of temperature sampling. The sequential
+    waterfall has a closed form over caps sorted ascending: a group binds
+    at its cap iff cap_i * (n - i + 1) < budget - prefix_caps_before_i
+    (pure BIGINT lattice test -- binding is prefix-closed for ascending
+    caps, enforced with a running min), and every unbound group receives
+    the identical (budget - bound_caps) / n_unbound share (one division,
+    same operands every row). epochs_used = alloc / tokens is the
+    per-group oversampling factor the paper bounds. Scale shape: one
+    tokenize-count agg collapses the corpus to groups; everything after
+    is groups-sized windows over ONE ordering."""
+    wc = TX.word_count(d, "coalesce(text, '')")
+    budget = D.int_div(d, f"({UNIMAX_BUDGET_NUM} * t)", str(UNIMAX_BUDGET_DEN))
+    return f"""
+        WITH toks AS (
+            SELECT source, cast(sum({wc}) as bigint) AS c
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT cast(sum(c) as bigint) AS t,
+                       cast(count(*) as bigint) AS n FROM toks),
+        budget AS (SELECT {budget} AS b, n FROM tot),
+        ranked AS (
+            SELECT source, c, c * {UNIMAX_EPOCHS} AS cap,
+                   row_number() OVER (ORDER BY c ASC, source ASC) AS i,
+                   cast(sum(c * {UNIMAX_EPOCHS})
+                        OVER (ORDER BY c ASC, source ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS pm
+            FROM toks
+        ),
+        flags AS (
+            SELECT r.source, r.c, r.cap, r.i, r.pm, b.b, b.n,
+                   case when r.cap * (b.n - r.i + 1) < (b.b - (r.pm - r.cap))
+                        then 1 else 0 end AS bind
+            FROM ranked r CROSS JOIN budget b
+        ),
+        pref AS (
+            SELECT f.source, f.c, f.cap, f.i, f.b, f.n,
+                   min(bind) OVER (ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS capped
+            FROM flags f
+        ),
+        k AS (SELECT cast(sum(capped) as bigint) AS n_capped,
+                     cast(coalesce(sum(case when capped = 1 then cap end), 0)
+                          as bigint) AS capsum
+              FROM pref)
+        SELECT p.source, p.c AS tokens, p.cap, cast(p.capped as bigint) AS capped,
+               case when p.capped = 1 then cast(p.cap as double)
+                    else cast(p.b - k.capsum as double)
+                         / cast(p.n - k.n_capped as double)
+               end AS alloc,
+               case when p.capped = 1 then cast({UNIMAX_EPOCHS} as double)
+                    else (cast(p.b - k.capsum as double)
+                          / cast(p.n - k.n_capped as double))
+                         / cast(p.c as double)
+               end AS epochs_used
+        FROM pref p CROSS JOIN k
+        ORDER BY p.i
+    """
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX waterfall budget allocation per source (see _unimax_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_unimax_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -10903,6 +10983,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "ks_sources": (q_ks_sources, _ks_sources_sql),
     "revenue_rollup": (q_revenue_rollup, _revenue_rollup_sql),
     "lang_pivot": (q_lang_pivot, _lang_pivot_sql),
+    "unimax_allocation": (q_unimax_allocation, _unimax_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),

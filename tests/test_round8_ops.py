@@ -142,3 +142,22 @@ def test_round8_operator_invariants(spark):
     for r in piv:
         known = sum(r[f"n_{lg}"] for lg in Q.PIVOT_LANGS)
         assert known + r["n_other"] == r["n_total"]
+
+
+def test_unimax_allocation_invariants(spark):
+    """UNIMAX waterfall: with at least one unbound group the allocations
+    sum EXACTLY to the budget; capped groups receive exactly their cap and
+    epochs_used is bounded by the epoch cap; sf0.001's source skew fires
+    the binding branch (asserted so the positive branch can't silently
+    die -- the degenerate-fixture rule)."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    rows = Q.q_unimax_allocation(spark, SF).collect()
+    total = sum(r["tokens"] for r in rows)
+    budget = Q.UNIMAX_BUDGET_NUM * total // Q.UNIMAX_BUDGET_DEN
+    assert any(r["capped"] == 0 for r in rows)
+    assert abs(sum(r["alloc"] for r in rows) - budget) < 1e-6
+    for r in rows:
+        if r["capped"]:
+            assert r["alloc"] == float(r["cap"])
+        assert r["epochs_used"] <= Q.UNIMAX_EPOCHS + 1e-12
