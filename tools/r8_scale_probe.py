@@ -81,6 +81,17 @@ def main() -> None:
         .drop("copy")
         .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     )
+    # orders inflates (fact side of revenue_rollup); dims copy unchanged
+    od = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    (
+        od.select(*od.columns, F.explode(F.expr(f"sequence(0, {mult - 1})")).alias("copy"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    )
+    for dim in ("customer", "nation", "region"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
 
     from sentiment_analysis_data_pipeline_spark.queries import spark_queries
 
@@ -89,7 +100,8 @@ def main() -> None:
         "psi_drift", "funnel_windowed", "cohort_retention",
         "cohens_kappa", "benford_digits", "hard_negatives",
         "zscore_days", "cramers_v", "cusum_shift", "kcenter_coreset",
-        "key_skew", "ks_sources",
+        "key_skew", "ks_sources", "revenue_rollup", "lang_pivot",
+        "unimax_allocation",
     ]
     for name in names:
         res = {}
