@@ -178,7 +178,7 @@ BENCH_QUERIES = [
     "cramers_v",
     "cusum_shift",
     "kcenter_coreset",
-    "key_skew",
+    "key_gini",
     "ks_sources",
     "revenue_rollup",
     "lang_pivot",

@@ -10675,9 +10675,10 @@ _SKEW_KEYS = (
 )
 
 
-def _key_skew_sql(d: str) -> str:
-    """Join-key skew audit over the pipeline's recurring shuffle keys --
-    the input to every salting / AQE-skew-join decision at 100 TB: per key
+def _key_gini_sql(d: str) -> str:
+    """Join-key DISTRIBUTION-SHAPE audit over the pipeline's recurring shuffle keys --
+    the input to every salting / AQE-skew-join decision at 100 TB (sibling of key_skew_report, which lists the top
+    heavy hitters; this reports the SHAPE -- Gini + exact percentiles): per key
     column, the key count, Gini coefficient of the per-key row counts,
     and the p50/p99/max counts. Gini uses the rank formula
     sum((2i - n - 1) * c_i) / (n * total) over counts ranked ascending
@@ -10737,12 +10738,12 @@ def _key_skew_sql(d: str) -> str:
     )
 
 
-def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini + exact percentile row counts per recurring join key (see
-    _key_skew_sql)."""
+    _key_gini_sql)."""
     _view(spark, sf_dir, "lineitem", "documents")
     _events_view(spark, sf_dir)
-    return spark.sql(_key_skew_sql(D.SPARK))
+    return spark.sql(_key_gini_sql(D.SPARK))
 
 
 KS_SOURCE_A = "src0"
@@ -10979,7 +10980,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "cramers_v": (q_cramers_v, _cramers_v_sql),
     "cusum_shift": (q_cusum_shift, _cusum_shift_sql),
     "kcenter_coreset": (q_kcenter_coreset, _kcenter_coreset_sql),
-    "key_skew": (q_key_skew, _key_skew_sql),
+    "key_gini": (q_key_gini, _key_gini_sql),
     "ks_sources": (q_ks_sources, _ks_sources_sql),
     "revenue_rollup": (q_revenue_rollup, _revenue_rollup_sql),
     "lang_pivot": (q_lang_pivot, _lang_pivot_sql),

@@ -111,7 +111,7 @@ def test_round8_operator_invariants(spark):
     assert kap["both_keep"] + kap["only_a"] + kap["only_b"] + kap["both_drop"] == kap["n"]
     assert -1.0 <= kap["kappa"] <= 1.0
 
-    for r in Q.q_key_skew(spark, sf).collect():
+    for r in Q.q_key_gini(spark, sf).collect():
         assert 0.0 <= r["gini"] < 1.0
         assert r["p50_rows"] <= r["p99_rows"] <= r["max_rows"]
 

@@ -100,7 +100,7 @@ def main() -> None:
         "psi_drift", "funnel_windowed", "cohort_retention",
         "cohens_kappa", "benford_digits", "hard_negatives",
         "zscore_days", "cramers_v", "cusum_shift", "kcenter_coreset",
-        "key_skew", "ks_sources", "revenue_rollup", "lang_pivot",
+        "key_gini", "ks_sources", "revenue_rollup", "lang_pivot",
         "unimax_allocation",
     ]
     for name in names:
