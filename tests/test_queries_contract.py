@@ -76,3 +76,26 @@ def test_query_runs(spark, sf_dir, name):
     # ~6k lineitems (it is hash-checked vs the oracle at sf0.01).
     if name not in ("keyword_search", "volume_shipping"):
         assert len(rows) > 0
+
+
+def test_no_duplicate_defs_or_registry_keys():
+    """Name-shadowing guard (round 8): a re-`def q_<name>` silently rebinds
+    every later reference and a duplicate _REGISTRY_BASE key keeps only the
+    last pair -- both mispair a Spark callable with another query's oracle
+    (the second funnel_conversion and the _key_skew_sql collision were
+    caught by failures, not by review). Parse the source and refuse both."""
+    import os
+    import re
+    from collections import Counter
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(root, "sentiment_analysis_data_pipeline_spark", "queries.py")
+    ).read()
+    defs = re.findall(r"^def ([a-zA-Z_0-9]+)", src, re.M)
+    dup_defs = [n for n, c in Counter(defs).items() if c > 1]
+    assert not dup_defs, f"duplicate top-level defs in queries.py: {dup_defs}"
+    reg = src[src.index("_REGISTRY_BASE") :]
+    keys = re.findall(r'^\s+"([a-z_0-9]+)":', reg, re.M)
+    dup_keys = [k for k, c in Counter(keys).items() if c > 1]
+    assert not dup_keys, f"duplicate registry keys: {dup_keys}"
