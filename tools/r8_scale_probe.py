@@ -101,7 +101,7 @@ def main() -> None:
         "cohens_kappa", "benford_digits", "hard_negatives",
         "zscore_days", "cramers_v", "cusum_shift", "kcenter_coreset",
         "key_gini", "ks_sources", "revenue_rollup", "lang_pivot",
-        "unimax_allocation",
+        "unimax_allocation", "ann_lsh_multiprobe",
     ]
     for name in names:
         res = {}
