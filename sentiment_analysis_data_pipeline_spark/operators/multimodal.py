@@ -357,3 +357,132 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     from ..schemas import MEDIA_SCHEMA
 
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# Annex K.1 luminance quantization table (ITU-T T.81) in ZIGZAG order as
+# stored in a DQT segment -- the base every IJG-style encoder scales by
+# quality. Sum = the denominator of the integer inverse below.
+JPEG_STD_LUMINANCE_ZIGZAG = (
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+)
+_STD_LUM_SUM = sum(JPEG_STD_LUMINANCE_ZIGZAG)
+
+
+def ijg_scaled_table(quality: int) -> list[int]:
+    """The IJG quality->table scaling (jcparam.c jpeg_quality_scaling +
+    jpeg_add_quant_table): scale = 5000/Q below 50 else 200-2Q; each base
+    value maps to clamp((base*scale + 50) // 100, 1, 255). Pure integer
+    math -- the encoder side of the estimator, used by tests and the
+    driver query's payload synthesis."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [
+        min(255, max(1, (b * scale + 50) // 100))
+        for b in JPEG_STD_LUMINANCE_ZIGZAG
+    ]
+
+
+def estimate_quality_from_table(table: list[int]) -> int:
+    """Invert the IJG scaling from a parsed 64-entry luminance table, all
+    integer math (deterministic at any batch shape): scale_pct is the
+    rounded percentage ratio of the table sum to the Annex K base sum;
+    quality = (200 - scale)/2 above the 50-point, 5000/scale below.
+    Clamped to [1, 100]. Saturation (clamping at 1/255) makes extreme
+    qualities approximate -- that is inherent to the format, and the
+    driver oracle states the EXACT value this inverse yields per
+    synthesized quality, so the parse+invert round trip is hash-checked,
+    not eyeballed."""
+    s = sum(table)
+    scale_pct = (100 * s + _STD_LUM_SUM // 2) // _STD_LUM_SUM
+    if scale_pct <= 0:
+        return 100
+    if scale_pct <= 100:
+        quality = (200 - scale_pct) // 2
+    else:
+        quality = (5000 + scale_pct // 2) // scale_pct
+    return min(100, max(1, quality))
+
+
+def parse_jpeg_quality(payload: bytes | None) -> tuple[int, int]:
+    """(n_tables, quality_estimate) from a JPEG byte stream's DQT
+    segments: walk the marker stream (same discipline as
+    parse_image_dimensions), collect 8-bit-precision quantization tables,
+    and estimate encode quality from the luminance table (id 0) via the
+    integer IJG inverse. Non-JPEG/corrupt/absent-DQT payloads return
+    (0, 0) -- classify, never throw. A DQT segment may carry multiple
+    tables back-to-back (T.81 B.2.4.1)."""
+    if not payload:
+        return (0, 0)
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        return (0, 0)
+    n_tables = 0
+    lum: list[int] | None = None
+    i = 2
+    while i + 1 < len(b):
+        if b[i] != 0xFF:
+            break
+        while i < len(b) and b[i] == 0xFF:
+            i += 1
+        if i >= len(b):
+            break
+        marker = b[i]
+        i += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue
+        if i + 2 > len(b):
+            break
+        seglen = int.from_bytes(b[i : i + 2], "big")
+        if seglen < 2:
+            break
+        if marker == 0xDB:  # DQT
+            j = i + 2
+            end = i + seglen
+            while j < end and j < len(b):
+                pq_tq = b[j]
+                pq, _tq = pq_tq >> 4, pq_tq & 0x0F
+                width = 128 if pq == 1 else 64
+                if j + 1 + width > len(b):
+                    break
+                if pq == 0:  # 8-bit entries only (the common case)
+                    table = list(b[j + 1 : j + 65])
+                    n_tables += 1
+                    if _tq == 0 and lum is None:
+                        lum = table
+                else:
+                    n_tables += 1
+                j += 1 + width
+        i += seglen
+    if lum is None:
+        return (n_tables, 0)
+    return (n_tables, estimate_quality_from_table(lum))
+
+
+def decode_jpeg_quality(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    id_ddl: str = "media_id string",
+) -> DataFrame:
+    """(id, payload) -> (id, n_tables, quality) via Arrow-batched
+    mapInPandas over parse_jpeg_quality. Pure projection, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idname = id_ddl.split()[0]
+        for pdf in batches:
+            parsed = pdf[payload_col].map(parse_jpeg_quality)
+            yield pd.DataFrame(
+                {
+                    idname: pdf[id_col],
+                    "n_tables": parsed.map(lambda t: t[0]).astype("int64"),
+                    "quality": parsed.map(lambda t: t[1]).astype("int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_ddl}, n_tables bigint, quality bigint"
+    )

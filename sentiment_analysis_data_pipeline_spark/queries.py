@@ -11079,6 +11079,94 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_unimax_sql(D.SPARK))
 
 
+# JPEG quality panel: doc_id maps to an encode quality in [30, 94] -- the
+# band where the integer IJG inverse recovers quality EXACTLY (saturation
+# at the clamp bounds makes the extremes approximate; verified in
+# tests/test_multimodal.py). Corrupt arm: every 17th doc carries text bytes.
+JPEGQ_BASE, JPEGQ_MOD = 30, 65
+
+
+def _jpeg_quality_expected() -> list[tuple[int, int]]:
+    """(quality, expected_estimate) panel -- BOTH sides derive from the
+    operator's own integer encoder/inverse pair at SQL-build time, so the
+    oracle states analytically what the REAL byte-level parse must
+    recover."""
+    from .operators.multimodal import (
+        estimate_quality_from_table,
+        ijg_scaled_table,
+    )
+
+    out = []
+    for q in range(JPEGQ_BASE, JPEGQ_BASE + JPEGQ_MOD):
+        out.append((q, estimate_quality_from_table(ijg_scaled_table(q))))
+    return out
+
+
+def _jpeg_quality_sql(d: str) -> str:
+    """Oracle for q_jpeg_quality: the payloads are SYNTHESIZED with a DQT
+    scaled by a known quality, so the oracle states the expected
+    (n_tables, quality) analytically via a VALUES panel computed from the
+    same integer IJG math -- the hash check then verifies the engine's
+    REAL marker-walk DQT parser + integer inverse end-to-end over 500
+    payloads including the corrupt arm."""
+    rows = ", ".join(f"({q}, {est})" for q, est in _jpeg_quality_expected())
+    panel = (
+        f"(VALUES {rows}) AS p(q, est)" if d == D.SPARK else f"(VALUES {rows}) p(q, est)"
+    )
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   cast({JPEGQ_BASE} + doc_id % {JPEGQ_MOD} as bigint) AS q
+            FROM documents
+        )
+        SELECT d2.doc_id,
+               case when d2.doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(1 as bigint) end AS n_tables,
+               case when d2.doc_id % 17 = 0 then cast(0 as bigint)
+                    else cast(p.est as bigint) end AS quality
+        FROM docs d2 JOIN {panel} ON d2.q = p.q
+    """
+
+
+def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG quantization-table quality estimation over binary
+    payloads: every doc gets a synthesized JPEG (SOI + DQT holding the
+    Annex K luminance table scaled by a doc-keyed quality + EOI) or text
+    bytes (every 17th, the corrupt arm), and the engine walks the marker
+    stream, extracts the DQT, and inverts the IJG scaling back to the
+    encode quality with pure integer math
+    (operators/multimodal.parse_jpeg_quality, Arrow-batched mapInPandas).
+    The codec-QA pass a multimodal training-data pipeline runs to drop
+    over-compressed images before paying decode + embedding cost. Payload
+    bytes come from a 65-row broadcast VALUES panel (quality -> hex DQT)
+    joined on the doc's quality key -- synthesis stays engine-side and
+    deterministic. Plan: scan -> broadcast join -> mapInPandas, no
+    shuffle."""
+    from .operators.multimodal import ijg_scaled_table
+    from .operators.multimodal import decode_jpeg_quality
+
+    _view(spark, sf_dir, "documents")
+    payload_rows = []
+    for q in range(JPEGQ_BASE, JPEGQ_BASE + JPEGQ_MOD):
+        tbl = ijg_scaled_table(q)
+        body = bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes(tbl) + bytes(
+            [0xFF, 0xD9]
+        )
+        payload_rows.append(f"({q}, '{body.hex().upper()}')")
+    panel = ", ".join(payload_rows)
+    payloads = spark.sql(
+        f"""
+        SELECT d.doc_id,
+               case when d.doc_id % 17 = 0 then cast({TEXT} as binary)
+                    else unhex(p.hx) end AS payload
+        FROM documents d
+        JOIN (VALUES {panel}) AS p(q, hx)
+          ON ({JPEGQ_BASE} + d.doc_id % {JPEGQ_MOD}) = p.q
+        """
+    )
+    return decode_jpeg_quality(payloads, id_col="doc_id", id_ddl="doc_id bigint")
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -11112,6 +11200,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "lang_pivot": (q_lang_pivot, _lang_pivot_sql),
     "unimax_allocation": (q_unimax_allocation, _unimax_sql),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_mp_sql),
+    "jpeg_quality": (q_jpeg_quality, _jpeg_quality_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),

