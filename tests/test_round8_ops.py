@@ -47,7 +47,7 @@ def test_ann_recall_report_empty_truth_degrades_honestly(spark):
             f"CREATE TABLE {table} (q_id BIGINT, vec_id BIGINT) USING parquet"
         )
         rows = {r["method"]: r for r in q_ann_recall_report(spark, SF).collect()}
-        assert set(rows) == {"ivf", "lsh", "pq"}
+        assert set(rows) == {"ivf", "lsh", "lsh_mp", "pq"}
         for r in rows.values():
             assert r["n_exact"] == 0  # the degenerate state is VISIBLE
             assert r["hits"] == 0
@@ -68,9 +68,11 @@ def test_ann_recall_report_rebuilds_after_drop(spark):
     _drop_everywhere(spark, table)
     try:
         rows = {r["method"]: r for r in q_ann_recall_report(spark, SF).collect()}
-        assert set(rows) == {"ivf", "lsh", "pq"}
+        assert set(rows) == {"ivf", "lsh", "lsh_mp", "pq"}
         assert all(r["n_exact"] == 15 for r in rows.values())  # 5 queries x k=3
         assert rows["ivf"]["hits"] > 0  # positive branch exercised
+        # multi-probe must never lose recall vs plain LSH (superset probes)
+        assert rows["lsh_mp"]["hits"] >= rows["lsh"]["hits"]
     finally:
         _drop_everywhere(spark, table)
 
