@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "unimax_allocation",
     "ann_lsh_multiprobe",
     "jpeg_quality",
+    "dedup_savings",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -11079,6 +11079,101 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_unimax_sql(D.SPARK))
 
 
+def _dedup_savings_sql(d: str) -> str:
+    """Oracle for q_dedup_savings (DuckDB dialect only, the recursive-
+    closure core of _dedup_keep_sql): the corpus-level PLANNING summary of
+    near-dup dedup -- docs/tokens before, docs/tokens the keeper policy
+    drops, and the exact savings fractions. The number a 100 TB curation
+    run budgets storage and training-epoch token counts with BEFORE paying
+    for the rewrite."""
+    edges = _simhash_pairs_sql(d)
+    wc = TX.word_count(d, "coalesce(text, '')")
+    return f"""
+        WITH RECURSIVE edges AS ({edges}),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM edges
+            UNION
+            SELECT id_b AS a, id_a AS b FROM edges
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        comp AS (
+            SELECT a AS doc_id, least(a, min(b)) AS component
+            FROM reach GROUP BY a
+        ),
+        dropped AS (
+            SELECT doc_id FROM comp WHERE doc_id <> component
+        ),
+        toks AS (
+            SELECT dd.doc_id, cast({wc} as bigint) AS tok
+            FROM documents dd
+        ),
+        tot AS (
+            SELECT cast(count(*) as bigint) AS n_docs,
+                   cast(sum(tok) as bigint) AS n_tokens
+            FROM toks
+        ),
+        drp AS (
+            SELECT cast(count(*) as bigint) AS dropped_docs,
+                   cast(coalesce(sum(t.tok), 0) as bigint) AS dropped_tokens
+            FROM dropped dr JOIN toks t ON dr.doc_id = t.doc_id
+        )
+        SELECT t.n_docs, t.n_tokens, d2.dropped_docs, d2.dropped_tokens,
+               cast(d2.dropped_docs as double) / cast(t.n_docs as double)
+                   AS doc_savings,
+               cast(d2.dropped_tokens as double) / cast(t.n_tokens as double)
+                   AS token_savings
+        FROM tot t CROSS JOIN drp d2
+    """
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup planning summary: what the keeper policy (min doc per simhash
+    near-dup component) saves in docs and tokens, as one exact row (see
+    _dedup_savings_sql). Spark side runs the iterative min-label CC
+    (operators/dedup.connected_components) like the rest of the cluster
+    family; only docs appearing in a near-dup pair enter the graph."""
+    from .operators.dedup import connected_components
+
+    _view(spark, sf_dir, "documents")
+    edges = _simhash_pairs_df(spark, sf_dir)
+    comp = connected_components(edges, edge_spill_table="cc_edges_dedup_savings")
+    comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).createOrReplaceTempView("sav_comp")
+    wc = TX.word_count(D.SPARK, "coalesce(text, '')")
+    return spark.sql(
+        f"""
+        WITH dropped AS (
+            SELECT doc_id FROM sav_comp WHERE doc_id <> component
+        ),
+        toks AS (
+            SELECT dd.doc_id, cast({wc} as bigint) AS tok
+            FROM documents dd
+        ),
+        tot AS (
+            SELECT cast(count(*) as bigint) AS n_docs,
+                   cast(sum(tok) as bigint) AS n_tokens
+            FROM toks
+        ),
+        drp AS (
+            SELECT cast(count(*) as bigint) AS dropped_docs,
+                   cast(coalesce(sum(t.tok), 0) as bigint) AS dropped_tokens
+            FROM dropped dr JOIN toks t ON dr.doc_id = t.doc_id
+        )
+        SELECT t.n_docs, t.n_tokens, d2.dropped_docs, d2.dropped_tokens,
+               cast(d2.dropped_docs as double) / cast(t.n_docs as double)
+                   AS doc_savings,
+               cast(d2.dropped_tokens as double) / cast(t.n_tokens as double)
+                   AS token_savings
+        FROM tot t CROSS JOIN drp d2
+        """
+    )
+
+
 # JPEG quality panel: doc_id maps to an encode quality in [30, 94] -- the
 # band where the integer IJG inverse recovers quality EXACTLY (saturation
 # at the clamp bounds makes the extremes approximate; verified in
@@ -11201,6 +11296,7 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "unimax_allocation": (q_unimax_allocation, _unimax_sql),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_mp_sql),
     "jpeg_quality": (q_jpeg_quality, _jpeg_quality_sql),
+    "dedup_savings": (q_dedup_savings, _dedup_savings_sql),
     # --- round-7 batch-6 additions (never driver-proven) ---
     "lsh_band_sweep": (q_lsh_band_sweep, _lsh_band_sweep_sql),
     "classifier_score": (q_classifier_score, _classifier_score_sql),
