@@ -204,3 +204,18 @@ def test_jpeg_quality_parser_unit():
     # jpeg with no DQT (dimensions-only stream) -> 0 tables
     no_dqt = bytes.fromhex("FFD8FFE000040000FFC0000B0800200020010111 00".replace(" ", ""))
     assert parse_jpeg_quality(no_dqt) == (0, 0)
+
+
+def test_dedup_savings_reconciles_with_dedup_keep(spark):
+    """The planning row must reconcile with the keeper materialization it
+    summarizes: dropped_docs == n_docs - |dedup_keep| on the same corpus,
+    and the fractions are exact ratios of the integer columns."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    sav = Q.q_dedup_savings(spark, SF).collect()[0]
+    keepers = Q.q_dedup_keep(spark, SF).count()
+    assert sav["dropped_docs"] == sav["n_docs"] - keepers
+    assert 0 <= sav["dropped_docs"] <= sav["n_docs"]
+    assert 0 <= sav["dropped_tokens"] <= sav["n_tokens"]
+    assert sav["doc_savings"] == sav["dropped_docs"] / sav["n_docs"]
+    assert sav["token_savings"] == sav["dropped_tokens"] / sav["n_tokens"]
