@@ -1194,6 +1194,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered-sum aggregation -- a 1024-term inline projection costs ~11 s of
     janino compile per session and re-inlines into every referencing branch
     -- and the band relation is checkpointed once."""
+    _build_annlsh_bands(spark, sf_dir)
+    return _annlsh_topk(spark, multiprobe=False)
+
+
+def _build_annlsh_bands(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the checkpointed `annlsh_bands` view for `sf_dir`:
+    explode + broadcast plane join + filtered-sum aggregation, checkpointed
+    so both consumers (plain + multiprobe arms) read the computed relation.
+    Rebuilt per call -- a cached view can't survive the bench's
+    between-query unpersist sweep; sharing happens WITHIN one composed call
+    (q_ann_recall_report builds once and scores both lsh arms from it)."""
     _view(spark, sf_dir, "embeddings")
     v = V.to_double_array(D.SPARK, "embedding")
     planes = _ann_planes(16, "h")
@@ -1222,12 +1233,34 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).repartition(32).localCheckpoint()
     bands.createOrReplaceTempView("annlsh_bands")
+
+
+def _annlsh_topk(spark: SparkSession, multiprobe: bool) -> DataFrame:
+    """Top-3 per panel query from the materialized `annlsh_bands` view;
+    `multiprobe` switches the query side between exact band keys and the
+    1-bit-flip probe expansion."""
+    v = V.to_double_array(D.SPARK, "embedding")
     cos = V.cosine(D.SPARK, "c.v", "q.v", EMB_DIM)
+    if multiprobe:
+        flips = "\n            UNION ALL ".join(
+            ["SELECT q_id, band, bkey FROM qb0"]
+            + [
+                f"SELECT q_id, band, {f} AS bkey FROM qb0"
+                for f in _bkey_flips("bkey")
+            ]
+        )
+        probe_src = f"""qb0 AS (SELECT vec_id AS q_id, band, bkey FROM annlsh_bands
+               WHERE vec_id < 5),
+        qb AS (
+            {flips}
+        )"""
+    else:
+        probe_src = """qb AS (SELECT vec_id AS q_id, band, bkey FROM annlsh_bands
+               WHERE vec_id < 5)"""
     return spark.sql(
         f"""
         WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
-        qb AS (SELECT vec_id AS q_id, band, bkey FROM annlsh_bands
-               WHERE vec_id < 5),
+        {probe_src},
         pairs AS (
             SELECT DISTINCT qb.q_id, b.vec_id
             FROM annlsh_bands b JOIN qb
@@ -1335,43 +1368,11 @@ def _ann_lsh_mp_sql(d: str) -> str:
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: plain LSH's checkpointed band relation (built
     once, same signatures) + the 1-bit-flip probe expansion on the query
-    side (see _ann_lsh_mp_sql; the Spark path shares q_ann_lsh's
-    explode+broadcast signature plan rather than the oracle's inline
-    projection, value-identical)."""
-    # build (or reuse) the checkpointed band relation exactly as q_ann_lsh
-    q_ann_lsh(spark, sf_dir)  # materializes annlsh_bands view
-    v = V.to_double_array(D.SPARK, "embedding")
-    cos = V.cosine(D.SPARK, "c.v", "q.v", EMB_DIM)
-    return spark.sql(
-        f"""
-        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
-        qb AS (SELECT vec_id AS q_id, band, bkey FROM annlsh_bands
-               WHERE vec_id < 5),
-        qprobe AS (
-            {_mp_probe_union("qb")}
-        ),
-        pairs AS (
-            SELECT DISTINCT qp.q_id, b.vec_id
-            FROM annlsh_bands b JOIN qprobe qp
-              ON b.band = qp.band AND b.bkey = qp.pkey
-            WHERE b.vec_id <> qp.q_id
-        ),
-        cand AS (
-            SELECT p.q_id, p.vec_id, {cos} AS cosine
-            FROM pairs p
-            JOIN emb c ON c.vec_id = p.vec_id
-            JOIN emb q ON q.vec_id = p.q_id
-        ),
-        ranked AS (
-            SELECT q_id, vec_id, cosine,
-                   row_number() OVER (PARTITION BY q_id
-                                      ORDER BY cosine DESC, vec_id ASC) AS rnk
-            FROM cand
-        )
-        SELECT q_id, vec_id, cosine, cast(rnk as bigint) AS rnk
-        FROM ranked WHERE rnk <= 3
-        """
-    )
+    side (see _ann_lsh_mp_sql; the Spark path shares the
+    explode+broadcast signature plan via _build_annlsh_bands rather than
+    the oracle's inline projection, value-identical)."""
+    _build_annlsh_bands(spark, sf_dir)
+    return _annlsh_topk(spark, multiprobe=True)
 
 
 def _token_counts_sql(d: str) -> str:
@@ -1704,12 +1705,15 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structure (checkpointed band relation vs a 1024-term inline
     # projection, value-identical); auditing the oracle-shaped SQL instead
     # measured 4.8-8 s for the lsh arm alone vs ~2 s for the served plan
+    # the two LSH arms share ONE band-signature build (the checkpointed
+    # view) -- the report scores both from it instead of rebuilding
+    _build_annlsh_bands(spark, sf_dir)
     rows: list[str] = []
     for method, fn in (
-        ("ivf", q_ivf_ann),
-        ("lsh", q_ann_lsh),
-        ("lsh_mp", q_ann_lsh_multiprobe),
-        ("pq", q_pq_ann),
+        ("ivf", lambda s, d: q_ivf_ann(s, d)),
+        ("lsh", lambda s, d: _annlsh_topk(s, multiprobe=False)),
+        ("lsh_mp", lambda s, d: _annlsh_topk(s, multiprobe=True)),
+        ("pq", lambda s, d: q_pq_ann(s, d)),
     ):
         for r in fn(spark, sf_dir).select("q_id", "vec_id").collect():
             rows.append(f"('{method}', {r['q_id']}, {r['vec_id']})")
