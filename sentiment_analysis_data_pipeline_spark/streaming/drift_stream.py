@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import PSI_BAND_WIDTH, psi_tail_sql
-from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
+from ._log import COMPACTED_STAMP, compact_log, guarded_append
 
 BANDS_SCHEMA = "band bigint, n bigint, batch_id bigint"
 DOC_STREAM_SCHEMA = "doc_id long, text string"
@@ -50,13 +50,12 @@ def append_batch_bands(
 ) -> None:
     """Collapse one micro-batch to its band partial and append it,
     replay-idempotently (shared _log protocol)."""
-    if log_has_epoch(spark, log_path, BANDS_SCHEMA, batch_id):
-        return
-    (
-        batch_bands(batch)
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("append")
-        .parquet(log_path)
+    guarded_append(
+        spark,
+        log_path,
+        BANDS_SCHEMA,
+        batch_id,
+        batch_bands(batch).withColumn("batch_id", F.lit(batch_id).cast("long")),
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dialect as D
 from ..operators.sketch import HDR_SUB_BITS, hdr_cells, hdr_lower_sql
-from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
+from ._log import COMPACTED_STAMP, compact_log, guarded_append
 
 CELLS_SCHEMA = "segment string, idx bigint, cnt bigint, batch_id bigint"
 EVENT_STREAM_SCHEMA = "event_id long, event_type string, value double"
@@ -40,15 +40,14 @@ def append_batch_cells(
     """Collapse one micro-batch to its histogram partial and append it,
     replay-idempotently: if this epoch's id is already in the log (a
     foreachBatch retry after a successful write), land nothing."""
-    # path-absent is an FS check; real read errors propagate so a retry
-    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
-    if log_has_epoch(spark, cells_path, CELLS_SCHEMA, batch_id):
-        return
-    (
-        hdr_cells(batch)
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("append")
-        .parquet(cells_path)
+    # replay-idempotence + append/compact mutual exclusion live in
+    # _log.guarded_append (round-9: the ingest-pause contract is mechanical)
+    guarded_append(
+        spark,
+        cells_path,
+        CELLS_SCHEMA,
+        batch_id,
+        hdr_cells(batch).withColumn("batch_id", F.lit(batch_id).cast("long")),
     )
 
 

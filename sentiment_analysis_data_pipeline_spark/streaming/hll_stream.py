@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
+from ._log import COMPACTED_STAMP, compact_log, guarded_append
 
 SKETCH_SCHEMA = "event_type string, sk binary, batch_id bigint"
 EVENT_STREAM_SCHEMA = "event_type string, user_id long"
@@ -44,15 +44,14 @@ def append_batch_sketches(
     """Collapse one micro-batch to its per-segment sketch partials and
     append them, replay-idempotently: if this epoch's id is already in the
     log (a foreachBatch retry after a successful write), land nothing."""
-    # path-absent is an FS check; real read errors propagate so a retry
-    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
-    if log_has_epoch(spark, log_path, SKETCH_SCHEMA, batch_id):
-        return
-    (
-        batch_sketches(batch)
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("append")
-        .parquet(log_path)
+    # replay-idempotence + append/compact mutual exclusion live in
+    # _log.guarded_append (round-9: the ingest-pause contract is mechanical)
+    guarded_append(
+        spark,
+        log_path,
+        SKETCH_SCHEMA,
+        batch_id,
+        batch_sketches(batch).withColumn("batch_id", F.lit(batch_id).cast("long")),
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dialect as D
 from ..operators.sketch import es_key_sql
-from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
+from ._log import COMPACTED_STAMP, compact_log, guarded_append
 
 RESERVOIR_K = 20  # sample size per stratum (matches queries.WS_K)
 SAMPLE_SCHEMA = (
@@ -70,15 +70,14 @@ def append_batch_sample(
     """Collapse one micro-batch to its k-per-stratum partial and append
     it, replay-idempotently: if this epoch's id is already in the log (a
     foreachBatch retry after a successful write), land nothing."""
-    # path-absent is an FS check; real read errors propagate so a retry
-    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
-    if log_has_epoch(spark, sample_path, SAMPLE_SCHEMA, batch_id):
-        return
-    (
-        batch_sample(batch)
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("append")
-        .parquet(sample_path)
+    # replay-idempotence + append/compact mutual exclusion live in
+    # _log.guarded_append (round-9: the ingest-pause contract is mechanical)
+    guarded_append(
+        spark,
+        sample_path,
+        SAMPLE_SCHEMA,
+        batch_id,
+        batch_sample(batch).withColumn("batch_id", F.lit(batch_id).cast("long")),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import countmin_cells
-from ._log import COMPACTED_STAMP, compact_log, log_has_epoch
+from ._log import COMPACTED_STAMP, compact_log, guarded_append
 
 CELLS_SCHEMA = "j bigint, col bigint, cnt bigint, batch_id bigint"
 DOC_STREAM_SCHEMA = "doc_id long, text string"
@@ -35,15 +35,14 @@ def append_batch_cells(
     """Collapse one micro-batch to its sketch partial and append it,
     replay-idempotently: if this epoch's id is already in the log (a
     foreachBatch retry after a successful write), land nothing."""
-    # path-absent is an FS check; real read errors propagate so a retry
-    # cannot silently double-append (round-8 ADVICE fix, see _log.py)
-    if log_has_epoch(spark, cells_path, CELLS_SCHEMA, batch_id):
-        return
-    (
-        countmin_cells(batch)
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("append")
-        .parquet(cells_path)
+    # replay-idempotence + append/compact mutual exclusion live in
+    # _log.guarded_append (round-9: the ingest-pause contract is mechanical)
+    guarded_append(
+        spark,
+        cells_path,
+        CELLS_SCHEMA,
+        batch_id,
+        countmin_cells(batch).withColumn("batch_id", F.lit(batch_id).cast("long")),
     )
 
 
