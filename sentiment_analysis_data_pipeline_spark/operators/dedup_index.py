@@ -117,10 +117,18 @@ def build_embedding_band_index(
     by the combined band key: candidate generation against it is a
     zero-Exchange self-join (the durable twin of q_embedding_dedup_pairs's
     in-session localCheckpoint)."""
-    bands = embedding_band_keys(spark, emb).select(
+    write_bucketed_atomic(
+        embedding_band_relation(spark, emb), table, "band_key", n_buckets
+    )
+
+
+def embedding_band_relation(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The band-key signature relation build_embedding_band_index persists
+    (exposed separately so snapshot-stamped ensure paths can land it via
+    their own atomic write)."""
+    return embedding_band_keys(spark, emb).select(
         "vec_id", F.concat_ws(":", "band", "bkey").alias("band_key")
     )
-    write_bucketed_atomic(bands, table, "band_key", n_buckets)
 
 
 def embedding_candidate_pairs(
@@ -195,8 +203,13 @@ def build_winnow_index(
     """Write the winnowing fingerprint relation as a bucketed table keyed by
     the fingerprint hash: the df-cap aggregation and both pair-join sides
     then read co-located bucket files with no Exchange."""
+    write_bucketed_atomic(winnow_fp_relation(spark, docs), table, "mh", n_buckets)
+
+
+def winnow_fp_relation(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The winnowing fingerprint relation build_winnow_index persists."""
     docs.createOrReplaceTempView("_wdx_docs")
-    write_bucketed_atomic(spark.sql(winnow_fp_sql("_wdx_docs")), table, "mh", n_buckets)
+    return spark.sql(winnow_fp_sql("_wdx_docs"))
 
 
 def winnow_candidate_pairs(
