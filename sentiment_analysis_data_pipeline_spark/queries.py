@@ -10459,28 +10459,40 @@ def _benford_digits_sql(d: str) -> str:
     expected). The leading digit comes from the STRING of the floored
     BIGINT (integer-to-string rendering is identical across engines;
     floating log10/pow chains could disagree in the last ulp at decade
-    boundaries). The digit panel is a 9-row VALUES relation LEFT-joined so
-    absent digits report 0, not a missing row. Scale shape: one hash-agg
-    to <= 9 rows, then 9-row joins."""
+    boundaries). The 9 Benford expectations log10(1 + 1/d) are computed
+    ONCE in Python and inlined as shortest-round-trip double literals into
+    both dialects (round-8 ADVICE: the previous in-SQL ln()/ln(10) chain
+    hash-matched only while Spark's libm and DuckDB's agreed to the last
+    ulp -- a JDK/libm change could break parity; every other transcendental
+    in the registry is quantized or precomputed, now this one is too). The
+    digit panel is a 9-row VALUES relation LEFT-joined so absent digits
+    report 0, not a missing row. Scale shape: one hash-agg to <= 9 rows,
+    then 9-row joins."""
+    import math
+
     lead = f"cast(substring({D.cast_str(d, 'cast(floor(l_extendedprice) as bigint)')}, 1, 1) as bigint)"
-    rows = ", ".join(f"({k})" for k in range(1, 10))
-    panel = f"(VALUES {rows}) AS t(dg)" if d == D.SPARK else f"(VALUES {rows}) t(dg)"
+    # cast() inside VALUES: both engines parse a bare decimal literal as
+    # DECIMAL, and the chi2 arithmetic must run in IEEE doubles end-to-end
+    rows = ", ".join(
+        f"({k}, cast({math.log10(1.0 + 1.0 / k)!r} as double))" for k in range(1, 10)
+    )
+    panel = (
+        f"(VALUES {rows}) AS t(dg, bp)" if d == D.SPARK else f"(VALUES {rows}) t(dg, bp)"
+    )
     return f"""
         WITH lead AS (
             SELECT {lead} AS digit FROM lineitem WHERE l_extendedprice >= 1
         ),
         obs AS (SELECT digit, cast(count(*) as bigint) AS n FROM lead GROUP BY digit),
         tot AS (SELECT cast(sum(n) as bigint) AS total FROM obs),
-        panel AS (SELECT dg FROM {panel})
+        panel AS (SELECT dg, bp FROM {panel})
         SELECT p.dg AS digit,
                cast(coalesce(o.n, 0) as bigint) AS n,
                cast(coalesce(o.n, 0) as double) / cast(t.total as double) AS share,
-               ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0) AS benford_p,
-               (cast(coalesce(o.n, 0) as double)
-                - cast(t.total as double) * (ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0)))
-               * (cast(coalesce(o.n, 0) as double)
-                - cast(t.total as double) * (ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0)))
-               / (cast(t.total as double) * (ln(1.0 + 1.0 / cast(p.dg as double)) / ln(10.0)))
+               p.bp AS benford_p,
+               (cast(coalesce(o.n, 0) as double) - cast(t.total as double) * p.bp)
+               * (cast(coalesce(o.n, 0) as double) - cast(t.total as double) * p.bp)
+               / (cast(t.total as double) * p.bp)
                    AS chi2_contrib
         FROM panel p LEFT JOIN obs o ON p.dg = o.digit CROSS JOIN tot t
         ORDER BY p.dg
@@ -10840,14 +10852,23 @@ def _key_gini_sql(d: str) -> str:
     sum((2i - n - 1) * c_i) / (n * total) over counts ranked ascending
     (key tie-break): the numerator is an exact BIGINT sum (order-free),
     the single division happens once per 1-row report. Percentile picks
-    are exact rank lookups, not approximations. Scale shape: per key ONE
+    are exact rank lookups, not approximations. n is the count of GROUPED
+    (k, c) rows -- NOT count(DISTINCT key), which excludes a NULL-key
+    group and would misalign n against the ranked row count, skewing gini
+    and pointing the p50/p99 rank lookups at the wrong row (round-8
+    ADVICE; the synthetic keys are non-null today, but l_suppkey/user_id/
+    source at a real deployment need not be). Scale shape: per key ONE
     hash-agg to key-cardinality size, one keys-sized rank window, then
     1-row joins; the final report is len(_SKEW_KEYS) rows."""
-    blocks = []
-    for label, table, key in _SKEW_KEYS:
-        p50_rank = D.int_div(d, "(s.n + 1)", "2")
-        p99_off = D.int_div(d, "(s.n - 1)", "100")
-        blocks.append(
+    blocks = [_gini_block(d, label, table, key) for label, table, key in _SKEW_KEYS]
+    return " UNION ALL ".join(blocks) + " ORDER BY key_name"
+
+
+def _gini_block(d: str, label: str, table: str, key: str) -> str:
+    """One key column's Gini + percentile row (see _key_gini_sql)."""
+    p50_rank = D.int_div(d, "(s.n + 1)", "2")
+    p99_off = D.int_div(d, "(s.n - 1)", "100")
+    return (
             f"""SELECT '{label}' AS key_name, s.n AS n_keys, s.tot AS n_rows,
                    cast(g.num as double) / (cast(s.n as double) * cast(s.tot as double)) AS gini,
                    p50.c AS p50_rows, p99.c AS p99_rows, mx.c AS max_rows
@@ -10859,16 +10880,18 @@ def _key_gini_sql(d: str) -> str:
                 FROM (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
                       FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
                             FROM {table} GROUP BY {key}) k1) r
-                CROSS JOIN (SELECT cast(count(DISTINCT {key}) as bigint) AS n
-                            FROM {table}) s2
+                CROSS JOIN (SELECT cast(count(*) as bigint) AS n
+                            FROM (SELECT {key} AS k FROM {table}
+                                  GROUP BY {key}) kn2) s2
             ) g
             JOIN (
                 SELECT r.c FROM
                     (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
                      FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
                            FROM {table} GROUP BY {key}) k2) r
-                    CROSS JOIN (SELECT cast(count(DISTINCT {key}) as bigint) AS n
-                                FROM {table}) s
+                    CROSS JOIN (SELECT cast(count(*) as bigint) AS n
+                                FROM (SELECT {key} AS k FROM {table}
+                                      GROUP BY {key}) kn) s
                 WHERE r.i = {p50_rank}
             ) p50 ON 1 = 1
             JOIN (
@@ -10876,8 +10899,9 @@ def _key_gini_sql(d: str) -> str:
                     (SELECT c, row_number() OVER (ORDER BY c ASC, k ASC) AS i
                      FROM (SELECT {key} AS k, cast(count(*) as bigint) AS c
                            FROM {table} GROUP BY {key}) k3) r
-                    CROSS JOIN (SELECT cast(count(DISTINCT {key}) as bigint) AS n
-                                FROM {table}) s
+                    CROSS JOIN (SELECT cast(count(*) as bigint) AS n
+                                FROM (SELECT {key} AS k FROM {table}
+                                      GROUP BY {key}) kn) s
                 WHERE r.i = s.n - {p99_off}
             ) p99 ON 1 = 1
             JOIN (
@@ -10888,10 +10912,6 @@ def _key_gini_sql(d: str) -> str:
         )
         # rank windows above order by (c, k); the string key column casts
         # implicitly -- keep k typed per table, ties broken identically
-    return (
-        " UNION ALL ".join(blocks)
-        + " ORDER BY key_name"
-    )
 
 
 def q_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:

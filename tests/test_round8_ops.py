@@ -219,3 +219,44 @@ def test_dedup_savings_reconciles_with_dedup_keep(spark):
     assert 0 <= sav["dropped_tokens"] <= sav["n_tokens"]
     assert sav["doc_savings"] == sav["dropped_docs"] / sav["n_docs"]
     assert sav["token_savings"] == sav["dropped_tokens"] / sav["n_tokens"]
+
+
+def test_gini_block_counts_null_key_group(spark):
+    """Round-8 ADVICE: n must be the GROUPED row count, not
+    count(DISTINCT key) -- a NULL key forms a GROUP BY group that DISTINCT
+    excludes, which would misalign the Gini denominator and point the
+    p50/p99 rank lookups at the wrong rank. Pin the NULL-key case on both
+    engines against hand-computed values: keys [NULL, 'a', 'a', 'b'] ->
+    counts [1, 1, 2], n=3, tot=4, num=(2*1-4)*1+(2*2-4)*1+(2*3-4)*2=2,
+    gini=2/12; p50 rank (3+1)/2=2 -> c=1; p99 rank 3-0=3 -> c=2."""
+    import duckdb
+
+    from sentiment_analysis_data_pipeline_spark.functions import dialect as D
+    from sentiment_analysis_data_pipeline_spark.queries import _gini_block
+
+    spark.createDataFrame(
+        [(None,), ("a",), ("a",), ("b",)], "k string"
+    ).createOrReplaceTempView("_gini_null_t")
+    expected = {
+        "n_keys": 3,
+        "n_rows": 4,
+        "gini": 2.0 / 12.0,
+        "p50_rows": 1,
+        "p99_rows": 2,
+        "max_rows": 2,
+    }
+    srow = spark.sql(
+        _gini_block(D.SPARK, "t.k", "_gini_null_t", "k")
+    ).collect()[0]
+    for col, want in expected.items():
+        assert srow[col] == want, (col, srow[col], want)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE _gini_null_t AS SELECT * FROM (VALUES (NULL), ('a'), ('a'), ('b')) t(k)")
+    dcols = [d[0] for d in con.execute(
+        "SELECT * FROM (" + _gini_block(D.DUCKDB, "t.k", "_gini_null_t", "k") + ")"
+    ).description]
+    drow = dict(zip(dcols, con.execute(
+        "SELECT * FROM (" + _gini_block(D.DUCKDB, "t.k", "_gini_null_t", "k") + ")"
+    ).fetchone()))
+    for col, want in expected.items():
+        assert drow[col] == want, (col, drow[col], want)
