@@ -38,14 +38,25 @@ def test_ann_recall_report_empty_truth_degrades_honestly(spark):
         q_ann_recall_report,
     )
 
+    from sentiment_analysis_data_pipeline_spark.sources.tables import (
+        corpus_fingerprint,
+        write_stamp,
+    )
+
     table = _index_table_name("exact_knn_truth", SF)
     _drop_everywhere(spark, table)
     try:
         # Pre-create an EMPTY truth table (what a reader races against when
-        # another session's build is mid-flight under the old protocol).
+        # another session's build is mid-flight under the old protocol) --
+        # WITH a matching snapshot stamp: an unstamped copy would now just
+        # be rebuilt (round 9), but the division guard under a degenerate
+        # truth is still the property this test pins.
         spark.sql(
             f"CREATE TABLE {table} (q_id BIGINT, vec_id BIGINT) USING parquet"
         )
+        loc = os.path.join(_REPO_ROOT, "spark-warehouse", table.lower())
+        os.makedirs(loc, exist_ok=True)
+        write_stamp(loc, corpus_fingerprint(SF, ["embeddings"]))
         rows = {r["method"]: r for r in q_ann_recall_report(spark, SF).collect()}
         assert set(rows) == {"ivf", "lsh", "lsh_mp", "pq"}
         for r in rows.values():
