@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     "ann_lsh_multiprobe",
     "jpeg_quality",
     "dedup_savings",
+    # round-9 additions
+    "label_propagation_step",
+    "attribution_touch",
+    "packing_efficiency_curve",
+    "range_partition_bounds",
+    "dataset_card",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

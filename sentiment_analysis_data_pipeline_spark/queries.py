@@ -11313,6 +11313,324 @@ def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions: graph label propagation, revenue attribution,
+# packing-efficiency planning, range-partitioner bounds, dataset card
+# =========================================================================
+
+
+def _label_prop_body(d: str, edges_def: str) -> str:
+    """One synchronous label-propagation round over an `edges(id_a, id_b)`
+    near-dup graph. Labels are SEEDED by the exact-dup fingerprint groups
+    (token-set fingerprint, label0 = min doc_id of the group -- the
+    _fingerprint_sql relation), so the round is a real weighted vote:
+    exact-dup twins vote as a bloc and near-dup edges pull their
+    neighbors toward the heaviest adjacent group. node's new label =
+    most frequent neighbor label, ties to the SMALLEST label (the
+    standard deterministic LPA tie-break); isolated nodes keep label0.
+    All counts exact BIGINTs, tie-breaks total -- bit-identical across
+    engines. Scale shape: one doc-sized fingerprint window, edge-sized
+    union + join, one (node, label)-sized hash-agg, one per-node rank
+    window -- the same join-agg round a full LPA loop repeats (the
+    iterative sibling of connected_components in operators/dedup.py;
+    one round is the registry's hash-checkable unit, like
+    pagerank_step/kmeans_step)."""
+    fp = TX.fingerprint(d, TEXT)
+    return f"""
+        WITH edges AS ({edges_def}),
+        lab0 AS (
+            SELECT doc_id AS node,
+                   cast(min(doc_id) OVER (PARTITION BY {fp}) as bigint) AS label0
+            FROM documents
+        ),
+        und AS (
+            SELECT id_a AS node, id_b AS nbr FROM edges
+            UNION ALL
+            SELECT id_b AS node, id_a AS nbr FROM edges
+        ),
+        votes AS (
+            SELECT u.node, l.label0 AS label, cast(count(*) as bigint) AS c
+            FROM und u JOIN lab0 l ON l.node = u.nbr
+            GROUP BY u.node, l.label0
+        ),
+        best AS (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM votes
+        )
+        SELECT l.node AS doc, l.label0,
+               cast(coalesce(b.label, l.label0) as bigint) AS label1,
+               cast(case when coalesce(b.label, l.label0) <> l.label0
+                         then 1 else 0 end as bigint) AS changed
+        FROM lab0 l
+        LEFT JOIN (SELECT node, label FROM best WHERE rn = 1) b
+               ON b.node = l.node
+    """
+
+
+def _label_propagation_sql(d: str) -> str:
+    return _label_prop_body(d, _simhash_pairs_sql(d))
+
+
+def q_label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One label-propagation round over the simhash near-dup graph,
+    fingerprint-group seeded (see _label_prop_body). Edges come from the
+    shared materialized _simhash_pairs_df (the pagerank_step barrier
+    pattern: the pair relation is walked from two CTE branches and CTE
+    re-inlining would re-run the LSH join per branch)."""
+    _view(spark, sf_dir, "documents")
+    edges = _simhash_pairs_df(spark, sf_dir).select("id_a", "id_b")
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("lp_edges")
+    return spark.sql(
+        _label_prop_body(D.SPARK, "SELECT id_a, id_b FROM lp_edges")
+    )
+
+
+def _attribution_sql(d: str) -> str:
+    """First-touch / last-touch revenue attribution over the event stream
+    -- the product-analytics sibling of the funnel family: every purchase
+    attributes its value to the user's FIRST and LAST preceding touch
+    (click/view), purchases with no prior touch to the 'direct' channel.
+    Report: (model, channel) -> conversions + attributed revenue; the two
+    models' totals reconcile to total purchase revenue by construction
+    (tests pin this). Determinism: touch order is (epoch-us, event_id) --
+    total, so rn_first/rn_last pick identical rows cross-engine; revenue
+    sums go through the exact decimal cast. Scale shape: one events scan,
+    per-user equi-join (purchases x prior touches, bounded by per-user
+    activity), two per-conversion rank windows, 4-arm union to a <= 6-row
+    report."""
+    us = _ts_us(d)
+    return f"""
+        WITH ev AS (SELECT event_id, user_id, event_type, value, {us} AS us
+                    FROM events),
+        conv AS (SELECT event_id AS conv_id, user_id, us, value FROM ev
+                 WHERE event_type = 'purchase'),
+        touch AS (SELECT event_id AS touch_id, user_id, us,
+                         event_type AS channel
+                  FROM ev WHERE event_type IN ('click', 'view')),
+        paired AS (
+            SELECT c.conv_id, c.value, t.channel,
+                   row_number() OVER (PARTITION BY c.conv_id
+                                      ORDER BY t.us ASC, t.touch_id ASC)
+                       AS rn_first,
+                   row_number() OVER (PARTITION BY c.conv_id
+                                      ORDER BY t.us DESC, t.touch_id DESC)
+                       AS rn_last
+            FROM conv c JOIN touch t
+              ON t.user_id = c.user_id AND t.us <= c.us
+        ),
+        direct AS (
+            SELECT c.conv_id, c.value FROM conv c
+            LEFT JOIN (SELECT DISTINCT conv_id FROM paired) p
+                   ON p.conv_id = c.conv_id
+            WHERE p.conv_id IS NULL
+        ),
+        attr AS (
+            SELECT 'first_touch' AS model, channel, value
+            FROM paired WHERE rn_first = 1
+            UNION ALL
+            SELECT 'last_touch' AS model, channel, value
+            FROM paired WHERE rn_last = 1
+            UNION ALL
+            SELECT 'first_touch' AS model, 'direct' AS channel, value FROM direct
+            UNION ALL
+            SELECT 'last_touch' AS model, 'direct' AS channel, value FROM direct
+        )
+        SELECT model, channel, cast(count(*) as bigint) AS n_conversions,
+               {_dsum("value", "attributed_revenue")}
+        FROM attr GROUP BY model, channel
+    """
+
+
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution report (see _attribution_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_attribution_sql(D.SPARK))
+
+
+# Panel spans the corpus's token-length distribution (p50 ~54 tokens): 32
+# and 64 EXERCISE the truncation branch, 128/256 the padding-waste end. A
+# (128..1024) panel measured truncated_tokens == 0 at every point on this
+# corpus -- the degenerate-fixture trap (FIXTURES.md): a curve whose loss
+# column is structurally zero verifies nothing.
+PACK_CONTEXTS = (32, 64, 128, 256)
+
+
+def _packing_curve_sql(d: str) -> str:
+    """Packing-efficiency planning curve: for each candidate context
+    length, the truncation loss, the concat-packing sequence count
+    (ceil(kept/ctx) -- the lower bound any packer converges to), and the
+    kept-token efficiency under both one-doc-per-sequence padding and
+    concat packing. The curve is what picks max_seq_len BEFORE paying for
+    a full sequence_packing run at 100 TB: one tokenize pass, a 4-row
+    panel fan-out, one hash-agg to 4 rows. All token counts exact
+    BIGINTs; ceil is (kept + ctx - 1) div ctx on non-negative operands
+    (Spark div == DuckDB // there); the efficiency divisions are one IEEE
+    op each, 0-guarded for ANSI."""
+    toks = TX.tokenize(d, TEXT)
+    sz = D.arr_size(d, "toks")
+    rows = ", ".join(f"({L})" for L in PACK_CONTEXTS)
+    panel = f"(VALUES {rows}) AS t(ctx)" if d == D.SPARK else f"(VALUES {rows}) t(ctx)"
+    packed = D.int_div(d, "(kept_tokens + ctx - 1)", "ctx")
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        doclen AS (SELECT doc_id, cast({sz} as bigint) AS len FROM tokd),
+        panel AS (SELECT cast(ctx as bigint) AS ctx FROM {panel}),
+        crossed AS (
+            SELECT p.ctx, l.len,
+                   case when l.len < p.ctx then l.len else p.ctx end AS kept_len
+            FROM doclen l CROSS JOIN panel p
+        ),
+        agg AS (
+            SELECT ctx,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(len) as bigint) AS total_tokens,
+                   cast(sum(kept_len) as bigint) AS kept_tokens,
+                   cast(sum(len - kept_len) as bigint) AS truncated_tokens,
+                   cast(sum(case when len <= ctx then 1 else 0 end) as bigint)
+                       AS docs_fit
+            FROM crossed GROUP BY ctx
+        )
+        SELECT ctx, n_docs, total_tokens, kept_tokens, truncated_tokens,
+               docs_fit,
+               cast({packed} as bigint) AS packed_seqs,
+               case when kept_tokens = 0 then 0.0
+                    else cast(kept_tokens as double)
+                         / (cast({packed} as double) * cast(ctx as double))
+               end AS packed_efficiency,
+               case when n_docs = 0 then 0.0
+                    else cast(kept_tokens as double)
+                         / (cast(n_docs as double) * cast(ctx as double))
+               end AS padded_efficiency
+        FROM agg
+    """
+
+
+def q_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning curve for sequence packing (see
+    _packing_curve_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_packing_curve_sql(D.SPARK))
+
+
+RANGE_PARTS = 8
+
+
+def _range_bounds_sql(d: str) -> str:
+    """Exact range-partitioner planning over lineitem's price key: the
+    {RANGE_PARTS - 1} interpolated quantile boundaries and the row count /
+    share each resulting partition would receive -- the exact version of
+    the boundary sampling Spark's RangePartitioner (and every distributed
+    sort / Z-order writer) performs, oracle-checkable because both engines
+    share the interpolated-quantile definition on identical doubles (the
+    value_stats precedent). Scale shape: one percentile agg to ONE row of
+    {RANGE_PARTS - 1} doubles, broadcast back over the scan (1-row
+    BroadcastNestedLoopJoin -- the audited 1-row-combine class), one
+    hash-agg to {RANGE_PARTS} rows. The balance audit catches what a
+    SAMPLED partitioner cannot promise: a skewed key would show up as a
+    fat partition row here before a 100 TB sort discovers it the hard
+    way."""
+    qs = ", ".join(repr(k / RANGE_PARTS) for k in range(1, RANGE_PARTS))
+    if d == D.SPARK:
+        pct = f"percentile(l_extendedprice, array({qs}))"
+
+        def el(k: str) -> str:
+            return f"element_at(b.arr, {k})"
+
+    else:
+        pct = f"quantile_cont(l_extendedprice, [{qs}])"
+
+        def el(k: str) -> str:
+            return f"b.arr[{k}]"
+
+    bucket = " + ".join(
+        f"(case when l.l_extendedprice > {el(str(k))} then 1 else 0 end)"
+        for k in range(1, RANGE_PARTS)
+    )
+    return f"""
+        WITH bounds AS (SELECT {pct} AS arr FROM lineitem),
+        assigned AS (
+            SELECT cast(1 + {bucket} as bigint) AS bucket
+            FROM lineitem l CROSS JOIN bounds b
+        ),
+        tot AS (SELECT cast(count(*) as bigint) AS n FROM lineitem),
+        sized AS (
+            SELECT bucket, cast(count(*) as bigint) AS n_rows
+            FROM assigned GROUP BY bucket
+        )
+        SELECT s.bucket, s.n_rows,
+               case when t.n = 0 then 0.0
+                    else cast(s.n_rows as double) / cast(t.n as double)
+               end AS share,
+               case when s.bucket < {RANGE_PARTS}
+                    then {el("cast(s.bucket as int)")}
+                    else cast('Infinity' as double)
+               end AS upper_bound
+        FROM sized s CROSS JOIN tot t CROSS JOIN bounds b
+    """
+
+
+def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range-partition boundary plan + balance audit (see
+    _range_bounds_sql)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_range_bounds_sql(D.SPARK))
+
+
+def _dataset_card_sql(d: str) -> str:
+    """The corpus dataset card in ONE pass: doc/token totals, the exact
+    interpolated median document length, exact-duplicate membership count
+    (docs whose md5(text) group has >= 2 members), source cardinality,
+    the langid-predicted English share, and mean characters -- the
+    one-row summary a training-data release ships next to the corpus
+    (metric definitions shared verbatim with the standalone queries:
+    token_counts' tokenizer, exact_dedup's md5 grouping, lang_id's
+    classifier). Plan: one tokenize + md5 projection, one doc-sized
+    fingerprint-count window, ONE global agg to a single row -- no
+    per-metric rescans. Ratios are single IEEE divisions off exact
+    BIGINTs, 0-guarded for ANSI."""
+    toks = TX.tokenize(d, TEXT)
+    sz = D.arr_size(d, "toks")
+    pred = TX.lang_id(d, "toks")
+    med = (
+        "percentile(len, 0.5)" if d == D.SPARK else "quantile_cont(len, 0.5)"
+    )
+    return f"""
+        WITH tokd AS (
+            SELECT doc_id, source, n_chars, md5({TEXT}) AS th, {toks} AS toks
+            FROM documents
+        ),
+        per AS (
+            SELECT doc_id, source, n_chars,
+                   cast({sz} as bigint) AS len,
+                   {pred} AS pred,
+                   cast(count(*) OVER (PARTITION BY th) as bigint) AS grp
+            FROM tokd
+        )
+        SELECT cast(count(*) as bigint) AS n_docs,
+               cast(sum(len) as bigint) AS total_tokens,
+               {med} AS p50_doc_tokens,
+               cast(sum(case when grp > 1 then 1 else 0 end) as bigint)
+                   AS exact_dup_docs,
+               cast(count(distinct source) as bigint) AS n_sources,
+               case when count(*) = 0 then 0.0
+                    else cast(sum(case when pred = 'en' then 1 else 0 end)
+                              as double) / cast(count(*) as double)
+               end AS predicted_en_share,
+               case when count(*) = 0 then 0.0
+                    else cast(sum(n_chars) as double) / cast(count(*) as double)
+               end AS mean_chars
+        FROM per
+    """
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dataset card (see _dataset_card_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_dataset_card_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -11328,6 +11646,12 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-9 additions (never driver-proven) ---
+    "label_propagation_step": (q_label_propagation_step, _label_propagation_sql),
+    "attribution_touch": (q_attribution_touch, _attribution_sql),
+    "packing_efficiency_curve": (q_packing_efficiency_curve, _packing_curve_sql),
+    "range_partition_bounds": (q_range_partition_bounds, _range_bounds_sql),
+    "dataset_card": (q_dataset_card, _dataset_card_sql),
     # --- round-8 additions (never driver-proven) ---
     "psi_drift": (q_psi_drift, _psi_drift_sql),
     "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),

@@ -20,8 +20,10 @@ decided here; AQE only improves them at runtime):
 Allowlisted BNLJ users (each audited in PLANS.md / tests/test_plans.py):
 the 1-row served/exact combines (join_size_sketch, zipf_slope-class
 regressions), broadcast single-row query relations (cosine_topk), stepped
-1-row weight relations (classifier_score), and tiny non-equi dim joins
-(value_band_totals-class).
+1-row weight relations (classifier_score), tiny non-equi dim joins
+(value_band_totals-class), and the round-9 broadcast panels: the 4-row
+context panel (packing_efficiency_curve) and the 1-row quantile-bounds
+combine (range_partition_bounds).
 
 Usage: python tools/plan_lint.py [name ...]   (default: all registry)
 Exit code 1 if any HARD violation (cartesian / row-udf / global sort)
