@@ -11572,9 +11572,49 @@ def _range_bounds_sql(d: str) -> str:
 
 def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact range-partition boundary plan + balance audit (see
-    _range_bounds_sql)."""
+    _range_bounds_sql). Spark path: Catalyst re-inlines the `bounds` CTE
+    into every consumer (assign + final projection), re-running the
+    percentile agg per branch (4.9 s at sf0.1); the 7-double boundary row
+    is instead collected ONCE (the kcenter bounded-collect pattern) and
+    inlined as literals, so the plan is one percentile pass + one
+    assign/count pass (1.3 s). repr() literals round-trip doubles
+    exactly, so values stay bit-identical to the oracle's single
+    statement. (A scattered() variant was measured SLOWER -- 3.4 s vs
+    2.5 s: the repartition shuffle of the whole scan costs more than the
+    single-split percentile pass it parallelizes at this size.)"""
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(_range_bounds_sql(D.SPARK))
+    qs = ", ".join(repr(k / RANGE_PARTS) for k in range(1, RANGE_PARTS))
+    arr = spark.sql(
+        f"SELECT percentile(l_extendedprice, array({qs})) AS arr FROM lineitem"
+    ).collect()[0]["arr"]
+    lits = ", ".join(repr(float(x)) for x in arr)
+    bucket = " + ".join(
+        f"(case when l.l_extendedprice > element_at(b.arr, {k}) then 1 else 0 end)"
+        for k in range(1, RANGE_PARTS)
+    )
+    return spark.sql(
+        f"""
+        WITH bounds AS (SELECT array({lits}) AS arr),
+        assigned AS (
+            SELECT cast(1 + {bucket} as bigint) AS bucket
+            FROM lineitem l CROSS JOIN bounds b
+        ),
+        tot AS (SELECT cast(count(*) as bigint) AS n FROM lineitem),
+        sized AS (
+            SELECT bucket, cast(count(*) as bigint) AS n_rows
+            FROM assigned GROUP BY bucket
+        )
+        SELECT s.bucket, s.n_rows,
+               case when t.n = 0 then 0.0
+                    else cast(s.n_rows as double) / cast(t.n as double)
+               end AS share,
+               case when s.bucket < {RANGE_PARTS}
+                    then element_at(b.arr, cast(s.bucket as int))
+                    else cast('Infinity' as double)
+               end AS upper_bound
+        FROM sized s CROSS JOIN tot t CROSS JOIN bounds b
+        """
+    )
 
 
 def _dataset_card_sql(d: str) -> str:
