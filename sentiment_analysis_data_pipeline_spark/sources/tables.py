@@ -356,6 +356,13 @@ def compact_bucketed(
 
     Returns {"files_before": B, "files_after": A} so callers (and the
     regression test) can assert the rewrite actually collapsed files.
+
+    Note for SNAPSHOT-STAMPED tables (ensure_stamped_table): the swap
+    moves the table's location to the compact copy's directory, leaving
+    the deterministic warehouse path (and its `_corpus_stamp`) behind --
+    a later session will therefore REBUILD rather than reuse. Safe
+    direction (never stale data), just re-stamp or re-locate if compacting
+    a stamped artifact matters for cross-session reuse.
     """
     from pyspark.sql import functions as F
 
