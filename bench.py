@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "packing_efficiency_curve",
     "range_partition_bounds",
     "dataset_card",
+    "ngram_novelty",
+    "cosine_threshold_sweep",
+    "graph_modularity",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -131,16 +131,38 @@ def embedding_band_relation(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
+# Hot-band cap (round 9, the minhash df-cap applied to the embedding
+# family): a (band, key) group larger than this is excluded from THAT
+# band's candidate join -- members can still meet through their other
+# bands. 6-bit bands saturate when the corpus outgrows ~64x the target
+# bucket size (the 40x probe measured ~3k-member groups -> a quadratic
+# single-straggler candidate join); the cap converts that melt-down into
+# an explicit, audited recall trade (ann_recall_report / lsh_band_sweep
+# surface it) and is INACTIVE at every tested SF (max group 74 at sf0.1).
+# The real fix at 100 TB is band bits ~ log2(corpus/bucket); the cap is
+# the guardrail for the regime between re-keyings.
+EMB_BAND_CAP = 1024
+
+
 def embedding_candidate_pairs(
     spark: SparkSession, table: str = "emb_band_idx"
 ) -> DataFrame:
     """Distinct candidate pairs from the persisted signature table. The
-    self-join reads co-located bucket files (no Exchange on either side);
-    the only shuffle in the plan is the final pair-distinct."""
+    self-join reads co-located bucket files (no Exchange on either side --
+    the hot-band window partitions by the same band_key the table is
+    bucketed on, so it sorts in place); the only shuffle in the plan is
+    the final pair-distinct."""
     return spark.sql(
         f"""
+        WITH capped AS (
+            SELECT vec_id, band_key FROM (
+                SELECT vec_id, band_key,
+                       count(*) OVER (PARTITION BY band_key) AS bsz
+                FROM {table}) b
+            WHERE bsz <= {EMB_BAND_CAP}
+        )
         SELECT /*+ MERGE(a) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM {table} a JOIN {table} b
+        FROM capped a JOIN capped b
           ON a.band_key = b.band_key AND a.vec_id < b.vec_id
         """
     )

@@ -1973,9 +1973,18 @@ def _embedding_dedup_rest(d: str, keyed: str) -> str:
         )
     return f"""
         bands AS ({band_rows}),
+        bandc AS (
+            -- hot-band cap (dedup_index.EMB_BAND_CAP): saturated band keys
+            -- leave the join; inactive at every tested SF (max group 74)
+            SELECT vec_id, band, bkey FROM (
+                SELECT vec_id, band, bkey,
+                       count(*) OVER (PARTITION BY band, bkey) AS bsz
+                FROM bands) bz
+            WHERE bsz <= {dedup_index.EMB_BAND_CAP}
+        ),
         cand AS (
             SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM bands a JOIN bands b
+            FROM bandc a JOIN bandc b
               ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
         ),
         comp AS (
@@ -2052,9 +2061,16 @@ def q_embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE collapses the re-derived candidate join to single-task stages;
     # 5.5 s median became 6-22 s. The barriers stay.)
     cand = spark.sql(
-        """
+        f"""
+        WITH bandc AS (
+            SELECT vec_id, band, bkey FROM (
+                SELECT vec_id, band, bkey,
+                       count(*) OVER (PARTITION BY band, bkey) AS bsz
+                FROM emb_bands) bz
+            WHERE bsz <= {dedup_index.EMB_BAND_CAP}
+        )
         SELECT /*+ REPARTITION(32) */ DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM emb_bands a JOIN emb_bands b
+        FROM bandc a JOIN bandc b
           ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
         """
     ).localCheckpoint()
@@ -11670,6 +11686,213 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dataset_card_sql(D.SPARK))
 
 
+def _ngram_novelty_sql(d: str) -> str:
+    """Per-document n-gram NOVELTY of the incoming batch vs the standing
+    corpus (the INCR_MOD/INCR_SLOT split shared with incremental_dedup):
+    share of a new doc's distinct 3-gram shingles never seen in the corpus
+    -- the freshness/repetition signal a continuous-crawl pipeline uses to
+    down-weight recycled content before it reaches training mixes (the
+    doc-level complement of source_ngram_overlap's source-level matrix).
+    On the synthetic corpus the signal saturates with scale exactly as it
+    should: 36% of new-batch shingles unseen at sf0.001, 38% at sf0.01,
+    ~0.1% at sf0.1 (the bounded word bank gets fully covered) -- the
+    positive branch stays live at every SF (20 docs with unseen shingles
+    even at sf0.1).
+    A new doc with NO shingles (<3 tokens) reports novelty 0.0 -- no
+    evidence of new content. Scale shape: one tokenize pass, one distinct
+    per side, one hash equi-join on the shingle key (never all-pairs), one
+    per-doc agg; the corpus side is the written-once shingle vocabulary a
+    deployment maintains incrementally."""
+    toks = TX.tokenize(d, TEXT)
+    shingles = D.arr_distinct(d, TX.ngrams(d, "toks", 3))
+    explode = "explode(shingles)" if d == D.SPARK else "unnest(shingles)"
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        shingled AS (SELECT doc_id, {shingles} AS shingles FROM tokd),
+        sh AS (SELECT doc_id, md5(s) AS sh
+               FROM (SELECT doc_id, {explode} AS s FROM shingled) u),
+        corpus_sh AS (SELECT DISTINCT sh FROM sh
+                      WHERE doc_id % {INCR_MOD} != {INCR_SLOT}),
+        new_sh AS (SELECT doc_id, sh FROM sh
+                   WHERE doc_id % {INCR_MOD} = {INCR_SLOT}),
+        scored AS (
+            SELECT n.doc_id,
+                   cast(count(*) as bigint) AS n_shingles,
+                   cast(sum(case when c.sh is null then 1 else 0 end) as bigint)
+                       AS n_unseen
+            FROM new_sh n LEFT JOIN corpus_sh c ON n.sh = c.sh
+            GROUP BY n.doc_id
+        )
+        SELECT d.doc_id AS doc,
+               cast(coalesce(s.n_shingles, 0) as bigint) AS n_shingles,
+               cast(coalesce(s.n_unseen, 0) as bigint) AS n_unseen,
+               case when coalesce(s.n_shingles, 0) = 0 then 0.0
+                    else cast(s.n_unseen as double)
+                         / cast(s.n_shingles as double)
+               end AS novelty
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % {INCR_MOD} = {INCR_SLOT}) d
+        LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus shingle novelty per incoming document (see
+    _ngram_novelty_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_ngram_novelty_sql(D.SPARK))
+
+
+# Sweep range sits around the tuned 0.42 production threshold: the
+# synthetic corpus's max pair cosine is ~0.51, so (0.44..0.50) is the
+# band where counts actually move (a (0.7..0.95) panel would be
+# structurally zero here -- the FIXTURES.md dead-branch trap).
+COSINE_SWEEP_THRESHOLDS = (0.44, 0.46, 0.48, 0.50)
+
+
+def _cosine_sweep_tail(d: str, pairs_src: str) -> str:
+    """Threshold-sweep scoring tail over a verified `(id_a, id_b, cosine)`
+    near-dup pair relation: per candidate threshold, surviving pair count
+    and the number of distinct member docs -- the dedup-policy planning
+    input (how much collapses at each cut) from ONE candidate generation +
+    verify, the embedding-space sibling of lsh_band_sweep. The panel is
+    LEFT-joined so a threshold with zero survivors still reports (the
+    ann_recall_report zero-arm lesson)."""
+    rows = ", ".join(f"({t!r})" for t in COSINE_SWEEP_THRESHOLDS)
+    panel = f"(VALUES {rows}) AS t(thr)" if d == D.SPARK else f"(VALUES {rows}) t(thr)"
+    return f"""pairs AS ({pairs_src}),
+        panel AS (SELECT cast(thr as double) AS thr FROM {panel}),
+        hits AS (
+            SELECT p.thr, r.id_a, r.id_b
+            FROM pairs r JOIN panel p ON r.cosine >= p.thr
+        ),
+        pairs_per AS (
+            SELECT thr, cast(count(*) as bigint) AS n_pairs
+            FROM hits GROUP BY thr
+        ),
+        docs_per AS (
+            SELECT thr, cast(count(distinct doc) as bigint) AS n_docs
+            FROM (SELECT thr, id_a AS doc FROM hits
+                  UNION ALL SELECT thr, id_b AS doc FROM hits) u
+            GROUP BY thr
+        )
+        SELECT p.thr AS threshold,
+               cast(coalesce(pp.n_pairs, 0) as bigint) AS n_pairs,
+               cast(coalesce(dp.n_docs, 0) as bigint) AS n_docs
+        FROM panel p
+        LEFT JOIN pairs_per pp ON pp.thr = p.thr
+        LEFT JOIN docs_per dp ON dp.thr = p.thr
+    """
+
+
+def _cosine_sweep_sql(d: str) -> str:
+    return f"WITH {_cosine_sweep_tail(d, _embedding_dedup_sql(d))}"
+
+
+def q_cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine dedup threshold sweep. Spark path reads candidates
+    from the PERSISTED band index (zero-Exchange self-join,
+    _ensure_embedding_band_index) and verifies through the shared
+    _verify_embedding_cand, so the sweep measures exactly what the
+    production dedup serves; the <= pairs-sized verified relation is
+    checkpointed once and the scoring tail reads it per threshold. Oracle
+    runs the unchanged inline _embedding_dedup_sql -- identical values by
+    the index/in-session parity already pinned by semantic_clusters_indexed."""
+    _view(spark, sf_dir, "embeddings")
+    table = _ensure_embedding_band_index(spark, sf_dir)
+    cand = (
+        dedup_index.embedding_candidate_pairs(spark, table)
+        .repartition(32)
+        .localCheckpoint()
+    )
+    pairs = _verify_embedding_cand(spark, cand)
+    pairs.localCheckpoint(eager=True).createOrReplaceTempView("sweep_pairs")
+    return spark.sql(
+        "WITH "
+        + _cosine_sweep_tail(
+            D.SPARK, "SELECT id_a, id_b, cosine FROM sweep_pairs"
+        )
+    )
+
+
+def _modularity_tail(d: str, edges_src: str, labels_src: str) -> str:
+    """Exact Newman modularity of a node partition over an undirected
+    `edges(id_a, id_b)` graph: Q = sum_c [ l_c/m - (d_c/2m)^2 ] computed
+    as ONE integer-exact rational -- Q = (4m * sum_c l_c - sum_c d_c^2)
+    / (4m^2) -- so there is no per-cluster float summation to diverge
+    under Spark's partial aggs (the cramers_v lesson applied
+    structurally: the numerator is a BIGINT, the division happens once).
+    Scale shape: edge-sized joins to labels, one degree agg, one
+    cluster-sized agg, 1-row combines."""
+    return f"""
+        WITH edges AS ({edges_src}),
+        labels AS ({labels_src}),
+        m AS (SELECT cast(count(*) as bigint) AS m FROM edges),
+        intra AS (
+            SELECT cast(sum(case when la.label = lb.label then 1 else 0 end)
+                        as bigint) AS e_in
+            FROM edges e
+            JOIN labels la ON la.node = e.id_a
+            JOIN labels lb ON lb.node = e.id_b
+        ),
+        und AS (SELECT id_a AS node FROM edges
+                UNION ALL SELECT id_b AS node FROM edges),
+        deg AS (SELECT node, cast(count(*) as bigint) AS degree
+                FROM und GROUP BY node),
+        dc AS (
+            SELECT l.label, cast(sum(coalesce(d.degree, 0)) as bigint) AS d_c
+            FROM labels l LEFT JOIN deg d ON d.node = l.node
+            GROUP BY l.label
+        ),
+        sq AS (SELECT cast(sum(d_c * d_c) as bigint) AS sum_d2,
+                      cast(count(*) as bigint) AS n_clusters,
+                      cast(sum(case when d_c > 0 then 1 else 0 end) as bigint)
+                          AS n_connected_clusters
+               FROM dc)
+        SELECT m.m AS n_edges, i.e_in AS intra_edges,
+               s.n_clusters, s.n_connected_clusters,
+               case when m.m = 0 then 0.0
+                    else cast(4 * m.m * i.e_in - s.sum_d2 as double)
+                         / cast(4 * m.m * m.m as double)
+               end AS modularity
+        FROM m CROSS JOIN intra i CROSS JOIN sq s
+    """
+
+
+def _graph_modularity_sql(d: str) -> str:
+    edges = _simhash_pairs_sql(d)
+    labels = (
+        f"SELECT doc AS node, label1 AS label"
+        f" FROM ({_label_prop_body(d, edges)}) lp"
+    )
+    return _modularity_tail(d, f"SELECT id_a, id_b FROM ({edges}) e", labels)
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the LPA-step partition over the simhash near-dup
+    graph -- the quality number for the cluster labeling
+    label_propagation_step produces (a partition that beats the null
+    model scores Q > 0; a random labeling ~0). Spark path materializes
+    the edge relation ONCE and the LP label relation ONCE
+    (localCheckpoint): the tail walks edges from three CTE branches and
+    labels from three more, and Catalyst re-inlining would re-run the
+    LSH candidate join and the vote per branch."""
+    _view(spark, sf_dir, "documents")
+    edges = _simhash_pairs_df(spark, sf_dir).select("id_a", "id_b")
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("mod_edges")
+    labels = spark.sql(
+        _label_prop_body(D.SPARK, "SELECT id_a, id_b FROM mod_edges")
+    ).select("doc", "label1")
+    labels.localCheckpoint(eager=True).createOrReplaceTempView("mod_labels")
+    return spark.sql(
+        _modularity_tail(
+            D.SPARK,
+            "SELECT id_a, id_b FROM mod_edges",
+            "SELECT doc AS node, label1 AS label FROM mod_labels",
+        )
+    )
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -11692,6 +11915,9 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "packing_efficiency_curve": (q_packing_efficiency_curve, _packing_curve_sql),
     "range_partition_bounds": (q_range_partition_bounds, _range_bounds_sql),
     "dataset_card": (q_dataset_card, _dataset_card_sql),
+    "ngram_novelty": (q_ngram_novelty, _ngram_novelty_sql),
+    "cosine_threshold_sweep": (q_cosine_threshold_sweep, _cosine_sweep_sql),
+    "graph_modularity": (q_graph_modularity, _graph_modularity_sql),
     # --- round-8 additions (never driver-proven) ---
     "psi_drift": (q_psi_drift, _psi_drift_sql),
     "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),

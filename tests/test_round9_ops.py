@@ -89,3 +89,37 @@ def test_dataset_card_cross_checks(spark):
     dup = docs.selectExpr("md5(coalesce(text, '')) AS th").groupBy("th").count()
     expect = dup.filter("count > 1").agg(F.sum("count")).collect()[0][0] or 0
     assert card["exact_dup_docs"] == expect
+
+
+def test_ngram_novelty_positive_and_bounded(spark):
+    rows = Q.q_ngram_novelty(spark, SF).collect()
+    assert len(rows) == 50  # one row per new-batch doc, absent docs included
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+    assert all(r["n_unseen"] <= r["n_shingles"] for r in rows)
+    # positive branch both ways: some shingles unseen, some seen
+    assert sum(r["n_unseen"] for r in rows) > 0
+    assert any(r["n_unseen"] < r["n_shingles"] for r in rows)
+
+
+def test_cosine_sweep_monotone(spark):
+    rows = sorted(
+        Q.q_cosine_threshold_sweep(spark, SF).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == sorted(Q.COSINE_SWEEP_THRESHOLDS)
+    # tightening the threshold never adds pairs or docs
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_docs"] <= a["n_docs"]
+    assert rows[0]["n_pairs"] > 0  # loosest cut survives something
+    # every pair contributes at most 2 docs
+    assert all(r["n_docs"] <= 2 * r["n_pairs"] for r in rows)
+
+
+def test_graph_modularity_beats_null_model(spark):
+    card = Q.q_graph_modularity(spark, SF).collect()[0].asDict()
+    assert card["n_edges"] > 0
+    assert 0 <= card["intra_edges"] <= card["n_edges"]
+    # the LPA partition must beat the null model; Q is bounded by 1
+    assert 0.0 < card["modularity"] <= 1.0
+    assert card["n_connected_clusters"] <= card["n_clusters"]

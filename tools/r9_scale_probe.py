@@ -99,9 +99,10 @@ def main() -> None:
     from sentiment_analysis_data_pipeline_spark.queries import spark_queries
 
     qs = spark_queries()
-    names = [
+    names = sys.argv[2:] or [
         "label_propagation_step", "attribution_touch",
         "packing_efficiency_curve", "range_partition_bounds", "dataset_card",
+        "ngram_novelty", "cosine_threshold_sweep", "graph_modularity",
     ]
     for name in names:
         res = {}
