@@ -195,6 +195,16 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "cosine_threshold_sweep",
     "graph_modularity",
+    # round-9 wave 3
+    "classifier_auc",
+    "classifier_calibration",
+    "pareto_frontier",
+    "sorted_neighborhood_pairs",
+    "zonemap_audit",
+    "ewma_revenue",
+    "kcore_step",
+    "association_rules",
+    "audio_loudness",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

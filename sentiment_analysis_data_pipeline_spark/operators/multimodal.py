@@ -230,6 +230,99 @@ def decode_audio_metadata(
     )
 
 
+def parse_pcm_loudness(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, float | None, int | None]:
+    """REAL sample-level PCM analysis, stdlib+numpy only: (format, n_samples,
+    peak, rms, zero_crossings) for 16-bit PCM RIFF/WAVE payloads -- one step
+    past parse_wav_header: this one decodes the `data` chunk's SAMPLES and
+    computes the loudness/activity statistics an audio curation pipeline
+    gates on (silence detection, clipping detection, speech-band activity).
+
+    Exactness contract (the engine's cross-engine parity discipline applied
+    to DSP): peak and zero_crossings are integers; the mean-square
+    accumulates in int64 (max 16-bit sample^2 = 2^30; 2^23 samples per
+    payload stay inside 2^53 even as a double), and rms is ONE sqrt of one
+    exact division -- sqrt is correctly rounded in IEEE 754, so an oracle
+    computing the same rational arrives at the same double bit-for-bit.
+
+    Non-WAV / non-16-bit / truncated-data payloads return all-None: at
+    100 TB the parser classifies bad payloads, never throws mid-batch."""
+    bad = (None, None, None, None, None)
+    if not payload:
+        return bad
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return bad
+    i = 12
+    bits = None
+    data: bytes | None = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt ":
+            if body + 16 > len(b):
+                return bad
+            bits = int.from_bytes(b[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            if body + size > len(b):
+                return bad
+            data = b[body : body + size]
+        if bits is not None and data is not None:
+            break
+        i = body + size + (size & 1)
+    if bits != 16 or data is None or len(data) < 2:
+        return bad
+    import math
+
+    import numpy as np
+
+    x = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+        np.int64
+    )
+    n = int(x.size)
+    peak = int(np.abs(x).max())
+    sum_sq = int((x * x).sum())
+    rms = math.sqrt(sum_sq / n)
+    # sign flips between consecutive samples; exact zeros break a run
+    crossings = int(((x[:-1] * x[1:]) < 0).sum()) if n > 1 else 0
+    return ("wav", n, peak, rms, crossings)
+
+
+def decode_audio_loudness(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    id_ddl: str = "media_id string",
+) -> DataFrame:
+    """Sample-decode operator: (id, payload) -> (id, fmt, n_samples, peak,
+    rms, zero_crossings) via Arrow-batched mapInPandas over
+    parse_pcm_loudness. Pure projection like decode_audio_metadata -- no
+    shuffle, Python crossed per batch, numpy-vectorized inside the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idname = id_ddl.split()[0]
+        for pdf in batches:
+            parsed = pdf[payload_col].map(parse_pcm_loudness)
+            yield pd.DataFrame(
+                {
+                    idname: pdf[id_col],
+                    "fmt": parsed.map(lambda t: t[0]),
+                    "n_samples": parsed.map(lambda t: t[1]).astype("Int64"),
+                    "peak": parsed.map(lambda t: t[2]).astype("Int64"),
+                    "rms": parsed.map(lambda t: t[3]).astype("float64"),
+                    "zero_crossings": parsed.map(lambda t: t[4]).astype("Int64"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_ddl}, fmt string, n_samples bigint, peak bigint,"
+        " rms double, zero_crossings bigint",
+    )
+
+
 def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in feature extractor: md5-derived floats in [0,1).
     Keeps the full pipeline testable end-to-end with stable goldens."""

@@ -11893,6 +11893,662 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_scored_sql(d: str) -> str:
+    """(source, sq, y): every document scored by the _LR_W0 base classifier
+    (the logreg_step starting point), quantized to 2^-20 exactly as
+    classifier_score does -- the shared upstream of the evaluation suite
+    (classifier_auc / classifier_calibration). Scoring with the FIXED base
+    weights keeps evaluation one linear pass; the trained-step variant is
+    classifier_score's job."""
+    q = float(_LR_Q)
+    w = _LR_W0
+    z0 = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2 + {w[3]!r} * x3)"
+    sig_q = f"cast(floor((1.0 / (1.0 + exp(-{z0}))) * {q!r}) as bigint)"
+    return (
+        f"SELECT source, {sig_q} AS sq, cast(y as bigint) AS y"
+        f" FROM ({_clf_feats_sql(d)}) f"
+    )
+
+
+def _classifier_auc_sql(d: str) -> str:
+    """Exact ROC AUC of the quality classifier, per source plus 'ALL' --
+    the model-eval number every curation-classifier loop reports, computed
+    distributed as the tie-corrected Mann-Whitney statistic WITHOUT
+    materializing pos x neg pairs: group scores into the quantized-score
+    histogram (score is floored to 2^-20, so the histogram is BOUNDED at
+    2^20+1 rows per source regardless of corpus size), take one cumulative
+    window per source over that bounded relation, and fold
+    sum_s[pos_s * (2*cum_neg_below + neg_s)] / (2 * n_pos * n_neg) -- ties
+    contribute the exact 1/2 credit via the +neg_s term. Numerator terms
+    accumulate in decimal(38,0) (pos_s * 2n per row overflows BIGINT past
+    ~2e9 docs); the division happens ONCE so no float summation can
+    diverge cross-engine. Gini = 2*AUC - 1 rides along.
+
+    Scale shape: one scoring scan, one (source, sq) partial agg, one
+    PARTITION BY source window over the <= 2^20-row-per-source histogram
+    (never a global sort), a source-sized final agg. A degenerate class
+    (n_pos or n_neg = 0) reports the chance value 0.5 rather than NULL
+    (driver float-coercion convention)."""
+    return f"""
+        WITH scored AS ({_clf_scored_sql(d)}),
+        tagged AS (
+            SELECT source, sq, y FROM scored
+            UNION ALL
+            SELECT 'ALL' AS source, sq, y FROM scored
+        ),
+        hist AS (
+            SELECT source, sq,
+                   cast(sum(y) as bigint) AS pos_s,
+                   cast(count(*) - sum(y) as bigint) AS neg_s
+            FROM tagged GROUP BY source, sq
+        ),
+        cum AS (
+            SELECT source, pos_s, neg_s,
+                   coalesce(sum(neg_s) OVER (
+                       PARTITION BY source ORDER BY sq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_below
+            FROM hist
+        ),
+        agg AS (
+            SELECT source,
+                   cast(sum(pos_s) as bigint) AS n_pos,
+                   cast(sum(neg_s) as bigint) AS n_neg,
+                   cast(count(*) as bigint) AS n_scores,
+                   sum(cast(pos_s as decimal(19,0))
+                       * cast(2 * neg_below + neg_s as decimal(19,0))) AS num2
+            FROM cum GROUP BY source
+        ),
+        scoredagg AS (
+            SELECT source, n_pos, n_neg, n_scores,
+                   case when n_pos = 0 or n_neg = 0 then 0.5
+                        else cast(num2 as double)
+                             / (2.0 * cast(n_pos as double) * cast(n_neg as double))
+                   end AS auc
+            FROM agg
+        )
+        SELECT source, n_pos, n_neg, n_scores, auc, auc * 2.0 - 1.0 AS gini
+        FROM scoredagg
+        ORDER BY source
+    """
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-exact distributed ROC AUC per source (see _classifier_auc_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_classifier_auc_sql(D.SPARK))
+
+
+def _classifier_calibration_sql(d: str) -> str:
+    """Reliability diagram + Brier decomposition inputs for the quality
+    classifier: per 0.02-wide predicted-score band, document count, exact
+    mean predicted probability, empirical positive rate, their gap, and
+    the band's Brier score -- the table a curation planner reads to decide
+    whether the classifier's scores can be thresholded AS probabilities
+    (the calibration check fasttext-style quality filters skip at their
+    peril). Integer-exact throughout: sq is the 2^-20-floored score, the
+    Brier term (sq - y*2^20)^2 is a BIGINT (<= 2^40 per row) accumulated
+    in decimal(38,0), and each reported double is ONE division of exact
+    sums. Bands are 0.02 wide (50 bins): the base scorer's spread is
+    narrow, and 0.1-wide bands collapsed the whole corpus into two rows
+    (the dead-branch audit). Scale shape: one scoring scan + one
+    <=50-row band agg; no joins, no windows."""
+    qi = int(_LR_Q)
+    q = float(_LR_Q)
+    band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
+    return f"""
+        WITH scored AS ({_clf_scored_sql(d)}),
+        banded AS (SELECT {band} AS band, sq, y FROM scored),
+        agg AS (
+            SELECT band,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(cast(sum(cast(sq as decimal(38,0))) as double)
+                        / (count(*) * {q!r}) as double) AS mean_pred,
+                   cast(sum(y) as double) / cast(count(*) as double) AS pos_rate,
+                   cast(cast(sum(cast((sq - y * {qi}) * (sq - y * {qi})
+                                      as decimal(38,0))) as double)
+                        / (count(*) * {q * q!r}) as double) AS brier
+            FROM banded GROUP BY band
+        )
+        SELECT band, n_docs, mean_pred, pos_rate,
+               pos_rate - mean_pred AS gap, brier
+        FROM agg
+        ORDER BY band
+    """
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band calibration + Brier table (see _classifier_calibration_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_classifier_calibration_sql(D.SPARK))
+
+
+def _pareto_frontier_sql(d: str) -> str:
+    """Per-type Pareto frontier (skyline) of the part catalog: the parts no
+    other same-type part strictly dominates on (cheaper price, larger
+    size) -- the classic multi-objective shortlist query (price/quality
+    frontiers, model-size/score frontiers) that naive engines answer with
+    an O(n^2) dominance self-join. Here: sort each type partition by price
+    and take two running-max-size windows -- best size among STRICTLY
+    cheaper rows (RANGE ... 1 PRECEDING on integer cents excludes price
+    ties) and best size among cheaper-OR-equal rows (RANGE ... CURRENT ROW
+    includes them) -- a row survives iff no strictly-cheaper row matches
+    its size and no tied-or-cheaper row beats it. Exact dominance, one
+    partitioned sort, zero self-joins.
+
+    Scale shape: windows are PARTITION BY p_type (never global); at
+    extreme per-type cardinality the distributive refinement is
+    local-skyline-per-partition then merge (skylines are
+    union-then-re-skyline closed), same frame logic per stage."""
+    cents = "cast(floor(p_retailprice * 100.0 + 0.5) as bigint)"
+    return f"""
+        WITH pts AS (
+            SELECT p_partkey, p_type, cast(p_size as bigint) AS size,
+                   {cents} AS price_cents
+            FROM part
+        ),
+        w AS (
+            SELECT p_partkey, p_type, size, price_cents,
+                   max(size) OVER (
+                       PARTITION BY p_type ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_cheaper,
+                   max(size) OVER (
+                       PARTITION BY p_type ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS best_upto
+            FROM pts
+        )
+        SELECT p_type AS ptype, cast(p_partkey as bigint) AS partkey,
+               price_cents, size
+        FROM w
+        WHERE (best_cheaper IS NULL OR best_cheaper < size)
+          AND best_upto <= size
+        ORDER BY ptype, price_cents, partkey
+    """
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of (min price, max size) per part type (see
+    _pareto_frontier_sql)."""
+    _view(spark, sf_dir, "part")
+    return spark.sql(_pareto_frontier_sql(D.SPARK))
+
+
+# Sorted-neighborhood window width (offsets 1..SN_WINDOW-1 ahead in the
+# sorted block) and the balance-proximity cut for the candidate flag.
+SN_WINDOW = 3
+SN_DIFF_CENTS = 20_000
+
+
+def _sorted_neighborhood_sql(d: str) -> str:
+    """Sorted-neighborhood record-linkage blocking (Hernandez-Stolfo): sort
+    each nation's customers by account balance and emit every pair within
+    a {SN_WINDOW}-row sliding window -- the classic O(n*w) alternative to
+    the O(n^2) similarity join when the blocking key is continuous (no
+    equi-key for LSH-style banding). Every window pair is emitted with its
+    balance gap and a candidate flag (gap <= $200 AND same market
+    segment), so the relation doubles as the recall-audit input: the
+    flag's selectivity IS the blocking-quality number.
+
+    Scale shape: the sort is PARTITION BY nation (never global) and the
+    fan-out is exactly (SN_WINDOW-1) rows per input row via lead() -- no
+    join at all; the downstream exact comparator only sees the flagged
+    sliver. Deterministic: balance ties break on custkey."""
+    cents = "cast(floor(c_acctbal * 100.0 + 0.5) as bigint)"
+    win = "PARTITION BY c_nationkey ORDER BY bal_cents, c_custkey"
+    arms = []
+    for k in range(1, SN_WINDOW):
+        arms.append(
+            f"""
+            SELECT c_nationkey, c_custkey AS cust_a, bal_cents AS bal_a,
+                   c_mktsegment AS seg_a,
+                   lead(c_custkey, {k}) OVER ({win}) AS cust_b,
+                   lead(bal_cents, {k}) OVER ({win}) AS bal_b,
+                   lead(c_mktsegment, {k}) OVER ({win}) AS seg_b
+            FROM keyed"""
+        )
+    unioned = " UNION ALL ".join(f"SELECT * FROM ({a}) a{i}" for i, a in enumerate(arms))
+    return f"""
+        WITH keyed AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment, {cents} AS bal_cents
+            FROM customer
+        ),
+        pairs AS ({unioned})
+        SELECT cast(c_nationkey as bigint) AS nation,
+               cast(cust_a as bigint) AS cust_a,
+               cast(cust_b as bigint) AS cust_b,
+               abs(bal_a - bal_b) AS diff_cents,
+               case when abs(bal_a - bal_b) <= {SN_DIFF_CENTS}
+                         and seg_a = seg_b
+                    then 1 else 0 end AS is_candidate
+        FROM pairs
+        WHERE cust_b IS NOT NULL
+        ORDER BY nation, cust_a, cust_b
+    """
+
+
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking pairs over customers (see
+    _sorted_neighborhood_sql)."""
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_sorted_neighborhood_sql(D.SPARK))
+
+
+# Zonemap audit: bucket widths for the two simulated layouts and the
+# half-open probe ranges (hi = sentinel for unbounded).
+ZONE_OK_BUCKET = 4096
+ZONE_PC_BUCKET = 500_000
+_ZONE_HI = 1 << 62
+ZONE_PREDICATES = (
+    ("pc_mid", "price", 1_000_000, 2_000_000),
+    ("pc_high", "price", 5_000_000, _ZONE_HI),
+    ("ym_early", "ym", 199_401, 199_406),
+    ("ym_late", "ym", 199_801, _ZONE_HI),
+)
+
+
+def _zonemap_audit_sql(d: str) -> str:
+    """Data-skipping effectiveness audit -- the layout-planning query behind
+    every 100 TB scan budget: simulate two physical layouts of lineitem
+    (files clustered by orderkey vs clustered by price) by bucketing rows
+    on each key, collect per-bucket min/max zonemaps for BOTH probe
+    columns (price cents, ship year-month), and score a panel of range
+    predicates: how many buckets (and what row fraction) each layout lets
+    the scanner skip outright (bucket max < lo or bucket min > hi). The
+    expected contrast IS the deliverable: a predicate aligned with the
+    clustering key prunes nearly everything, a misaligned one prunes ~0 --
+    the number that justifies a re-sort/z-order of a table (zorder_stats'
+    planning sibling).
+
+    Scale shape: one scan -> two bucket-keyed partial aggs (zonemap tables
+    are file-count-sized, thousands of rows at 100 TB, not row-sized), a
+    4-row VALUES panel joined against them, and a layout/predicate-sized
+    final agg. Integer-exact: counts and row sums are BIGINTs, the skip
+    fraction is one division."""
+    pc = "cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)"
+    ym = "cast(year(l_shipdate) * 100 + month(l_shipdate) as bigint)"
+    rows = ", ".join(
+        f"('{p}', '{c}', cast({lo} as bigint), cast({hi} as bigint))"
+        for p, c, lo, hi in ZONE_PREDICATES
+    )
+    panel = (
+        f"(VALUES {rows}) AS p(pred, col, lo, hi)"
+        if d == D.SPARK
+        else f"(VALUES {rows}) p(pred, col, lo, hi)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {D.int_div(d, "l_orderkey", str(ZONE_OK_BUCKET))} AS b_ok,
+                   {D.int_div(d, f"({pc})", str(ZONE_PC_BUCKET))} AS b_pc,
+                   {pc} AS pc, {ym} AS ym
+            FROM lineitem
+        ),
+        zones AS (
+            SELECT 'orderkey' AS layout, b_ok AS bucket,
+                   cast(count(*) as bigint) AS n_rows,
+                   min(pc) AS min_pc, max(pc) AS max_pc,
+                   min(ym) AS min_ym, max(ym) AS max_ym
+            FROM base GROUP BY b_ok
+            UNION ALL
+            SELECT 'price' AS layout, b_pc AS bucket,
+                   cast(count(*) as bigint) AS n_rows,
+                   min(pc) AS min_pc, max(pc) AS max_pc,
+                   min(ym) AS min_ym, max(ym) AS max_ym
+            FROM base GROUP BY b_pc
+        ),
+        panel AS (SELECT pred, col, lo, hi FROM {panel}),
+        scoredz AS (
+            SELECT p.pred, z.layout, z.n_rows,
+                   case when (p.col = 'price' and (z.max_pc < p.lo or z.min_pc > p.hi))
+                          or (p.col = 'ym' and (z.max_ym < p.lo or z.min_ym > p.hi))
+                        then 1 else 0 end AS pruned
+            FROM zones z CROSS JOIN panel p
+        )
+        SELECT pred, layout,
+               cast(count(*) as bigint) AS n_buckets,
+               cast(sum(pruned) as bigint) AS n_pruned,
+               cast(sum(n_rows) as bigint) AS n_rows,
+               cast(sum(case when pruned = 1 then n_rows else 0 end) as bigint)
+                   AS rows_skipped,
+               cast(sum(case when pruned = 1 then n_rows else 0 end) as double)
+                   / cast(sum(n_rows) as double) AS skip_fraction
+        FROM scoredz
+        GROUP BY pred, layout
+        ORDER BY pred, layout
+    """
+
+
+def q_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap (min/max data-skipping) effectiveness audit across two
+    simulated clusterings (see _zonemap_audit_sql)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_zonemap_audit_sql(D.SPARK))
+
+
+# EWMA half-life window: weights 2^(L-1-g) for lags g = 0..L-1 (alpha=1/2
+# truncated at L terms); dyadic weights keep every product integer-exact.
+EWMA_LAGS = 8
+
+
+def _ewma_revenue_sql(d: str) -> str:
+    """Exponentially weighted moving average of monthly order revenue --
+    the trend-smoothing primitive behind freshness dashboards and drift
+    baselines -- computed EXACTLY: revenue is summed in integer cents per
+    month, the alpha=1/2 kernel truncated at {EWMA_LAGS} lags uses weights
+    2^(L-1-g) (integers, so every weighted term is a BIGINT product), the
+    numerator and the PRESENT-month weight mass accumulate as integers,
+    and the smoothed value is ONE final division -- no float recurrence to
+    accumulate cross-engine drift, and early months (short history)
+    renormalize over the weights actually present instead of decaying
+    toward zero.
+
+    Scale shape: one month-keyed partial agg collapses the fact table to a
+    month-count-sized relation; the kernel is an {EWMA_LAGS}-way explode +
+    equi-join ON month index over that tiny relation (never over raw
+    rows); output is month-sized."""
+    rows = ", ".join(
+        f"({g}, {1 << (EWMA_LAGS - 1 - g)})" for g in range(EWMA_LAGS)
+    )
+    kernel = (
+        f"(VALUES {rows}) AS k(g, w)" if d == D.SPARK else f"(VALUES {rows}) k(g, w)"
+    )
+    return f"""
+        WITH mrev AS (
+            SELECT cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)
+                       AS mi,
+                   cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))
+                        as bigint) AS rev_cents
+            FROM orders GROUP BY year(o_orderdate) * 12 + month(o_orderdate) - 1
+        ),
+        kernel AS (SELECT cast(g as bigint) AS g, cast(w as bigint) AS w
+                   FROM {kernel}),
+        j AS (
+            SELECT grid.mi, grid.w, h.rev_cents
+            FROM (SELECT mi, g, w FROM mrev CROSS JOIN kernel) grid
+            JOIN mrev h ON h.mi = grid.mi - grid.g
+        ),
+        acc AS (
+            SELECT mi,
+                   sum(cast(rev_cents as decimal(38,0)) * cast(w as decimal(19,0)))
+                       AS num,
+                   cast(sum(w) as bigint) AS den,
+                   cast(count(*) as bigint) AS n_hist
+            FROM j GROUP BY mi
+        )
+        SELECT a.mi AS month_index, m.rev_cents, a.n_hist,
+               cast(a.num as double) / cast(a.den as double) AS ewma_cents
+        FROM acc a JOIN mrev m ON m.mi = a.mi
+        ORDER BY month_index
+    """
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact truncated-EWMA of monthly revenue (see
+    _ewma_revenue_sql)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_ewma_revenue_sql(D.SPARK))
+
+
+def _kcore_step_sql(d: str) -> str:
+    """One k-core peeling round over the co-purchase graph (parts linked by
+    appearing in the same order) at the self-calibrating threshold
+    k = ceil(mean degree): degrees, drop nodes below k, re-count degrees
+    on the surviving subgraph, and report the round's one-row ledger --
+    nodes/edges before and after plus how many survivors already sit
+    below k again (the next round's work, proving the peel iterates).
+    k-core is the standard density filter before community detection /
+    graph embedding; one round is the fixpoint iteration's body, the
+    pagerank_step/kmeans_step convention.
+
+    Scale shape: the basket self-join is bounded by per-order basket size
+    (copurchase_pairs' argument); everything after is node- or edge-keyed
+    hash aggs and equi-joins -- two semi-joins restrict edges to core
+    nodes, no windows, no global sorts. k derives from two counts via
+    integer ceil-division: no float threshold to diverge."""
+    return _kcore_tail(d, _KCORE_EDGES_SQL)
+
+
+_KCORE_EDGES_SQL = """
+            SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _kcore_tail(d: str, edges_src: str) -> str:
+    """Peeling-round tail over an `edges(id_a, id_b)` relation (see
+    _kcore_step_sql). Split out so the Spark path can materialize the
+    basket self-join ONCE: the tail's scalar counts walk the edge
+    relation from five CTE branches, and Catalyst CTE re-inlining re-runs
+    the self-join per branch (the kcenter_coreset lesson; lint showed 20
+    BNLJ nodes before the split)."""
+    return f"""
+        WITH edges AS ({edges_src}),
+        und AS (
+            SELECT id_a AS node, id_b AS other FROM edges
+            UNION ALL
+            SELECT id_b AS node, id_a AS other FROM edges
+        ),
+        deg AS (SELECT node, cast(count(*) as bigint) AS degree
+                FROM und GROUP BY node),
+        sizes AS (
+            SELECT cast((SELECT count(*) FROM edges) as bigint) AS n_edges,
+                   cast((SELECT count(*) FROM deg) as bigint) AS n_nodes
+        ),
+        kval AS (
+            SELECT n_edges, n_nodes,
+                   {D.int_div(d, "(2 * n_edges + n_nodes - 1)", "n_nodes")} AS k
+            FROM sizes
+        ),
+        core AS (
+            SELECT d2.node FROM deg d2 CROSS JOIN kval
+            WHERE d2.degree >= kval.k
+        ),
+        surv AS (
+            SELECT e.id_a, e.id_b
+            FROM edges e
+            JOIN core ca ON ca.node = e.id_a
+            JOIN core cb ON cb.node = e.id_b
+        ),
+        deg2 AS (
+            SELECT node, cast(count(*) as bigint) AS degree
+            FROM (SELECT id_a AS node FROM surv
+                  UNION ALL SELECT id_b AS node FROM surv) u
+            GROUP BY node
+        ),
+        after AS (
+            SELECT cast((SELECT count(*) FROM surv) as bigint) AS n_surv_edges,
+                   cast((SELECT count(*) FROM core) as bigint) AS n_core_nodes,
+                   cast((SELECT count(*) FROM core c LEFT JOIN deg2 g
+                         ON g.node = c.node
+                         CROSS JOIN kval
+                         WHERE coalesce(g.degree, 0) < kval.k) as bigint)
+                       AS n_below_next
+        )
+        SELECT k.k, k.n_nodes, k.n_edges,
+               a.n_core_nodes, a.n_surv_edges, a.n_below_next
+        FROM kval k CROSS JOIN after a
+    """
+
+
+def q_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-core peel round on the co-purchase graph (see
+    _kcore_step_sql). The edge relation is materialized once
+    (localCheckpoint) before the tail's scalar-count branches read it."""
+    _view(spark, sf_dir, "lineitem")
+    edges = spark.sql(_KCORE_EDGES_SQL)
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("kcore_edges")
+    return spark.sql(_kcore_tail(D.SPARK, "SELECT id_a, id_b FROM kcore_edges"))
+
+
+# Association rules: minimum pair support and report size.
+RULES_MIN_SUPPORT = 2
+RULES_TOP = 25
+
+
+def _association_rules_sql(d: str) -> str:
+    """Association rules off the co-purchase pairs (support >=
+    {RULES_MIN_SUPPORT}): for each directed rule a -> b, exact support,
+    confidence = n_ab / n_a, and lift = N * n_ab / (n_a * n_b), top-{RULES_TOP}
+    by lift -- the market-basket canon (Agrawal-Srikant), and the scoring
+    layer copurchase_pairs feeds in a real recommender pipeline.
+    Confidence and lift are each ONE division of exact BIGINT products
+    (accumulated in decimal headroom -- N * n_ab overflows int64 at
+    ~2e9 x 2e9); the top-k order ties break on the (antecedent,
+    consequent) key so the LIMIT is deterministic cross-engine.
+
+    Scale shape: basket-bounded pair self-join (copurchase_pairs'
+    argument), item supports from one partial agg, two broadcast-sized
+    joins to attach them, TakeOrderedAndProject for the report."""
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a,
+                   b.l_partkey AS part_b
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        pcount AS (
+            SELECT part_a, part_b, cast(count(*) as bigint) AS n_ab
+            FROM pairs GROUP BY part_a, part_b
+            HAVING count(*) >= {RULES_MIN_SUPPORT}
+        ),
+        item AS (
+            SELECT l_partkey, cast(count(DISTINCT l_orderkey) as bigint) AS n_i
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n FROM lineitem
+        ),
+        directed AS (
+            SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pcount
+            UNION ALL
+            SELECT part_b AS antecedent, part_a AS consequent, n_ab FROM pcount
+        ),
+        rules AS (
+            SELECT r.antecedent, r.consequent, r.n_ab,
+                   ia.n_i AS n_a, ic.n_i AS n_b, t.n
+            FROM directed r
+            JOIN item ia ON ia.l_partkey = r.antecedent
+            JOIN item ic ON ic.l_partkey = r.consequent
+            CROSS JOIN tot t
+        )
+        SELECT antecedent, consequent, n_ab AS support,
+               cast(n_ab as double) / cast(n_a as double) AS confidence,
+               cast(cast(n as decimal(19,0)) * cast(n_ab as decimal(19,0))
+                    as double)
+                   / cast(cast(n_a as decimal(19,0)) * cast(n_b as decimal(19,0))
+                          as double) AS lift
+        FROM rules
+        ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+        LIMIT {RULES_TOP}
+    """
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-lift association rules over co-purchase baskets (see
+    _association_rules_sql)."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_association_rules_sql(D.SPARK))
+
+
+def _audio_loudness_sql(d: str) -> str:
+    """Oracle for q_audio_loudness: payloads are SYNTHESIZED 16-bit PCM
+    WAVs whose sample pattern repeats [+A, -A, +A/2, -A/2] (A a
+    doc_id-derived amplitude), so every statistic has a closed form the
+    oracle states analytically: n_samples = frame count, peak = A,
+    zero_crossings = n-1 (every adjacent pair flips sign), and
+    rms = sqrt((A^2 + B^2) / 2) -- the engine's numpy path accumulates
+    sum(x^2) in int64 and takes sqrt(sum/n), and since
+    sum/n == (A^2+B^2)/2 exactly (both < 2^53) and IEEE sqrt is correctly
+    rounded, the doubles match bit-for-bit. A hash match therefore proves
+    the REAL sample decode (RIFF walk -> data chunk -> int16 LE decode ->
+    loudness fold) end-to-end, corrupt arm included."""
+    a = "(1000 + (doc_id % 900) * 30)"
+    b = D.int_div(d, a, "2")
+    frames = "(4 * (16 + doc_id % 48))"
+    bad = "doc_id % 17 = 0"
+    return f"""
+        SELECT doc_id,
+               case when {bad} then cast(null as varchar) else 'wav' end AS fmt,
+               case when {bad} then cast(0 as bigint)
+                    else cast({frames} as bigint) end AS n_samples,
+               case when {bad} then cast(0 as bigint)
+                    else cast({a} as bigint) end AS peak,
+               case when {bad} then 0.0
+                    else sqrt(cast({a} * {a} + {b} * {b} as double) / 2.0)
+               end AS rms,
+               case when {bad} then cast(0 as bigint)
+                    else cast({frames} - 1 as bigint) end AS zero_crossings
+        FROM documents
+    """
+
+
+def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample analysis over binary payloads: every doc gets a
+    synthesized RIFF/WAVE file with an ACTUAL int16 data chunk (pattern
+    [+A, -A, +A/2, -A/2] repeated; every 17th doc gets non-audio bytes),
+    and the engine decodes the samples and computes peak / RMS /
+    zero-crossing statistics byte-level with the numpy-vectorized parser
+    (operators/multimodal.parse_pcm_loudness, Arrow-batched mapInPandas)
+    -- the sample-decode step past audio_metadata's header walk, i.e. the
+    silence/clipping gate of an audio curation pipeline. Oracle states
+    the statistics analytically from the synthesis parameters (see
+    _audio_loudness_sql). Plan: pure projection (scan -> synthesize ->
+    mapInPandas), no shuffle. Driver contract: numeric fields 0 /
+    rms 0.0 for unparseable payloads (NULL/NaN would float-coerce the
+    driver compare); fmt stays NULL."""
+    from .operators.multimodal import decode_audio_loudness
+
+    _view(spark, sf_dir, "documents")
+
+    def le16(e: str) -> str:
+        h = f"lpad(hex(cast({e} as bigint)), 4, '0')"
+        return f"concat(substring({h},3,2), substring({h},1,2))"
+
+    def le32(e: str) -> str:
+        h = f"lpad(hex(cast({e} as bigint)), 8, '0')"
+        return (
+            f"concat(substring({h},7,2), substring({h},5,2),"
+            f" substring({h},3,2), substring({h},1,2))"
+        )
+
+    a = "(1000 + (doc_id % 900) * 30)"
+    b = f"({a} div 2)"
+    pairs4 = "(16 + doc_id % 48)"
+    data_size = f"(8 * {pairs4})"  # 4 samples x 2 bytes per repeat
+    sample_block = (
+        f"concat({le16(a)}, {le16(f'65536 - {a}')},"
+        f" {le16(b)}, {le16(f'65536 - {b}')})"
+    )
+    wav = f"""unhex(concat(
+        '52494646', {le32(f"36 + {data_size}")}, '57415645',
+        '666d7420', {le32("16")}, '0100', {le16("1")}, {le32("8000")},
+        {le32("16000")}, {le16("2")}, {le16("16")},
+        '64617461', {le32(data_size)},
+        repeat({sample_block}, cast({pairs4} as int))))"""
+    payloads = spark.sql(
+        f"""
+        SELECT doc_id,
+               case when doc_id % 17 = 0 then cast({TEXT} as binary)
+                    else {wav} end AS payload
+        FROM documents
+        """
+    )
+    return decode_audio_loudness(
+        payloads, id_col="doc_id", id_ddl="doc_id bigint"
+    ).selectExpr(
+        "doc_id",
+        "fmt",
+        "cast(coalesce(n_samples, 0) as bigint) AS n_samples",
+        "cast(coalesce(peak, 0) as bigint) AS peak",
+        "coalesce(nanvl(rms, cast(null as double)), 0.0) AS rms",
+        "cast(coalesce(zero_crossings, 0) as bigint) AS zero_crossings",
+    )
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -11918,6 +12574,16 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "ngram_novelty": (q_ngram_novelty, _ngram_novelty_sql),
     "cosine_threshold_sweep": (q_cosine_threshold_sweep, _cosine_sweep_sql),
     "graph_modularity": (q_graph_modularity, _graph_modularity_sql),
+    # --- round-9 wave 3 ---
+    "classifier_auc": (q_classifier_auc, _classifier_auc_sql),
+    "classifier_calibration": (q_classifier_calibration, _classifier_calibration_sql),
+    "pareto_frontier": (q_pareto_frontier, _pareto_frontier_sql),
+    "sorted_neighborhood_pairs": (q_sorted_neighborhood_pairs, _sorted_neighborhood_sql),
+    "zonemap_audit": (q_zonemap_audit, _zonemap_audit_sql),
+    "ewma_revenue": (q_ewma_revenue, _ewma_revenue_sql),
+    "kcore_step": (q_kcore_step, _kcore_step_sql),
+    "association_rules": (q_association_rules, _association_rules_sql),
+    "audio_loudness": (q_audio_loudness, _audio_loudness_sql),
     # --- round-8 additions (never driver-proven) ---
     "psi_drift": (q_psi_drift, _psi_drift_sql),
     "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),
