@@ -205,6 +205,26 @@ BENCH_QUERIES = [
     "kcore_step",
     "association_rules",
     "audio_loudness",
+    # round-9 wave 4
+    "poisson_bootstrap_ci",
+    "conformal_threshold",
+    "woe_iv",
+    "ols_trend",
+    "event_path_topk",
+    # round-9 wave 5
+    "theil_sen_trend",
+    "welch_ttest",
+    "acf_daily",
+    "decision_stump",
+    "permutation_test",
+    "runs_test",
+    # round-9 wave 6
+    "log_odds_terms",
+    "jackknife_ratio",
+    "kendall_tau",
+    "binseg_changepoint",
+    "mcnemar_test",
+    "dow_seasonality",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

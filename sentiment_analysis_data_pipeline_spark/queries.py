@@ -7309,15 +7309,17 @@ _LR_RATE = 0.5  # dyadic learning rate for the applied step (exact in IEEE)
 
 
 def _clf_feats_sql(d: str) -> str:
-    """(source, x1..x3, y): the logreg_step feature row extended with the
-    source key -- shared upstream of the gradient AND the scoring pass."""
+    """(doc_id, source, x1..x3, y): the logreg_step feature row extended
+    with the doc and source keys -- shared upstream of the gradient, the
+    scoring pass, and the eval suite (doc_id drives conformal's
+    calibration/test split; downstream consumers project explicitly)."""
     toks = TX.tokenize(d, TEXT)
     nt = D.arr_size(d, toks)
     f1 = "(cast(n_chars as double) / 1000.0)"
     f2 = f"(cast({nt} as double) / 100.0)"
     f3 = f"(cast(n_chars as double) / (cast({nt} as double) + 1.0) / 10.0)"
     return (
-        f"SELECT source, {f1} AS x1, {f2} AS x2, {f3} AS x3, "
+        f"SELECT doc_id, source, {f1} AS x1, {f2} AS x2, {f3} AS x3, "
         f"case when lang = 'en' then 1 else 0 end AS y FROM documents"
     )
 
@@ -11993,11 +11995,21 @@ def _classifier_calibration_sql(d: str) -> str:
     narrow, and 0.1-wide bands collapsed the whole corpus into two rows
     (the dead-branch audit). Scale shape: one scoring scan + one
     <=50-row band agg; no joins, no windows."""
+    return _classifier_calibration_tail(d, _clf_scored_sql(d))
+
+
+def _classifier_calibration_tail(d: str, scored_src: str) -> str:
+    """Band-agg tail over a `(source, sq, y)` scored relation. Split out so
+    the Spark path can materialize scoring ONCE: the tail references sq
+    from the band expr, the mean, and both Brier terms, and Catalyst CTE
+    re-inlining re-evaluates the tokenize+sigmoid scoring per reference
+    (measured 10.5 s vs 0.9 s at 40x -- classifier_auc, which touches sq
+    only as a group key, never hit it)."""
     qi = int(_LR_Q)
     q = float(_LR_Q)
     band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
     return f"""
-        WITH scored AS ({_clf_scored_sql(d)}),
+        WITH scored AS ({scored_src}),
         banded AS (SELECT {band} AS band, sq, y FROM scored),
         agg AS (
             SELECT band,
@@ -12018,9 +12030,15 @@ def _classifier_calibration_sql(d: str) -> str:
 
 
 def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-band calibration + Brier table (see _classifier_calibration_sql)."""
+    """Per-band calibration + Brier table (see _classifier_calibration_sql).
+    The scored relation is materialized once (localCheckpoint) before the
+    multi-reference band/Brier tail reads it."""
     _view(spark, sf_dir, "documents")
-    return spark.sql(_classifier_calibration_sql(D.SPARK))
+    scored = spark.sql(_clf_scored_sql(D.SPARK))
+    scored.localCheckpoint(eager=True).createOrReplaceTempView("cal_scored")
+    return spark.sql(
+        _classifier_calibration_tail(D.SPARK, "SELECT source, sq, y FROM cal_scored")
+    )
 
 
 def _pareto_frontier_sql(d: str) -> str:
@@ -12549,6 +12567,1309 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Poisson bootstrap: replicate count and the 48-bit cumulative thresholds
+# of Poisson(1) (precomputed driver-side -- no transcendentals in SQL; both
+# dialects compare the same integer literals).
+BOOT_B = 32
+_BOOT_BITS = 48
+
+
+def _poisson48_thresholds(max_m: int = 5) -> list[int]:
+    import math
+
+    cum = 0.0
+    out = []
+    for k in range(max_m):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append(math.floor(cum * (1 << _BOOT_BITS)))
+    return out
+
+
+def _poisson_bootstrap_sql(d: str) -> str:
+    """Distributed bootstrap confidence interval for the mean order value
+    via the POISSON BOOTSTRAP (Chamandy et al., the resampling scheme that
+    works when n is too large to index): instead of drawing n rows with
+    replacement (which needs a global index), each row enters replicate r
+    with multiplicity m ~ Poisson(1), approximating the multinomial exactly
+    as n grows. m is DERIVED, not drawn: a 48-bit integer from
+    md5(orderkey:replicate) compared against precomputed cumulative
+    thresholds -- deterministic, identical in both engines, and
+    reproducible at any scale. Each replicate mean is one exact division
+    of integer sums; the CI bounds are interpolated percentiles over the
+    {BOOT_B} replicate means (the engines match bit-for-bit on
+    percentile-over-doubles -- range_partition_bounds precedent).
+
+    Scale shape: ONE scan with a {BOOT_B}-way generator fan-out collapsing
+    immediately into a {BOOT_B}-group partial agg (map-side combine
+    carries 2x{BOOT_B} longs per partition); the percentile runs over
+    {BOOT_B} rows. No joins, no windows, no global sort."""
+    thr = _poisson48_thresholds()
+    cents = "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)"
+    reps = (
+        f"explode(sequence(0, {BOOT_B - 1}))"
+        if d == D.SPARK
+        else f"unnest(generate_series(0, {BOOT_B - 1}))"
+    )
+    u48 = H.hex_to_bigint(
+        d,
+        f"md5(concat({D.cast_str(d, 'o_orderkey')}, ':', {D.cast_str(d, 'r')}))",
+        _BOOT_BITS // 4,
+    )
+    m = (
+        f"case when u < {thr[0]} then 0 when u < {thr[1]} then 1"
+        f" when u < {thr[2]} then 2 when u < {thr[3]} then 3"
+        f" when u < {thr[4]} then 4 else 5 end"
+    )
+    ci = (
+        "percentile(boot_mean, array(0.025, 0.975))"
+        if d == D.SPARK
+        else "quantile_cont(boot_mean, [0.025, 0.975])"
+    )
+    return f"""
+        WITH fanned AS (
+            SELECT cents, r, {m} AS m
+            FROM (
+                SELECT o_orderkey, {cents} AS cents, {reps} AS r FROM orders
+            ) g,
+            LATERAL (SELECT {u48} AS u) h
+        ),
+        reps AS (
+            SELECT r,
+                   cast(sum(m) as bigint) AS n_eff,
+                   sum(cast(m as decimal(38,0)) * cast(cents as decimal(19,0)))
+                       AS wsum
+            FROM fanned GROUP BY r
+        ),
+        means AS (
+            SELECT r,
+                   case when n_eff = 0 then 0.0
+                        else cast(wsum as double) / cast(n_eff as double)
+                   end AS boot_mean
+            FROM reps
+        ),
+        point AS (
+            SELECT cast(count(*) as bigint) AS n_orders,
+                   cast(cast(sum(cast({cents} as decimal(19,0))) as double)
+                        / count(*) as double) AS mean_cents
+            FROM orders
+        ),
+        band AS (SELECT {ci} AS bounds FROM means)
+        SELECT p.n_orders, cast({BOOT_B} as bigint) AS n_replicates,
+               p.mean_cents,
+               bounds[{1 if d == D.DUCKDB else 0}] AS ci_lo_cents,
+               bounds[{2 if d == D.DUCKDB else 1}] AS ci_hi_cents
+        FROM point p CROSS JOIN band
+    """
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean order value (see
+    _poisson_bootstrap_sql)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_poisson_bootstrap_sql(D.SPARK))
+
+
+# Split-conformal settings: miscoverage target and the calib/test parity.
+CONFORMAL_ALPHA_NUM = 1  # alpha = 1/10
+CONFORMAL_ALPHA_DEN = 10
+
+
+def _conformal_threshold_sql(d: str) -> str:
+    """Split-conformal calibration of the quality classifier (Vovk;
+    Angelopoulos-Bates tutorial form): on a calibration half (even
+    doc_id), take the ceil((n+1)*(1-alpha))-th smallest nonconformity
+    |y - score| and report the threshold plus its EMPIRICAL coverage on
+    the held-out half -- the distribution-free guarantee check
+    (coverage >= 1 - alpha in expectation) that turns any scorer into a
+    calibrated predictor. Nonconformity is the exact integer
+    |y*2^20 - sq|, so the rank statistic is found on the BOUNDED
+    (<= 2^20+1 row) nonconformity histogram with one cumulative window --
+    never a global sort of documents; the rank index is integer
+    ceil-division; coverage is one division.
+
+    Scale shape: one scoring scan, one histogram agg, one single-partition
+    window over the bounded histogram (countmin-calibration cost class),
+    1-row combines."""
+    qi = int(_LR_Q)
+    k = (
+        f"{D.int_div(d, f'((n_calib + 1) * {CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM} + {CONFORMAL_ALPHA_DEN} - 1)', str(CONFORMAL_ALPHA_DEN))}"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, sq, y FROM ({_clf_scored_split_sql(d)}) s
+        ),
+        tagged AS (
+            SELECT abs(y * {qi} - sq) AS nc, doc_id % 2 AS grp FROM scored
+        ),
+        calib_hist AS (
+            SELECT nc, cast(count(*) as bigint) AS c
+            FROM tagged WHERE grp = 0 GROUP BY nc
+        ),
+        sizes AS (
+            SELECT cast((SELECT coalesce(sum(c), 0) FROM calib_hist) as bigint)
+                       AS n_calib,
+                   cast((SELECT count(*) FROM tagged WHERE grp = 1) as bigint)
+                       AS n_test
+        ),
+        ranked AS (
+            SELECT nc,
+                   sum(c) OVER (ORDER BY nc
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM calib_hist
+        ),
+        kv AS (SELECT n_calib, n_test, {k} AS k_rank FROM sizes),
+        qhat AS (
+            SELECT coalesce(
+                       (SELECT min(nc) FROM ranked CROSS JOIN kv
+                        WHERE cum >= kv.k_rank),
+                       {qi}) AS q_nc
+            FROM kv
+        ),
+        cov AS (
+            SELECT cast(sum(case when t.nc <= q.q_nc then 1 else 0 end)
+                        as bigint) AS n_covered
+            FROM tagged t CROSS JOIN qhat q
+            WHERE t.grp = 1
+        )
+        SELECT kv.n_calib, kv.n_test, kv.k_rank,
+               cast(q.q_nc as double) / {float(qi)!r} AS qhat,
+               case when kv.n_test = 0 then 0.0
+                    else cast(c.n_covered as double) / cast(kv.n_test as double)
+               end AS coverage,
+               cast({1.0 - CONFORMAL_ALPHA_NUM / CONFORMAL_ALPHA_DEN!r} as double)
+                   AS target
+        FROM kv CROSS JOIN qhat q CROSS JOIN cov c
+    """
+
+
+def _clf_scored_split_sql(d: str) -> str:
+    """(doc_id, sq, y): per-document quantized base-classifier score with
+    the doc key kept -- conformal's calibration/test split needs it."""
+    q = float(_LR_Q)
+    w = _LR_W0
+    z0 = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2 + {w[3]!r} * x3)"
+    sig_q = f"cast(floor((1.0 / (1.0 + exp(-{z0}))) * {q!r}) as bigint)"
+    return (
+        f"SELECT doc_id, {sig_q} AS sq, cast(y as bigint) AS y"
+        f" FROM ({_clf_feats_sql(d)}) f"
+    )
+
+
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold + held-out coverage (see
+    _conformal_threshold_sql). The scored relation is materialized once:
+    the tail reads it from four CTE branches (calib histogram, test count,
+    coverage, sizes) and Catalyst re-inlining would re-run the
+    tokenize+sigmoid scoring per branch (the calibration lesson)."""
+    _view(spark, sf_dir, "documents")
+    scored = spark.sql(_clf_scored_split_sql(D.SPARK))
+    scored.localCheckpoint(eager=True).createOrReplaceTempView("conf_scored")
+    return spark.sql(
+        _conformal_threshold_sql(D.SPARK).replace(
+            _clf_scored_split_sql(D.SPARK), "SELECT doc_id, sq, y FROM conf_scored"
+        )
+    )
+
+
+_WOE_Q = 1 << 30
+
+
+def _woe_iv_sql(d: str) -> str:
+    """Weight-of-evidence / information-value table for the quality
+    classifier's score bands (the credit-scoring canon for judging a
+    feature's separating power; IV < 0.02 useless, > 0.3 strong): per
+    0.02-wide score band holding BOTH classes, WOE = ln(pos-share /
+    neg-share) and the band's IV term (pos_share - neg_share) * WOE.
+    Parity: the ln argument is one division of exactly-representable
+    integer products (computed in doubles -- deterministic IEEE ops), and
+    the transcendental's OUTPUT is floor-quantized to 2^-30 before any
+    further arithmetic (the psi_drift rule); shares are single divisions
+    of BIGINTs. Single-class bands are excluded (WOE is undefined there;
+    the row count itself reports how much of the corpus separates).
+
+    Scale shape: one scoring scan, one <=50-row band agg, a 1-row totals
+    broadcast; no windows, no joins beyond the scalar combine."""
+    qi = int(_LR_Q)
+    band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
+    woe_q = (
+        f"cast(floor(ln((cast(n_pos as double) * cast(neg_tot as double))"
+        f" / (cast(n_neg as double) * cast(pos_tot as double)))"
+        f" * {float(_WOE_Q)!r}) as bigint)"
+    )
+    return f"""
+        WITH scored AS ({_clf_scored_sql(d)}),
+        banded AS (
+            SELECT {band} AS band,
+                   cast(sum(y) as bigint) AS n_pos,
+                   cast(count(*) - sum(y) as bigint) AS n_neg
+            FROM scored GROUP BY {band}
+        ),
+        tot AS (
+            SELECT cast(sum(n_pos) as bigint) AS pos_tot,
+                   cast(sum(n_neg) as bigint) AS neg_tot
+            FROM banded
+        ),
+        live AS (
+            SELECT b.band, b.n_pos, b.n_neg, t.pos_tot, t.neg_tot,
+                   {woe_q} AS wq
+            FROM banded b CROSS JOIN tot t
+            WHERE b.n_pos > 0 AND b.n_neg > 0
+        )
+        SELECT band, n_pos, n_neg,
+               cast(wq as double) / {float(_WOE_Q)!r} AS woe,
+               (cast(n_pos as double) / cast(pos_tot as double)
+                - cast(n_neg as double) / cast(neg_tot as double))
+                   * (cast(wq as double) / {float(_WOE_Q)!r}) AS iv_term
+        FROM live
+        ORDER BY band
+    """
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / IV table over score bands (see _woe_iv_sql). Scoring
+    materialized once (the calibration lesson: the band agg references sq
+    twice)."""
+    _view(spark, sf_dir, "documents")
+    scored = spark.sql(_clf_scored_sql(D.SPARK))
+    scored.localCheckpoint(eager=True).createOrReplaceTempView("woe_scored")
+    return spark.sql(
+        _woe_iv_sql(D.SPARK).replace(
+            _clf_scored_sql(D.SPARK), "SELECT source, sq, y FROM woe_scored"
+        )
+    )
+
+
+_OLS_X0 = 23880  # months since epoch at 1990-01: recenters x to small ints
+
+
+def _ols_trend_sql(d: str) -> str:
+    """Per-nation OLS revenue trend (slope cents/month + intercept) over
+    monthly order totals -- the grouped linear-fit primitive behind every
+    growth dashboard, computed EXACTLY from integer moments: x is the
+    recentered month index (small ints), y is monthly revenue in cents,
+    sums accumulate as BIGINT/decimal, and slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) is ONE division of exact quantities (zipf_slope's
+    moments pattern, grouped). The intercept reuses the slope double in a
+    fixed 3-op IEEE chain -- identical cross-engine.
+
+    Scale shape: fact scan -> (nation, month) partial agg (broadcast
+    customer/nation dims) -> nation-sized moments agg; output is
+    25 rows."""
+    cents = "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)"
+    mi = "cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)"
+    num = "cast(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy as double)"
+    den = "cast(n * sxx - sx * sx as double)"
+    slope = f"({num} / {den})"
+    return f"""
+        WITH monthly AS (
+            SELECT n.n_name AS nation, {mi} - {_OLS_X0} AS x,
+                   cast(sum({cents}) as bigint) AS y
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name, {mi} - {_OLS_X0}
+        ),
+        moments AS (
+            SELECT nation,
+                   cast(count(*) as bigint) AS n,
+                   cast(sum(x) as bigint) AS sx,
+                   sum(cast(y as decimal(38,0))) AS sy,
+                   sum(cast(x as decimal(19,0)) * cast(y as decimal(19,0))) AS sxy,
+                   cast(sum(x * x) as bigint) AS sxx
+            FROM monthly GROUP BY nation
+        )
+        SELECT nation, n AS n_months,
+               case when n * sxx - sx * sx = 0 then 0.0 else {slope} end
+                   AS slope_cents_per_month,
+               case when n * sxx - sx * sx = 0 then 0.0
+                    else (cast(sy as double) - {slope} * cast(sx as double))
+                         / cast(n as double)
+               end AS intercept_cents
+        FROM moments
+        ORDER BY nation
+    """
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact-moments OLS revenue trend (see _ols_trend_sql)."""
+    _view(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_ols_trend_sql(D.SPARK))
+
+
+PATH_TOP = 20
+
+
+def _event_path_topk_sql(d: str) -> str:
+    """Top-{PATH_TOP} 3-step behavior paths: for every user, each
+    consecutive event-type trigram in time order (the path-mining step up
+    from event_transitions' bigram matrix -- what funnels look like when
+    you DON'T know the funnel), counted corpus-wide with the distinct-user
+    reach alongside. Determinism: the per-user order ties break on
+    event_id; the top-k order ties break on the full path key.
+
+    Scale shape: one PARTITION BY user window (user activity is bounded;
+    never a global sort), one path-keyed partial agg,
+    TakeOrderedAndProject for the report."""
+    ts = _ts_us(d)
+    win = f"PARTITION BY user_id ORDER BY {ts}, event_id"
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS e1,
+                   lead(event_type, 1) OVER ({win}) AS e2,
+                   lead(event_type, 2) OVER ({win}) AS e3
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id, e1, e2, e3 FROM seq
+            WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        )
+        SELECT e1, e2, e3,
+               cast(count(*) as bigint) AS n_occurrences,
+               cast(count(DISTINCT user_id) as bigint) AS n_users
+        FROM paths
+        GROUP BY e1, e2, e3
+        ORDER BY n_occurrences DESC, e1 ASC, e2 ASC, e3 ASC
+        LIMIT {PATH_TOP}
+    """
+
+
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k event-type trigram paths (see _event_path_topk_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_event_path_topk_sql(D.SPARK))
+
+
+def _theil_sen_trend_sql(d: str) -> str:
+    """Per-nation THEIL-SEN robust revenue trend: the median of all
+    pairwise slopes over the monthly order totals -- the estimator that
+    survives up to ~29% outlier months where ols_trend's least-squares
+    line gets dragged (the robust twin every growth dashboard wants next
+    to the OLS fit). Each pairwise slope is ONE division of exact BIGINTs
+    (cents diff / month diff -- correctly rounded, identical cross-engine);
+    the median is interpolated-percentile over those doubles (Spark
+    percentile() / DuckDB quantile_cont() share the definition --
+    doc_length_percentiles precedent).
+
+    Scale shape: months-per-nation is calendar-BOUNDED (~80 at any corpus
+    size), so the within-nation pair self-join is a broadcastable
+    nation-keyed equi-join producing <= C(80,2) ~ 3.2k rows per nation --
+    never data-sized; the fact scan collapses to (nation, month) in one
+    partial agg first. Output is 25 rows."""
+    cents = "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)"
+    mi = "cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)"
+    med = (
+        "percentile(slope, 0.5)" if d == D.SPARK else "quantile_cont(slope, 0.5)"
+    )
+    return f"""
+        WITH monthly AS (
+            SELECT n.n_name AS nation, {mi} - {_OLS_X0} AS x,
+                   cast(sum({cents}) as bigint) AS y
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name, {mi} - {_OLS_X0}
+        ),
+        pairs AS (
+            SELECT a.nation,
+                   cast(b.y - a.y as double) / cast(b.x - a.x as double)
+                       AS slope
+            FROM monthly a
+            JOIN monthly b ON b.nation = a.nation AND b.x > a.x
+        )
+        SELECT nation, cast(count(*) as bigint) AS n_pairs,
+               {med} AS ts_slope_cents_per_month
+        FROM pairs GROUP BY nation
+        ORDER BY nation
+    """
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Theil-Sen median-of-slopes trend (see
+    _theil_sen_trend_sql)."""
+    _view(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_theil_sen_trend_sql(D.SPARK))
+
+
+def _welch_ttest_sql(d: str) -> str:
+    """Welch's two-sample t-test (unequal variances) on document length:
+    is mean n_chars different between English and non-English documents --
+    the curation-gate hypothesis test behind "do we need per-language
+    length thresholds?". Every moment (n, sum, sum-of-squares) accumulates
+    EXACTLY (BIGINT / decimal(38,0)); the t statistic, the Welch-
+    Satterthwaite df, and the sample variances are one fixed IEEE chain on
+    those exact integers (cast-to-double of identical integers rounds
+    identically cross-engine; sqrt is correctly rounded) -- no cross-row
+    float summation anywhere.
+
+    Scale shape: ONE corpus scan collapsing to a 2-group partial agg
+    (map-side combine carries 3 numbers per group per partition); the
+    pivot and the t/df arithmetic run on a 1-row relation."""
+    var = lambda n, s1, s2: (  # noqa: E731 -- sample variance, exact ints in
+        f"(cast({s2} as double) * cast({n} as double)"
+        f" - cast({s1} as double) * cast({s1} as double))"
+        f" / (cast({n} as double) * cast({n} - 1 as double))"
+    )
+    v1 = var("n1", "s1a", "s2a")
+    v2 = var("n2", "s1b", "s2b")
+    se2 = f"({v1} / cast(n1 as double) + {v2} / cast(n2 as double))"
+    tstat = (
+        f"(cast(s1a as double) / cast(n1 as double)"
+        f" - cast(s1b as double) / cast(n2 as double)) / sqrt({se2})"
+    )
+    df_ws = (
+        f"{se2} * {se2} / "
+        f"(({v1} / cast(n1 as double)) * ({v1} / cast(n1 as double))"
+        f" / cast(n1 - 1 as double)"
+        f" + ({v2} / cast(n2 as double)) * ({v2} / cast(n2 as double))"
+        f" / cast(n2 - 1 as double))"
+    )
+    return f"""
+        WITH g AS (
+            SELECT case when lang = 'en' then 1 else 0 end AS grp,
+                   cast(count(*) as bigint) AS n,
+                   cast(sum(n_chars) as bigint) AS s1,
+                   sum(cast(n_chars as decimal(19,0))
+                       * cast(n_chars as decimal(19,0))) AS s2
+            FROM documents
+            GROUP BY case when lang = 'en' then 1 else 0 end
+        ),
+        p AS (
+            SELECT cast(max(case when grp = 1 then n end) as bigint) AS n1,
+                   cast(max(case when grp = 1 then s1 end) as bigint) AS s1a,
+                   cast(max(case when grp = 1 then s2 end) as decimal(38,0)) AS s2a,
+                   cast(max(case when grp = 0 then n end) as bigint) AS n2,
+                   cast(max(case when grp = 0 then s1 end) as bigint) AS s1b,
+                   cast(max(case when grp = 0 then s2 end) as decimal(38,0)) AS s2b
+            FROM g
+        )
+        SELECT n1 AS n_en, n2 AS n_other,
+               cast(s1a as double) / cast(n1 as double) AS mean_en,
+               cast(s1b as double) / cast(n2 as double) AS mean_other,
+               case when n1 <= 1 or n2 <= 1 then 0.0 else {tstat} end AS t_stat,
+               case when n1 <= 1 or n2 <= 1 then 0.0 else {df_ws} end AS df
+        FROM p
+    """
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test on n_chars, en vs non-en (see _welch_ttest_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_welch_ttest_sql(D.SPARK))
+
+
+ACF_MAX_LAG = 7
+
+
+def _acf_daily_sql(d: str) -> str:
+    """Lag-1..{ACF_MAX_LAG} AUTOCORRELATION of daily purchase revenue --
+    the seasonality detector behind "is there a weekly cycle?" (a lag-7
+    peak) and "how fast does the series forget?" Uses the standard ACF
+    estimator: numerator sums (x_t - m)(x_t+k - m) over present day
+    pairs, denominator the full-series sum of squares. Both sums run in
+    CROSS-MULTIPLIED integer form ((v*k_days - s) products in
+    decimal(38,0) -- exact and order-free); each r_k is ONE division of
+    the two exact sums cast to double. Calendar gaps pair by real day
+    distance (d+k), not row adjacency.
+
+    Scale shape: the stream collapses to a days-sized daily relation in
+    one partial agg; the lag fan-out is days x {ACF_MAX_LAG} rows joined
+    back to daily on an integer equi-key; everything after the first agg
+    is calendar-BOUNDED. No windows, no global sort."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    lags = (
+        f"SELECT explode(sequence(1, {ACF_MAX_LAG})) AS lag"
+        if d == D.SPARK
+        else f"SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag"
+    )
+    dev = lambda v: f"cast({v} * m.k - m.s as decimal(19,0))"  # noqa: E731
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd,
+                   cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY {day}
+        ),
+        m AS (SELECT cast(sum(v) as bigint) AS s,
+                     cast(count(*) as bigint) AS k
+              FROM daily),
+        den AS (
+            SELECT sum({dev('v')} * {dev('v')}) AS den2
+            FROM daily CROSS JOIN m
+        ),
+        lags AS ({lags}),
+        num AS (
+            SELECT l.lag, cast(count(*) as bigint) AS n_pairs,
+                   sum({dev('a.v')} * {dev('b.v')}) AS num2
+            FROM daily a
+            CROSS JOIN lags l
+            JOIN daily b ON b.dd = a.dd + l.lag
+            CROSS JOIN m
+            GROUP BY l.lag
+        )
+        SELECT n.lag, n.n_pairs,
+               case when den.den2 = 0 then 0.0
+                    else cast(n.num2 as double) / cast(den.den2 as double)
+               end AS acf
+        FROM num n CROSS JOIN den
+        ORDER BY n.lag
+    """
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue autocorrelation at lags 1..7 (see _acf_daily_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_acf_daily_sql(D.SPARK))
+
+
+def _decision_stump_sql(d: str) -> str:
+    """Best single-threshold DECISION STUMP on n_chars predicting
+    lang = 'en' -- the AdaBoost base learner / the "is one cheap feature
+    enough?" probe run before training anything bigger. The split search
+    is INTEGER-EXACT: candidates are the distinct n_chars values (a
+    bounded histogram), cumulative class counts come from one window over
+    that histogram, each candidate's misclassification count is pure
+    BIGINT arithmetic, and the argmin is ORDER BY errors, threshold
+    LIMIT 1 (TakeOrderedAndProject -- never a float compare). The
+    weighted Gini rides along as a reported double (fixed IEEE chain on
+    the exact counts; zero-sized sides contribute 0).
+
+    Scale shape: one corpus scan -> value-keyed hash agg (histogram
+    bounded by the n_chars domain), one window + one top-1 over that
+    bounded relation."""
+    gini_side = lambda p, q: (  # noqa: E731 -- n_side * gini(side), doubles
+        f"case when {p} + {q} = 0 then 0.0 else"
+        f" cast({p} + {q} as double)"
+        f" - (cast({p} as double) * cast({p} as double)"
+        f"    + cast({q} as double) * cast({q} as double))"
+        f"   / cast({p} + {q} as double) end"
+    )
+    g = (
+        f"({gini_side('pl', 'nl')} + {gini_side('(p - pl)', '(q - nl)')})"
+        f" / cast(p + q as double)"
+    )
+    err_le_pos = "(nl + p - pl)"  # predict en when n_chars <= t
+    err_le_neg = "(pl + q - nl)"  # predict en when n_chars >  t
+    return f"""
+        WITH hist AS (
+            SELECT cast(n_chars as bigint) AS v,
+                   cast(sum(case when lang = 'en' then 1 else 0 end)
+                        as bigint) AS pos_v,
+                   cast(sum(case when lang = 'en' then 0 else 1 end)
+                        as bigint) AS neg_v
+            FROM documents GROUP BY cast(n_chars as bigint)
+        ),
+        tot AS (
+            SELECT cast(sum(pos_v) as bigint) AS p,
+                   cast(sum(neg_v) as bigint) AS q
+            FROM hist
+        ),
+        cum AS (
+            SELECT v,
+                   cast(sum(pos_v) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS pl,
+                   cast(sum(neg_v) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS nl
+            FROM hist
+        ),
+        cand AS (
+            SELECT c.v AS threshold, c.pl, c.nl, t.p, t.q,
+                   case when {err_le_pos} <= {err_le_neg}
+                        then {err_le_pos} else {err_le_neg} end AS errors,
+                   case when {err_le_pos} <= {err_le_neg}
+                        then 'le_is_en' else 'gt_is_en' end AS rule
+            FROM cum c CROSS JOIN tot t
+        )
+        SELECT threshold, rule, cast(errors as bigint) AS errors,
+               1.0 - cast(errors as double) / cast(p + q as double)
+                   AS accuracy,
+               {g} AS gini_weighted,
+               pl AS n_left_pos, nl AS n_left_neg
+        FROM cand
+        ORDER BY errors ASC, threshold ASC
+        LIMIT 1
+    """
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best 1-feature threshold classifier (see _decision_stump_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_decision_stump_sql(D.SPARK))
+
+
+PERM_B = 64  # randomization replicates
+
+
+def _permutation_test_sql(d: str) -> str:
+    """STUDENTIZED RANDOMIZATION TEST (Janssen's studentized permutation
+    form) for the en-vs-other mean n_chars difference: each of {PERM_B}
+    replicates relabels every document to a pseudo-group by one hash bit
+    of md5(doc_id:replicate) -- a deterministic, engine-identical random
+    split under the exchangeability null -- and computes the WELCH
+    t statistic from that replicate's exact integer moments (studentizing
+    is what makes the unequal-sizes split a valid reference distribution).
+    p-value = (1 + #{{|t_b| >= |t_obs|}}) / ({PERM_B} + 1), the add-one
+    convention; every comparison is between deterministically-derived
+    doubles, so both engines count the same set.
+
+    Scale shape: ONE corpus scan with a {PERM_B}-way generator fan-out
+    collapsing immediately into a 2x{PERM_B}-group partial agg (map-side
+    combine carries 3 numbers per group); the observed statistic is the
+    same 2-group agg; the tail arithmetic runs on {PERM_B} + 1 rows. No
+    joins on data-sized relations, no windows, no sort."""
+    reps = (
+        f"explode(sequence(0, {PERM_B - 1}))"
+        if d == D.SPARK
+        else f"unnest(generate_series(0, {PERM_B - 1}))"
+    )
+    bit = (
+        f"({H.hex_digit_val(d, _md5_char(d, 'doc_id', 'r'))} % 2)"
+    )
+    var = lambda n, s1, s2: (  # noqa: E731
+        f"(cast({s2} as double) * cast({n} as double)"
+        f" - cast({s1} as double) * cast({s1} as double))"
+        f" / (cast({n} as double) * cast({n} - 1 as double))"
+    )
+    t_of = lambda n1, s1a, s2a, n2, s1b, s2b: (  # noqa: E731
+        f"(cast({s1a} as double) / cast({n1} as double)"
+        f" - cast({s1b} as double) / cast({n2} as double))"
+        f" / sqrt({var(n1, s1a, s2a)} / cast({n1} as double)"
+        f"        + {var(n2, s1b, s2b)} / cast({n2} as double))"
+    )
+    guard = lambda n1, n2, expr: (  # noqa: E731
+        f"case when {n1} <= 1 or {n2} <= 1 then 0.0 else {expr} end"
+    )
+    return f"""
+        WITH fanned AS (
+            SELECT r, side, x FROM (
+                SELECT doc_id, cast(n_chars as bigint) AS x, {reps} AS r
+                FROM documents
+            ) g, LATERAL (SELECT {bit} AS side) h
+        ),
+        rep_m AS (
+            SELECT r,
+                   cast(sum(side) as bigint) AS n1,
+                   cast(sum(side * x) as bigint) AS s1a,
+                   sum(cast(side * x as decimal(19,0))
+                       * cast(x as decimal(19,0))) AS s2a,
+                   cast(sum(1 - side) as bigint) AS n2,
+                   cast(sum((1 - side) * x) as bigint) AS s1b,
+                   sum(cast((1 - side) * x as decimal(19,0))
+                       * cast(x as decimal(19,0))) AS s2b
+            FROM fanned GROUP BY r
+        ),
+        rep_t AS (
+            SELECT r,
+                   {guard('n1', 'n2', t_of('n1', 's1a', 's2a', 'n2', 's1b', 's2b'))}
+                       AS t_b
+            FROM rep_m
+        ),
+        obs_m AS (
+            SELECT cast(sum(case when lang = 'en' then 1 else 0 end)
+                        as bigint) AS n1,
+                   cast(sum(case when lang = 'en' then n_chars else 0 end)
+                        as bigint) AS s1a,
+                   sum(cast(case when lang = 'en' then n_chars else 0 end
+                            as decimal(19,0))
+                       * cast(n_chars as decimal(19,0))) AS s2a,
+                   cast(sum(case when lang = 'en' then 0 else 1 end)
+                        as bigint) AS n2,
+                   cast(sum(case when lang = 'en' then 0 else n_chars end)
+                        as bigint) AS s1b,
+                   sum(cast(case when lang = 'en' then 0 else n_chars end
+                            as decimal(19,0))
+                       * cast(n_chars as decimal(19,0))) AS s2b
+            FROM documents
+        ),
+        obs AS (
+            SELECT {guard('n1', 'n2', t_of('n1', 's1a', 's2a', 'n2', 's1b', 's2b'))}
+                       AS t_obs
+            FROM obs_m
+        ),
+        tail AS (
+            SELECT cast(sum(case when abs(rt.t_b) >= abs(o.t_obs)
+                                 then 1 else 0 end) as bigint) AS n_ge
+            FROM rep_t rt CROSS JOIN obs o
+        )
+        SELECT o.t_obs, cast({PERM_B} as bigint) AS n_replicates, t.n_ge,
+               cast(t.n_ge + 1 as double) / {float(PERM_B + 1)!r} AS p_value
+        FROM obs o CROSS JOIN tail t
+    """
+
+
+def _md5_char(d: str, key: str, rep: str) -> str:
+    """First hex char of md5('<key>:<rep>') -- the 1-bit replicate-split
+    source shared by the randomization test."""
+    return (
+        f"substring(md5(concat({D.cast_str(d, key)}, ':',"
+        f" {D.cast_str(d, rep)})), 1, 1)"
+    )
+
+
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Studentized randomization test for the en-vs-other length gap
+    (see _permutation_test_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_permutation_test_sql(D.SPARK))
+
+
+def _runs_test_sql(d: str) -> str:
+    """WALD-WOLFOWITZ RUNS TEST for randomness of daily purchase revenue
+    around its mean: too FEW runs of above/below-mean days means the
+    level drifts (trend/regime), too MANY means oscillation -- the
+    nonparametric sanity check that complements cusum_shift's parametric
+    ramp. Above/below is decided by the EXACT integer cross-product
+    v * k > s (days exactly at the mean count as below, documented
+    convention); the run count is one lag comparison over the bounded
+    daily relation; E[R] and Var[R] are the closed forms on (n1, n2) and
+    z = (R - E[R]) / sqrt(Var[R]) is a fixed IEEE chain on exact
+    integers.
+
+    Scale shape: stream -> days-sized partial agg; the window and all
+    tail arithmetic run on the calendar-BOUNDED daily relation (cusum
+    cost class)."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    mu = "(1.0 + 2.0 * cast(n1 as double) * cast(n2 as double) / cast(n1 + n2 as double))"
+    va = (
+        "(2.0 * cast(n1 as double) * cast(n2 as double)"
+        " * (2.0 * cast(n1 as double) * cast(n2 as double)"
+        "    - cast(n1 + n2 as double))"
+        " / (cast(n1 + n2 as double) * cast(n1 + n2 as double)"
+        "    * cast(n1 + n2 - 1 as double)))"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd,
+                   cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY {day}
+        ),
+        m AS (SELECT cast(sum(v) as bigint) AS s,
+                     cast(count(*) as bigint) AS k
+              FROM daily),
+        signs AS (
+            SELECT dd, case when dy.v * m.k > m.s then 1 else 0 end AS side
+            FROM daily dy CROSS JOIN m
+        ),
+        flips AS (
+            SELECT side,
+                   case when lag(side) OVER (ORDER BY dd) IS NULL then 1
+                        when side <> lag(side) OVER (ORDER BY dd) then 1
+                        else 0 end AS new_run
+            FROM signs
+        ),
+        agg AS (
+            SELECT cast(sum(side) as bigint) AS n1,
+                   cast(sum(1 - side) as bigint) AS n2,
+                   cast(sum(new_run) as bigint) AS n_runs
+            FROM flips
+        )
+        SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, n_runs,
+               case when n1 = 0 or n2 = 0 or n1 + n2 <= 1 then 0.0
+                    else (cast(n_runs as double) - {mu}) / sqrt({va})
+               end AS z
+        FROM agg
+    """
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue (see _runs_test_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_runs_test_sql(D.SPARK))
+
+
+LOGODDS_TOP = 20
+_LOGODDS_Q = 1 << 30  # quantization grid for each ln() output (psi rule)
+_LOGODDS_A0 = 1  # Dirichlet prior strength numerator (alpha0 = 1 token)
+
+
+def _log_odds_terms_sql(d: str) -> str:
+    """MONROE LOG-ODDS ("Fightin' Words", Monroe-Colaresi-Quinn 2008):
+    the top-{LOGODDS_TOP} terms that most distinguish English from
+    non-English documents, by z-scored log-odds-ratio with an informative
+    Dirichlet prior -- the statistically-sound replacement for raw tf-idf
+    diffs when comparing two subcorpora (the prior kills the
+    rare-word-dominates artifact). The prior is the corpus-wide unigram
+    distribution scaled to {_LOGODDS_A0} pseudo-token. Every count is an
+    exact BIGINT; each of the four ln() calls has its OUTPUT floor-
+    quantized to 2^-30 before the subtraction chain (psi rule), the
+    variance 1/(y1+a) + 1/(y2+a) and z ride a fixed IEEE chain on those
+    exact quantities, and the top-k orders by the DETERMINISTIC z with a
+    term tie-break.
+
+    Scale shape: token explode -> (term, group) hash agg -> term-keyed
+    join of two group slices + the corpus-prior slice (all vocab-sized,
+    equi-join), then one {LOGODDS_TOP}-row TakeOrderedAndProject. No
+    windows, no global sort, no data-sized shuffle beyond the vocab agg."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    qf = float(_LOGODDS_Q)
+    lnq = lambda x: f"cast(floor(ln({x}) * {qf!r}) as bigint)"  # noqa: E731
+    # alpha_w = a0 * cw / ct  (double, exact inputs); a0 = _LOGODDS_A0
+    aw = f"({_LOGODDS_A0!r} * cast(v.cw as double) / cast(t.ct as double))"
+    y1a = f"(cast(g1 as double) + {aw})"
+    y2a = f"(cast(g2 as double) + {aw})"
+    n1a = f"(cast(t.n1 as double) + {_LOGODDS_A0!r})"
+    n2a = f"(cast(t.n2 as double) + {_LOGODDS_A0!r})"
+    delta = (
+        f"cast({lnq(y1a)} - {lnq(f'({n1a} - {y1a})')}"
+        f" - {lnq(y2a)} + {lnq(f'({n2a} - {y2a})')} as double) / {qf!r}"
+    )
+    var = f"(1.0 / {y1a} + 1.0 / {y2a})"
+    return f"""
+        WITH tokd AS (
+            SELECT case when lang = 'en' then 1 else 0 end AS grp,
+                   {toks} AS toks
+            FROM documents
+        ),
+        ex AS (SELECT grp, {ex} AS w FROM tokd),
+        vocab AS (
+            SELECT w, cast(sum(grp) as bigint) AS g1,
+                   cast(count(*) - sum(grp) as bigint) AS g2,
+                   cast(count(*) as bigint) AS cw
+            FROM ex GROUP BY w
+        ),
+        t AS (
+            SELECT cast(sum(g1) as bigint) AS n1,
+                   cast(sum(g2) as bigint) AS n2,
+                   cast(sum(cw) as bigint) AS ct
+            FROM vocab
+        ),
+        scoredv AS (
+            SELECT v.w, v.g1, v.g2,
+                   {delta} AS delta,
+                   {delta} / sqrt({var}) AS z
+            FROM vocab v CROSS JOIN t
+        )
+        SELECT w AS term, g1 AS n_en, g2 AS n_other, delta, z
+        FROM scoredv
+        ORDER BY abs(z) DESC, w ASC
+        LIMIT {LOGODDS_TOP}
+    """
+
+
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe log-odds top discriminating terms, en vs non-en (see
+    _log_odds_terms_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_log_odds_terms_sql(D.SPARK))
+
+
+_JACK_Q = 1 << 30  # fixed-point grid for jackknife replicate ratios
+
+
+def _jackknife_ratio_sql(d: str) -> str:
+    """DELETE-ONE-GROUP JACKKNIFE standard error for the corpus English
+    rate (en docs / all docs), deleting one SOURCE at a time -- the
+    survey-statistics variance estimator for exactly the situation where
+    rows arrive in correlated groups (a whole feed shifts together) and a
+    row-level bootstrap understates the error. Each replicate ratio
+    R_(g) = (Y - y_g) / (N - n_g) is ONE division of exact BIGINTs; the
+    replicate ratios are floor-quantized to 2^-30 fixed point and the
+    jackknife moments accumulate as INTEGERS (order-free -- the psi
+    rule), so var_jack = (G-1)/G * sum (R_g - R_bar)^2 is a fixed IEEE
+    chain on two exact integer sums.
+
+    Scale shape: one corpus scan -> source-sized group agg; everything
+    after runs on the G-row (bounded) group relation."""
+    rq = (
+        f"cast(floor((cast(yy - y_g as double) / cast(nn - n_g as double))"
+        f" * {float(_JACK_Q)!r}) as bigint)"
+    )
+    qf = float(_JACK_Q)
+    return f"""
+        WITH g AS (
+            SELECT source,
+                   cast(count(*) as bigint) AS n_g,
+                   cast(sum(case when lang = 'en' then 1 else 0 end)
+                        as bigint) AS y_g
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT cast(sum(n_g) as bigint) AS nn,
+                   cast(sum(y_g) as bigint) AS yy,
+                   cast(count(*) as bigint) AS gg
+            FROM g
+        ),
+        reps AS (
+            SELECT {rq} AS r_q
+            FROM g CROSS JOIN tot
+            WHERE nn - n_g > 0
+        ),
+        mom AS (
+            SELECT cast(count(*) as bigint) AS gk,
+                   cast(sum(r_q) as bigint) AS s1,
+                   sum(cast(r_q as decimal(19,0)) * cast(r_q as decimal(19,0)))
+                       AS s2
+            FROM reps
+        )
+        SELECT t.gg AS n_sources, t.nn AS n_docs,
+               cast(t.yy as double) / cast(t.nn as double) AS en_rate,
+               case when m.gk <= 1 then 0.0
+                    else sqrt((cast(m.gk - 1 as double) / cast(m.gk as double))
+                              * (cast(m.s2 as double)
+                                 - cast(m.s1 as double) * cast(m.s1 as double)
+                                   / cast(m.gk as double)))
+                         / {qf!r}
+               end AS jackknife_se
+        FROM tot t CROSS JOIN mom m
+    """
+
+
+def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-source jackknife SE of the English rate (see
+    _jackknife_ratio_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_jackknife_ratio_sql(D.SPARK))
+
+
+KT_BANDS = 50
+
+
+def _kendall_cells_sql(d: str) -> str:
+    """(sb, lb, n): the bounded {KT_BANDS}x{KT_BANDS} contingency grid of
+    classifier-score band x document-length band -- the shared upstream
+    of the Kendall tau computation (materialized ONCE on the Spark side:
+    the tau tail references it from four branches and Catalyst CTE
+    re-inlining would re-run the tokenize+sigmoid scoring per branch --
+    the classifier_calibration lesson)."""
+    qi = int(_LR_Q)
+    sb = f"least(cast({KT_BANDS - 1} as bigint), {D.int_div(d, '(sq * ' + str(KT_BANDS) + ')', str(qi))})"
+    return f"""
+        SELECT {sb} AS sb,
+               least(cast({KT_BANDS - 1} as bigint),
+                     {D.int_div(d, 'n_chars', '100')}) AS lb,
+               cast(count(*) as bigint) AS n
+        FROM (
+            SELECT s.sq, dd.n_chars
+            FROM ({_clf_scored_split_sql(d)}) s
+            JOIN documents dd ON dd.doc_id = s.doc_id
+        ) j
+        GROUP BY 1, 2
+    """
+
+
+def _kendall_tau_tail(d: str, cells_src: str) -> str:
+    """tau-b tail over a `(sb, lb, n)` cell grid: concordant/discordant
+    pair mass from one inequality self-join on the BOUNDED grid (never
+    the corpus), tie terms from the two margins, and Kendall's tau-b
+    = (C - D) / sqrt((n0 - t_a)(n0 - t_b)) as one fixed IEEE chain on
+    exact integers (pair counts accumulate in decimal(38,0): n0 ~ n^2/2
+    overflows BIGINT past ~6e9 rows)."""
+    pairs2 = "cast(x as decimal(38,0)) * cast(x - 1 as decimal(38,0)) / 2"
+    # the inequality self-join carries no equi-key; without the hint Spark
+    # falls back to CartesianProduct (the checkpointed grid has no stats).
+    # Broadcasting the <= KT_BANDS^2-row side is the right plan at ANY
+    # corpus size -- the grid is domain-bounded. DuckDB reads the hint as
+    # a comment.
+    hint = "/*+ BROADCAST(c2) */ " if d == D.SPARK else ""
+    return f"""
+        WITH cells AS ({cells_src}),
+        cd AS (
+            SELECT {hint}cast(coalesce(sum(case when c2.lb > c1.lb
+                            then cast(c1.n as decimal(19,0))
+                                 * cast(c2.n as decimal(19,0)) end), 0)
+                        as decimal(38,0)) AS conc,
+                   cast(coalesce(sum(case when c2.lb < c1.lb
+                            then cast(c1.n as decimal(19,0))
+                                 * cast(c2.n as decimal(19,0)) end), 0)
+                        as decimal(38,0)) AS disc
+            FROM cells c1 JOIN cells c2 ON c2.sb > c1.sb
+        ),
+        tots AS (
+            SELECT cast(sum(n) as bigint) AS nt FROM cells
+        ),
+        ta AS (
+            SELECT sum({pairs2.replace('x', 'sn')}) AS t_a
+            FROM (SELECT cast(sum(n) as bigint) AS sn FROM cells GROUP BY sb) g
+        ),
+        tb AS (
+            SELECT sum({pairs2.replace('x', 'ln2')}) AS t_b
+            FROM (SELECT cast(sum(n) as bigint) AS ln2 FROM cells GROUP BY lb) g
+        ),
+        n0 AS (
+            SELECT {pairs2.replace('x', 'nt')} AS pairs_total, nt FROM tots
+        )
+        SELECT n0.nt AS n_docs,
+               cast(cd.conc as double) AS concordant,
+               cast(cd.disc as double) AS discordant,
+               case when cast(n0.pairs_total - ta.t_a as double) <= 0.0
+                      or cast(n0.pairs_total - tb.t_b as double) <= 0.0
+                    then 0.0
+                    else cast(cd.conc - cd.disc as double)
+                         / sqrt(cast(n0.pairs_total - ta.t_a as double)
+                                * cast(n0.pairs_total - tb.t_b as double))
+               end AS tau_b
+        FROM cd CROSS JOIN n0 CROSS JOIN ta CROSS JOIN tb
+    """
+
+
+def _kendall_tau_sql(d: str) -> str:
+    """KENDALL'S TAU-B between the quality classifier's score band and the
+    document-length band -- "is the score MONOTONE in length?", the rank-
+    correlation diagnostic that catches what Pearson misses (nonlinear but
+    monotone coupling) and what AUC can't say (AUC ranks against the
+    LABEL; tau ranks against another FEATURE). Computed tie-exactly on
+    the bounded {KT_BANDS}x{KT_BANDS} band grid: concordant/discordant
+    mass is an inequality self-join over <= {KT_BANDS}^2 cells (never a
+    pair join over documents), tie corrections t_a/t_b come from the two
+    margins, and every count is exact (decimal(38,0) pair arithmetic).
+    One sqrt + one division at the end (correctly-rounded, identical
+    cross-engine).
+
+    Scale shape: one scoring scan -> bounded-grid hash agg; the self-join
+    and margins run on the constant-size grid. The Spark path
+    materializes the grid once (localCheckpoint) -- four tail branches
+    would otherwise re-inline the scoring scan (calibration lesson)."""
+    return _kendall_tau_tail(d, _kendall_cells_sql(d))
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-exact banded Kendall tau-b, score vs length (see
+    _kendall_tau_sql)."""
+    _view(spark, sf_dir, "documents")
+    cells = spark.sql(_kendall_cells_sql(D.SPARK))
+    cells.localCheckpoint(eager=True).createOrReplaceTempView("kt_cells")
+    return spark.sql(
+        _kendall_tau_tail(D.SPARK, "SELECT sb, lb, n FROM kt_cells")
+    )
+
+
+def _binseg_changepoint_sql(d: str) -> str:
+    """Single-split BINARY-SEGMENTATION changepoint on daily purchase
+    revenue: the split day minimizing SSE_left + SSE_right -- the level-
+    shift LOCATOR that complements cusum_shift's ramp detector (cusum says
+    "something drifted", binseg says WHERE). Prefix sums of v and v^2
+    come from one window over the bounded daily relation in exact integer
+    arithmetic (decimal(38,0) squares); each candidate's SSE is a fixed
+    IEEE chain on those exact integers (deterministic cross-engine, since
+    identical integers round identically), and the argmin is ORDER BY
+    (sse, day) LIMIT 1 -- ties break on the day key, never on float
+    identity games. The variance-explained ratio rides along.
+
+    Scale shape: stream -> days-sized agg; one window + one top-1 over
+    the calendar-BOUNDED daily relation (cusum cost class)."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    sse = lambda a, s, n: (  # noqa: E731 -- sum(v^2) - sum(v)^2/n, doubles
+        f"case when {n} = 0 then 0.0 else"
+        f" cast({a} as double)"
+        f" - cast({s} as double) * cast({s} as double) / cast({n} as double)"
+        f" end"
+    )
+    left = sse("pa", "ps", "pn")
+    right = sse("(ta - pa)", "(ts2 - ps)", "(tn - pn)")
+    total = sse("ta", "ts2", "tn")
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd,
+                   cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY {day}
+        ),
+        pre AS (
+            SELECT dd, v,
+                   cast(sum(v) OVER w as bigint) AS ps,
+                   sum(cast(v as decimal(19,0)) * cast(v as decimal(19,0)))
+                       OVER w AS pa,
+                   cast(count(*) OVER w as bigint) AS pn
+            FROM daily
+            WINDOW w AS (ORDER BY dd
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT cast(sum(v) as bigint) AS ts2,
+                   sum(cast(v as decimal(19,0)) * cast(v as decimal(19,0)))
+                       AS ta,
+                   cast(count(*) as bigint) AS tn
+            FROM daily
+        ),
+        cand AS (
+            SELECT p.dd, p.pn, p.ps, p.pa, t.tn, t.ts2, t.ta,
+                   {left} + {right} AS sse_split
+            FROM pre p CROSS JOIN tot t
+            WHERE p.pn < t.tn
+        )
+        SELECT dd AS split_day, pn AS n_left, tn - pn AS n_right,
+               cast(ps as double) / cast(pn as double) AS mean_left_cents,
+               cast(ts2 - ps as double) / cast(tn - pn as double)
+                   AS mean_right_cents,
+               {total} AS sse_total, sse_split,
+               case when {total} = 0.0 then 0.0
+                    else 1.0 - sse_split / {total} end AS variance_explained
+        FROM cand
+        ORDER BY sse_split ASC, dd ASC
+        LIMIT 1
+    """
+
+
+def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint of daily revenue by SSE (see
+    _binseg_changepoint_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_binseg_changepoint_sql(D.SPARK))
+
+
+def _mcnemar_test_sql(d: str) -> str:
+    """McNEMAR's TEST on PAIRED classifier predictions: does the logistic
+    base classifier disagree with the single-feature decision stump in a
+    DIRECTIONAL way on the same documents? The paired-design test every
+    model-swap decision should cite (accuracy deltas alone ignore
+    pairing). Both predictors and the discordant-cell counts b (logreg
+    right, stump wrong) and c (logreg wrong, stump right) are pure
+    integer logic on one scan; the stump's threshold/rule come from the
+    SAME integer argmin decision_stump reports, derived in-query on the
+    bounded n_chars histogram; chi2 = (b-c)^2/(b+c) is ONE division of
+    exact integers (continuity-corrected variant rides along).
+
+    Scale shape: one histogram agg + top-1 (stump), one scoring scan
+    joined to the 1-row stump via broadcast, a 4-cell agg."""
+    qi = int(_LR_Q)
+    err_le_pos = "(nl + p - pl)"
+    err_le_neg = "(pl + q - nl)"
+    return f"""
+        WITH hist AS (
+            SELECT cast(n_chars as bigint) AS v,
+                   cast(sum(case when lang = 'en' then 1 else 0 end)
+                        as bigint) AS pos_v,
+                   cast(sum(case when lang = 'en' then 0 else 1 end)
+                        as bigint) AS neg_v
+            FROM documents GROUP BY cast(n_chars as bigint)
+        ),
+        tot AS (
+            SELECT cast(sum(pos_v) as bigint) AS p,
+                   cast(sum(neg_v) as bigint) AS q
+            FROM hist
+        ),
+        cum AS (
+            SELECT v,
+                   cast(sum(pos_v) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS pl,
+                   cast(sum(neg_v) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS nl
+            FROM hist
+        ),
+        stump AS (
+            SELECT c.v AS thr,
+                   case when {err_le_pos} <= {err_le_neg} then 1 else 0 end
+                       AS le_is_en
+            FROM cum c CROSS JOIN tot t
+            ORDER BY case when {err_le_pos} <= {err_le_neg}
+                          then {err_le_pos} else {err_le_neg} end ASC,
+                     c.v ASC
+            LIMIT 1
+        ),
+        scored AS ({_clf_scored_split_sql(d)}),
+        preds AS (
+            SELECT s.y,
+                   case when s.sq * 2 >= {qi} then 1 else 0 end AS pred_a,
+                   case when (dd.n_chars <= st.thr) = (st.le_is_en = 1)
+                        then 1 else 0 end AS pred_b
+            FROM scored s
+            JOIN documents dd ON dd.doc_id = s.doc_id
+            CROSS JOIN stump st
+        ),
+        cells AS (
+            SELECT cast(sum(case when pred_a = y and pred_b <> y
+                                 then 1 else 0 end) as bigint) AS b,
+                   cast(sum(case when pred_a <> y and pred_b = y
+                                 then 1 else 0 end) as bigint) AS c,
+                   cast(count(*) as bigint) AS n
+            FROM preds
+        )
+        SELECT n AS n_docs, b AS logreg_only_right, c AS stump_only_right,
+               case when b + c = 0 then 0.0
+                    else cast((b - c) * (b - c) as double)
+                         / cast(b + c as double) end AS mcnemar_chi2,
+               case when b + c = 0 then 0.0
+                    else cast((abs(b - c) - 1) * (abs(b - c) - 1) as double)
+                         / cast(b + c as double) end AS mcnemar_chi2_cc
+        FROM cells
+    """
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test: logreg vs decision stump (see
+    _mcnemar_test_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_mcnemar_test_sql(D.SPARK))
+
+
+_DOW_Q = 1 << 20  # per-group between-SS contributions quantized (psi rule)
+
+
+def _dow_seasonality_sql(d: str) -> str:
+    """DAY-OF-WEEK seasonality profile of event volume: per weekday slot,
+    mean daily event count, its deviation from the grand mean, and the
+    variance-explained eta^2 -- "is there a weekly cycle worth modeling?"
+    in one table (the decomposition acf_daily's lag-7 peak hints at).
+    Weekday = epoch_day % 7 (slot 0 = Thursday, 1970-01-01 anchor --
+    engine-identical integer arithmetic, avoiding the dialects'
+    conflicting dayofweek() conventions). All group moments are exact
+    integers; each group's between-SS contribution k_g*(m_g - M)^2 is a
+    fixed IEEE chain quantized to 2^-20 BEFORE the 7-row sum (float
+    sums across rows are order-dependent; integer sums are not).
+
+    Scale shape: stream -> days-sized agg -> 7-group agg; everything
+    after the first agg is calendar-bounded."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    m_g = "(cast(s_g as double) / cast(k_g as double))"
+    grand = "(cast(t.s as double) / cast(t.k as double))"
+    bss_q = (
+        f"cast(floor(cast(k_g as double) * ({m_g} - {grand}) * ({m_g} - {grand})"
+        f" * {float(_DOW_Q)!r}) as bigint)"
+    )
+    tss = (
+        "(cast(t.a as double)"
+        " - cast(t.s as double) * cast(t.s as double) / cast(t.k as double))"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd, cast(count(*) as bigint) AS n
+            FROM events GROUP BY {day}
+        ),
+        grp AS (
+            SELECT dd % 7 AS dow,
+                   cast(count(*) as bigint) AS k_g,
+                   cast(sum(n) as bigint) AS s_g
+            FROM daily GROUP BY dd % 7
+        ),
+        t AS (
+            SELECT cast(sum(n) as bigint) AS s,
+                   cast(count(*) as bigint) AS k,
+                   sum(cast(n as decimal(19,0)) * cast(n as decimal(19,0)))
+                       AS a
+            FROM daily
+        ),
+        bss AS (
+            SELECT cast(sum({bss_q}) as bigint) AS b_q
+            FROM grp CROSS JOIN t
+        )
+        SELECT g.dow, g.k_g AS n_days,
+               cast(g.s_g as double) / cast(g.k_g as double) AS mean_events,
+               cast(g.s_g as double) / cast(g.k_g as double) - {grand}
+                   AS effect,
+               case when {tss} <= 0.0 then 0.0
+                    else (cast(b.b_q as double) / {float(_DOW_Q)!r}) / {tss}
+               end AS eta_sq
+        FROM grp g CROSS JOIN t CROSS JOIN bss b
+        ORDER BY g.dow
+    """
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week volume profile + eta^2 (see _dow_seasonality_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_dow_seasonality_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -12584,6 +13905,26 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "kcore_step": (q_kcore_step, _kcore_step_sql),
     "association_rules": (q_association_rules, _association_rules_sql),
     "audio_loudness": (q_audio_loudness, _audio_loudness_sql),
+    # --- round-9 wave 4 ---
+    "poisson_bootstrap_ci": (q_poisson_bootstrap_ci, _poisson_bootstrap_sql),
+    "conformal_threshold": (q_conformal_threshold, _conformal_threshold_sql),
+    "woe_iv": (q_woe_iv, _woe_iv_sql),
+    "ols_trend": (q_ols_trend, _ols_trend_sql),
+    "event_path_topk": (q_event_path_topk, _event_path_topk_sql),
+    # --- round-9 wave 5 ---
+    "theil_sen_trend": (q_theil_sen_trend, _theil_sen_trend_sql),
+    "welch_ttest": (q_welch_ttest, _welch_ttest_sql),
+    "acf_daily": (q_acf_daily, _acf_daily_sql),
+    "decision_stump": (q_decision_stump, _decision_stump_sql),
+    "permutation_test": (q_permutation_test, _permutation_test_sql),
+    "runs_test": (q_runs_test, _runs_test_sql),
+    # --- round-9 wave 6 ---
+    "log_odds_terms": (q_log_odds_terms, _log_odds_terms_sql),
+    "jackknife_ratio": (q_jackknife_ratio, _jackknife_ratio_sql),
+    "kendall_tau": (q_kendall_tau, _kendall_tau_sql),
+    "binseg_changepoint": (q_binseg_changepoint, _binseg_changepoint_sql),
+    "mcnemar_test": (q_mcnemar_test, _mcnemar_test_sql),
+    "dow_seasonality": (q_dow_seasonality, _dow_seasonality_sql),
     # --- round-8 additions (never driver-proven) ---
     "psi_drift": (q_psi_drift, _psi_drift_sql),
     "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),

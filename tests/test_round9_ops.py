@@ -293,3 +293,339 @@ def test_audio_loudness_real_decode(spark):
     )
     assert all(r["peak"] > 0 and r["rms"] > 0 for r in ok)
     assert all(r["zero_crossings"] == r["n_samples"] - 1 for r in ok)
+
+
+# --- wave 4 ---
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    r = Q.q_poisson_bootstrap_ci(spark, SF01).collect()[0]
+    assert r["n_replicates"] == Q.BOOT_B
+    assert r["ci_lo_cents"] < r["mean_cents"] < r["ci_hi_cents"]
+    # CI width shrinks like 1/sqrt(n): at sf0.01 it must stay a narrow
+    # band around the point estimate, not degenerate or explode
+    width = r["ci_hi_cents"] - r["ci_lo_cents"]
+    assert 0 < width < r["mean_cents"] * 0.2
+    # thresholds really are the Poisson(1) CDF at 48 bits
+    import math
+
+    cum = 0.0
+    for k, t in enumerate(Q._poisson48_thresholds()):
+        cum += math.exp(-1.0) / math.factorial(k)
+        assert t == math.floor(cum * (1 << 48))
+
+
+def test_conformal_threshold_guarantee(spark):
+    r = Q.q_conformal_threshold(spark, SF01).collect()[0]
+    assert r["n_calib"] + r["n_test"] == 500
+    # exact rank definition: ceil((n+1) * (1 - alpha))
+    import math
+
+    assert r["k_rank"] == math.ceil((r["n_calib"] + 1) * 0.9)
+    assert 0.0 < r["qhat"] <= 1.0
+    # split-conformal coverage concentrates near the target (binomial
+    # fluctuation at n_test=250 stays well inside +-0.08)
+    assert abs(r["coverage"] - r["target"]) < 0.08
+
+
+def test_woe_iv_reconstruction(spark):
+    import math
+
+    rows = Q.q_woe_iv(spark, SF01).collect()
+    assert len(rows) >= 3
+    pos_tot = sum(r["n_pos"] for r in rows)
+    neg_tot = sum(r["n_neg"] for r in rows)
+    for r in rows:
+        assert r["n_pos"] > 0 and r["n_neg"] > 0  # single-class bands excluded
+        want = math.log((r["n_pos"] / pos_tot) / (r["n_neg"] / neg_tot))
+        # totals here exclude single-class bands; the query's totals
+        # include them only if they exist -- tolerate the quantization
+        assert abs(r["woe"] - want) < 2e-2
+        share_gap = r["n_pos"] / pos_tot - r["n_neg"] / neg_tot
+        assert r["iv_term"] * (share_gap * r["woe"] + 1e-18) >= 0  # same sign
+
+
+def test_ols_trend_exact_fit(spark):
+    import math
+
+    rows = Q.q_ols_trend(spark, SF01).collect()
+    assert len(rows) == 25
+    # recompute one nation's fit from raw data
+    orders = spark.read.parquet(f"{SF01}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF01}/customer.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF01}/nation.parquet").collect()
+    }
+    target = rows[0]["nation"]
+    monthly: dict[int, int] = {}
+    for o in orders:
+        if nat[cust[o["o_custkey"]]] != target:
+            continue
+        dtv = o["o_orderdate"]
+        x = dtv.year * 12 + dtv.month - 1 - Q._OLS_X0
+        monthly[x] = monthly.get(x, 0) + math.floor(o["o_totalprice"] * 100.0 + 0.5)
+    xs, ys = list(monthly), list(monthly.values())
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(rows[0]["slope_cents_per_month"] - slope) < abs(slope) * 1e-12 + 1e-9
+    assert rows[0]["n_months"] == n
+
+
+def test_event_path_topk_shape(spark):
+    rows = Q.q_event_path_topk(spark, SF01).collect()
+    assert len(rows) == Q.PATH_TOP
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(1 <= r["n_users"] <= r["n_occurrences"] for r in rows)
+    assert all(r["e1"] and r["e2"] and r["e3"] for r in rows)
+
+
+# --- wave 5 ---
+
+
+def test_theil_sen_matches_hand_median(spark):
+    import statistics
+
+    rows = Q.q_theil_sen_trend(spark, SF01).collect()
+    assert len(rows) == 25
+    # recompute one nation's median-of-slopes from the monthly relation
+    target = rows[0]["nation"]
+    monthly = spark.sql(
+        f"""
+        SELECT cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)
+                   - {Q._OLS_X0} AS x,
+               cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) as bigint))
+                    as bigint) AS y
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE n.n_name = '{target}'
+        GROUP BY 1
+        """
+    ).collect()
+    pts = sorted((r["x"], r["y"]) for r in monthly)
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    ]
+    assert rows[0]["n_pairs"] == len(slopes)
+    assert abs(rows[0]["ts_slope_cents_per_month"] - statistics.median(slopes)) < 1e-9
+
+
+def test_welch_ttest_against_closed_form(spark):
+    r = Q.q_welch_ttest(spark, SF01).collect()[0]
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").collect()
+    en = [d["n_chars"] for d in docs if d["lang"] == "en"]
+    ot = [d["n_chars"] for d in docs if d["lang"] != "en"]
+    assert (r["n_en"], r["n_other"]) == (len(en), len(ot))
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    se2 = var(en) / len(en) + var(ot) / len(ot)
+    t = (sum(en) / len(en) - sum(ot) / len(ot)) / se2**0.5
+    df = se2 * se2 / (
+        (var(en) / len(en)) ** 2 / (len(en) - 1)
+        + (var(ot) / len(ot)) ** 2 / (len(ot) - 1)
+    )
+    assert abs(r["t_stat"] - t) < 1e-9
+    assert abs(r["df"] - df) < 1e-6
+    assert min(len(en), len(ot)) - 1 <= r["df"] <= len(en) + len(ot) - 2
+
+
+def test_acf_daily_bounds_and_lag0_identity(spark):
+    rows = Q.q_acf_daily(spark, SF01).collect()
+    assert [r["lag"] for r in rows] == list(range(1, Q.ACF_MAX_LAG + 1))
+    # |r_k| <= 1 up to the missing-pair truncation; pairs strictly decrease
+    # in lag only if calendar gaps exist -- assert the weak monotone bound
+    assert all(abs(r["acf"]) <= 1.0 + 1e-12 for r in rows)
+    n_days = spark.sql(
+        "SELECT count(DISTINCT (ts div 1000) div 86400000000) AS k FROM events"
+        " WHERE event_type = 'purchase'"
+    ).collect()[0]["k"]
+    assert all(0 < r["n_pairs"] <= n_days - r["lag"] for r in rows)
+
+
+def test_decision_stump_is_argmin(spark):
+    r = Q.q_decision_stump(spark, SF01).collect()[0]
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").collect()
+    pts = [(d["n_chars"], 1 if d["lang"] == "en" else 0) for d in docs]
+    p = sum(y for _, y in pts)
+    q = len(pts) - p
+    best = None
+    for t in sorted({v for v, _ in pts}):
+        pl = sum(y for v, y in pts if v <= t)
+        nl = sum(1 - y for v, y in pts if v <= t)
+        err = min(nl + p - pl, pl + q - nl)
+        if best is None or err < best[0]:
+            best = (err, t)
+    assert (r["errors"], r["threshold"]) == best
+    assert r["accuracy"] == 1.0 - best[0] / len(pts)
+    assert 0.0 <= r["gini_weighted"] <= 0.5
+    # the stump must beat the majority-class baseline (positive branch)
+    assert r["errors"] <= min(p, q)
+
+
+def test_permutation_test_pvalue_definition(spark):
+    r = Q.q_permutation_test(spark, SF01).collect()[0]
+    assert r["n_replicates"] == Q.PERM_B
+    assert 0 <= r["n_ge"] <= Q.PERM_B
+    assert r["p_value"] == (r["n_ge"] + 1) / (Q.PERM_B + 1)
+    # the en/other length gap in this corpus is tiny relative to within-
+    # group spread: the test must NOT report significance at 5% -- and the
+    # observed t must be finite and small
+    assert abs(r["t_obs"]) < 10.0
+
+
+def test_runs_test_counts_runs_exactly(spark):
+    r = Q.q_runs_test(spark, SF01).collect()[0]
+    daily = spark.sql(
+        "SELECT (ts div 1000) div 86400000000 AS d,"
+        " sum(cast(floor(value * 100) as bigint)) AS v"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ).collect()
+    s = sum(x["v"] for x in daily)
+    k = len(daily)
+    sides = [1 if x["v"] * k > s else 0 for x in daily]
+    runs = 1 + sum(a != b for a, b in zip(sides, sides[1:]))
+    assert r["n_days"] == k
+    assert r["n_above"] == sum(sides)
+    assert r["n_runs"] == runs
+    n1, n2 = sum(sides), k - sum(sides)
+    mu = 1 + 2 * n1 * n2 / (n1 + n2)
+    va = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    assert abs(r["z"] - (runs - mu) / va**0.5) < 1e-9
+
+
+# --- wave 6 ---
+
+
+def test_log_odds_terms_prior_and_direction(spark):
+    rows = Q.q_log_odds_terms(spark, SF01).collect()
+    assert len(rows) == Q.LOGODDS_TOP
+    zs = [abs(r["z"]) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    # sign convention: positive delta means en-leaning; a term appearing
+    # ONLY in en docs must score positive, only-other negative
+    for r in rows:
+        if r["n_other"] == 0 and r["n_en"] > 0:
+            assert r["delta"] > 0
+        if r["n_en"] == 0 and r["n_other"] > 0:
+            assert r["delta"] < 0
+    # z is shrunk delta, never inflated past it in magnitude ratio > 1/sqrt(var_min)
+    assert all(r["z"] != 0 for r in rows)
+
+
+def test_jackknife_ratio_hand_check(spark):
+    r = Q.q_jackknife_ratio(spark, SF01).collect()[0]
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").collect()
+    groups: dict[str, list[int]] = {}
+    for d0 in docs:
+        groups.setdefault(d0["source"], []).append(1 if d0["lang"] == "en" else 0)
+    nn = len(docs)
+    yy = sum(sum(v) for v in groups.values())
+    assert r["n_sources"] == len(groups)
+    assert r["en_rate"] == yy / nn
+    import math
+
+    reps = []
+    for g in groups.values():
+        # the query quantizes each replicate ratio to 2^-30 -- mirror it
+        rq = math.floor((yy - sum(g)) / (nn - len(g)) * Q._JACK_Q)
+        reps.append(rq)
+    gk = len(reps)
+    rbar = sum(reps) / gk
+    var = (gk - 1) / gk * sum((x - rbar) ** 2 for x in reps)
+    assert abs(r["jackknife_se"] - math.sqrt(var) / Q._JACK_Q) < 1e-12
+    assert r["jackknife_se"] > 0
+
+
+def test_kendall_tau_matches_scipy_free_recompute(spark):
+    r = Q.q_kendall_tau(spark, SF01).collect()[0]
+    assert r["n_docs"] == 500
+    # recompute tau-b by brute force over the banded pairs
+    Q._view(spark, SF01, "documents")
+    cells = spark.sql(Q._kendall_cells_sql(Q.D.SPARK)).collect()
+    pts = [(c["sb"], c["lb"], c["n"]) for c in cells]
+    conc = disc = 0
+    for i, (a1, b1, n1) in enumerate(pts):
+        for a2, b2, n2 in pts:
+            if a2 > a1 and b2 > b1:
+                conc += n1 * n2
+            elif a2 > a1 and b2 < b1:
+                disc += n1 * n2
+    n = sum(n for _, _, n in pts)
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    ma = Counter()
+    mb = Counter()
+    for a1, b1, n1 in pts:
+        ma[a1] += n1
+        mb[b1] += n1
+    ta = sum(v * (v - 1) // 2 for v in ma.values())
+    tb = sum(v * (v - 1) // 2 for v in mb.values())
+    tau = (conc - disc) / ((n0 - ta) * (n0 - tb)) ** 0.5
+    assert r["concordant"] == conc and r["discordant"] == disc
+    assert abs(r["tau_b"] - tau) < 1e-12
+    # the classifier score is built FROM length features: the banded rank
+    # correlation must come out strongly positive (positive branch)
+    assert r["tau_b"] > 0.5
+
+
+def test_binseg_changepoint_is_argmin(spark):
+    r = Q.q_binseg_changepoint(spark, SF01).collect()[0]
+    daily = spark.sql(
+        "SELECT (ts div 1000) div 86400000000 AS d,"
+        " sum(cast(floor(value * 100) as bigint)) AS v"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ).collect()
+    vs = [x["v"] for x in daily]
+    ds = [x["d"] for x in daily]
+
+    def sse(xs):
+        if not xs:
+            return 0.0
+        m = sum(xs) / len(xs)
+        return sum(x * x for x in xs) - len(xs) * m * m
+
+    best = min(
+        (sse(vs[: i + 1]) + sse(vs[i + 1 :]), ds[i]) for i in range(len(vs) - 1)
+    )
+    assert r["split_day"] == best[1]
+    assert abs(r["sse_split"] - best[0]) < max(1.0, abs(best[0])) * 1e-9
+    assert 0.0 <= r["variance_explained"] <= 1.0
+    assert r["n_left"] + r["n_right"] == len(vs)
+
+
+def test_mcnemar_cells_reconcile(spark):
+    r = Q.q_mcnemar_test(spark, SF01).collect()[0]
+    assert r["n_docs"] == 500
+    b, c = r["logreg_only_right"], r["stump_only_right"]
+    assert b >= 0 and c >= 0 and b + c <= r["n_docs"]
+    if b + c > 0:
+        assert abs(r["mcnemar_chi2"] - (b - c) ** 2 / (b + c)) < 1e-9
+        assert r["mcnemar_chi2_cc"] <= r["mcnemar_chi2"] + 1e-12
+    # the stump and the base logreg genuinely disagree somewhere
+    assert b + c > 0
+
+
+def test_dow_seasonality_reconciles(spark):
+    rows = Q.q_dow_seasonality(spark, SF01).collect()
+    assert len(rows) == 7
+    total_days = sum(r["n_days"] for r in rows)
+    grand = sum(r["mean_events"] * r["n_days"] for r in rows) / total_days
+    # effects are deviations from the grand mean: weighted sum ~ 0
+    assert abs(sum(r["effect"] * r["n_days"] for r in rows)) < 1e-6 * grand * total_days
+    eta = rows[0]["eta_sq"]
+    assert all(abs(r["eta_sq"] - eta) < 1e-12 for r in rows)  # one scalar, repeated
+    assert 0.0 <= eta <= 1.0
