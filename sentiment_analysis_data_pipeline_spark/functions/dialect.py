@@ -135,6 +135,11 @@ def int_div(d: str, a: str, b: str) -> str:
     return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
 
 
+def bit_xor(d: str, a: str, b: str) -> str:
+    """Bitwise XOR of two BIGINTs (Spark: ^ operator, DuckDB: xor())."""
+    return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"
+
+
 def str_literal_list(words: list[str]) -> str:
     """SQL array literal of strings -- identical syntax in both dialects via
     the function-free bracket form DuckDB uses vs Spark's array()."""

@@ -12567,14 +12567,17 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson bootstrap: replicate count and the 48-bit cumulative thresholds
+# Poisson bootstrap: replicate count and the 12-bit cumulative thresholds
 # of Poisson(1) (precomputed driver-side -- no transcendentals in SQL; both
-# dialects compare the same integer literals).
+# dialects compare the same integer literals). 12 bits per replicate: the
+# coarsest grid where every threshold still lands within 1/4096 of the true
+# CDF (P(m=5)=0.37% vs grid 0.37%) -- and exactly 3 hex digits, so all
+# {BOOT_B} replicate uniforms slice out of THREE md5s computed per ROW.
 BOOT_B = 32
-_BOOT_BITS = 48
+_BOOT_BITS = 12
 
 
-def _poisson48_thresholds(max_m: int = 5) -> list[int]:
+def _poisson_thresholds(max_m: int = 5) -> list[int]:
     import math
 
     cum = 0.0
@@ -12591,34 +12594,75 @@ def _poisson_bootstrap_sql(d: str) -> str:
     works when n is too large to index): instead of drawing n rows with
     replacement (which needs a global index), each row enters replicate r
     with multiplicity m ~ Poisson(1), approximating the multinomial exactly
-    as n grows. m is DERIVED, not drawn: a 48-bit integer from
-    md5(orderkey:replicate) compared against precomputed cumulative
-    thresholds -- deterministic, identical in both engines, and
-    reproducible at any scale. Each replicate mean is one exact division
-    of integer sums; the CI bounds are interpolated percentiles over the
-    {BOOT_B} replicate means (the engines match bit-for-bit on
-    percentile-over-doubles -- range_partition_bounds precedent).
+    as n grows. m is DERIVED, not drawn: one md5 per ROW seeds a 48-bit
+    integer, each replicate's 12-bit uniform is an integer finalizer over
+    (h1, r) -- no per-replicate hashing, no string slicing (the v1
+    md5-per-(row x replicate) form cost 9.6 s at sf0.1; v2's substring
+    pad still 9.3 s) -- compared against precomputed cumulative
+    thresholds: deterministic, identical in both engines, and
+    reproducible at any scale. Each replicate mean is one
+    exact division of integer sums; the CI bounds are interpolated
+    percentiles over the {BOOT_B} replicate means (the engines match
+    bit-for-bit on percentile-over-doubles -- range_partition_bounds
+    precedent).
 
     Scale shape: ONE scan with a {BOOT_B}-way generator fan-out collapsing
     immediately into a {BOOT_B}-group partial agg (map-side combine
     carries 2x{BOOT_B} longs per partition); the percentile runs over
     {BOOT_B} rows. No joins, no windows, no global sort."""
-    thr = _poisson48_thresholds()
+    return _poisson_bootstrap_tail(d, _poisson_base_sql(d))
+
+
+def _poisson_base_sql(d: str) -> str:
+    """(cents, h1): order value in exact cents + ONE 48-bit hash integer
+    per row (md5 + hex parse happen here, once per ROW). Split out so the
+    Spark path can materialize it pre-explode: Catalyst pushes base
+    projections ABOVE the generator (plan-verified), re-hashing per
+    (row x replicate). The per-replicate uniforms derive from h1
+    NUMERICALLY in the tail -- v2 of this query carried a 96-hex-char md5
+    pad and sliced substrings per fanned row; the string traffic alone
+    cost 3.3 s of its 9.3 s at sf0.1."""
+    k = D.cast_str(d, "o_orderkey")
     cents = "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)"
+    h1 = H.hex_to_bigint(d, f"md5(concat('pb:', {k}))", 12)
+    return f"SELECT {cents} AS cents, {h1} AS h1 FROM orders"
+
+
+def _poisson_bootstrap_tail(d: str, base_src: str) -> str:
+    """Fan-out + replicate-agg + percentile tail over a `(cents, h1)`
+    base relation (see _poisson_bootstrap_sql). Two hot-path design
+    points, both measured at sf0.1:
+
+    * Each replicate's 12-bit uniform is the classic hash32 INTEGER
+      FINALIZER over (h1 + r * phi32) -- xor-shift-multiply rounds with
+      0x45d9f3b in 32-bit modular bigint arithmetic (every product
+      < 2^59, ANSI-overflow-safe), inlined as ONE expression so the whole
+      fan-out stays inside WholeStageCodegen (a chained-LATERAL form of
+      the same math cost +2 s).
+    * The replicate aggregation sums DEVIATIONS: sum((m-1) * cents) and
+      sum(m-1) as BIGINTs, with the point totals (N, S) added back per
+      replicate. E[m-1] = 0, so the deviation sum concentrates at
+      O(max_cents * sqrt(n)) -- ~2^44 at 1e11 rows -- instead of the
+      O(max_cents * n) of sum(m*cents), which forces decimal(38,0) to be
+      scale-safe; the decimal hot-path agg alone cost 2.3 s of the 3.7 s
+      v3 runtime. A deterministic-adversarial overflow (every m = 5 on
+      maximal cents for > 1e10 rows) would THROW under ANSI, never return
+      silently wrong."""
+    thr = _poisson_thresholds()
     reps = (
         f"explode(sequence(0, {BOOT_B - 1}))"
         if d == D.SPARK
         else f"unnest(generate_series(0, {BOOT_B - 1}))"
     )
-    u48 = H.hex_to_bigint(
-        d,
-        f"md5(concat({D.cast_str(d, 'o_orderkey')}, ':', {D.cast_str(d, 'r')}))",
-        _BOOT_BITS // 4,
-    )
-    m = (
-        f"case when u < {thr[0]} then 0 when u < {thr[1]} then 1"
-        f" when u < {thr[2]} then 2 when u < {thr[3]} then 3"
-        f" when u < {thr[4]} then 4 else 5 end"
+    m32 = 4294967296  # 2^32
+    z0 = f"((h1 + r * 2654435769) % {m32})"
+    z1 = f"((({D.bit_xor(d, z0, D.int_div(d, z0, '65536'))}) * 73244475) % {m32})"
+    z2 = f"((({D.bit_xor(d, z1, D.int_div(d, z1, '65536'))}) * 73244475) % {m32})"
+    u = f"({D.bit_xor(d, z2, D.int_div(d, z2, '65536'))} % {1 << _BOOT_BITS})"
+    md = (  # m - 1, the Poisson(1) multiplicity deviation
+        f"case when {u} < {thr[0]} then -1 when {u} < {thr[1]} then 0"
+        f" when {u} < {thr[2]} then 1 when {u} < {thr[3]} then 2"
+        f" when {u} < {thr[4]} then 3 else 4 end"
     )
     ci = (
         "percentile(boot_mean, array(0.025, 0.975))"
@@ -12626,36 +12670,34 @@ def _poisson_bootstrap_sql(d: str) -> str:
         else "quantile_cont(boot_mean, [0.025, 0.975])"
     )
     return f"""
-        WITH fanned AS (
-            SELECT cents, r, {m} AS m
-            FROM (
-                SELECT o_orderkey, {cents} AS cents, {reps} AS r FROM orders
-            ) g,
-            LATERAL (SELECT {u48} AS u) h
+        WITH base AS ({base_src}),
+        fanned AS (
+            SELECT cents, r, {md} AS md
+            FROM (SELECT cents, h1, {reps} AS r FROM base) g
         ),
-        reps AS (
+        devs AS (
             SELECT r,
-                   cast(sum(m) as bigint) AS n_eff,
-                   sum(cast(m as decimal(38,0)) * cast(cents as decimal(19,0)))
-                       AS wsum
+                   cast(sum(md) as bigint) AS ndev,
+                   cast(sum(md * cents) as bigint) AS dsum
             FROM fanned GROUP BY r
-        ),
-        means AS (
-            SELECT r,
-                   case when n_eff = 0 then 0.0
-                        else cast(wsum as double) / cast(n_eff as double)
-                   end AS boot_mean
-            FROM reps
         ),
         point AS (
             SELECT cast(count(*) as bigint) AS n_orders,
-                   cast(cast(sum(cast({cents} as decimal(19,0))) as double)
-                        / count(*) as double) AS mean_cents
-            FROM orders
+                   sum(cast(cents as decimal(38,0))) AS s_cents
+            FROM base
+        ),
+        means AS (
+            SELECT d2.r,
+                   case when p.n_orders + d2.ndev = 0 then 0.0
+                        else cast(p.s_cents + d2.dsum as double)
+                             / cast(p.n_orders + d2.ndev as double)
+                   end AS boot_mean
+            FROM devs d2 CROSS JOIN point p
         ),
         band AS (SELECT {ci} AS bounds FROM means)
         SELECT p.n_orders, cast({BOOT_B} as bigint) AS n_replicates,
-               p.mean_cents,
+               cast(cast(p.s_cents as double)
+                    / cast(p.n_orders as double) as double) AS mean_cents,
                bounds[{1 if d == D.DUCKDB else 0}] AS ci_lo_cents,
                bounds[{2 if d == D.DUCKDB else 1}] AS ci_hi_cents
         FROM point p CROSS JOIN band
@@ -12664,9 +12706,16 @@ def _poisson_bootstrap_sql(d: str) -> str:
 
 def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI for mean order value (see
-    _poisson_bootstrap_sql)."""
+    _poisson_bootstrap_sql). The (cents, h1) base is materialized once
+    (localCheckpoint) so the md5+hex-parse runs per ROW, not per
+    (row x replicate) -- Catalyst otherwise pushes the projection above
+    the generator."""
     _view(spark, sf_dir, "orders")
-    return spark.sql(_poisson_bootstrap_sql(D.SPARK))
+    base = spark.sql(_poisson_base_sql(D.SPARK))
+    base.localCheckpoint(eager=True).createOrReplaceTempView("boot_base")
+    return spark.sql(
+        _poisson_bootstrap_tail(D.SPARK, "SELECT cents, h1 FROM boot_base")
+    )
 
 
 # Split-conformal settings: miscoverage target and the calib/test parity.

@@ -306,13 +306,15 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     # band around the point estimate, not degenerate or explode
     width = r["ci_hi_cents"] - r["ci_lo_cents"]
     assert 0 < width < r["mean_cents"] * 0.2
-    # thresholds really are the Poisson(1) CDF at 48 bits
+    # thresholds really are the Poisson(1) CDF on the 12-bit grid, and the
+    # grid is fine enough that every CDF step is within one cell
     import math
 
     cum = 0.0
-    for k, t in enumerate(Q._poisson48_thresholds()):
+    for k, t in enumerate(Q._poisson_thresholds()):
         cum += math.exp(-1.0) / math.factorial(k)
-        assert t == math.floor(cum * (1 << 48))
+        assert t == math.floor(cum * (1 << Q._BOOT_BITS))
+        assert abs(t / (1 << Q._BOOT_BITS) - cum) < 1.0 / (1 << Q._BOOT_BITS)
 
 
 def test_conformal_threshold_guarantee(spark):
