@@ -66,13 +66,24 @@ def truncate(d: str, expr: str, n: int = 1000) -> str:
 
 
 def tokenize(d: str, expr: str) -> str:
-    """Lowercase, strip non-alphanumerics, split on whitespace, drop empties.
+    """Lowercase, split on runs of non-alphanumerics, drop empties.
 
     The engine's analyzer (SURVEY.md §2.8 Q3): replaces the ES english
     analyzer's tokenization stage. Emits array<string>.
+
+    One SPLIT on the complement class, not replace-then-split: the two
+    forms emit the identical token stream (every non-[a-z0-9] char is a
+    separator either way; edge empties are filtered), but Java's
+    regexp_replace walks Matcher.appendReplacement per match -- measured
+    ~40 us/row on 300-char text (7.4 s for a 200k-row scan) vs 0.25 s for
+    the single split. This is the hot inner loop of the whole search /
+    text-analysis family.
     """
-    cleaned = D.regexp_replace_all(d, f"trim(lower({expr}))", "[^a-z0-9 ]", " ")
-    arr = D.split_ws(d, f"trim({cleaned})")
+    arr = (
+        f"split(lower({expr}), '[^a-z0-9]+')"
+        if d == D.SPARK
+        else f"regexp_split_to_array(lower({expr}), '[^a-z0-9]+')"
+    )
     return D.arr_filter(d, arr, "t -> t <> ''")
 
 
@@ -191,11 +202,15 @@ def lang_id(d: str, tokens_expr: str) -> str:
 
 def punct_ratio(d: str, expr: str) -> str:
     """Fraction of characters that are not [a-z0-9 ] after lowercasing.
-    Exact parity: single division of two exact ints."""
-    stripped = D.regexp_replace_all(d, f"lower({expr})", "[^a-z0-9 ]", "")
+    Exact parity: single division of two exact ints. Counted with
+    regexp_count, not replace-to-empty-and-diff-lengths: the class is
+    single-char so match count == removed length, and Java's
+    regexp_replace walks appendReplacement per match (the tokenize()
+    finding -- ~40 us/row on punctuated text)."""
+    n_bad = D.regexp_count(d, f"lower({expr})", "[^a-z0-9 ]")
     return (
         f"case when length({expr}) = 0 or {expr} is null then 0.0 "
-        f"else cast(length({expr}) - length({stripped}) as double) / cast(length({expr}) as double) end"
+        f"else cast({n_bad} as double) / cast(length({expr}) as double) end"
     )
 
 

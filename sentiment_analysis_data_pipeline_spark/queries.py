@@ -7309,17 +7309,19 @@ _LR_RATE = 0.5  # dyadic learning rate for the applied step (exact in IEEE)
 
 
 def _clf_feats_sql(d: str) -> str:
-    """(doc_id, source, x1..x3, y): the logreg_step feature row extended
-    with the doc and source keys -- shared upstream of the gradient, the
-    scoring pass, and the eval suite (doc_id drives conformal's
-    calibration/test split; downstream consumers project explicitly)."""
+    """(doc_id, source, n_chars, x1..x3, y): the logreg_step feature row
+    extended with the doc and source keys plus raw n_chars -- shared
+    upstream of the gradient, the scoring pass, and the eval suite
+    (doc_id drives conformal's calibration/test split; n_chars feeds
+    kendall_tau's length band without a join-back to documents;
+    downstream consumers project explicitly)."""
     toks = TX.tokenize(d, TEXT)
     nt = D.arr_size(d, toks)
     f1 = "(cast(n_chars as double) / 1000.0)"
     f2 = f"(cast({nt} as double) / 100.0)"
     f3 = f"(cast(n_chars as double) / (cast({nt} as double) + 1.0) / 10.0)"
     return (
-        f"SELECT doc_id, source, {f1} AS x1, {f2} AS x2, {f3} AS x3, "
+        f"SELECT doc_id, source, n_chars, {f1} AS x1, {f2} AS x2, {f3} AS x3, "
         f"case when lang = 'en' then 1 else 0 end AS y FROM documents"
     )
 
@@ -12793,14 +12795,18 @@ def _conformal_threshold_sql(d: str) -> str:
 
 
 def _clf_scored_split_sql(d: str) -> str:
-    """(doc_id, sq, y): per-document quantized base-classifier score with
-    the doc key kept -- conformal's calibration/test split needs it."""
+    """(doc_id, n_chars, sq, y): per-document quantized base-classifier
+    score with the doc key and raw length kept -- conformal's
+    calibration/test split needs doc_id; kendall_tau and mcnemar_test
+    band/threshold on n_chars WITHOUT a join-back to documents (the
+    join-back cost kendall 12.1x at the 40x probe). Consumers project
+    explicitly."""
     q = float(_LR_Q)
     w = _LR_W0
     z0 = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2 + {w[3]!r} * x3)"
     sig_q = f"cast(floor((1.0 / (1.0 + exp(-{z0}))) * {q!r}) as bigint)"
     return (
-        f"SELECT doc_id, {sig_q} AS sq, cast(y as bigint) AS y"
+        f"SELECT doc_id, n_chars, {sig_q} AS sq, cast(y as bigint) AS y"
         f" FROM ({_clf_feats_sql(d)}) f"
     )
 
@@ -13436,6 +13442,43 @@ _LOGODDS_Q = 1 << 30  # quantization grid for each ln() output (psi rule)
 _LOGODDS_A0 = 1  # Dirichlet prior strength numerator (alpha0 = 1 token)
 
 
+def _log_odds_vocab_sql(d: str) -> str:
+    """(w, g1, g2, cw): per-term group counts + corpus count -- the one
+    corpus-scan aggregate under the log-odds tail."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        SELECT w, cast(sum(grp) as bigint) AS g1,
+               cast(count(*) - sum(grp) as bigint) AS g2,
+               cast(count(*) as bigint) AS cw
+        FROM (SELECT grp, {ex} AS w FROM (
+            SELECT case when lang = 'en' then 1 else 0 end AS grp,
+                   {toks} AS toks
+            FROM documents
+        ) tokd) ex2
+        GROUP BY w
+    """
+
+
+def _log_odds_fragments(d: str) -> tuple[str, str]:
+    """(delta, z-variance) SQL fragments of the Monroe estimator, shared
+    by the full statement (oracle) and the Spark materialized path."""
+    qf = float(_LOGODDS_Q)
+    lnq = lambda x: f"cast(floor(ln({x}) * {qf!r}) as bigint)"  # noqa: E731
+    # alpha_w = a0 * cw / ct  (double, exact inputs); a0 = _LOGODDS_A0
+    aw = f"({_LOGODDS_A0!r} * cast(v.cw as double) / cast(t.ct as double))"
+    y1a = f"(cast(g1 as double) + {aw})"
+    y2a = f"(cast(g2 as double) + {aw})"
+    n1a = f"(cast(t.n1 as double) + {_LOGODDS_A0!r})"
+    n2a = f"(cast(t.n2 as double) + {_LOGODDS_A0!r})"
+    delta = (
+        f"cast({lnq(y1a)} - {lnq(f'({n1a} - {y1a})')}"
+        f" - {lnq(y2a)} + {lnq(f'({n2a} - {y2a})')} as double) / {qf!r}"
+    )
+    var = f"(1.0 / {y1a} + 1.0 / {y2a})"
+    return delta, var
+
+
 def _log_odds_terms_sql(d: str) -> str:
     """MONROE LOG-ODDS ("Fightin' Words", Monroe-Colaresi-Quinn 2008):
     the top-{LOGODDS_TOP} terms that most distinguish English from
@@ -13450,38 +13493,22 @@ def _log_odds_terms_sql(d: str) -> str:
     exact quantities, and the top-k orders by the DETERMINISTIC z with a
     term tie-break.
 
-    Scale shape: token explode -> (term, group) hash agg -> term-keyed
-    join of two group slices + the corpus-prior slice (all vocab-sized,
-    equi-join), then one {LOGODDS_TOP}-row TakeOrderedAndProject. No
-    windows, no global sort, no data-sized shuffle beyond the vocab agg."""
-    toks = TX.tokenize(d, TEXT)
-    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
-    qf = float(_LOGODDS_Q)
-    lnq = lambda x: f"cast(floor(ln({x}) * {qf!r}) as bigint)"  # noqa: E731
-    # alpha_w = a0 * cw / ct  (double, exact inputs); a0 = _LOGODDS_A0
-    aw = f"({_LOGODDS_A0!r} * cast(v.cw as double) / cast(t.ct as double))"
-    y1a = f"(cast(g1 as double) + {aw})"
-    y2a = f"(cast(g2 as double) + {aw})"
-    n1a = f"(cast(t.n1 as double) + {_LOGODDS_A0!r})"
-    n2a = f"(cast(t.n2 as double) + {_LOGODDS_A0!r})"
-    delta = (
-        f"cast({lnq(y1a)} - {lnq(f'({n1a} - {y1a})')}"
-        f" - {lnq(y2a)} + {lnq(f'({n2a} - {y2a})')} as double) / {qf!r}"
-    )
-    var = f"(1.0 / {y1a} + 1.0 / {y2a})"
+    Scale shape: token explode -> (term, group) hash agg (ONE corpus
+    scan; the Spark path materializes it -- see _log_odds_tail), then the
+    prior/z arithmetic and a {LOGODDS_TOP}-row TakeOrderedAndProject over
+    the vocab-sized relation. No windows, no global sort."""
+    delta, var = _log_odds_fragments(d)
+    return _log_odds_tail(d, _log_odds_vocab_sql(d), delta, var)
+
+
+def _log_odds_tail(d: str, vocab_src: str, delta: str, var: str) -> str:
+    """Prior + z tail over a `(w, g1, g2, cw)` vocab relation. Split out
+    so the Spark path can materialize the vocab ONCE: the tail references
+    it from two branches (totals + scoring) and Catalyst CTE re-inlining
+    re-ran the tokenize+explode corpus scan per branch (14.7x at the 40x
+    probe before the split)."""
     return f"""
-        WITH tokd AS (
-            SELECT case when lang = 'en' then 1 else 0 end AS grp,
-                   {toks} AS toks
-            FROM documents
-        ),
-        ex AS (SELECT grp, {ex} AS w FROM tokd),
-        vocab AS (
-            SELECT w, cast(sum(grp) as bigint) AS g1,
-                   cast(count(*) - sum(grp) as bigint) AS g2,
-                   cast(count(*) as bigint) AS cw
-            FROM ex GROUP BY w
-        ),
+        WITH vocab AS ({vocab_src}),
         t AS (
             SELECT cast(sum(g1) as bigint) AS n1,
                    cast(sum(g2) as bigint) AS n2,
@@ -13503,9 +13530,15 @@ def _log_odds_terms_sql(d: str) -> str:
 
 def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monroe log-odds top discriminating terms, en vs non-en (see
-    _log_odds_terms_sql)."""
+    _log_odds_terms_sql). The vocab agg is materialized once
+    (localCheckpoint) ahead of the two-branch tail."""
     _view(spark, sf_dir, "documents")
-    return spark.sql(_log_odds_terms_sql(D.SPARK))
+    vocab = spark.sql(_log_odds_vocab_sql(D.SPARK))
+    vocab.localCheckpoint(eager=True).createOrReplaceTempView("lo_vocab")
+    delta, var = _log_odds_fragments(D.SPARK)
+    return spark.sql(
+        _log_odds_tail(D.SPARK, "SELECT w, g1, g2, cw FROM lo_vocab", delta, var)
+    )
 
 
 _JACK_Q = 1 << 30  # fixed-point grid for jackknife replicate ratios
@@ -13593,11 +13626,7 @@ def _kendall_cells_sql(d: str) -> str:
                least(cast({KT_BANDS - 1} as bigint),
                      {D.int_div(d, 'n_chars', '100')}) AS lb,
                cast(count(*) as bigint) AS n
-        FROM (
-            SELECT s.sq, dd.n_chars
-            FROM ({_clf_scored_split_sql(d)}) s
-            JOIN documents dd ON dd.doc_id = s.doc_id
-        ) j
+        FROM (SELECT sq, n_chars FROM ({_clf_scored_split_sql(d)}) s) j
         GROUP BY 1, 2
     """
 
@@ -13818,10 +13847,9 @@ def _mcnemar_test_sql(d: str) -> str:
         preds AS (
             SELECT s.y,
                    case when s.sq * 2 >= {qi} then 1 else 0 end AS pred_a,
-                   case when (dd.n_chars <= st.thr) = (st.le_is_en = 1)
+                   case when (s.n_chars <= st.thr) = (st.le_is_en = 1)
                         then 1 else 0 end AS pred_b
             FROM scored s
-            JOIN documents dd ON dd.doc_id = s.doc_id
             CROSS JOIN stump st
         ),
         cells AS (

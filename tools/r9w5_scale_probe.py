@@ -51,9 +51,13 @@ NAMES = [
 
 
 def _inflate(df, mult: int):
+    # repartition BEFORE write: the explode collapses into few tasks and a
+    # single output file otherwise, and a 1-file table single-threads every
+    # downstream scan -- a fidelity bug, not a finding (a 100 TB table is
+    # never one file). 64 files ~ the local session's 2x core count.
     return df.select(
         *df.columns, F.explode(F.expr(f"sequence(0, {mult - 1})")).alias("copy")
-    )
+    ).repartition(64)
 
 
 def main() -> None:
