@@ -111,9 +111,14 @@ def main() -> None:
     for name in names:
         res = {}
         for tag, sf_dir in (("1x", src), (f"{mult}x", out)):
-            qs[name](spark, sf_dir).count()  # warm
+            # collect(), NOT count(): on a 1-row aggregate, count() lets
+            # Catalyst prune every output column and with them the whole
+            # expensive scan (mcnemar measured 1.0 s at 40x under count()
+            # vs ~9 s for the real computation -- a fake pass). Every
+            # wave-5/6 output is <= 25 rows, so collect() is free.
+            len(qs[name](spark, sf_dir).collect())  # warm
             t0 = time.perf_counter()
-            rows = qs[name](spark, sf_dir).count()
+            rows = len(qs[name](spark, sf_dir).collect())
             res[tag] = {"sec": round(time.perf_counter() - t0, 1), "rows": rows}
         res["ratio"] = round(res[f"{mult}x"]["sec"] / max(res["1x"]["sec"], 1e-9), 1)
         print(json.dumps({name: res}), flush=True)
