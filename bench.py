@@ -225,6 +225,12 @@ BENCH_QUERIES = [
     "binseg_changepoint",
     "mcnemar_test",
     "dow_seasonality",
+    # round-9 wave 7
+    "hhi_concentration",
+    "sprt_ab",
+    "seasonal_backtest",
+    "winsorized_mean",
+    "cuped_adjustment",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -13947,6 +13947,324 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dow_seasonality_sql(D.SPARK))
 
 
+_HHI_Q = 1 << 30  # per-supplier share^2 contributions quantized (psi rule)
+
+
+def _hhi_concentration_sql(d: str) -> str:
+    """HERFINDAHL-HIRSCHMAN concentration of supplier revenue within each
+    supplier nation -- the antitrust-canon market-concentration index
+    (HHI > 0.25 concentrated, < 0.15 competitive), here answering the
+    supply-chain question "is any nation's supply dominated by a few
+    suppliers?". Revenue accumulates with the engine's exact decimal(18,6)
+    convention; each supplier's share^2 contribution is a fixed IEEE chain
+    on the two exact decimals, floor-quantized to 2^-30 BEFORE the
+    per-nation sum (float sums across rows are order-dependent; integer
+    sums are not). The top-supplier share rides along via max().
+
+    Scale shape: fact scan -> (nation, supplier) partial agg with
+    broadcast supplier/nation dims -> nation-keyed join of the
+    supplier-sized relation to its 25-row totals -> 25-row output."""
+    contrib = (
+        f"cast(floor((cast(r.rev as double) / cast(t.rev_tot as double))"
+        f" * (cast(r.rev as double) / cast(t.rev_tot as double))"
+        f" * {float(_HHI_Q)!r}) as bigint)"
+    )
+    share = "cast(r.rev as double) / cast(t.rev_tot as double)"
+    return f"""
+        WITH rev AS (
+            SELECT n.n_name AS nation, l.l_suppkey AS supp,
+                   sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                            as decimal(18,6))) AS rev
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name, l.l_suppkey
+        ),
+        tot AS (
+            SELECT nation, sum(rev) AS rev_tot,
+                   cast(count(*) as bigint) AS n_suppliers
+            FROM rev GROUP BY nation
+        )
+        SELECT t.nation, t.n_suppliers,
+               cast(t.rev_tot as double) AS revenue,
+               cast(sum({contrib}) as double) / {float(_HHI_Q)!r} AS hhi,
+               max({share}) AS top_share
+        FROM rev r JOIN tot t ON t.nation = r.nation
+        GROUP BY t.nation, t.n_suppliers, t.rev_tot
+        ORDER BY t.nation
+    """
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier-revenue HHI (see _hhi_concentration_sql)."""
+    _view(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_hhi_concentration_sql(D.SPARK))
+
+
+# SPRT design constants: H0 conversion p0 vs H1 p1, error targets
+# alpha = beta = 0.05. The four log-likelihood terms are precomputed
+# driver-side and inlined as 2^-30-quantized INTEGER literals -- the SQL
+# contains no transcendentals at all.
+SPRT_P0 = 0.040
+SPRT_P1 = 0.050
+_SPRT_Q = 1 << 30
+
+
+def _sprt_constants() -> tuple[int, int, int, int]:
+    import math
+
+    la = math.floor(math.log(SPRT_P1 / SPRT_P0) * _SPRT_Q)  # per conversion
+    lb = math.floor(math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * _SPRT_Q)
+    upper = math.floor(math.log((1 - 0.05) / 0.05) * _SPRT_Q)  # accept H1
+    lower = math.floor(math.log(0.05 / (1 - 0.05)) * _SPRT_Q)  # accept H0
+    return la, lb, upper, lower
+
+
+def _sprt_ab_sql(d: str) -> str:
+    """WALD'S SPRT (sequential probability ratio test) on the daily
+    purchase-conversion rate: is the conversion rate p1={SPRT_P1} rather
+    than p0={SPRT_P0}? -- the sequential test that lets an experiment STOP
+    THE DAY the evidence crosses a boundary instead of waiting for a
+    fixed horizon (alpha = beta = 0.05 Wald boundaries). The cumulative
+    log-likelihood ratio is PURE INTEGER arithmetic: the four log terms
+    are driver-precomputed 2^-30 integer literals, each day contributes
+    conversions * LA + non_conversions * LB exactly, and the running sum
+    is one window over the calendar-BOUNDED daily relation. Decision
+    per day by integer comparison against the integer boundaries; the
+    crossing day is min(day) WHERE decided -- no floats anywhere until
+    the reported llr column.
+
+    Scale shape: stream -> days-sized agg -> one bounded window; output
+    is days-sized."""
+    la, lb, upper, lower = _sprt_constants()
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd,
+                   cast(count(*) as bigint) AS n,
+                   cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+                        as bigint) AS c
+            FROM events GROUP BY {day}
+        ),
+        cum AS (
+            SELECT dd, n, c,
+                   cast(sum(c * {la} + (n - c) * {lb})
+                        OVER (ORDER BY dd
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS llr_q
+            FROM daily
+        )
+        SELECT dd AS day, n AS n_events, c AS n_conversions,
+               cast(llr_q as double) / {float(_SPRT_Q)!r} AS llr,
+               case when llr_q >= {upper} then 'accept_h1'
+                    when llr_q <= {lower} then 'accept_h0'
+                    else 'continue' end AS decision
+        FROM cum
+        ORDER BY dd
+    """
+
+
+def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over daily conversion (see _sprt_ab_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_sprt_ab_sql(D.SPARK))
+
+
+def _seasonal_backtest_sql(d: str) -> str:
+    """FORECAST BACKTEST of two naive baselines over daily event volume:
+    naive-1 (tomorrow = today) vs seasonal-7 (tomorrow = same weekday
+    last week) -- the two reference forecasts every real model must beat,
+    scored with the standard WAPE / MAE / bias trio. All three metrics
+    are single divisions of exact BIGINT sums over the calendar-BOUNDED
+    daily relation; forecasts pair by real day distance (dd + lag), so
+    calendar gaps cost a pair rather than shifting the series.
+
+    Scale shape: stream -> days-sized agg -> two self-joins on the
+    bounded daily relation -> 2-row output."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd, cast(count(*) as bigint) AS v
+            FROM events GROUP BY {day}
+        ),
+        lags AS (
+            SELECT 'naive_1' AS model, cast(1 as bigint) AS lag
+            UNION ALL
+            SELECT 'seasonal_7' AS model, cast(7 as bigint) AS lag
+        ),
+        scored AS (
+            SELECT l.model, a.dd, a.v AS actual, b.v AS forecast
+            FROM lags l
+            JOIN daily b ON true
+            JOIN daily a ON a.dd = b.dd + l.lag
+        )
+        SELECT model,
+               cast(count(*) as bigint) AS n_forecasts,
+               cast(sum(abs(actual - forecast)) as double)
+                   / cast(sum(actual) as double) AS wape,
+               cast(sum(abs(actual - forecast)) as double)
+                   / cast(count(*) as double) AS mae,
+               cast(sum(forecast - actual) as double)
+                   / cast(count(*) as double) AS bias
+        FROM scored
+        GROUP BY model
+        ORDER BY model
+    """
+
+
+def q_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-1 vs seasonal-7 backtest (see _seasonal_backtest_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_seasonal_backtest_sql(D.SPARK))
+
+
+def _winsorized_mean_sql(d: str) -> str:
+    """WINSORIZED MEAN of order value at the [p01, p99] bounds -- the
+    robust location estimate dashboards want when a handful of whale
+    orders move the plain mean (winsorizing clamps, unlike trimming which
+    deletes -- sample size is preserved). The interpolated percentile
+    bounds use the engines' shared definition (range_partition_bounds
+    precedent) and are FLOOR-QUANTIZED to integer cents before the clamp,
+    so the clamped sum is exact BIGINT arithmetic (summing raw clamped
+    doubles would be order-dependent across partitions).
+
+    Scale shape: one scan for the percentile agg, one scan for the
+    clamped sum (the 1-row bounds broadcast); no windows, no global
+    sort. The exact-percentile agg buffers distinct values and is the
+    4.8x term at the 40x probe (doc_length_percentiles cost class) -- at
+    fleet scale the bounds would come from approx_percentile or a
+    persisted calibration row; exact bounds are kept here because the
+    oracle contract needs the shared interpolated definition."""
+    cents = "cast(floor(o_totalprice * 100.0 + 0.5) as bigint)"
+    pc = (
+        f"percentile(cents, array(0.01, 0.99))"
+        if d == D.SPARK
+        else f"quantile_cont(cents, [0.01, 0.99])"
+    )
+    i1, i2 = (0, 1) if d == D.SPARK else (1, 2)
+    return f"""
+        WITH base AS (SELECT {cents} AS cents FROM orders),
+        b AS (
+            SELECT cast(floor(bounds[{i1}]) as bigint) AS lo,
+                   cast(floor(bounds[{i2}]) as bigint) AS hi
+            FROM (SELECT {pc} AS bounds FROM base) p
+        ),
+        clamped AS (
+            SELECT case when cents < b.lo then b.lo
+                        when cents > b.hi then b.hi
+                        else cents end AS w,
+                   case when cents < b.lo then 1 else 0 end AS clo,
+                   case when cents > b.hi then 1 else 0 end AS chi,
+                   cents
+            FROM base CROSS JOIN b
+        )
+        SELECT cast(count(*) as bigint) AS n_orders,
+               cast(cast(sum(cast(cents as decimal(38,0))) as double)
+                    / count(*) as double) AS mean_cents,
+               cast(cast(sum(cast(w as decimal(38,0))) as double)
+                    / count(*) as double) AS winsorized_mean_cents,
+               cast(sum(clo) as bigint) AS n_clamped_low,
+               cast(sum(chi) as bigint) AS n_clamped_high,
+               max(b2.lo) AS p01_cents, max(b2.hi) AS p99_cents
+        FROM clamped CROSS JOIN b b2
+    """
+
+
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value at [p01, p99] (see
+    _winsorized_mean_sql)."""
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_winsorized_mean_sql(D.SPARK))
+
+
+def _cuped_adjustment_sql(d: str) -> str:
+    """CUPED variance reduction (Deng-Xu-Kohavi-Walker 2013) for a
+    synthetic A/B readout: variant = user_id % 2, metric y = the user's
+    purchase revenue (cents) in the SECOND half of the observation
+    window, covariate x = the user's event count in the FIRST half.
+    theta = cov(x, y) / var(x) is fit POOLED (the paper's prescription --
+    a per-variant theta reintroduces bias), and each variant's adjusted
+    mean uses the linearity identity mean(y - theta(x - xbar)) =
+    ybar_v - theta (xbar_v - xbar), so NO second per-user pass exists.
+    Every moment (n, sx, sy, sxx, sxy, syy) is an exact BIGINT /
+    decimal(38,0) sum; theta, the adjusted means, and the variance-
+    reduction rho^2 = cov^2/(var_x var_y) are fixed IEEE chains on those
+    exact integers. The half boundary is the integer midpoint day
+    derived in-query -- deterministic, engine-identical.
+
+    Scale shape: stream -> per-user agg (the one data-sized shuffle) ->
+    2-group moment agg + 1-row pooled combine -> 2-row output."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    theta = (
+        "(cast(p.n as double) * cast(p.sxy as double)"
+        " - cast(p.sx as double) * cast(p.sy as double))"
+        " / (cast(p.n as double) * cast(p.sxx as double)"
+        "    - cast(p.sx as double) * cast(p.sx as double))"
+    )
+    rho2 = (
+        f"({theta}) * ({theta})"
+        " * (cast(p.n as double) * cast(p.sxx as double)"
+        "    - cast(p.sx as double) * cast(p.sx as double))"
+        " / (cast(p.n as double) * cast(p.syy as double)"
+        "    - cast(p.sy as double) * cast(p.sy as double))"
+    )
+    return f"""
+        WITH bounds AS (
+            SELECT {D.int_div(d, f"(min({day}) + max({day}) + 1)", "2")} AS mid
+            FROM events
+        ),
+        per_user AS (
+            SELECT e.user_id, cast(e.user_id % 2 as bigint) AS variant,
+                   cast(sum(case when {day} < b.mid then 1 else 0 end)
+                        as bigint) AS x,
+                   cast(sum(case when {day} >= b.mid
+                                  and e.event_type = 'purchase'
+                             then cast(floor(e.value * 100) as bigint)
+                             else 0 end) as bigint) AS y
+            FROM events e CROSS JOIN bounds b
+            GROUP BY e.user_id, e.user_id % 2
+        ),
+        pooled AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   cast(sum(x) as bigint) AS sx,
+                   cast(sum(y) as bigint) AS sy,
+                   sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0)))
+                       AS sxx,
+                   sum(cast(x as decimal(19,0)) * cast(y as decimal(19,0)))
+                       AS sxy,
+                   sum(cast(y as decimal(19,0)) * cast(y as decimal(19,0)))
+                       AS syy
+            FROM per_user
+        ),
+        v AS (
+            SELECT variant,
+                   cast(count(*) as bigint) AS n_users,
+                   cast(sum(x) as bigint) AS vx,
+                   cast(sum(y) as bigint) AS vy
+            FROM per_user GROUP BY variant
+        )
+        SELECT v.variant, v.n_users,
+               cast(v.vy as double) / cast(v.n_users as double) AS raw_mean,
+               cast(v.vy as double) / cast(v.n_users as double)
+                   - {theta} * (cast(v.vx as double) / cast(v.n_users as double)
+                                - cast(p.sx as double) / cast(p.n as double))
+                   AS cuped_mean,
+               {theta} AS theta,
+               {rho2} AS rho_sq
+        FROM v CROSS JOIN pooled p
+        ORDER BY v.variant
+    """
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted variant means (see _cuped_adjustment_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_cuped_adjustment_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -14002,6 +14320,12 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "binseg_changepoint": (q_binseg_changepoint, _binseg_changepoint_sql),
     "mcnemar_test": (q_mcnemar_test, _mcnemar_test_sql),
     "dow_seasonality": (q_dow_seasonality, _dow_seasonality_sql),
+    # --- round-9 wave 7 ---
+    "hhi_concentration": (q_hhi_concentration, _hhi_concentration_sql),
+    "sprt_ab": (q_sprt_ab, _sprt_ab_sql),
+    "seasonal_backtest": (q_seasonal_backtest, _seasonal_backtest_sql),
+    "winsorized_mean": (q_winsorized_mean, _winsorized_mean_sql),
+    "cuped_adjustment": (q_cuped_adjustment, _cuped_adjustment_sql),
     # --- round-8 additions (never driver-proven) ---
     "psi_drift": (q_psi_drift, _psi_drift_sql),
     "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),

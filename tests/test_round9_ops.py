@@ -631,3 +631,104 @@ def test_dow_seasonality_reconciles(spark):
     eta = rows[0]["eta_sq"]
     assert all(abs(r["eta_sq"] - eta) < 1e-12 for r in rows)  # one scalar, repeated
     assert 0.0 <= eta <= 1.0
+
+
+# --- wave 7 ---
+
+
+def test_hhi_bounds_and_hand_check(spark):
+    rows = Q.q_hhi_concentration(spark, SF01).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+        # top share bounds HHI on both sides
+        assert r["top_share"] ** 2 - 1e-9 <= r["hhi"] <= r["top_share"] + 1e-9
+    # hand-recompute one nation
+    target = rows[0]["nation"]
+    Q._view(spark, SF01, "lineitem", "supplier", "nation")
+    per = spark.sql(
+        f"""SELECT l_suppkey, sum(cast(l_extendedprice * (1 - l_discount)
+            as decimal(18,6))) AS rev
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = '{target}' GROUP BY l_suppkey"""
+    ).collect()
+    tot = sum(float(p["rev"]) for p in per)
+    import math
+
+    hhi = sum(math.floor((float(p["rev"]) / tot) ** 2 * Q._HHI_Q) for p in per) / Q._HHI_Q
+    assert abs(rows[0]["hhi"] - hhi) < 1e-9
+    assert rows[0]["n_suppliers"] == len(per)
+
+
+def test_sprt_llr_recomputes(spark):
+    rows = Q.q_sprt_ab(spark, SF01).collect()
+    la, lb, upper, lower = Q._sprt_constants()
+    cum = 0
+    for r in sorted(rows, key=lambda x: x["day"]):
+        cum += r["n_conversions"] * la + (r["n_events"] - r["n_conversions"]) * lb
+        assert abs(r["llr"] - cum / Q._SPRT_Q) < 1e-12
+        want = (
+            "accept_h1" if cum >= upper else "accept_h0" if cum <= lower else "continue"
+        )
+        assert r["decision"] == want
+    # the test must actually move off the fence somewhere OR stay all-continue;
+    # either way every day carries a decision value
+    assert {r["decision"] for r in rows} <= {"accept_h0", "accept_h1", "continue"}
+
+
+def test_seasonal_backtest_hand_wape(spark):
+    out = {r["model"]: r for r in Q.q_seasonal_backtest(spark, SF01).collect()}
+    assert set(out) == {"naive_1", "seasonal_7"}
+    daily = {
+        r["d"]: r["v"]
+        for r in spark.sql(
+            "SELECT (ts div 1000) div 86400000000 AS d, count(*) AS v"
+            " FROM events GROUP BY 1"
+        ).collect()
+    }
+    for model, lag in (("naive_1", 1), ("seasonal_7", 7)):
+        pairs = [(v, daily[d - lag]) for d, v in daily.items() if d - lag in daily]
+        r = out[model]
+        assert r["n_forecasts"] == len(pairs)
+        wape = sum(abs(a - f) for a, f in pairs) / sum(a for a, _ in pairs)
+        assert abs(r["wape"] - wape) < 1e-12
+        assert abs(r["bias"] - sum(f - a for a, f in pairs) / len(pairs)) < 1e-9
+
+
+def test_winsorized_mean_hand_check(spark):
+    r = Q.q_winsorized_mean(spark, SF01).collect()[0]
+    cents = sorted(
+        int(o["o_totalprice"] * 100 + 0.5)
+        for o in spark.read.parquet(f"{SF01}/orders.parquet").collect()
+    )
+    assert r["n_orders"] == len(cents)
+    lo, hi = r["p01_cents"], r["p99_cents"]
+    assert cents[0] <= lo < hi <= cents[-1]
+    w = [min(max(c, lo), hi) for c in cents]
+    assert abs(r["winsorized_mean_cents"] - sum(w) / len(w)) < 1e-6
+    assert r["n_clamped_low"] == sum(c < lo for c in cents)
+    assert r["n_clamped_high"] == sum(c > hi for c in cents)
+    # about 1% clamped each side (interpolated percentile, small-n slack)
+    assert 0 < r["n_clamped_low"] <= len(cents) * 0.02
+    assert 0 < r["n_clamped_high"] <= len(cents) * 0.02
+    # winsorizing pulls the mean toward the center, never past the raw mean
+    assert abs(r["winsorized_mean_cents"] - r["mean_cents"]) < (
+        r["mean_cents"] * 0.05
+    )
+
+
+def test_cuped_invariants(spark):
+    rows = {r["variant"]: r for r in Q.q_cuped_adjustment(spark, SF01).collect()}
+    assert set(rows) == {0, 1}
+    r0, r1 = rows[0], rows[1]
+    assert r0["theta"] == r1["theta"]
+    assert 0.0 <= r0["rho_sq"] <= 1.0
+    # linearity identity: the user-weighted mean is invariant under CUPED
+    n0, n1 = r0["n_users"], r1["n_users"]
+    raw_w = (r0["raw_mean"] * n0 + r1["raw_mean"] * n1) / (n0 + n1)
+    adj_w = (r0["cuped_mean"] * n0 + r1["cuped_mean"] * n1) / (n0 + n1)
+    assert abs(raw_w - adj_w) < max(1.0, abs(raw_w)) * 1e-9
+    # covariate imbalance exists (hash-split), so CUPED must actually move
+    # at least one variant's mean (positive branch)
+    assert any(abs(rows[v]["cuped_mean"] - rows[v]["raw_mean"]) > 1e-9 for v in rows)

@@ -47,6 +47,14 @@ NAMES = [
     "binseg_changepoint",
     "mcnemar_test",
     "dow_seasonality",
+    # wave 7 (lineitem inflates with remapped orderkeys; suppliers stay the
+    # dim -- supply GROWTH per supplier, shares unchanged, the honest HHI
+    # scale model)
+    "hhi_concentration",
+    "sprt_ab",
+    "seasonal_backtest",
+    "winsorized_mean",
+    "cuped_adjustment",
 ]
 
 
@@ -97,9 +105,19 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{out}/events.parquet")
     )
 
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    max_lok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    (
+        _inflate(li, mult)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("copy") * F.lit(max_lok))
+        .drop("copy")
+        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    )
+
     # dims ride along un-inflated (customer joins orders on the original
-    # custkey range in every copy -- fan-out stays 1:1 per order)
-    for dim in ("customer", "nation"):
+    # custkey range in every copy -- fan-out stays 1:1 per order; supplier
+    # stays fixed so lineitem growth means MORE VOLUME PER SUPPLIER)
+    for dim in ("customer", "nation", "supplier"):
         spark.read.parquet(f"{src}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{out}/{dim}.parquet"
         )
