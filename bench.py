@@ -231,6 +231,12 @@ BENCH_QUERIES = [
     "seasonal_backtest",
     "winsorized_mean",
     "cuped_adjustment",
+    # round-9 wave 8
+    "srm_check",
+    "mde_power",
+    "shapley_attribution",
+    "mad_anomalies",
+    "retention_decay_fit",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -14001,20 +14001,22 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hhi_concentration_sql(D.SPARK))
 
 
-# SPRT design constants: H0 conversion p0 vs H1 p1, error targets
-# alpha = beta = 0.05. The four log-likelihood terms are precomputed
-# driver-side and inlined as 2^-30-quantized INTEGER literals -- the SQL
-# contains no transcendentals at all.
-SPRT_P0 = 0.040
-SPRT_P1 = 0.050
+# SPRT designs: H0 conversion p0 vs H1 p1, error targets alpha = beta =
+# 0.05. TWO mirrored designs bracketing the corpus's real per-event
+# purchase rate (~0.198) so every decision branch is exercised on real
+# data (the FIXTURES.md liveness rule -- the v1 single design p0=0.04/
+# p1=0.05 sat so far below the real rate that every day read accept_h1).
+# The log-likelihood terms are precomputed driver-side and inlined as
+# 2^-30-quantized INTEGER literals -- the SQL has no transcendentals.
+SPRT_DESIGNS = (("detect_uplift", 0.19, 0.21), ("detect_downlift", 0.21, 0.19))
 _SPRT_Q = 1 << 30
 
 
-def _sprt_constants() -> tuple[int, int, int, int]:
+def _sprt_constants(p0: float, p1: float) -> tuple[int, int, int, int]:
     import math
 
-    la = math.floor(math.log(SPRT_P1 / SPRT_P0) * _SPRT_Q)  # per conversion
-    lb = math.floor(math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * _SPRT_Q)
+    la = math.floor(math.log(p1 / p0) * _SPRT_Q)  # per conversion
+    lb = math.floor(math.log((1 - p1) / (1 - p0)) * _SPRT_Q)
     upper = math.floor(math.log((1 - 0.05) / 0.05) * _SPRT_Q)  # accept H1
     lower = math.floor(math.log(0.05 / (1 - 0.05)) * _SPRT_Q)  # accept H0
     return la, lb, upper, lower
@@ -14022,23 +14024,37 @@ def _sprt_constants() -> tuple[int, int, int, int]:
 
 def _sprt_ab_sql(d: str) -> str:
     """WALD'S SPRT (sequential probability ratio test) on the daily
-    purchase-conversion rate: is the conversion rate p1={SPRT_P1} rather
-    than p0={SPRT_P0}? -- the sequential test that lets an experiment STOP
-    THE DAY the evidence crosses a boundary instead of waiting for a
-    fixed horizon (alpha = beta = 0.05 Wald boundaries). The cumulative
-    log-likelihood ratio is PURE INTEGER arithmetic: the four log terms
-    are driver-precomputed 2^-30 integer literals, each day contributes
-    conversions * LA + non_conversions * LB exactly, and the running sum
-    is one window over the calendar-BOUNDED daily relation. Decision
-    per day by integer comparison against the integer boundaries; the
-    crossing day is min(day) WHERE decided -- no floats anywhere until
-    the reported llr column.
+    purchase-conversion rate, run as the standard mirrored PAIR of
+    one-sided designs (detect_uplift / detect_downlift around the
+    baseline) -- the sequential monitor that lets an experiment STOP THE
+    DAY the evidence crosses a Wald boundary instead of waiting for a
+    fixed horizon (alpha = beta = 0.05). The cumulative log-likelihood
+    ratio is PURE INTEGER arithmetic: the per-design log terms are
+    driver-precomputed 2^-30 integer literals, each day contributes
+    conversions * LA + non_conversions * LB exactly, the running sum is
+    one PARTITION BY design window over the calendar-BOUNDED daily
+    relation, and the proper SPRT stop (FIRST boundary crossing; the
+    walk may touch both fences later, but a sequential test is over at
+    the first) is a min-over-design window on the crossing days. No
+    floats anywhere until the reported llr column.
 
-    Scale shape: stream -> days-sized agg -> one bounded window; output
-    is days-sized."""
-    la, lb, upper, lower = _sprt_constants()
+    Scale shape: stream -> days-sized agg -> two bounded windows over
+    the 2 x days relation; output is 2 x days rows."""
     us = _ts_us(d)
     day = D.int_div(d, us, str(DAY_US))
+    designs = " UNION ALL ".join(
+        f"SELECT '{name}' AS test_name, cast({la} as bigint) AS la,"
+        f" cast({lb} as bigint) AS lb, cast({up} as bigint) AS up,"
+        f" cast({lo} as bigint) AS lo"
+        for name, (la, lb, up, lo) in (
+            (n, _sprt_constants(p0, p1)) for n, p0, p1 in SPRT_DESIGNS
+        )
+    )
+    state = (
+        "case when llr_q >= up then 'accept_h1'"
+        " when llr_q <= lo then 'accept_h0'"
+        " else 'continue' end"
+    )
     return f"""
         WITH daily AS (
             SELECT {day} AS dd,
@@ -14047,26 +14063,37 @@ def _sprt_ab_sql(d: str) -> str:
                         as bigint) AS c
             FROM events GROUP BY {day}
         ),
+        designs AS ({designs}),
         cum AS (
-            SELECT dd, n, c,
-                   cast(sum(c * {la} + (n - c) * {lb})
-                        OVER (ORDER BY dd
+            SELECT g.test_name, g.up, g.lo, dy.dd, dy.n, dy.c,
+                   cast(sum(dy.c * g.la + (dy.n - dy.c) * g.lb)
+                        OVER (PARTITION BY g.test_name ORDER BY dy.dd
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         as bigint) AS llr_q
-            FROM daily
+            FROM daily dy CROSS JOIN designs g
+        ),
+        marked AS (
+            SELECT test_name, dd, n, c, llr_q, up, lo,
+                   min(case when llr_q >= up or llr_q <= lo then dd end)
+                       OVER (PARTITION BY test_name) AS stop_dd
+            FROM cum
         )
-        SELECT dd AS day, n AS n_events, c AS n_conversions,
+        SELECT test_name, dd AS day, n AS n_events, c AS n_conversions,
                cast(llr_q as double) / {float(_SPRT_Q)!r} AS llr,
-               case when llr_q >= {upper} then 'accept_h1'
-                    when llr_q <= {lower} then 'accept_h0'
-                    else 'continue' end AS decision
-        FROM cum
-        ORDER BY dd
+               {state} AS boundary_state,
+               stop_dd AS stopped_day,
+               case when stop_dd IS NULL then 'running'
+                    when dd < stop_dd then 'pre_stop'
+                    when dd = stop_dd then {state}
+                    else 'post_stop' end AS sprt_status
+        FROM marked
+        ORDER BY test_name, dd
     """
 
 
 def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald SPRT over daily conversion (see _sprt_ab_sql)."""
+    """Mirrored-pair Wald SPRT over daily conversion (see
+    _sprt_ab_sql)."""
     _events_view(spark, sf_dir)
     return spark.sql(_sprt_ab_sql(D.SPARK))
 
@@ -14265,6 +14292,337 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_cuped_adjustment_sql(D.SPARK))
 
 
+SRM_CHI2_CRIT = 6.635  # chi-square(1) at p = 0.01, the SRM-alarm canon
+
+
+def _srm_check_sql(d: str) -> str:
+    """SAMPLE-RATIO-MISMATCH guardrail for the user_id % 2 experiment
+    split: a chi-square(1) test of the observed variant counts against
+    the designed 50/50 -- the FIRST check any A/B readout must pass,
+    because a biased split invalidates every downstream metric (Kohavi's
+    "most common experimentation pitfall"). chi2 = (n_a - n_b)^2 /
+    (n_a + n_b) for equal expected halves -- ONE division of exact
+    BIGINTs; the alarm compares against the p=0.01 critical value
+    {SRM_CHI2_CRIT}.
+
+    Scale shape: one distinct-user agg (map-side partial over user_id)
+    -> 2-group count -> 1-row output."""
+    return f"""
+        WITH u AS (
+            SELECT DISTINCT user_id FROM events
+        ),
+        v AS (
+            SELECT cast(sum(case when user_id % 2 = 0 then 1 else 0 end)
+                        as bigint) AS n_a,
+                   cast(sum(case when user_id % 2 = 1 then 1 else 0 end)
+                        as bigint) AS n_b
+            FROM u
+        )
+        SELECT n_a, n_b,
+               cast((n_a - n_b) * (n_a - n_b) as double)
+                   / cast(n_a + n_b as double) AS chi2,
+               case when cast((n_a - n_b) * (n_a - n_b) as double)
+                         / cast(n_a + n_b as double) >= {SRM_CHI2_CRIT!r}
+                    then true else false end AS srm_alarm
+        FROM v
+    """
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square guardrail (see _srm_check_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_srm_check_sql(D.SPARK))
+
+
+# two-sided alpha = 0.05, power = 0.80: the standard design point. The z
+# constants are driver-side literals (no inverse-normal in SQL).
+_MDE_Z_ALPHA = 1.959963984540054
+_MDE_Z_BETA = 0.8416212335729143
+MDE_HORIZONS = (7, 14, 28)
+
+
+def _mde_power_sql(d: str) -> str:
+    """MINIMUM DETECTABLE EFFECT calculator for a conversion A/B at this
+    corpus's real traffic: from the observed DAILY CONVERTING-USER rate
+    (unit = active user-day; a purchase that day = conversion) and the
+    observed user-day arrival rate, the smallest absolute/relative lift
+    a 50/50 test can detect at alpha=0.05, power=0.80 over 7/14/28-day
+    horizons -- the "is this experiment even worth running?" number
+    (two-proportion z approximation, n_per_arm = user_days_per_day * H /
+    2). User-DAY units, not lifetime-user units, deliberately: on this
+    dense stream every user eventually purchases, so the lifetime rate
+    is the degenerate 1.0 (the FIXTURES liveness rule -- v1 shipped
+    p = 1.0 and an MDE of exactly 0); the daily rate is ~0.40 at every
+    test sf. The z-quantiles are driver-side literals; p and the counts
+    are exact integers; each MDE is a fixed sqrt chain on those.
+
+    Scale shape: one (user, day) agg, a 1-row rollup, a 3-row literal
+    horizon relation; output is 3 rows."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    z2 = _MDE_Z_ALPHA + _MDE_Z_BETA
+    p = "(cast(m.conv as double) / cast(m.users as double))"
+    n_arm = "(cast(m.users as double) / cast(m.days as double) * cast(h.horizon as double) / 2.0)"
+    mde = f"({z2!r} * sqrt(2.0 * {p} * (1.0 - {p}) / {n_arm}))"
+    return f"""
+        WITH per_ud AS (
+            SELECT user_id, {day} AS dd,
+                   max(case when event_type = 'purchase' then 1 else 0 end)
+                       AS converted
+            FROM events GROUP BY user_id, {day}
+        ),
+        m AS (
+            SELECT cast(count(*) as bigint) AS users,
+                   cast(sum(converted) as bigint) AS conv,
+                   cast(max(dd) - min(dd) + 1 as bigint) AS days
+            FROM per_ud
+        ),
+        h AS (
+            SELECT cast(7 as bigint) AS horizon
+            UNION ALL SELECT cast(14 as bigint)
+            UNION ALL SELECT cast(28 as bigint)
+        )
+        SELECT h.horizon AS horizon_days, m.users AS observed_user_days,
+               m.days AS observed_days,
+               {p} AS baseline_rate,
+               cast({n_arm} as double) AS n_per_arm,
+               {mde} AS mde_abs,
+               {mde} / {p} AS mde_rel
+        FROM h CROSS JOIN m
+        ORDER BY h.horizon
+    """
+
+
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDE / power calculator at observed traffic (see _mde_power_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_mde_power_sql(D.SPARK))
+
+
+SHAPLEY_CHANNELS = ("click", "view", "signup")
+_SHAPLEY_LCM = 6  # LCM(1..3): per-user credits become exact integers
+
+
+def _shapley_attribution_sql(d: str) -> str:
+    """SHAPLEY-VALUE conversion attribution over touch-channel SETS: each
+    converting user's credit splits equally among the DISTINCT channels
+    touched before their first purchase -- which IS the Shapley value
+    under the standard any-touch characteristic function v(T) =
+    1[T intersects S] (the closed form 1/|S| for members of S; the
+    game-theoretic answer first/last-touch approximates). Exactness:
+    per-user credits are 1/|S| with |S| <= {len(SHAPLEY_CHANNELS)}, so
+    credit * {_SHAPLEY_LCM} (LCM of 1..3) is an exact INTEGER summed
+    per channel; the reported double is one final division. Users whose
+    first purchase has NO prior touch are reported as the 'untouched'
+    row, so the credit column reconciles to the converting-user count
+    exactly (pinned by test).
+
+    Scale shape: one scan with a per-user window (min purchase ts), one
+    distinct (user, channel) agg, a user-sized set-size agg, a
+    channel-sized final agg. No data-sized joins -- the window replaces
+    the events-to-first-purchase self-join."""
+    us = _ts_us(d)
+    chans = ", ".join(f"'{c}'" for c in SHAPLEY_CHANNELS)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type, {us} AS tus,
+                   min(case when event_type = 'purchase' then {us} end)
+                       OVER (PARTITION BY user_id) AS fp
+            FROM events
+        ),
+        touched AS (
+            SELECT DISTINCT user_id, event_type AS channel
+            FROM ev
+            WHERE fp IS NOT NULL AND tus < fp AND event_type IN ({chans})
+        ),
+        setsize AS (
+            SELECT user_id, cast(count(*) as bigint) AS s
+            FROM touched GROUP BY user_id
+        ),
+        conv AS (
+            SELECT cast(count(DISTINCT user_id) as bigint) AS n_conv
+            FROM ev WHERE fp IS NOT NULL
+        ),
+        credit AS (
+            SELECT t.channel,
+                   cast(count(*) as bigint) AS n_touched_users,
+                   cast(sum({D.int_div(d, str(_SHAPLEY_LCM), "ss.s")}) as bigint)
+                       AS credit_lcm
+            FROM touched t JOIN setsize ss ON ss.user_id = t.user_id
+            GROUP BY t.channel
+        ),
+        rows0 AS (
+            SELECT channel, n_touched_users,
+                   cast(credit_lcm as double) / {float(_SHAPLEY_LCM)!r}
+                       AS shapley_conversions
+            FROM credit
+            UNION ALL
+            SELECT 'untouched' AS channel,
+                   c.n_conv - (SELECT cast(count(*) as bigint) FROM setsize)
+                       AS n_touched_users,
+                   cast(c.n_conv - (SELECT cast(count(*) as bigint)
+                                    FROM setsize) as double)
+                       AS shapley_conversions
+            FROM conv c
+        )
+        SELECT r.channel, r.n_touched_users, r.shapley_conversions,
+               r.shapley_conversions / cast(c.n_conv as double) AS credit_share
+        FROM rows0 r CROSS JOIN conv c
+        ORDER BY r.channel
+    """
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley touch-set attribution (see _shapley_attribution_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_shapley_attribution_sql(D.SPARK))
+
+
+MAD_Z_CRIT = 3.5  # Iglewicz-Hoaglin modified-z outlier cut
+_MAD_C = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalents
+
+
+def _mad_anomalies_sql(d: str) -> str:
+    """MODIFIED Z-SCORE (median/MAD) anomaly screen over daily purchase
+    revenue -- the robust twin of zscore_days: a single whale day inflates
+    the mean AND the stddev enough to hide itself from a plain z-score,
+    while the median/MAD pair barely moves (Iglewicz-Hoaglin, cut at
+    |z| > {MAD_Z_CRIT}). The median and the MAD are interpolated
+    percentiles over the calendar-BOUNDED daily relation (shared
+    cross-engine definition -- range_partition_bounds precedent); each
+    day's modified z is a fixed IEEE chain on (v, med, mad).
+
+    Scale shape: stream -> days-sized agg; both percentiles and the
+    z projection run on the bounded daily relation. The Spark path
+    materializes the daily relation once -- the med/mad/final branches
+    would otherwise re-inline the event scan (calibration lesson)."""
+    return _mad_anomalies_tail(d, _mad_daily_sql(d))
+
+
+def _mad_daily_sql(d: str) -> str:
+    """(dd, v): daily purchase revenue in exact cents."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    return f"""
+        SELECT {day} AS dd,
+               cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY {day}
+    """
+
+
+def _mad_anomalies_tail(d: str, daily_src: str) -> str:
+    """median/MAD/z tail over a `(dd, v)` daily relation."""
+    pc = "percentile" if d == D.SPARK else "quantile_cont"
+    z = f"({_MAD_C!r} * (cast(dy.v as double) - med.m) / mad.m2)"
+    return f"""
+        WITH daily AS ({daily_src}),
+        med AS (SELECT {pc}(v, 0.5) AS m FROM daily),
+        mad AS (
+            SELECT {pc}(abs(cast(v as double) - med.m), 0.5) AS m2
+            FROM daily CROSS JOIN med
+        )
+        SELECT dy.dd, dy.v AS v_cents,
+               case when mad.m2 = 0.0 then 0.0 else {z} end AS modified_z,
+               case when mad.m2 <> 0.0 and ({z} > {MAD_Z_CRIT!r}
+                         or {z} < -{MAD_Z_CRIT!r})
+                    then true else false end AS is_anomaly
+        FROM daily dy CROSS JOIN med CROSS JOIN mad
+        ORDER BY dy.dd
+    """
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z daily anomalies (see _mad_anomalies_sql).
+    The daily relation is materialized once (localCheckpoint) ahead of
+    the three-branch tail."""
+    _events_view(spark, sf_dir)
+    daily = spark.sql(_mad_daily_sql(D.SPARK))
+    daily.localCheckpoint(eager=True).createOrReplaceTempView("mad_daily")
+    return spark.sql(
+        _mad_anomalies_tail(D.SPARK, "SELECT dd, v FROM mad_daily")
+    )
+
+
+_RETFIT_Q = 1 << 30  # quantization grid for ln(retention) (psi rule)
+_LN2 = 0.6931471805599453
+
+
+def _retention_decay_fit_sql(d: str) -> str:
+    """EXPONENTIAL-DECAY FIT of pooled purchase retention: pool
+    cohort_retention's (offset, active, cohort_size) over all cohorts
+    that OBSERVE each offset (right-censoring handled by construction:
+    a cohort only enters the denominators of offsets inside the data
+    window), then fit ln(rate) ~ offset by OLS -- the parametric summary
+    (daily churn lambda + half-life) that turns the retention triangle
+    into two planning numbers. Pooled rates are single divisions of
+    exact BIGINTs; each ln output is floor-quantized to 2^-30 (psi
+    rule); the OLS moments accumulate as exact integers (zipf_slope
+    pattern); half-life = ln(2)/lambda uses a driver-side ln(2) literal.
+
+    Scale shape: stream -> distinct (user, day) purchase facts ->
+    cohort/offset hash-aggs (bounded by the day-span^2 triangle) ->
+    offset-sized moments -> 1-row fit."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    qf = float(_RETFIT_Q)
+    y = f"cast(floor(ln(cast(act as double) / cast(tot as double)) * {qf!r}) as bigint)"
+    num = "cast(n * sxy - sx * sy as double)"
+    den = "cast(n * sxx - sx * sx as double)"
+    slope_q = f"({num} / {den})"  # in quantized-ln units per day
+    lam = f"(-({slope_q}) / {qf!r})"
+    return f"""
+        WITH ev AS (
+            SELECT DISTINCT user_id, {day} AS dd
+            FROM events WHERE event_type = 'purchase'
+        ),
+        firstp AS (SELECT user_id, min(dd) AS c0 FROM ev GROUP BY user_id),
+        span AS (SELECT max(dd) AS dmax FROM ev),
+        sizes AS (
+            SELECT c0, cast(count(*) as bigint) AS sz
+            FROM firstp GROUP BY c0
+        ),
+        act AS (
+            SELECT e.dd - f.c0 AS o,
+                   cast(count(DISTINCT e.user_id) as bigint) AS act
+            FROM ev e JOIN firstp f ON f.user_id = e.user_id
+            WHERE e.dd > f.c0
+            GROUP BY e.dd - f.c0
+        ),
+        denom AS (
+            SELECT a.o, a.act,
+                   (SELECT cast(sum(s.sz) as bigint) FROM sizes s
+                     CROSS JOIN span
+                    WHERE s.c0 + a.o <= span.dmax) AS tot
+            FROM act a
+        ),
+        pts AS (
+            SELECT o AS x, {y} AS yq FROM denom WHERE act > 0 AND tot > 0
+        ),
+        mom AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   cast(sum(x) as bigint) AS sx,
+                   cast(sum(yq) as bigint) AS sy,
+                   cast(sum(x * yq) as bigint) AS sxy,
+                   cast(sum(x * x) as bigint) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_offsets,
+               case when n * sxx - sx * sx = 0 then 0.0 else {lam} end
+                   AS lambda_per_day,
+               case when n * sxx - sx * sx = 0 or {lam} <= 0.0 then 0.0
+                    else {_LN2!r} / {lam} end AS half_life_days
+        FROM mom
+    """
+
+
+def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential decay fit of pooled retention (see
+    _retention_decay_fit_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_retention_decay_fit_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -14326,6 +14684,12 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     "seasonal_backtest": (q_seasonal_backtest, _seasonal_backtest_sql),
     "winsorized_mean": (q_winsorized_mean, _winsorized_mean_sql),
     "cuped_adjustment": (q_cuped_adjustment, _cuped_adjustment_sql),
+    # --- round-9 wave 8 ---
+    "srm_check": (q_srm_check, _srm_check_sql),
+    "mde_power": (q_mde_power, _mde_power_sql),
+    "shapley_attribution": (q_shapley_attribution, _shapley_attribution_sql),
+    "mad_anomalies": (q_mad_anomalies, _mad_anomalies_sql),
+    "retention_decay_fit": (q_retention_decay_fit, _retention_decay_fit_sql),
     # --- round-8 additions (never driver-proven) ---
     "psi_drift": (q_psi_drift, _psi_drift_sql),
     "funnel_windowed": (q_funnel_windowed, _funnel_windowed_sql),

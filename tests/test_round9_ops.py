@@ -661,20 +661,38 @@ def test_hhi_bounds_and_hand_check(spark):
     assert rows[0]["n_suppliers"] == len(per)
 
 
-def test_sprt_llr_recomputes(spark):
+def test_sprt_llr_recomputes_and_branches_live(spark):
     rows = Q.q_sprt_ab(spark, SF01).collect()
-    la, lb, upper, lower = Q._sprt_constants()
-    cum = 0
-    for r in sorted(rows, key=lambda x: x["day"]):
-        cum += r["n_conversions"] * la + (r["n_events"] - r["n_conversions"]) * lb
-        assert abs(r["llr"] - cum / Q._SPRT_Q) < 1e-12
-        want = (
-            "accept_h1" if cum >= upper else "accept_h0" if cum <= lower else "continue"
-        )
-        assert r["decision"] == want
-    # the test must actually move off the fence somewhere OR stay all-continue;
-    # either way every day carries a decision value
-    assert {r["decision"] for r in rows} <= {"accept_h0", "accept_h1", "continue"}
+    by_test = {}
+    for r in rows:
+        by_test.setdefault(r["test_name"], []).append(r)
+    assert set(by_test) == {n for n, _, _ in Q.SPRT_DESIGNS}
+    states = set()
+    for name, p0, p1 in Q.SPRT_DESIGNS:
+        la, lb, upper, lower = Q._sprt_constants(p0, p1)
+        cum = 0
+        stop = None
+        for r in sorted(by_test[name], key=lambda x: x["day"]):
+            cum += r["n_conversions"] * la + (r["n_events"] - r["n_conversions"]) * lb
+            assert abs(r["llr"] - cum / Q._SPRT_Q) < 1e-12
+            want = (
+                "accept_h1" if cum >= upper
+                else "accept_h0" if cum <= lower else "continue"
+            )
+            assert r["boundary_state"] == want
+            states.add(want)
+            if stop is None and want != "continue":
+                stop = r["day"]
+            assert r["stopped_day"] == stop or (stop is None and r["stopped_day"] is not None and r["day"] < r["stopped_day"])
+            if stop is not None:
+                if r["day"] < stop:
+                    assert r["sprt_status"] == "pre_stop"
+                elif r["day"] == stop:
+                    assert r["sprt_status"] in ("accept_h0", "accept_h1")
+                else:
+                    assert r["sprt_status"] == "post_stop"
+    # liveness: the mirrored pair exercises continue AND both decisions
+    assert states == {"continue", "accept_h0", "accept_h1"}
 
 
 def test_seasonal_backtest_hand_wape(spark):
@@ -732,3 +750,113 @@ def test_cuped_invariants(spark):
     # covariate imbalance exists (hash-split), so CUPED must actually move
     # at least one variant's mean (positive branch)
     assert any(abs(rows[v]["cuped_mean"] - rows[v]["raw_mean"]) > 1e-9 for v in rows)
+
+
+# --- wave 8 ---
+
+
+def test_srm_chi2_hand_check(spark):
+    r = Q.q_srm_check(spark, SF01).collect()[0]
+    users = {
+        u["user_id"]
+        for u in spark.read.parquet(f"{SF01}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    na = sum(1 for u in users if u % 2 == 0)
+    nb = len(users) - na
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["chi2"] - (na - nb) ** 2 / (na + nb)) < 1e-12
+    assert r["srm_alarm"] == (r["chi2"] >= Q.SRM_CHI2_CRIT)
+    # a hash split of a healthy population must NOT alarm
+    assert not r["srm_alarm"]
+
+
+def test_mde_power_shrinks_with_horizon(spark):
+    rows = sorted(Q.q_mde_power(spark, SF01).collect(), key=lambda r: r["horizon_days"])
+    assert [r["horizon_days"] for r in rows] == list(Q.MDE_HORIZONS)
+    assert all(0.0 < r["baseline_rate"] < 1.0 for r in rows)
+    # more runway -> smaller detectable effect, exactly like 1/sqrt(n)
+    for a, b in zip(rows, rows[1:]):
+        assert b["mde_abs"] < a["mde_abs"]
+        ratio = a["mde_abs"] / b["mde_abs"]
+        expect = (b["n_per_arm"] / a["n_per_arm"]) ** 0.5
+        assert abs(ratio - expect) < 1e-9
+    assert all(r["mde_rel"] == r["mde_abs"] / r["baseline_rate"] for r in rows)
+
+
+def test_shapley_reconciles_to_conversions(spark):
+    rows = {r["channel"]: r for r in Q.q_shapley_attribution(spark, SF01).collect()}
+    assert set(rows) <= set(Q.SHAPLEY_CHANNELS) | {"untouched"}
+    total_credit = sum(r["shapley_conversions"] for r in rows.values())
+    total_share = sum(r["credit_share"] for r in rows.values())
+    # credit partitions the converting users exactly (the 1/|S| identity)
+    Q._events_view(spark, SF01)
+    n_conv = spark.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events"
+        " WHERE event_type = 'purchase'"
+    ).collect()[0]["n"]
+    assert abs(total_credit - n_conv) < 1e-9
+    assert abs(total_share - 1.0) < 1e-12
+    # every real channel got some credit on this dense stream
+    assert all(rows[c]["shapley_conversions"] > 0 for c in Q.SHAPLEY_CHANNELS if c in rows)
+
+
+def test_mad_anomalies_robustness(spark):
+    rows = Q.q_mad_anomalies(spark, SF01).collect()
+    import statistics
+
+    vs = [r["v_cents"] for r in rows]
+    med = statistics.median(vs)
+    mad = statistics.median(sorted(abs(v - med) for v in vs))
+    for r in rows:
+        want = 0.6745 * (r["v_cents"] - med) / mad
+        assert abs(r["modified_z"] - want) < 1e-9
+        assert r["is_anomaly"] == (abs(want) > Q.MAD_Z_CRIT)
+    # the day nearest the (interpolated) median scores near 0 -- the
+    # median of an even day count falls BETWEEN days, so exactly-0 is
+    # not attainable; 0.5 sigma-equivalents is the honest bound
+    assert min(abs(r["modified_z"]) for r in rows) < 0.5
+
+
+def test_retention_decay_fit_matches_hand_ols(spark):
+    r = Q.q_retention_decay_fit(spark, SF01).collect()[0]
+    assert r["n_offsets"] > 3
+    assert r["lambda_per_day"] != 0.0
+    if r["lambda_per_day"] > 0:
+        import math
+
+        assert abs(r["half_life_days"] - math.log(2) / r["lambda_per_day"]) < 1e-9
+    # recompute the pooled points + OLS exactly as the query defines them
+    import math
+
+    ev = spark.sql(
+        "SELECT DISTINCT user_id, (ts div 1000) div 86400000000 AS d FROM events"
+        " WHERE event_type = 'purchase'"
+    ).collect()
+    first = {}
+    for e in ev:
+        first[e["user_id"]] = min(first.get(e["user_id"], 10**18), e["d"])
+    dmax = max(e["d"] for e in ev)
+    sizes = {}
+    for c0 in first.values():
+        sizes[c0] = sizes.get(c0, 0) + 1
+    act = {}
+    for e in ev:
+        o = e["d"] - first[e["user_id"]]
+        if o > 0:
+            act.setdefault(o, set()).add(e["user_id"])
+    pts = []
+    for o, us in act.items():
+        tot = sum(sz for c0, sz in sizes.items() if c0 + o <= dmax)
+        if tot > 0 and us:
+            pts.append((o, math.floor(math.log(len(us) / tot) * Q._RETFIT_Q)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    lam = -((n * sxy - sx * sy) / (n * sxx - sx * sx)) / Q._RETFIT_Q
+    assert r["n_offsets"] == n
+    assert abs(r["lambda_per_day"] - lam) < 1e-15

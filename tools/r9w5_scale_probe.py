@@ -55,6 +55,12 @@ NAMES = [
     "seasonal_backtest",
     "winsorized_mean",
     "cuped_adjustment",
+    # wave 8 (events-driven experimentation/attribution ops)
+    "srm_check",
+    "mde_power",
+    "shapley_attribution",
+    "mad_anomalies",
+    "retention_decay_fit",
 ]
 
 
