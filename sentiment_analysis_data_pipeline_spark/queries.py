@@ -14042,6 +14042,22 @@ def _sprt_ab_sql(d: str) -> str:
     the 2 x days relation; output is 2 x days rows."""
     us = _ts_us(d)
     day = D.int_div(d, us, str(DAY_US))
+    daily_src = f"""
+            SELECT {day} AS dd,
+                   cast(count(*) as bigint) AS n,
+                   cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+                        as bigint) AS c
+            FROM events GROUP BY {day}
+    """
+    return sprt_tail_sql(daily_src)
+
+
+def sprt_tail_sql(daily_src: str) -> str:
+    """SPRT designs + cumulative-LLR + stop tail over a `(dd, n, c)` daily
+    relation -- shared VERBATIM by the batch query and the streaming
+    experiment monitor (streaming/experiment_stream.py), so the two paths
+    cannot drift: identical integer literals, identical windows,
+    bit-identical decisions on identical counts."""
     designs = " UNION ALL ".join(
         f"SELECT '{name}' AS test_name, cast({la} as bigint) AS la,"
         f" cast({lb} as bigint) AS lb, cast({up} as bigint) AS up,"
@@ -14056,13 +14072,7 @@ def _sprt_ab_sql(d: str) -> str:
         " else 'continue' end"
     )
     return f"""
-        WITH daily AS (
-            SELECT {day} AS dd,
-                   cast(count(*) as bigint) AS n,
-                   cast(sum(case when event_type = 'purchase' then 1 else 0 end)
-                        as bigint) AS c
-            FROM events GROUP BY {day}
-        ),
+        WITH daily AS ({daily_src}),
         designs AS ({designs}),
         cum AS (
             SELECT g.test_name, g.up, g.lo, dy.dd, dy.n, dy.c,
@@ -14307,10 +14317,15 @@ def _srm_check_sql(d: str) -> str:
 
     Scale shape: one distinct-user agg (map-side partial over user_id)
     -> 2-group count -> 1-row output."""
+    return srm_tail_sql("SELECT DISTINCT user_id FROM events")
+
+
+def srm_tail_sql(users_src: str) -> str:
+    """chi-square SRM tail over a `(user_id)` distinct-user relation --
+    shared VERBATIM by the batch guardrail and the streaming experiment
+    monitor's first-seen-user log (streaming/experiment_stream.py)."""
     return f"""
-        WITH u AS (
-            SELECT DISTINCT user_id FROM events
-        ),
+        WITH u AS ({users_src}),
         v AS (
             SELECT cast(sum(case when user_id % 2 = 0 then 1 else 0 end)
                         as bigint) AS n_a,
