@@ -13424,7 +13424,8 @@ def _runs_test_sql(d: str) -> str:
             FROM flips
         )
         SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, n_runs,
-               case when n1 = 0 or n2 = 0 or n1 + n2 <= 1 then 0.0
+               case when n1 = 0 or n2 = 0 or n1 + n2 <= 1
+                         or 2 * n1 * n2 = n1 + n2 then 0.0
                     else (cast(n_runs as double) - {mu}) / sqrt({va})
                end AS z
         FROM agg
