@@ -13101,8 +13101,12 @@ def _welch_ttest_sql(d: str) -> str:
         SELECT n1 AS n_en, n2 AS n_other,
                cast(s1a as double) / cast(n1 as double) AS mean_en,
                cast(s1b as double) / cast(n2 as double) AS mean_other,
-               case when n1 <= 1 or n2 <= 1 then 0.0 else {tstat} end AS t_stat,
-               case when n1 <= 1 or n2 <= 1 then 0.0 else {df_ws} end AS df
+               case when n1 <= 1 or n2 <= 1
+                         or (s2a * n1 = s1a * s1a and s2b * n2 = s1b * s1b)
+                    then 0.0 else {tstat} end AS t_stat,
+               case when n1 <= 1 or n2 <= 1
+                         or (s2a * n1 = s1a * s1a and s2b * n2 = s1b * s1b)
+                    then 0.0 else {df_ws} end AS df
         FROM p
     """
 
@@ -13294,8 +13298,15 @@ def _permutation_test_sql(d: str) -> str:
         f" / sqrt({var(n1, s1a, s2a)} / cast({n1} as double)"
         f"        + {var(n2, s1b, s2b)} / cast({n2} as double))"
     )
-    guard = lambda n1, n2, expr: (  # noqa: E731
-        f"case when {n1} <= 1 or {n2} <= 1 then 0.0 else {expr} end"
+    # the zero-variance arm matters: a degenerate slice (every doc the
+    # same length) makes se = 0 and the studentized division THROWS under
+    # ANSI (the runs_test hypothesis lesson); v1 = v2 = 0 is the exact
+    # integer identity s2*n == s1^2 on both sides
+    guard = lambda n1, n2, s1a, s2a, s1b, s2b, expr: (  # noqa: E731
+        f"case when {n1} <= 1 or {n2} <= 1"
+        f" or ({s2a} * {n1} = {s1a} * {s1a}"
+        f"     and {s2b} * {n2} = {s1b} * {s1b})"
+        f" then 0.0 else {expr} end"
     )
     return f"""
         WITH fanned AS (
@@ -13318,7 +13329,7 @@ def _permutation_test_sql(d: str) -> str:
         ),
         rep_t AS (
             SELECT r,
-                   {guard('n1', 'n2', t_of('n1', 's1a', 's2a', 'n2', 's1b', 's2b'))}
+                   {guard('n1', 'n2', 's1a', 's2a', 's1b', 's2b', t_of('n1', 's1a', 's2a', 'n2', 's1b', 's2b'))}
                        AS t_b
             FROM rep_m
         ),
@@ -13340,7 +13351,7 @@ def _permutation_test_sql(d: str) -> str:
             FROM documents
         ),
         obs AS (
-            SELECT {guard('n1', 'n2', t_of('n1', 's1a', 's2a', 'n2', 's1b', 's2b'))}
+            SELECT {guard('n1', 'n2', 's1a', 's2a', 's1b', 's2b', t_of('n1', 's1a', 's2a', 'n2', 's1b', 's2b'))}
                        AS t_obs
             FROM obs_m
         ),
@@ -14236,18 +14247,30 @@ def _cuped_adjustment_sql(d: str) -> str:
     2-group moment agg + 1-row pooled combine -> 2-row output."""
     us = _ts_us(d)
     day = D.int_div(d, us, str(DAY_US))
-    theta = (
+    # zero-variance guards as exact integer identities (n*sxx == sx^2 /
+    # n*syy == sy^2): a constant covariate or metric makes the division
+    # THROW under ANSI (the runs_test hypothesis lesson); theta degrades
+    # to 0 (CUPED becomes a no-op), rho^2 to 0
+    raw_theta = (
         "(cast(p.n as double) * cast(p.sxy as double)"
         " - cast(p.sx as double) * cast(p.sy as double))"
         " / (cast(p.n as double) * cast(p.sxx as double)"
         "    - cast(p.sx as double) * cast(p.sx as double))"
     )
+    theta = (
+        f"case when p.n * p.sxx = cast(p.sx as decimal(38,0)) * p.sx"
+        f" then 0.0 else {raw_theta} end"
+    )
     rho2 = (
-        f"({theta}) * ({theta})"
+        f"case when p.n * p.sxx = cast(p.sx as decimal(38,0)) * p.sx"
+        f" or p.n * p.syy = cast(p.sy as decimal(38,0)) * p.sy"
+        f" then 0.0 else"
+        f" ({raw_theta}) * ({raw_theta})"
         " * (cast(p.n as double) * cast(p.sxx as double)"
         "    - cast(p.sx as double) * cast(p.sx as double))"
         " / (cast(p.n as double) * cast(p.syy as double)"
         "    - cast(p.sy as double) * cast(p.sy as double))"
+        f" end"
     )
     return f"""
         WITH bounds AS (

@@ -122,3 +122,54 @@ def test_kendall_tau_tail_on_random_grids(spark, cells):
     else:
         tau = (conc - disc) / ((n0 - ta) * (n0 - tb)) ** 0.5
         assert abs(r["tau_b"] - tau) < 1e-12
+
+
+@_SET
+@given(
+    en=st.lists(st.integers(1, 30), min_size=2, max_size=12),
+    ot=st.lists(st.integers(1, 30), min_size=2, max_size=12),
+)
+def test_welch_on_random_groups_incl_constant(spark, en, ot):
+    rows = [
+        (i, "x" * v, lang, "s", v)
+        for i, (v, lang) in enumerate(
+            [(v, "en") for v in en] + [(v, "fr") for v in ot]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    r = spark.sql(Q._welch_ttest_sql(D.SPARK)).collect()[0]
+    assert (r["n_en"], r["n_other"]) == (len(en), len(ot))
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    if var(en) == 0 and var(ot) == 0:
+        # both groups constant: se = 0, guarded (the ANSI throw class)
+        assert r["t_stat"] == 0.0 and r["df"] == 0.0
+    else:
+        se2 = var(en) / len(en) + var(ot) / len(ot)
+        t = (sum(en) / len(en) - sum(ot) / len(ot)) / se2**0.5
+        assert abs(r["t_stat"] - t) < 1e-9
+
+
+@_SET
+@given(n_docs=st.integers(4, 20), const=st.integers(5, 50))
+def test_permutation_test_on_constant_corpus(spark, n_docs, const):
+    # every doc identical length: every replicate t is 0 (guarded), the
+    # observed t is 0, and |t_b| >= |t_obs| holds for ALL replicates
+    rows = [
+        (i, "x" * const, "en" if i % 3 == 0 else "fr", "s", const)
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    r = spark.sql(Q._permutation_test_sql(D.SPARK)).collect()[0]
+    assert r["t_obs"] == 0.0
+    assert r["n_ge"] == Q.PERM_B
+    assert r["p_value"] == 1.0  # no evidence against exchangeability
