@@ -3667,9 +3667,13 @@ def _value_histogram_sql(d: str) -> str:
     -- one extra agg pass, decorrelated by both engines). The bin index is
     floor((v - lo) * n / (hi - lo)) capped to n-1: subtraction, multiply,
     divide, floor -- four IEEE ops on identical operands, so the integer
-    bins agree cross-engine exactly. One groupBy shuffle on (type, bin)."""
+    bins agree cross-engine exactly. One groupBy shuffle on (type, bin).
+    A constant-valued corpus (hi == lo) collapses to bin 0 via
+    nullif+coalesce rather than throwing (ANSI divides by zero loudly --
+    degenerate-probe finding)."""
     bin_expr = (
-        "least(15, cast(floor((value - s.lo) * 16.0 / (s.hi - s.lo)) as bigint))"
+        "least(15, cast(floor(coalesce((value - s.lo) * 16.0"
+        " / nullif(s.hi - s.lo, 0.0), 0.0)) as bigint))"
     )
     return f"""
         WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
@@ -3716,8 +3720,10 @@ def _value_correlations_sql(d: str) -> str:
         )
         SELECT event_type,
                cast(n as bigint) AS n,
-               (cast(n * sxy - sx * sy as double)
-                / (cast(n as double) * (cast(n as double) - 1.0))) / 1000.0 AS covar_samp,
+               case when n <= 1 then 0.0 else
+                    (cast(n * sxy - sx * sy as double)
+                     / (cast(n as double) * (cast(n as double) - 1.0))) / 1000.0
+               end AS covar_samp,
                case when cast(n * sxx - sx * sx as double) = 0.0
                          or cast(n * syy - sy * sy as double) = 0.0 then 0.0
                     else cast(n * sxy - sx * sy as double)
@@ -10591,7 +10597,12 @@ def _zscore_days_sql(d: str) -> str:
     day = D.int_div(d, us, str(DAY_US))
     mean = "(cast(s.s1 as double) / cast(s.k as double))"
     var = f"((cast(s.s2 as double) / cast(s.k as double)) - {mean} * {mean})"
-    z = f"(cast(dy.n as double) - {mean}) / sqrt({var})"
+    # nullif, not just the CASE guard: z appears three times in the
+    # projection and Spark's subexpression elimination HOISTS it out of
+    # the guards, evaluating the division unconditionally (degenerate-
+    # probe finding: k = 1 threw DIVIDE_BY_ZERO straight through the
+    # integer-identity guard)
+    z = f"(cast(dy.n as double) - {mean}) / sqrt(nullif({var}, 0.0))"
     return f"""
         WITH daily AS (
             SELECT {day} AS d, cast(count(*) as bigint) AS n
@@ -10827,10 +10838,13 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ORDER BY + LIMIT 1 compiles to TakeOrderedAndProject (per-partition
         # top-1, driver merge) -- an unpartitioned row_number window here
         # moved the whole corpus to ONE partition (WindowExec warning)
-        row = spark.sql(
+        rows = spark.sql(
             f"""SELECT vec_id, v FROM kc_emb WHERE {not_c}
                 ORDER BY {dmin} DESC, vec_id ASC LIMIT 1"""
-        ).collect()[0]
+        ).collect()
+        if not rows:  # fewer points than KCENTER_K: the corpus IS the coreset
+            break
+        row = rows[0]
         centers.append((k, row["vec_id"], [float(x) for x in row["v"]]))
     scored = " UNION ALL ".join(
         f"SELECT vec_id, {rank} AS center_rank, {vid} AS center_id,"
@@ -12359,7 +12373,9 @@ def _kcore_tail(d: str, edges_src: str) -> str:
         ),
         kval AS (
             SELECT n_edges, n_nodes,
-                   {D.int_div(d, "(2 * n_edges + n_nodes - 1)", "n_nodes")} AS k
+                   case when n_nodes = 0 then cast(0 as bigint)
+                        else {D.int_div(d, "(2 * n_edges + n_nodes - 1)", "n_nodes")}
+                   end AS k
             FROM sizes
         ),
         core AS (
@@ -12399,7 +12415,19 @@ def q_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint) before the tail's scalar-count branches read it."""
     _view(spark, sf_dir, "lineitem")
     edges = spark.sql(_KCORE_EDGES_SQL)
-    edges.localCheckpoint(eager=True).createOrReplaceTempView("kcore_edges")
+    ckpt = edges.localCheckpoint(eager=True)
+    ckpt.createOrReplaceTempView("kcore_edges")
+    if not ckpt.take(1):
+        # empty graph: the tail's nested scalar subqueries over an empty
+        # checkpoint overflow the JVM stack during PLAN STRINGIFICATION
+        # (degenerate-probe finding); emit the exact row the tail would
+        # produce (k = 0 guarded, every count 0)
+        return spark.sql(
+            "SELECT cast(0 as bigint) AS k, cast(0 as bigint) AS n_nodes,"
+            " cast(0 as bigint) AS n_edges, cast(0 as bigint) AS n_core_nodes,"
+            " cast(0 as bigint) AS n_surv_edges,"
+            " cast(0 as bigint) AS n_below_next"
+        )
     return spark.sql(_kcore_tail(D.SPARK, "SELECT id_a, id_b FROM kcore_edges"))
 
 
@@ -14400,9 +14428,16 @@ def _mde_power_sql(d: str) -> str:
     us = _ts_us(d)
     day = D.int_div(d, us, str(DAY_US))
     z2 = _MDE_Z_ALPHA + _MDE_Z_BETA
-    p = "(cast(m.conv as double) / cast(m.users as double))"
-    n_arm = "(cast(m.users as double) / cast(m.days as double) * cast(h.horizon as double) / 2.0)"
-    mde = f"({z2!r} * sqrt(2.0 * {p} * (1.0 - {p}) / {n_arm}))"
+    # nullif on every denominator (the zscore_days CSE-hoist lesson: mde
+    # appears twice, so a CASE guard alone cannot protect the division on
+    # an empty/degenerate corpus); outputs coalesce to the 0.0 sentinel
+    # (NULL doubles hash as NaN on the DuckDB side)
+    p = "(cast(m.conv as double) / cast(nullif(m.users, 0) as double))"
+    n_arm = (
+        "(cast(m.users as double) / cast(nullif(m.days, 0) as double)"
+        " * cast(h.horizon as double) / 2.0)"
+    )
+    mde = f"({z2!r} * sqrt(2.0 * {p} * (1.0 - {p}) / nullif({n_arm}, 0.0)))"
     return f"""
         WITH per_ud AS (
             SELECT user_id, {day} AS dd,
@@ -14423,10 +14458,10 @@ def _mde_power_sql(d: str) -> str:
         )
         SELECT h.horizon AS horizon_days, m.users AS observed_user_days,
                m.days AS observed_days,
-               {p} AS baseline_rate,
-               cast({n_arm} as double) AS n_per_arm,
-               {mde} AS mde_abs,
-               {mde} / {p} AS mde_rel
+               coalesce({p}, 0.0) AS baseline_rate,
+               coalesce(cast({n_arm} as double), 0.0) AS n_per_arm,
+               coalesce({mde}, 0.0) AS mde_abs,
+               coalesce({mde} / nullif({p}, 0.0), 0.0) AS mde_rel
         FROM h CROSS JOIN m
         ORDER BY h.horizon
     """
@@ -14505,7 +14540,9 @@ def _shapley_attribution_sql(d: str) -> str:
             FROM conv c
         )
         SELECT r.channel, r.n_touched_users, r.shapley_conversions,
-               r.shapley_conversions / cast(c.n_conv as double) AS credit_share
+               coalesce(r.shapley_conversions
+                        / cast(nullif(c.n_conv, 0) as double), 0.0)
+                   AS credit_share
         FROM rows0 r CROSS JOIN conv c
         ORDER BY r.channel
     """
@@ -14553,7 +14590,9 @@ def _mad_daily_sql(d: str) -> str:
 def _mad_anomalies_tail(d: str, daily_src: str) -> str:
     """median/MAD/z tail over a `(dd, v)` daily relation."""
     pc = "percentile" if d == D.SPARK else "quantile_cont"
-    z = f"({_MAD_C!r} * (cast(dy.v as double) - med.m) / mad.m2)"
+    # nullif: z appears twice (value + flag) -- the zscore_days CSE-hoist
+    # hazard; a zero MAD must read as null inside, 0.0 outside
+    z = f"({_MAD_C!r} * (cast(dy.v as double) - med.m) / nullif(mad.m2, 0.0))"
     return f"""
         WITH daily AS ({daily_src}),
         med AS (SELECT {pc}(v, 0.5) AS m FROM daily),
