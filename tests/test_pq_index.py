@@ -66,9 +66,19 @@ def test_ivfpq_build_query_pruning_and_exactness(spark):
         # ...and the scan reads ONLY codes + norm -- never a raw vector
         # (the memory-bound claim: 8 codes + 1 norm per vector on disk)
         read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
-        assert read_schemas and all("codes" in l or "nv" in l for l in read_schemas)
-        assert all("embedding" not in l and "rv" not in l for l in read_schemas)
-        assert all(",v:" not in l and "<v:" not in l for l in read_schemas)
+        # carry the offending lines into the assertion message: this pin
+        # flaked ONCE in a full-suite run (an extra schema string appeared
+        # under accumulated session state) and was unreproducible alone --
+        # if it fires again, the evidence must survive
+        assert read_schemas and all(
+            "codes" in l or "nv" in l for l in read_schemas
+        ), read_schemas
+        assert all(
+            "embedding" not in l and "rv" not in l for l in read_schemas
+        ), read_schemas
+        assert all(
+            ",v:" not in l and "<v:" not in l for l in read_schemas
+        ), read_schemas
 
         rows = out.collect()
         assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
