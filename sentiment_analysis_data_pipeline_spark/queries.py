@@ -6610,26 +6610,49 @@ def q_winnow_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup_index.winnow_pairs_over(table))
 
 
+def _ensure_embedding_edge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus snapshot, fingerprint-stamped) the persisted
+    VERIFIED near-dup edge table -- band-index candidates through the
+    exact-cosine check -- and return its table name. The ann_recall_report
+    lesson applied to the clustering family: candidates + verification
+    were ~75% of every indexed clustering run (4.0 s + 5.7 s vs 2.9 s of
+    CC at sf0.1) and both are pure functions of the corpus snapshot, so
+    recurring runs should read 110 edges, not recompute 130k candidate
+    cosines. Layered on top of the band index: a fresh snapshot builds
+    band table -> edge table once, then every clustering/savings run is
+    CC-only."""
+    from .sources.tables import corpus_fingerprint, ensure_stamped_table
+
+    table = _index_table_name("emb_edge_idx", sf_dir)
+    fp = corpus_fingerprint(sf_dir, ["embeddings"])
+
+    def build() -> DataFrame:
+        band_table = _ensure_embedding_band_index(spark, sf_dir)
+        cand = (
+            dedup_index.embedding_candidate_pairs(spark, band_table)
+            .repartition(32)
+            .localCheckpoint()
+        )
+        return _verify_embedding_cand(spark, cand).select("id_a", "id_b")
+
+    return ensure_stamped_table(spark, table, "id_a", 8, fp, build)
+
+
 def q_semantic_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_semantic_clusters with candidate generation read from the PERSISTED
-    band index instead of re-signaturing the corpus (round-4 verdict item 2):
-    the bucketed self-join produces the identical candidate set with zero
-    Exchange on either scan side, the shared _verify_embedding_cand runs the
-    same exact-cosine check, and connected components labels the clusters.
-    Same oracle as semantic_clusters -- the two plans must agree pair-for
-    -pair. At cluster scale this is the shape that matters: the corpus is
-    signatured once per snapshot (_ensure_embedding_band_index) and every
-    dedup/clustering run afterwards starts from the table."""
+    """q_semantic_clusters with candidate generation AND verification read
+    from the PERSISTED edge table (round-4 verdict item 2, extended round
+    9): the corpus is signatured once per snapshot
+    (_ensure_embedding_band_index), the band self-join + exact-cosine
+    verify run once per snapshot (_ensure_embedding_edge_table), and every
+    clustering run afterwards is connected components over the stored
+    edges -- the write-once-read-cheap shape dedup planning actually has
+    at 100 TB. Same oracle as semantic_clusters -- the persisted edges
+    must agree pair-for-pair with the in-session build."""
     from .operators.dedup import connected_components
 
     _view(spark, sf_dir, "embeddings")
-    table = _ensure_embedding_band_index(spark, sf_dir)
-    cand = (
-        dedup_index.embedding_candidate_pairs(spark, table)
-        .repartition(32)
-        .localCheckpoint()
-    )
-    edges = _verify_embedding_cand(spark, cand).select("id_a", "id_b")
+    table = _ensure_embedding_edge_table(spark, sf_dir)
+    edges = spark.table(table).select("id_a", "id_b")
     comp = connected_components(edges, edge_spill_table="cc_edges_semantic_idx")
     return comp.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("component")
