@@ -105,14 +105,23 @@ def test_cc_edge_spill_matches_in_memory(spark):
         + [(200, 201), (300, 301)]                  # isolated pairs
     )
     edges = spark.createDataFrame(rows, ["id_a", "id_b"])
-    base = {r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()}
+    # driver_bound=0 forces the distributed loop (round 9: small graphs
+    # default to the driver union-find fast path); all THREE arms --
+    # loop, spilled loop, fast path -- must produce identical labels
+    base = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(edges, driver_bound=0).collect()
+    }
     spilled = {
         r["node"]: r["comp"]
         for r in dedup.connected_components(
-            edges, edge_spill_table="cc_spill_test", spill_threshold=0
+            edges, edge_spill_table="cc_spill_test", spill_threshold=0,
+            driver_bound=0,
         ).collect()
     }
+    fast = {r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()}
     assert spilled == base
+    assert fast == base
     # cleanup must remove BOTH the catalog entry and the on-disk location
     # (names carry a per-run applicationId suffix since round 7, so match
     # by prefix; the location check goes through the Hadoop FS API the
@@ -143,12 +152,15 @@ def test_cc_long_chain_converges_via_path_compression(spark):
     import pytest as _pt
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(149)], ["id_a", "id_b"])
-    got = {r["node"]: r["comp"] for r in dedup.connected_components(edges).collect()}
+    got = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(edges, driver_bound=0).collect()
+    }
     assert got == {n: 0 for n in range(150)}
     sc = spark.sparkContext
     before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
     with _pt.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iter=3)
+        dedup.connected_components(edges, max_iter=3, driver_bound=0)
     # the failure path must free EVERY block it created (round-7 ADVICE:
     # und/edge checkpoints and the last iteration's labels) -- a long-lived
     # session must not accumulate storage blocks from failed runs
