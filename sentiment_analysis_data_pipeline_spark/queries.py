@@ -14724,6 +14724,641 @@ def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_retention_decay_fit_sql(D.SPARK))
 
 
+# ---------------------------------------------------------------------------
+# round-9 wave 9: ranking evaluation, calibration fitting, survival analysis,
+# nonparametric inference, soft dedup
+# ---------------------------------------------------------------------------
+
+_AP_Q = float(1 << 40)  # precision quantum for the AP fold (power of two:
+# scaling a double by 2^40 is an exponent shift -- EXACT -- so the floor is
+# deterministic cross-engine)
+
+
+def _average_precision_tail(d: str, scored_src: str) -> str:
+    """PR-curve AREA (average precision) per source plus 'ALL', tie-exact
+    from the bounded quantized-score histogram -- the ranking-quality twin
+    of classifier_auc: AUC asks "are positives scored above negatives?",
+    AP asks "is precision high where the ranking is consumed?" (the right
+    number under class imbalance, where ROC AUC flatters). Convention
+    matches the threshold-stepped estimator (sklearn's
+    average_precision_score): AP = sum over distinct-score blocks of
+    (pos_block / n_pos) * precision_at_block_end, ties grouped.
+
+    Parity: counts come from the same <= 2^20-rows-per-source histogram
+    as AUC; precision_at_block = cum_pos/cum_n is ONE correctly-rounded
+    division of exact integers, floor-quantized at 2^-40 (exact scale,
+    see _AP_Q) and folded as pos_block * quantized_precision in
+    decimal(38,0) -- the sum is order-free, so partial aggregation cannot
+    perturb it. A positive-free source reports 0.0 (driver float-coercion
+    convention, the classifier_auc precedent).
+
+    Scale shape: one scoring scan (checkpointed by the Spark caller), one
+    (source, sq) partial agg, one PARTITION BY source window over the
+    bounded histogram, a source-sized final agg. No joins."""
+    return f"""
+        WITH scored AS ({scored_src}),
+        tagged AS (
+            SELECT source, sq, y FROM scored
+            UNION ALL
+            SELECT 'ALL' AS source, sq, y FROM scored
+        ),
+        hist AS (
+            SELECT source, sq,
+                   cast(sum(y) as bigint) AS pos_s,
+                   cast(count(*) as bigint) AS n_s
+            FROM tagged GROUP BY source, sq
+        ),
+        cum AS (
+            SELECT source, pos_s,
+                   cast(sum(pos_s) OVER win as bigint) AS cum_pos,
+                   cast(sum(n_s) OVER win as bigint) AS cum_n
+            FROM hist
+            WINDOW win AS (PARTITION BY source ORDER BY sq DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        agg AS (
+            SELECT source,
+                   cast(sum(pos_s) as bigint) AS n_pos,
+                   cast(max(cum_n) as bigint) AS n_docs,
+                   sum(cast(pos_s as decimal(19,0))
+                       * cast(floor((cast(cum_pos as double)
+                                     / cast(cum_n as double)) * {_AP_Q!r})
+                              as decimal(19,0))) AS ap_num
+            FROM cum GROUP BY source
+        )
+        SELECT source, n_docs, n_pos,
+               case when n_pos = 0 then 0.0
+                    else cast(ap_num as double)
+                         / (cast(n_pos as double) * {_AP_Q!r})
+               end AS average_precision,
+               cast(n_pos as double) / cast(n_docs as double) AS prevalence,
+               case when n_pos = 0 then 0.0
+                    else (cast(ap_num as double)
+                          / (cast(n_pos as double) * {_AP_Q!r}))
+                         * cast(n_docs as double)
+                         / cast(nullif(n_pos, 0) as double)
+               end AS ap_lift
+        FROM agg
+        ORDER BY source
+    """
+
+
+def _average_precision_sql(d: str) -> str:
+    return _average_precision_tail(d, _clf_scored_sql(d))
+
+
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-exact average precision (PR-AUC) per source (see
+    _average_precision_tail). The scored relation is materialized once:
+    the ALL-tag UNION reads it twice, and CTE re-inlining would tokenize
+    the corpus twice (the classifier_calibration lesson)."""
+    _view(spark, sf_dir, "documents")
+    scored = spark.sql(_clf_scored_sql(D.SPARK))
+    scored.localCheckpoint(eager=True).createOrReplaceTempView("ap_scored")
+    return spark.sql(
+        _average_precision_tail(D.SPARK, "SELECT source, sq, y FROM ap_scored")
+    )
+
+
+def _cumulative_gains_tail(d: str, scored_src: str) -> str:
+    """CUMULATIVE GAINS / LIFT table over descending score bands -- the
+    threshold-planning view the calibration table doesn't give: "if I keep
+    everything scored into band b or higher, what share of the corpus do
+    I take (pop_share) and what share of the positives do I capture
+    (recall), at what precision and lift over random?". This is the
+    curve a curation planner actually reads off when picking the quality
+    cut; average_precision compresses it to one number.
+
+    Parity: band histogram is integer-exact; every reported double is a
+    fixed chain of correctly-rounded divisions of exact BIGINTs (identical
+    cross-engine). tot_pos = 0 reports 0.0 with the nullif-inside guard
+    (ANSI DIVIDE_BY_ZERO fires even under a CASE when subexpression
+    elimination hoists the division -- the degenerate-sweep lesson).
+
+    Scale shape: one scoring scan (checkpointed by the Spark caller), one
+    <= 50-row band agg, two windows over that bounded relation."""
+    qi = int(_LR_Q)
+    band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
+    return f"""
+        WITH scored AS ({scored_src}),
+        banded AS (SELECT {band} AS band, y FROM scored),
+        hist AS (
+            SELECT band, cast(count(*) as bigint) AS n,
+                   cast(sum(y) as bigint) AS pos
+            FROM banded GROUP BY band
+        ),
+        cum AS (
+            SELECT band, n, pos,
+                   cast(sum(n) OVER win as bigint) AS cum_n,
+                   cast(sum(pos) OVER win as bigint) AS cum_pos,
+                   cast(sum(n) OVER () as bigint) AS tot_n,
+                   cast(sum(pos) OVER () as bigint) AS tot_pos
+            FROM hist
+            WINDOW win AS (ORDER BY band DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT band, cast(band as double) / 50.0 AS band_lo, n AS n_docs,
+               cum_n, cum_pos,
+               cast(cum_n as double) / cast(tot_n as double) AS pop_share,
+               case when tot_pos = 0 then 0.0
+                    else cast(cum_pos as double)
+                         / cast(nullif(tot_pos, 0) as double)
+               end AS recall,
+               cast(cum_pos as double) / cast(cum_n as double) AS precision_at,
+               case when tot_pos = 0 then 0.0
+                    else (cast(cum_pos as double) / cast(cum_n as double))
+                         * cast(tot_n as double)
+                         / cast(nullif(tot_pos, 0) as double)
+               end AS lift
+        FROM cum
+        ORDER BY band DESC
+    """
+
+
+def _cumulative_gains_sql(d: str) -> str:
+    return _cumulative_gains_tail(d, _clf_scored_sql(d))
+
+
+def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift at the 50 score-band cut points (see
+    _cumulative_gains_tail). Scored relation materialized once -- the
+    band/total windows reference it from multiple expressions."""
+    _view(spark, sf_dir, "documents")
+    scored = spark.sql(_clf_scored_sql(D.SPARK))
+    scored.localCheckpoint(eager=True).createOrReplaceTempView("cg_scored")
+    return spark.sql(
+        _cumulative_gains_tail(D.SPARK, "SELECT source, sq, y FROM cg_scored")
+    )
+
+
+def _isotonic_tail(d: str, scored_src: str) -> str:
+    """WEIGHTED L2 ISOTONIC REGRESSION (the PAVA fit) of the empirical
+    positive rate against the classifier score, on the bounded 50-band
+    grid -- the calibration FITTER next to classifier_calibration's
+    diagnostic table: the isotonic fit is what you'd actually deploy to
+    map scores to probabilities (Zadrozny & Elkan 2002). Computed via the
+    exact minimax characterization ihat_i = max_{j<=i} min_{k>=i}
+    mean(y_j..y_k) -- a closed form over the grid, no iterative pooling,
+    so it is ONE declarative plan instead of a driver loop.
+
+    Parity: band weights/sums are exact BIGINTs from one agg; every
+    candidate interval mean is ONE correctly-rounded division of exact
+    integers (cum-sum differences), and min/max over identical doubles is
+    identical cross-engine. Monotonicity of the output is guaranteed by
+    construction (max of mins over nested index sets).
+
+    Scale shape: one scoring scan -> <= 50-row band agg; the (j,k)
+    interval grid is <= 1275 rows and the band x interval join <= 64k --
+    all joins are broadcast non-equi over DOMAIN-BOUNDED relations (the
+    kendall_tau grid pattern), never corpus-sized."""
+    qi = int(_LR_Q)
+    band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
+    hint_k = "/*+ BROADCAST(k) */ " if d == D.SPARK else ""
+    hint_p = "/*+ BROADCAST(p) */ " if d == D.SPARK else ""
+    return f"""
+        WITH scored AS ({scored_src}),
+        bands AS (
+            SELECT {band} AS band, cast(count(*) as bigint) AS w,
+                   cast(sum(y) as bigint) AS s
+            FROM scored GROUP BY band
+        ),
+        pre AS (
+            SELECT band, w, s,
+                   cast(sum(w) OVER win as bigint) AS cw,
+                   cast(sum(s) OVER win as bigint) AS cs
+            FROM bands
+            WINDOW win AS (ORDER BY band
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        pairs AS (
+            SELECT {hint_k}j.band AS jb, k.band AS kb,
+                   cast(k.cs - j.cs + j.s as double)
+                   / cast(k.cw - j.cw + j.w as double) AS m
+            FROM pre j JOIN pre k ON k.band >= j.band
+        ),
+        lower_env AS (
+            SELECT {hint_p}b.band, p.jb, min(p.m) AS mn
+            FROM pre b JOIN pairs p ON p.jb <= b.band AND p.kb >= b.band
+            GROUP BY b.band, p.jb
+        ),
+        fit AS (SELECT band, max(mn) AS iso_rate FROM lower_env GROUP BY band)
+        SELECT b.band, cast(b.band as double) / 50.0 AS band_lo,
+               b.w AS n_docs,
+               cast(b.s as double) / cast(b.w as double) AS pos_rate_raw,
+               f.iso_rate AS pos_rate_iso
+        FROM bands b JOIN fit f ON f.band = b.band
+        ORDER BY b.band
+    """
+
+
+def _isotonic_calibration_sql(d: str) -> str:
+    return _isotonic_tail(d, _clf_scored_sql(d))
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form PAVA isotonic calibration fit on the 50-band grid (see
+    _isotonic_tail). Scored relation materialized once before the
+    multi-branch grid tail reads it."""
+    _view(spark, sf_dir, "documents")
+    scored = spark.sql(_clf_scored_sql(D.SPARK))
+    scored.localCheckpoint(eager=True).createOrReplaceTempView("iso_scored")
+    return spark.sql(
+        _isotonic_tail(D.SPARK, "SELECT source, sq, y FROM iso_scored")
+    )
+
+
+def _mann_whitney_sql(d: str) -> str:
+    """MANN-WHITNEY U rank-sum test on purchase vs view event values --
+    the nonparametric member of the two-sample family (welch_ttest
+    compares means under normality, ks_sources compares whole CDFs,
+    this one tests stochastic dominance without distributional
+    assumptions -- the robust default for revenue-like skewed values).
+    Tie-exact without ranking rows: group both samples into the shared
+    integer-cents histogram, take one cumulative window, and fold
+    U2 = 2U = sum_v a_v * (2 * cum_b_below + b_v) -- tied values get the
+    exact 1/2 credit via the +b_v term (the classifier_auc identity: AUC
+    = U / (n1*n2)). The tie-corrected normal z uses
+    var(U) = n1*n2*((N^3 - N) - sum_t(t^3 - t)) / (12*N*(N-1)) with every
+    count exact (decimal(38,0) cubes) and ONE sqrt at the end; the
+    rank-biserial effect size r = 2U/(n1*n2) - 1 rides along. Degenerate
+    arms (either sample empty, all values tied, N < 2) report z = 0.0
+    with nullif-inside guards (degenerate-sweep lesson).
+
+    Scale shape: one filtered events scan -> (value) hash-agg (histogram
+    bounded by distinct cents values), one values-sized running window
+    (SinglePartition over the bounded relation, the ks_sources cost
+    class), a 1-row final agg."""
+    cents = "cast(floor(value * 100) as bigint)"
+    t_dec = "cast(a_v + b_v as decimal(12,0))"
+    var = (
+        "(cast(n1 as double) * cast(n2 as double))"
+        " * cast(nn3 - tie3 as double)"
+        " / (12.0 * cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double))"
+    )
+    return f"""
+        WITH vals AS (
+            SELECT case when event_type = 'purchase' then 1 else 0 end AS g,
+                   {cents} AS v
+            FROM events
+            WHERE (event_type = 'purchase' OR event_type = 'view')
+              AND value IS NOT NULL
+        ),
+        hist AS (
+            SELECT v, cast(sum(g) as bigint) AS a_v,
+                   cast(count(*) - sum(g) as bigint) AS b_v
+            FROM vals GROUP BY v
+        ),
+        cum AS (
+            SELECT v, a_v, b_v,
+                   cast(coalesce(sum(b_v) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       as bigint) AS b_below
+            FROM hist
+        ),
+        agg AS (
+            SELECT cast(sum(a_v) as bigint) AS n1,
+                   cast(sum(b_v) as bigint) AS n2,
+                   cast(coalesce(sum(cast(a_v as decimal(19,0))
+                       * cast(2 * b_below + b_v as decimal(19,0))), 0)
+                       as decimal(38,0)) AS u2,
+                   cast(coalesce(sum({t_dec} * {t_dec} * {t_dec} - {t_dec}), 0)
+                       as decimal(38,0)) AS tie3
+            FROM cum
+        ),
+        stat AS (
+            SELECT n1, n2, u2, tie3,
+                   cast(n1 + n2 as decimal(12,0))
+                   * cast(n1 + n2 as decimal(12,0))
+                   * cast(n1 + n2 as decimal(12,0))
+                   - cast(n1 + n2 as decimal(12,0)) AS nn3
+            FROM agg
+        )
+        SELECT n1, n2,
+               cast(u2 as double) / 2.0 AS u_stat,
+               case when n1 = 0 or n2 = 0 then 0.0
+                    else cast(u2 as double)
+                         / (cast(nullif(n1, 0) as double)
+                            * cast(nullif(n2, 0) as double)) - 1.0
+               end AS rank_biserial,
+               case when n1 = 0 or n2 = 0 or n1 + n2 < 2 or nn3 - tie3 <= 0
+                    then 0.0
+                    else cast(u2 - cast(n1 as decimal(19,0))
+                              * cast(n2 as decimal(19,0)) as double)
+                         / nullif(2.0 * sqrt({var}), 0.0)
+               end AS z
+        FROM stat
+    """
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-exact Mann-Whitney U rank-sum test, purchase vs view values
+    (see _mann_whitney_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_mann_whitney_sql(D.SPARK))
+
+
+_HOUR_US = 3_600_000_000
+_HAZ_Q = float(1 << 30)
+
+
+def _survival_hazard_sql(d: str) -> str:
+    """NELSON-AALEN cumulative-hazard estimator of the RETURN-GAP
+    distribution with right-censoring -- the survival-analysis member of
+    the retention family: cohort_retention reports raw day-k return rates
+    and retention_decay_fit imposes an exponential, while this one
+    estimates "how long until a user comes back" nonparametrically AND
+    handles the censoring both ignore. Units: every consecutive-event gap
+    of a user is an observed return (a "death" at that gap length, in
+    hours); each user's OPEN last gap (last event to corpus end) is
+    evidence of survival PAST that length, not a return at it -- dropping
+    those right-censored episodes biases return-time down, counting them
+    as returns biases it up; the risk-set estimator is the correct
+    treatment. Per gap-hour: the risk set n_risk (episodes with gap >=
+    h), d_events returns, censored exits, the hazard d/n_risk, and the
+    Nelson-Aalen cumulative hazard H(t) = sum h_s (exp(-H) is the
+    Fleming-Harrington survival estimate; H itself has no zero-survival
+    singularity, so no transcendental is needed anywhere). Reported at
+    hours with >= 1 return so the table is death-anchored.
+
+    Parity: counts are exact; each hazard is ONE correctly-rounded
+    division floor-quantized at 2^-30 (exact power-of-two scale), and the
+    cumulative sum runs over quantized BIGINTs -- order-free, identical
+    cross-engine.
+
+    Scale shape: one user_id window (lead) over the events scan, a 1-row
+    max broadcast for the censor boundary, an hours-BOUNDED exit table,
+    two windows over that bounded relation (SinglePartition at calendar
+    size, never row-sized)."""
+    us = _ts_us(d)
+    gap_h = D.int_div(d, "(next_us - us)", str(_HOUR_US))
+    return f"""
+        WITH ev AS (
+            SELECT user_id, {us} AS us,
+                   lead({us}) OVER (PARTITION BY user_id
+                                    ORDER BY {us} ASC, event_id ASC) AS next_us
+            FROM events
+        ),
+        mx AS (SELECT max(us) AS max_us FROM ev),
+        episodes AS (
+            SELECT case when e.next_us IS NULL
+                        then {D.int_div(d, "(m.max_us - e.us)", str(_HOUR_US))}
+                        else {gap_h} end AS h,
+                   case when e.next_us IS NULL then 0 else 1 end AS died
+            FROM ev e CROSS JOIN mx m
+        ),
+        tab AS (
+            SELECT h, cast(count(*) as bigint) AS n_exits,
+                   cast(sum(died) as bigint) AS d_events
+            FROM episodes GROUP BY h
+        ),
+        risk AS (
+            SELECT h, d_events, n_exits - d_events AS c_censored,
+                   cast(sum(n_exits) OVER (ORDER BY h DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS n_risk
+            FROM tab
+        ),
+        haz AS (
+            SELECT h, n_risk, d_events, c_censored,
+                   cast(floor((cast(d_events as double)
+                               / cast(n_risk as double)) * {_HAZ_Q!r})
+                        as bigint) AS hq
+            FROM risk
+        )
+        SELECT h AS gap_hours, n_risk, d_events, c_censored,
+               cast(hq as double) / {_HAZ_Q!r} AS hazard,
+               cast(cast(sum(hq) OVER (ORDER BY h ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    as double) / {_HAZ_Q!r} as double) AS na_cumhaz
+        FROM haz
+        WHERE d_events > 0
+        ORDER BY h
+    """
+
+
+def q_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censoring-aware Nelson-Aalen hazard of user return gaps (see
+    _survival_hazard_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_survival_hazard_sql(D.SPARK))
+
+
+_REC_K = 10
+# floor(2^20 / log2(rank+1)) for rank 1..10 -- the DCG discount weights as
+# driver-side integer literals (the _INV_LN2 convention: both engines parse
+# identical constants instead of each computing its own transcendental)
+_REC_WQ = (
+    1048576, 661577, 524288, 451597, 405644,
+    373510, 349525, 330788, 315652, 303106,
+)
+_REC_NQ = 1 << 20  # per-user nDCG / RR quantum (integer-exact division)
+
+
+def _rec_w_case(col: str) -> str:
+    arms = " ".join(
+        f"when {r} then cast({_REC_WQ[r - 1]} as bigint)"
+        for r in range(1, _REC_K + 1)
+    )
+    return f"(case {col} {arms} else cast(0 as bigint) end)"
+
+
+def _rec_eval_sql(d: str) -> str:
+    """OFFLINE TOP-K RECOMMENDER EVALUATION -- popularity baseline on a
+    temporal split: rank the {_REC_K} most-interacted items of the first
+    80% of the event span, then score that one global ranking against
+    every user's held-out last-20% interactions with nDCG@{_REC_K}
+    (graded gain = interaction count capped at 3), MRR, and hit rate.
+    This is the eval harness any ranking experiment needs before it
+    needs a model -- the popularity baseline is the floor every
+    recommender must beat (and on power-law traffic, a hard one).
+
+    Determinism/parity: the item key is the envelope's k property; the
+    split point is integer epoch arithmetic; popularity ranks come from
+    a count-of-dominators fold over the DOMAIN-BOUNDED item relation
+    (never a global sort); DCG discount weights are shared integer
+    literals (_REC_WQ), so every per-user DCG/IDCG is an exact BIGINT
+    and per-user nDCG = (dcg * 2^20) div idcg and RR = 2^20 div rank are
+    exact integer divisions -- the final means divide exact sums ONCE.
+    Empty eval sets report zeros via nullif-inside guards.
+
+    Scale shape: two filtered scans off one events pass (train agg is
+    item-bounded; test agg shuffles on (user, item)); the dominator fold
+    and the top-{_REC_K} join are broadcast item-sized; per-user ideal
+    ranking is a PARTITION BY user window (hash, never range); the tail
+    is one user-sized agg to a single row."""
+    item = (
+        "cast(get_json_object(props, '$.k') as bigint)"
+        if d == D.SPARK
+        else "cast(props->>'$.k' as bigint)"
+    )
+    us = _ts_us(d)
+    hint_b = "/*+ BROADCAST(b) */ " if d == D.SPARK else ""
+    hint_t = "/*+ BROADCAST(t) */ " if d == D.SPARK else ""
+    cut = D.int_div(d, "((hi - lo) * 4)", "5")
+    return f"""
+        WITH ev AS (
+            SELECT user_id, {item} AS item, {us} AS us
+            FROM events WHERE props IS NOT NULL
+        ),
+        ev2 AS (SELECT * FROM ev WHERE item IS NOT NULL),
+        bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ev2),
+        cutoff AS (SELECT lo + {cut} AS cut FROM bounds),
+        train AS (
+            SELECT item, cast(count(*) as bigint) AS n
+            FROM ev2 CROSS JOIN cutoff WHERE us < cut GROUP BY item
+        ),
+        ranked AS (
+            SELECT {hint_b}a.item, cast(1 + count(b.item) as bigint) AS rnk
+            FROM train a LEFT JOIN train b
+              ON (b.n > a.n OR (b.n = a.n AND b.item < a.item))
+            GROUP BY a.item
+        ),
+        topk AS (SELECT item, rnk FROM ranked WHERE rnk <= {_REC_K}),
+        test AS (
+            SELECT user_id, item, cast(count(*) as bigint) AS cnt
+            FROM ev2 CROSS JOIN cutoff WHERE us >= cut
+            GROUP BY user_id, item
+        ),
+        rel AS (
+            SELECT user_id, item, least(cast(3 as bigint), cnt) AS gain
+            FROM test
+        ),
+        dcg AS (
+            SELECT {hint_t}r.user_id,
+                   cast(sum(r.gain * {_rec_w_case("t.rnk")}) as bigint) AS dcg_q,
+                   cast(min(t.rnk) as bigint) AS first_hit
+            FROM rel r JOIN topk t ON t.item = r.item
+            GROUP BY r.user_id
+        ),
+        ideal AS (
+            SELECT user_id, gain,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY gain DESC, item ASC) AS rn
+            FROM rel
+        ),
+        idcg AS (
+            SELECT user_id,
+                   cast(sum(gain * {_rec_w_case("rn")}) as bigint) AS idcg_q
+            FROM ideal WHERE rn <= {_REC_K} GROUP BY user_id
+        ),
+        per_user AS (
+            SELECT i.user_id,
+                   cast({D.int_div(d, f"(coalesce(d.dcg_q, 0) * {_REC_NQ})", "i.idcg_q")}
+                        as bigint) AS ndcg_q,
+                   cast(case when d.first_hit IS NULL then 0
+                        else {D.int_div(d, str(_REC_NQ), "d.first_hit")} end
+                        as bigint) AS rr_q,
+                   case when d.first_hit IS NULL then 0 else 1 end AS hit
+            FROM idcg i LEFT JOIN dcg d ON d.user_id = i.user_id
+        ),
+        sizes AS (
+            SELECT (SELECT cast(coalesce(sum(n), 0) as bigint) FROM train)
+                       AS n_train_events,
+                   (SELECT cast(coalesce(sum(cnt), 0) as bigint) FROM test)
+                       AS n_test_events
+        )
+        SELECT cast(count(*) as bigint) AS n_eval_users,
+               s.n_train_events, s.n_test_events,
+               case when count(*) = 0 then 0.0
+                    else cast(sum(ndcg_q) as double)
+                         / (cast(nullif(count(*), 0) as double) * {float(_REC_NQ)!r})
+               end AS mean_ndcg,
+               case when count(*) = 0 then 0.0
+                    else cast(sum(rr_q) as double)
+                         / (cast(nullif(count(*), 0) as double) * {float(_REC_NQ)!r})
+               end AS mean_mrr,
+               case when count(*) = 0 then 0.0
+                    else cast(sum(hit) as double)
+                         / cast(nullif(count(*), 0) as double)
+               end AS hit_rate
+        FROM per_user CROSS JOIN sizes s
+        GROUP BY s.n_train_events, s.n_test_events
+    """
+
+
+def q_rec_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-baseline top-k ranking eval on a temporal split:
+    nDCG@10 / MRR / hit rate (see _rec_eval_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_rec_eval_sql(D.SPARK))
+
+
+_SOFT_U_BITS = 48  # md5-derived uniform resolution for the keep draw
+_SOFT_WQ = 1 << 30  # expected-keep quantum (exact integer division)
+
+
+_SOFT_PREFIX_TOKENS = 16  # cluster key = first 16 analyzer tokens
+
+
+def _dedup_weighted_sample_sql(d: str) -> str:
+    """SOFT DEDUP (inverse-duplicate-count sampling): keep each document
+    with probability 1 / |its duplicate cluster|, so every distinct
+    content survives ONCE in expectation regardless of how many times the
+    crawl duplicated it -- the probabilistic alternative to hard keeper
+    selection (MassiveText/Gopher-style pipelines use exactly this to
+    de-bias token counts without losing the natural within-cluster
+    variety). Cluster key: md5 of the first {_SOFT_PREFIX_TOKENS}
+    analyzer tokens -- prefix-fingerprint duplicates (the mirrored-page /
+    syndicated-lede signature; whole-text md5 is exact_dedup's key, and
+    the corpus holds prefix clusters at every test sf while exact
+    clusters only appear at sf0.1+, so the prefix key keeps the keep
+    decision LIVE at the driver's sf0.01 gate). The keep draw is the
+    engine's deterministic md5 uniform: u48 (48 bits, salted so it is
+    independent of every other sampler's draw) kept iff u48 * size <
+    2^48 -- an EXACT integer comparison in decimal(38,0), no float
+    anywhere in the decision.
+
+    Report per source: docs, kept docs, the exact expected keep count
+    (sum of floor(2^30/size) -- integer division, order-free), and the
+    distinct-cluster count the sampler is targeting.
+
+    Scale shape: one documents scan -> cluster sizes via ONE window
+    shuffle on the 32-byte prefix hash (no agg + join-back second
+    shuffle); the decision is a projection; the report is a source-keyed
+    partial agg."""
+    u48 = H.hex_to_bigint(
+        d, f"md5(concat('softdedup', {D.cast_str(d, 'doc_id')}))", 12
+    )
+    toks = TX.tokenize(d, TEXT)
+    prefix = D.arr_join(
+        d, D.arr_slice(d, toks, 1, _SOFT_PREFIX_TOKENS), " "
+    )
+    wq = D.int_div(d, str(_SOFT_WQ), "sz")
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, source, md5({prefix}) AS ch FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, source, ch,
+                   cast(count(*) OVER (PARTITION BY ch) as bigint) AS sz
+            FROM keyed
+        ),
+        drawn AS (
+            SELECT source, ch, sz,
+                   case when cast({u48} as decimal(38,0))
+                             * cast(sz as decimal(38,0))
+                             < cast({1 << _SOFT_U_BITS} as decimal(38,0))
+                        then 1 else 0 end AS kept,
+                   cast({wq} as bigint) AS wq
+            FROM sized
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(count(distinct ch) as bigint) AS n_distinct,
+               cast(sum(kept) as bigint) AS n_kept,
+               cast(cast(sum(wq) as double) / {float(_SOFT_WQ)!r} as double)
+                   AS expected_kept
+        FROM drawn GROUP BY source ORDER BY source
+    """
+
+
+def q_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-duplicate-count soft dedup sampling report (see
+    _dedup_weighted_sample_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_dedup_weighted_sample_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -14740,6 +15375,14 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-9 wave 9 ---
+    "average_precision": (q_average_precision, _average_precision_sql),
+    "cumulative_gains": (q_cumulative_gains, _cumulative_gains_sql),
+    "isotonic_calibration": (q_isotonic_calibration, _isotonic_calibration_sql),
+    "mann_whitney": (q_mann_whitney, _mann_whitney_sql),
+    "survival_hazard": (q_survival_hazard, _survival_hazard_sql),
+    "rec_eval_topk": (q_rec_eval_topk, _rec_eval_sql),
+    "dedup_weighted_sample": (q_dedup_weighted_sample, _dedup_weighted_sample_sql),
     # --- round-9 additions (never driver-proven) ---
     "label_propagation_step": (q_label_propagation_step, _label_propagation_sql),
     "attribution_touch": (q_attribution_touch, _attribution_sql),
