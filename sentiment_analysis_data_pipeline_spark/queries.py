@@ -7337,13 +7337,15 @@ def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_RATE = 0.5  # dyadic learning rate for the applied step (exact in IEEE)
 
 
-def _clf_feats_sql(d: str) -> str:
+def _clf_feats_sql(d: str, src: str = "documents") -> str:
     """(doc_id, source, n_chars, x1..x3, y): the logreg_step feature row
     extended with the doc and source keys plus raw n_chars -- shared
     upstream of the gradient, the scoring pass, and the eval suite
     (doc_id drives conformal's calibration/test split; n_chars feeds
     kendall_tau's length band without a join-back to documents;
-    downstream consumers project explicitly)."""
+    downstream consumers project explicitly). `src` lets the streaming
+    calibration monitor score a micro-batch view through the IDENTICAL
+    expression chain."""
     toks = TX.tokenize(d, TEXT)
     nt = D.arr_size(d, toks)
     f1 = "(cast(n_chars as double) / 1000.0)"
@@ -7351,7 +7353,7 @@ def _clf_feats_sql(d: str) -> str:
     f3 = f"(cast(n_chars as double) / (cast({nt} as double) + 1.0) / 10.0)"
     return (
         f"SELECT doc_id, source, n_chars, {f1} AS x1, {f2} AS x2, {f3} AS x3, "
-        f"case when lang = 'en' then 1 else 0 end AS y FROM documents"
+        f"case when lang = 'en' then 1 else 0 end AS y FROM {src}"
     )
 
 
@@ -11934,20 +11936,21 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_scored_sql(d: str) -> str:
+def _clf_scored_sql(d: str, src: str = "documents") -> str:
     """(source, sq, y): every document scored by the _LR_W0 base classifier
     (the logreg_step starting point), quantized to 2^-20 exactly as
     classifier_score does -- the shared upstream of the evaluation suite
     (classifier_auc / classifier_calibration). Scoring with the FIXED base
     weights keeps evaluation one linear pass; the trained-step variant is
-    classifier_score's job."""
+    classifier_score's job. `src` lets the streaming calibration monitor
+    score a micro-batch view through the identical chain."""
     q = float(_LR_Q)
     w = _LR_W0
     z0 = f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2 + {w[3]!r} * x3)"
     sig_q = f"cast(floor((1.0 / (1.0 + exp(-{z0}))) * {q!r}) as bigint)"
     return (
         f"SELECT source, {sig_q} AS sq, cast(y as bigint) AS y"
-        f" FROM ({_clf_feats_sql(d)}) f"
+        f" FROM ({_clf_feats_sql(d, src)}) f"
     )
 
 
@@ -12043,22 +12046,42 @@ def _classifier_calibration_tail(d: str, scored_src: str) -> str:
     from the band expr, the mean, and both Brier terms, and Catalyst CTE
     re-inlining re-evaluates the tokenize+sigmoid scoring per reference
     (measured 10.5 s vs 0.9 s at 40x -- classifier_auc, which touches sq
-    only as a group key, never hit it)."""
+    only as a group key, never hit it). Since wave 9 it folds the shared
+    (source, sq) histogram (identical integers, identical output) so the
+    streaming calibration monitor can serve the same tail."""
+    return calibration_hist_tail_sql(d, _clf_hist_from_scored(d, scored_src))
+
+
+def calibration_hist_tail_sql(d: str, hist_src: str) -> str:
+    """classifier_calibration tail over a (source, sq, pos_s, n_s)
+    histogram -- shared verbatim with the streaming monitor's serving
+    read. The per-row Brier sum becomes the exact cell identity
+    pos_s*(sq - 2^20)^2 + (n_s - pos_s)*sq^2 (y is 0/1, so the row sum
+    partitions by label -- same BIGINTs, same decimal accumulation)."""
     qi = int(_LR_Q)
     q = float(_LR_Q)
     band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
+    brier_cell = (
+        f"cast(pos_s as decimal(38,0))"
+        f" * cast((sq - {qi}) * (sq - {qi}) as decimal(38,0))"
+        f" + cast(n_s - pos_s as decimal(38,0))"
+        f" * cast(sq * sq as decimal(38,0))"
+    )
     return f"""
-        WITH scored AS ({scored_src}),
-        banded AS (SELECT {band} AS band, sq, y FROM scored),
+        WITH hist0 AS ({hist_src}),
+        banded AS (
+            SELECT {band} AS band, sq, pos_s, n_s FROM hist0
+        ),
         agg AS (
             SELECT band,
-                   cast(count(*) as bigint) AS n_docs,
-                   cast(cast(sum(cast(sq as decimal(38,0))) as double)
-                        / (count(*) * {q!r}) as double) AS mean_pred,
-                   cast(sum(y) as double) / cast(count(*) as double) AS pos_rate,
-                   cast(cast(sum(cast((sq - y * {qi}) * (sq - y * {qi})
-                                      as decimal(38,0))) as double)
-                        / (count(*) * {q * q!r}) as double) AS brier
+                   cast(sum(n_s) as bigint) AS n_docs,
+                   cast(cast(sum(cast(sq as decimal(38,0))
+                                 * cast(n_s as decimal(38,0))) as double)
+                        / (sum(n_s) * {q!r}) as double) AS mean_pred,
+                   cast(sum(pos_s) as double) / cast(sum(n_s) as double)
+                       AS pos_rate,
+                   cast(cast(sum({brier_cell}) as double)
+                        / (sum(n_s) * {q * q!r}) as double) AS brier
             FROM banded GROUP BY band
         )
         SELECT band, n_docs, mean_pred, pos_rate,
@@ -14734,39 +14757,35 @@ _AP_Q = float(1 << 40)  # precision quantum for the AP fold (power of two:
 # deterministic cross-engine)
 
 
-def _average_precision_tail(d: str, scored_src: str) -> str:
-    """PR-curve AREA (average precision) per source plus 'ALL', tie-exact
-    from the bounded quantized-score histogram -- the ranking-quality twin
-    of classifier_auc: AUC asks "are positives scored above negatives?",
-    AP asks "is precision high where the ranking is consumed?" (the right
-    number under class imbalance, where ROC AUC flatters). Convention
-    matches the threshold-stepped estimator (sklearn's
-    average_precision_score): AP = sum over distinct-score blocks of
-    (pos_block / n_pos) * precision_at_block_end, ties grouped.
+def _clf_hist_from_scored(d: str, scored_src: str) -> str:
+    """(source, sq, pos_s, n_s): the per-source quantized-score histogram
+    -- the BOUNDED sufficient statistic of the whole classifier-eval
+    suite (AP / gains / isotonic / calibration all fold it, never the
+    rows). This is also exactly what the streaming calibration monitor
+    accumulates per epoch (streaming/calibration_stream.py): histogram
+    partials are cell-wise-summable, so epoch logs merge exactly."""
+    return (
+        f"SELECT source, sq, cast(sum(y) as bigint) AS pos_s,"
+        f" cast(count(*) as bigint) AS n_s"
+        f" FROM ({scored_src}) sc GROUP BY source, sq"
+    )
 
-    Parity: counts come from the same <= 2^20-rows-per-source histogram
-    as AUC; precision_at_block = cum_pos/cum_n is ONE correctly-rounded
-    division of exact integers, floor-quantized at 2^-40 (exact scale,
-    see _AP_Q) and folded as pos_block * quantized_precision in
-    decimal(38,0) -- the sum is order-free, so partial aggregation cannot
-    perturb it. A positive-free source reports 0.0 (driver float-coercion
-    convention, the classifier_auc precedent).
 
-    Scale shape: one scoring scan (checkpointed by the Spark caller), one
-    (source, sq) partial agg, one PARTITION BY source window over the
-    bounded histogram, a source-sized final agg. No joins."""
+def ap_hist_tail_sql(d: str, hist_src: str) -> str:
+    """average_precision tail over a (source, sq, pos_s, n_s) histogram
+    relation -- shared verbatim by the batch query and the streaming
+    monitor's serving read so the two cannot drift (the sprt_tail_sql
+    convention). The 'ALL' level is derived by re-aggregating the
+    per-source cells (integer sums -- identical to tagging the rows)."""
     return f"""
-        WITH scored AS ({scored_src}),
-        tagged AS (
-            SELECT source, sq, y FROM scored
-            UNION ALL
-            SELECT 'ALL' AS source, sq, y FROM scored
-        ),
+        WITH hist0 AS ({hist_src}),
         hist AS (
-            SELECT source, sq,
-                   cast(sum(y) as bigint) AS pos_s,
-                   cast(count(*) as bigint) AS n_s
-            FROM tagged GROUP BY source, sq
+            SELECT source, sq, pos_s, n_s FROM hist0
+            UNION ALL
+            SELECT 'ALL' AS source, sq,
+                   cast(sum(pos_s) as bigint) AS pos_s,
+                   cast(sum(n_s) as bigint) AS n_s
+            FROM hist0 GROUP BY sq
         ),
         cum AS (
             SELECT source, pos_s,
@@ -14803,6 +14822,30 @@ def _average_precision_tail(d: str, scored_src: str) -> str:
     """
 
 
+def _average_precision_tail(d: str, scored_src: str) -> str:
+    """PR-curve AREA (average precision) per source plus 'ALL', tie-exact
+    from the bounded quantized-score histogram -- the ranking-quality twin
+    of classifier_auc: AUC asks "are positives scored above negatives?",
+    AP asks "is precision high where the ranking is consumed?" (the right
+    number under class imbalance, where ROC AUC flatters). Convention
+    matches the threshold-stepped estimator (sklearn's
+    average_precision_score): AP = sum over distinct-score blocks of
+    (pos_block / n_pos) * precision_at_block_end, ties grouped.
+
+    Parity: counts come from the same <= 2^20-rows-per-source histogram
+    as AUC; precision_at_block = cum_pos/cum_n is ONE correctly-rounded
+    division of exact integers, floor-quantized at 2^-40 (exact scale,
+    see _AP_Q) and folded as pos_block * quantized_precision in
+    decimal(38,0) -- the sum is order-free, so partial aggregation cannot
+    perturb it. A positive-free source reports 0.0 (driver float-coercion
+    convention, the classifier_auc precedent).
+
+    Scale shape: one scoring scan (checkpointed by the Spark caller), one
+    (source, sq) partial agg, one PARTITION BY source window over the
+    bounded histogram, a source-sized final agg. No joins."""
+    return ap_hist_tail_sql(d, _clf_hist_from_scored(d, scored_src))
+
+
 def _average_precision_sql(d: str) -> str:
     return _average_precision_tail(d, _clf_scored_sql(d))
 
@@ -14837,15 +14880,20 @@ def _cumulative_gains_tail(d: str, scored_src: str) -> str:
 
     Scale shape: one scoring scan (checkpointed by the Spark caller), one
     <= 50-row band agg, two windows over that bounded relation."""
+    return gains_hist_tail_sql(d, _clf_hist_from_scored(d, scored_src))
+
+
+def gains_hist_tail_sql(d: str, hist_src: str) -> str:
+    """cumulative_gains tail over a (source, sq, pos_s, n_s) histogram --
+    shared verbatim with the streaming monitor's serving read."""
     qi = int(_LR_Q)
     band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
     return f"""
-        WITH scored AS ({scored_src}),
-        banded AS (SELECT {band} AS band, y FROM scored),
+        WITH hist0 AS ({hist_src}),
         hist AS (
-            SELECT band, cast(count(*) as bigint) AS n,
-                   cast(sum(y) as bigint) AS pos
-            FROM banded GROUP BY band
+            SELECT {band} AS band, cast(sum(n_s) as bigint) AS n,
+                   cast(sum(pos_s) as bigint) AS pos
+            FROM hist0 GROUP BY band
         ),
         cum AS (
             SELECT band, n, pos,
@@ -14911,16 +14959,23 @@ def _isotonic_tail(d: str, scored_src: str) -> str:
     interval grid is <= 1275 rows and the band x interval join <= 64k --
     all joins are broadcast non-equi over DOMAIN-BOUNDED relations (the
     kendall_tau grid pattern), never corpus-sized."""
+    return iso_hist_tail_sql(d, _clf_hist_from_scored(d, scored_src))
+
+
+def iso_hist_tail_sql(d: str, hist_src: str) -> str:
+    """isotonic_calibration tail over a (source, sq, pos_s, n_s)
+    histogram -- shared verbatim with the streaming monitor's serving
+    read."""
     qi = int(_LR_Q)
     band = f"least(cast(49 as bigint), {D.int_div(d, '(sq * 50)', str(qi))})"
     hint_k = "/*+ BROADCAST(k) */ " if d == D.SPARK else ""
     hint_p = "/*+ BROADCAST(p) */ " if d == D.SPARK else ""
     return f"""
-        WITH scored AS ({scored_src}),
+        WITH hist0 AS ({hist_src}),
         bands AS (
-            SELECT {band} AS band, cast(count(*) as bigint) AS w,
-                   cast(sum(y) as bigint) AS s
-            FROM scored GROUP BY band
+            SELECT {band} AS band, cast(sum(n_s) as bigint) AS w,
+                   cast(sum(pos_s) as bigint) AS s
+            FROM hist0 GROUP BY band
         ),
         pre AS (
             SELECT band, w, s,
@@ -15359,6 +15414,307 @@ def q_dedup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dedup_weighted_sample_sql(D.SPARK))
 
 
+# ---------------------------------------------------------------------------
+# round-9 wave 10: time-series decomposition, trend mining, keyphrase
+# extraction
+# ---------------------------------------------------------------------------
+
+_SD_Q = float(1 << 20)  # detrended-value quantum (power-of-two: exact scale)
+
+
+def _seasonal_decompose_sql(d: str) -> str:
+    """CLASSICAL ADDITIVE DECOMPOSITION of daily purchase revenue into
+    trend + weekly seasonal + residual -- the descriptive complement to
+    the family's other time-series members: dow_seasonality profiles the
+    weekday effect, ewma_revenue smooths, binseg locates breaks; this one
+    SEPARATES the components so each can be read (and residuals fed to
+    anomaly screens without the weekly pattern polluting them). Method:
+    trend = centered 7-day moving average (RANGE frame over the integer
+    day key, so calendar GAPS widen the frame correctly instead of
+    sliding over 7 nearest rows; only full 7-day windows emit), seasonal
+    = per-weekday mean of the detrended series re-centered to sum ~0,
+    residual = revenue - trend - seasonal by construction.
+
+    Parity: daily revenue is exact integer cents; trend is ONE division
+    of an exact 7-day sum; detrended values are floor-quantized at 2^-20
+    (exact power-of-two scale) so the per-weekday means and the centering
+    mean are divisions of exact integer sums -- no cross-row float
+    summation anywhere; the residual is a fixed IEEE chain.
+
+    Scale shape: stream -> days-sized agg; one RANGE window + one 7-row
+    seasonal agg + a 1-row centering broadcast over the calendar-BOUNDED
+    relation (the zscore_days cost class)."""
+    us = _ts_us(d)
+    day = D.int_div(d, us, str(DAY_US))
+    dq = (
+        "cast(floor((cast(v as double) - cast(s7 as double) / 7.0)"
+        f" * {_SD_Q!r}) as bigint)"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT {day} AS dd,
+                   cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY {day}
+        ),
+        ma AS (
+            SELECT dd, v,
+                   cast(sum(v) OVER w7 as bigint) AS s7,
+                   cast(count(*) OVER w7 as bigint) AS c7
+            FROM daily
+            WINDOW w7 AS (ORDER BY dd
+                          RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT dd, v, s7, dd % 7 AS dow, {dq} AS dq
+            FROM ma WHERE c7 = 7
+        ),
+        seas AS (
+            SELECT dow,
+                   cast(floor(cast(sum(dq) as double)
+                              / cast(count(*) as double)) as bigint) AS sq
+            FROM det GROUP BY dow
+        ),
+        ctr AS (
+            SELECT cast(floor(cast(sum(sq) as double)
+                              / cast(count(*) as double)) as bigint) AS m7q
+            FROM seas
+        )
+        SELECT t.dd AS day, t.dow, t.v AS revenue_cents,
+               cast(t.s7 as double) / 7.0 AS trend_cents,
+               cast(s.sq - c.m7q as double) / {_SD_Q!r} AS seasonal_cents,
+               cast(t.v as double) - cast(t.s7 as double) / 7.0
+                   - cast(s.sq - c.m7q as double) / {_SD_Q!r} AS residual_cents
+        FROM det t JOIN seas s ON s.dow = t.dow CROSS JOIN ctr c
+        ORDER BY t.dd
+    """
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend/weekly/residual decomposition of daily revenue
+    (see _seasonal_decompose_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_seasonal_decompose_sql(D.SPARK))
+
+
+_TREND_TOP = 20
+
+
+def _trending_terms_sql(d: str) -> str:
+    """TRENDING TERMS: which catalog words spiked in the LATEST ship
+    month vs their own history -- the per-entity z-score trend screen
+    ("trending topics") that zscore_days applies to one global series,
+    applied across the whole vocabulary at once. Term stream: part-name
+    words of every shipped lineitem (demand-weighted mentions). For each
+    word: mean/variance over ALL calendar months (absent months count as
+    exact zeros -- moments use the month COUNT from the calendar, not the
+    word's support, so a word that only just appeared screens as the
+    spike it is), z of the latest month's count, top {_TREND_TOP} risers.
+
+    Parity: per-(word, month) counts and the per-word moment sums are
+    exact BIGINTs; mean/variance/z are fixed IEEE chains per word (the
+    zscore_days argument), zero variance reads z = 0 via the integer
+    identity with a nullif-inside guard; the top-k orders identical
+    doubles with the word as tiebreak.
+
+    Scale shape: the FACT table never tokenizes -- lineitem collapses
+    first to (partkey, month) counts (one hash-agg on the join key), the
+    part DIM tokenizes once (dim-sized, not fact-sized), and the two meet
+    on a partkey equi-join whose product is re-aggregated to the
+    vocab x months grid: word counts are sum(lineitems * word-multiplicity),
+    exactly the per-lineitem explode's integers at a 120th of the
+    tokenizer work (measured 24.2 s -> ~8 s at 40x). Then two bounded
+    aggs; z only for the latest month's vocab slice; top-k via
+    TakeOrderedAndProject -- never a global sort of the vocabulary."""
+    toks = TX.tokenize(d, "p.p_name")
+    w = (
+        f"explode({toks})"
+        if d == D.SPARK
+        else f"unnest({toks})"
+    )
+    mk = "(cast(year(l.l_shipdate) as bigint) * 12 + cast(month(l.l_shipdate) as bigint))"
+    mean = "(cast(m.s1 as double) / cast(cal.nm as double))"
+    var = f"((cast(m.s2 as double) / cast(cal.nm as double)) - {mean} * {mean})"
+    z = f"(cast(lc.n as double) - {mean}) / sqrt(nullif({var}, 0.0))"
+    return f"""
+        WITH pm AS (
+            SELECT l.l_partkey AS pk, {mk} AS mk,
+                   cast(count(*) as bigint) AS nl
+            FROM lineitem l GROUP BY l.l_partkey, {mk}
+        ),
+        pw AS (
+            SELECT pk, w, cast(count(*) as bigint) AS c
+            FROM (SELECT p.p_partkey AS pk, {w} AS w FROM part p) t
+            WHERE w <> '' GROUP BY pk, w
+        ),
+        cnt0 AS (
+            SELECT pw.w, pm.mk, cast(sum(pm.nl * pw.c) as bigint) AS n
+            FROM pm JOIN pw ON pw.pk = pm.pk
+            GROUP BY pw.w, pm.mk
+        ),
+        mtot AS (
+            SELECT mk, cast(sum(n) as bigint) AS t FROM cnt0 GROUP BY mk
+        ),
+        mx AS (SELECT cast(max(t) as bigint) AS tmax FROM mtot),
+        comp AS (
+            -- COMPLETE months only: a generation/ingest boundary leaves the
+            -- first/last calendar month partial, and a partial month reads
+            -- as a global collapse (every word z < 0, the dead-riser-branch
+            -- fixture trap). Integer rule: keep months carrying at least
+            -- half the peak monthly volume.
+            SELECT m.mk FROM mtot m CROSS JOIN mx WHERE 2 * m.t >= mx.tmax
+        ),
+        cnt AS (
+            SELECT c.w, c.mk, c.n FROM cnt0 c JOIN comp ON comp.mk = c.mk
+        ),
+        cal AS (SELECT cast(count(distinct mk) as bigint) AS nm,
+                       cast(max(mk) as bigint) AS last_mk
+                FROM cnt),
+        mom AS (
+            SELECT w, cast(sum(n) as bigint) AS s1,
+                   cast(sum(n * n) as bigint) AS s2
+            FROM cnt GROUP BY w
+        ),
+        lastc AS (
+            SELECT c.w, c.n FROM cnt c JOIN cal ON c.mk = cal.last_mk
+        )
+        SELECT lc.w AS term, lc.n AS n_latest,
+               {mean} AS mean_monthly,
+               case when m.s2 * cal.nm = m.s1 * m.s1 then 0.0 else {z} end AS z
+        FROM lastc lc
+        JOIN mom m ON m.w = lc.w
+        CROSS JOIN cal
+        ORDER BY z DESC, term ASC
+        LIMIT {_TREND_TOP}
+    """
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-month trending catalog terms by per-word z-score (see
+    _trending_terms_sql)."""
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_trending_terms_sql(D.SPARK))
+
+
+_RAKE_TOP = 20
+_RAKE_MAX_LEN = 4  # phrases longer than this are dropped (degree bound)
+_RAKE_Q = float(1 << 30)
+
+
+def _rake_keyphrases_sql(d: str) -> str:
+    """RAKE KEYPHRASE EXTRACTION (Rose et al. 2010) over the corpus --
+    the phrase-level member of the term-scoring family: tfidf/chi2/
+    log_odds score WORDS, pmi_collocations scores word PAIRS, this one
+    extracts multi-word candidate phrases (maximal stopword-delimited
+    runs, capped at {_RAKE_MAX_LEN} tokens) and ranks them by the RAKE
+    score sum_w deg(w)/freq(w), where freq counts a word's occurrences
+    in candidate phrases and deg additionally credits co-occurring
+    phrase length. This is the cheap, language-light keyphrase baseline
+    a corpus card or topic index starts from.
+
+    Parity: phrase membership is pure integer island logic (token
+    position minus per-doc dense rank over non-stopword tokens); freq
+    and deg are exact BIGINTs; each word score is ONE division
+    floor-quantized at 2^-30, so phrase scores are exact integer sums
+    (identical phrase text => identical member multiset => identical
+    score on both engines); top-k ties break on the phrase text.
+
+    Scale shape: tokenize + posexplode (linear, the curation cost
+    class), stopword filter against a literal set, ONE doc_id window for
+    island ids, phrase assembly as a (doc, island) agg, word stats as
+    vocab-sized aggs broadcast back onto members, top-k via
+    TakeOrderedAndProject."""
+    return _rake_tail(d, _rake_tp_sql(d))
+
+
+def _rake_tp_sql(d: str) -> str:
+    """(doc_id, i, w): every analyzer token with its position."""
+    toks = TX.tokenize(d, TEXT)
+    if d == D.SPARK:
+        return f"SELECT doc_id, posexplode({toks}) AS (i, w) FROM documents"
+    return (
+        f"SELECT doc_id, generate_subscripts({toks}, 1) - 1 AS i,"
+        f" unnest({toks}) AS w FROM documents"
+    )
+
+
+def _rake_tail(d: str, tp_src: str) -> str:
+    phrase = (
+        "array_join(transform(array_sort(collect_list(struct(i, w))),"
+        " s -> s.w), ' ')"
+        if d == D.SPARK
+        else "string_agg(w, ' ' ORDER BY i)"
+    )
+    stop = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+    return f"""
+        WITH tp AS ({tp_src}),
+        nonstop AS (
+            SELECT doc_id, i, w FROM tp
+            WHERE w <> '' AND w NOT IN ({stop})
+        ),
+        isl AS (
+            SELECT doc_id, i, w,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS g
+            FROM nonstop
+        ),
+        members AS (
+            SELECT doc_id, i, w, g,
+                   cast(count(*) OVER (PARTITION BY doc_id, g) as bigint)
+                       AS plen
+            FROM isl
+        ),
+        kept AS (SELECT * FROM members WHERE plen <= {_RAKE_MAX_LEN}),
+        wstats AS (
+            SELECT w, cast(count(*) as bigint) AS freq,
+                   cast(sum(plen) as bigint) AS deg
+            FROM kept GROUP BY w
+        ),
+        wscore AS (
+            SELECT w,
+                   cast(floor((cast(deg as double) / cast(freq as double))
+                              * {_RAKE_Q!r}) as bigint) AS swq
+            FROM wstats
+        ),
+        pscore AS (
+            SELECT k.doc_id, k.g,
+                   cast(sum(s.swq) as bigint) AS psq
+            FROM kept k JOIN wscore s ON s.w = k.w
+            GROUP BY k.doc_id, k.g
+        ),
+        ptext AS (
+            SELECT doc_id, g, {phrase} AS phrase
+            FROM kept GROUP BY doc_id, g
+        ),
+        phrases AS (
+            SELECT t.phrase, p.psq
+            FROM ptext t JOIN pscore p
+              ON p.doc_id = t.doc_id AND p.g = t.g
+        )
+        SELECT phrase,
+               cast(count(*) as bigint) AS n_occurrences,
+               cast(max(psq) as double) / {_RAKE_Q!r} AS rake_score
+        FROM phrases
+        GROUP BY phrase
+        ORDER BY rake_score DESC, phrase ASC
+        LIMIT {_RAKE_TOP}
+    """
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase top-k over the corpus (see _rake_keyphrases_sql).
+    The token-position relation feeds the island window, the phrase
+    assembly, and the word stats; Spark materializes it once
+    (localCheckpoint) because CTE re-inlining would re-tokenize the
+    corpus per consuming branch (the curation_pipeline lesson)."""
+    _view(spark, sf_dir, "documents")
+    tp = spark.sql(_rake_tp_sql(D.SPARK))
+    tp.localCheckpoint(eager=True).createOrReplaceTempView("rake_tp")
+    return spark.sql(
+        _rake_tail(D.SPARK, "SELECT doc_id, i, w FROM rake_tp")
+    )
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -15375,6 +15731,10 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-9 wave 10 ---
+    "seasonal_decompose": (q_seasonal_decompose, _seasonal_decompose_sql),
+    "trending_terms": (q_trending_terms, _trending_terms_sql),
+    "rake_keyphrases": (q_rake_keyphrases, _rake_keyphrases_sql),
     # --- round-9 wave 9 ---
     "average_precision": (q_average_precision, _average_precision_sql),
     "cumulative_gains": (q_cumulative_gains, _cumulative_gains_sql),

@@ -122,8 +122,9 @@ def main() -> None:
 
     # dims ride along un-inflated (customer joins orders on the original
     # custkey range in every copy -- fan-out stays 1:1 per order; supplier
-    # stays fixed so lineitem growth means MORE VOLUME PER SUPPLIER)
-    for dim in ("customer", "nation", "supplier"):
+    # and part stay fixed so lineitem growth means MORE VOLUME PER
+    # SUPPLIER/PART -- the honest demand-growth model trending_terms needs)
+    for dim in ("customer", "nation", "supplier", "part", "region"):
         spark.read.parquet(f"{src}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{out}/{dim}.parquet"
         )
