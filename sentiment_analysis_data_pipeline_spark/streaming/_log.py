@@ -49,6 +49,7 @@ after STALE_FLAG_SEC (appends and compactions are seconds-long).
 from __future__ import annotations
 
 import time
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -179,15 +180,32 @@ def log_has_epoch(
     )
 
 
-def compact_log(spark: SparkSession, log_path: str, merged: DataFrame) -> None:
-    """Fold the epoch log to the single merged partial `merged` (already
-    stamped COMPACTED_STAMP by the caller), crash-safely: stage to a tmp
-    dir, then atomic-rename swap into the live path.
+def compact_log(
+    spark: SparkSession,
+    log_path: str,
+    merged_builder: "Callable[[], DataFrame]",
+) -> None:
+    """Fold the epoch log to the single merged partial built by
+    `merged_builder` (already stamped COMPACTED_STAMP by the caller),
+    crash-safely: stage to a tmp dir, then atomic-rename swap into the
+    live path.
 
     Mutual exclusion (round 9, module docstring): takes the
     `__compacting` flag first and refuses with IngestInFlight if any
     fresh `__appending_*` marker exists -- the documented ingest-pause
-    precondition is now a mechanical check, not a comment."""
+    precondition is now a mechanical check, not a comment.
+
+    `merged_builder` is a THUNK, not a DataFrame (round 10 -- the
+    processingTime soak caught silent data loss with the DataFrame form):
+    `spark.read.parquet(log)` pins its FILE LISTING when the DataFrame is
+    constructed, so a merged relation built before this function takes
+    the `__compacting` flag reads a stale snapshot -- an epoch that lands
+    COMPLETELY between that listing and the flag (all its guarded_append
+    checks legitimately pass: no flag existed yet) is then erased by the
+    swap with no error on either side. Building the read inside the
+    critical section closes the window: any append after the flag exists
+    raises CompactionInProgress on the appender side, and everything
+    before it is in the listing."""
     compacting = _flag_path(log_path, "__compacting")
     if not _create_flag(spark, compacting):
         raise IngestInFlight(f"another compaction already holds {log_path}")
@@ -199,9 +217,11 @@ def compact_log(spark: SparkSession, log_path: str, merged: DataFrame) -> None:
                 f" {[m.rsplit('/', 1)[-1] for m in markers]}"
             )
         tmp = log_path.rstrip("/") + "__compact_tmp"
-        # writing to tmp fully materializes the merged read of the live log
-        # BEFORE the live path changes; the swap then needs no second copy
-        merged.write.mode("overwrite").parquet(tmp)
+        # the listing AND the materialization both happen inside the
+        # critical section: writing to tmp fully materializes the merged
+        # read of the live log BEFORE the live path changes; the swap then
+        # needs no second copy
+        merged_builder().write.mode("overwrite").parquet(tmp)
         swap_directory(spark, tmp, log_path.rstrip("/"))
     finally:
         _remove_flag(spark, compacting)

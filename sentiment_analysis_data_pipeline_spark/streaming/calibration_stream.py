@@ -121,10 +121,13 @@ def compact_hist(spark: SparkSession, hist_path: str) -> None:
     ingest-pause mutual exclusion -- the shared _log contract)."""
     from pyspark.sql import functions as F
 
-    merged = read_hist(spark, hist_path).withColumn(
-        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+    compact_log(
+        spark,
+        hist_path,
+        lambda: read_hist(spark, hist_path).withColumn(
+            "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+        ),
     )
-    compact_log(spark, hist_path, merged)
 
 
 def run_calibration_monitor(

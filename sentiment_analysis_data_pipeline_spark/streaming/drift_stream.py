@@ -91,10 +91,13 @@ def read_psi(
 def compact_bands(spark: SparkSession, log_path: str) -> None:
     """Fold the epoch log back to one merged partial (the shared crash-safe
     swap; run only in an ingest pause -- _log.py contract)."""
-    merged = read_bands(spark, log_path).withColumn(
-        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+    compact_log(
+        spark,
+        log_path,
+        lambda: read_bands(spark, log_path).withColumn(
+            "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+        ),
     )
-    compact_log(spark, log_path, merged)
 
 
 def run_streaming_drift(

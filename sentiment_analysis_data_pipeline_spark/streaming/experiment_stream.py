@@ -128,10 +128,13 @@ def read_srm(spark: SparkSession, users_path: str) -> DataFrame:
 def compact_daily(spark: SparkSession, daily_path: str) -> None:
     """Fold the daily epoch log back to one merged partial (crash-safe
     swap + ingest-pause mutual exclusion -- the shared _log contract)."""
-    merged = read_daily(spark, daily_path).withColumn(
-        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+    compact_log(
+        spark,
+        daily_path,
+        lambda: read_daily(spark, daily_path).withColumn(
+            "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+        ),
     )
-    compact_log(spark, daily_path, merged)
 
 
 def run_experiment_monitor(
@@ -140,18 +143,29 @@ def run_experiment_monitor(
     daily_path: str,
     users_path: str,
     checkpoint_dir: str,
+    processing_time: str | None = None,
 ):
     """File-source streaming experiment maintenance: json events land in
     `source_dir`; each epoch appends its daily partial and first-seen
-    users. availableNow trigger -- drains what is present, then stops."""
+    users. Default trigger is availableNow (drain what is present, then
+    stop -- the test/backfill mode); pass `processing_time` (e.g.
+    "5 minutes") for the timer-driven production cadence. Under the timer
+    an epoch can overlap a maintenance compact_daily call -- the _log
+    flag-file contract turns that race into a LOUD error on one side
+    (CompactionInProgress fails the epoch -> the restarted query replays
+    it idempotently; IngestInFlight makes the operator re-issue the
+    compaction), never a dropped or double-counted partial
+    (tests/test_experiment_soak.py drives exactly this)."""
     stream = spark.readStream.schema(EVENT_STREAM_SCHEMA).json(source_dir)
 
     def epoch(batch: DataFrame, batch_id: int) -> None:
         append_batch(batch.sparkSession, batch, daily_path, users_path, batch_id)
 
-    return (
-        stream.writeStream.foreachBatch(epoch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(epoch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

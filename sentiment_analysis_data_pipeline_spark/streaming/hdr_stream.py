@@ -95,10 +95,13 @@ def compact_cells(spark: SparkSession, cells_path: str) -> None:
     bounded read-side work after many epochs. Crash-safe via the shared
     stage-then-atomic-rename swap (_log.compact_log); run only in an
     ingest pause (_log.py contract)."""
-    merged = read_hist(spark, cells_path).withColumn(
-        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+    compact_log(
+        spark,
+        cells_path,
+        lambda: read_hist(spark, cells_path).withColumn(
+            "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+        ),
     )
-    compact_log(spark, cells_path, merged)
 
 
 def run_streaming_hdr(

@@ -87,14 +87,17 @@ def compact_sketches(spark: SparkSession, log_path: str) -> None:
     """Fold the epoch log back to one partial per segment (batch_id = -1).
     Crash-safe via the shared stage-then-atomic-rename swap
     (_log.compact_log); run only in an ingest pause (_log.py contract)."""
-    merged = (
-        spark.read.schema(SKETCH_SCHEMA)
-        .parquet(log_path)
-        .groupBy("event_type")
-        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
-        .withColumn("batch_id", F.lit(COMPACTED_STAMP).cast("long"))
+    compact_log(
+        spark,
+        log_path,
+        lambda: (
+            spark.read.schema(SKETCH_SCHEMA)
+            .parquet(log_path)
+            .groupBy("event_type")
+            .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+            .withColumn("batch_id", F.lit(COMPACTED_STAMP).cast("long"))
+        ),
     )
-    compact_log(spark, log_path, merged)
 
 
 def run_streaming_hll(

@@ -105,10 +105,13 @@ def compact_samples(spark: SparkSession, sample_path: str) -> None:
     bounded read-side work after many epochs. Crash-safe via the shared
     stage-then-atomic-rename swap (_log.compact_log); run only in an
     ingest pause (_log.py contract)."""
-    merged = read_sample(spark, sample_path).withColumn(
-        "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+    compact_log(
+        spark,
+        sample_path,
+        lambda: read_sample(spark, sample_path).withColumn(
+            "batch_id", F.lit(COMPACTED_STAMP).cast("long")
+        ),
     )
-    compact_log(spark, sample_path, merged)
 
 
 def run_streaming_reservoir(

@@ -49,7 +49,7 @@ def test_append_then_compact_roundtrip(spark, tmp_path):
         .agg(F.sum("n").alias("n"))
         .withColumn("batch_id", F.lit(_log.COMPACTED_STAMP).cast("long"))
     )
-    _log.compact_log(spark, log, merged)
+    _log.compact_log(spark, log, lambda: merged)
     assert _total(spark, log) == 15
     # both flags released after the happy path
     assert not _log._flag_exists(spark, log + "__compacting")
@@ -86,7 +86,7 @@ def test_compact_refused_while_appending(spark, tmp_path):
     )
     try:
         with pytest.raises(_log.IngestInFlight):
-            _log.compact_log(spark, log, merged)
+            _log.compact_log(spark, log, lambda: merged)
     finally:
         _log._remove_flag(spark, marker)
     # the refusal released the compaction flag, so ingest can proceed
@@ -101,7 +101,7 @@ def test_compact_refused_while_appending(spark, tmp_path):
         .agg(F.sum("n").alias("n"))
         .withColumn("batch_id", F.lit(_log.COMPACTED_STAMP).cast("long"))
     )
-    _log.compact_log(spark, log, merged2)
+    _log.compact_log(spark, log, lambda: merged2)
     assert _total(spark, log) == 13
 
 
@@ -116,7 +116,7 @@ def test_concurrent_compactions_exclude(spark, tmp_path):
     assert _log._create_flag(spark, log + "__compacting")
     try:
         with pytest.raises(_log.IngestInFlight):
-            _log.compact_log(spark, log, merged)
+            _log.compact_log(spark, log, lambda: merged)
     finally:
         _log._remove_flag(spark, log + "__compacting")
 
@@ -132,3 +132,33 @@ def test_stale_flag_reclaimed(spark, tmp_path):
     assert _log.guarded_append(spark, log, SCHEMA, 1, _partial(spark, 1, 5, 1))
     assert _total(spark, log) == 15
     assert not os.path.exists(flag)
+
+
+def test_compaction_reads_fresh_listing_not_stale_snapshot(spark, tmp_path):
+    """Round-10 soak regression: an epoch that lands COMPLETELY between a
+    would-be compactor's read planning and its flag acquisition must
+    survive the fold. compact_log takes a BUILDER and plans the read
+    inside the critical section, so the late epoch is in the listing;
+    the old DataFrame-argument form pinned the parquet file listing at
+    construction time and silently erased the late epoch in the swap
+    (observed as a 100-row loss in the processingTime soak)."""
+    log = str(tmp_path / "log")
+    _log.guarded_append(spark, log, SCHEMA, 0, _partial(spark, 1, 10, 0))
+
+    def fresh_merged():
+        return (
+            spark.read.schema(SCHEMA)
+            .parquet(log)
+            .groupBy("band")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("batch_id", F.lit(_log.COMPACTED_STAMP).cast("long"))
+        )
+
+    # the race, deterministically: epoch 1 lands AFTER the compactor's
+    # intent is formed but BEFORE the flag is taken (its guarded checks
+    # all legitimately pass -- no flag exists yet)
+    _log.guarded_append(spark, log, SCHEMA, 1, _partial(spark, 2, 5, 1))
+    _log.compact_log(spark, log, fresh_merged)
+    assert _total(spark, log) == 15  # the late epoch survived the fold
+    rows = spark.read.schema(SCHEMA).parquet(log).collect()
+    assert {r["batch_id"] for r in rows} == {_log.COMPACTED_STAMP}

@@ -170,8 +170,16 @@ def test_survival_hazard_identities(spark):
         assert abs(r["hazard"] - r["d_events"] / r["n_risk"]) <= 1.0 / Q._HAZ_Q
         cum += r["hazard"]
         assert abs(r["na_cumhaz"] - cum) < 1e-6
-    # censoring is LIVE: one open episode per user somewhere in the table
-    assert any(r["c_censored"] > 0 for r in rows) or stats["n_users"] > 0
+    # censoring is LIVE (round-9 ADVICE: the old `... or n_users > 0` escape
+    # hatch was vacuously true) -- every user contributes EXACTLY one
+    # right-censored episode (the open last gap), so the UNFILTERED risk
+    # table must carry sum(c_censored) == n_users; the reported table only
+    # shows the death-anchored slice of them.
+    unfiltered = spark.sql(
+        Q._survival_hazard_sql(D.SPARK).replace("WHERE d_events > 0", "")
+    ).collect()
+    assert len(unfiltered) >= len(rows)
+    assert sum(r["c_censored"] for r in unfiltered) == stats["n_users"]
 
 
 def test_rec_eval_matches_reference(spark):
