@@ -9776,26 +9776,120 @@ def _pq_ann_sql(d: str, cent_def: str | None = None) -> str:
     return _pq_body(d, cent_def if cent_def is not None else _pq_cent_sql(d), tail)
 
 
+def _ensure_pq_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Persist (once per corpus snapshot, fingerprint-stamped) the three
+    relations every recurring PQ run consumes: the trained codebook
+    (m, code, j, c), the encoded corpus (vec_id, m, code, qdist -- the
+    16-byte-codes promise made durable), and the stored norms (vec_id,
+    nv). Round-10 verdict item 3 follow-through: pq_ann/pq_distortion
+    retrained + re-encoded per run while codebook and codes are pure
+    functions of the snapshot; a deployment trains once and serves ADC
+    queries off codes forever (Jegou et al.'s whole point)."""
+    from .sources.tables import corpus_fingerprint, ensure_stamped_table
+
+    fp = corpus_fingerprint(sf_dir, ["embeddings"])
+    cent_name = _index_table_name("pq_cent_idx", sf_dir)
+    enc_name = _index_table_name("pq_enc_idx", sf_dir)
+    nrm_name = _index_table_name("pq_norm_idx", sf_dir)
+
+    def build_cent() -> DataFrame:
+        _view(spark, sf_dir, "embeddings")
+        return spark.sql(_pq_cent_sql(D.SPARK))
+
+    cent_t = ensure_stamped_table(spark, cent_name, "m", 1, fp, build_cent)
+
+    def build_enc() -> DataFrame:
+        _view(spark, sf_dir, "embeddings")
+        return spark.sql(
+            _pq_body(
+                D.SPARK,
+                f"SELECT m, code, j, c FROM {cent_t}",
+                "\n        SELECT vec_id, m, code, qdist FROM enc",
+            )
+        )
+
+    def build_nrm() -> DataFrame:
+        _view(spark, sf_dir, "embeddings")
+        v = V.to_double_array(D.SPARK, "embedding")
+        nv = V.norm(D.SPARK, "v", EMB_DIM)
+        return spark.sql(
+            f"SELECT vec_id, {nv} AS nv"
+            f" FROM (SELECT vec_id, {v} AS v FROM embeddings) e0"
+        )
+
+    return (
+        cent_t,
+        ensure_stamped_table(spark, enc_name, "vec_id", 8, fp, build_enc),
+        ensure_stamped_table(spark, nrm_name, "vec_id", 8, fp, build_nrm),
+    )
+
+
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ADC ANN (see _pq_ann_sql). The 1024-row codebook is materialized
-    once (localCheckpoint): the encode join and the query LUT both consume
-    it, and CTE re-inlining would re-run the training group-agg twice."""
+    """PQ ADC ANN (see _pq_ann_sql). Round 10: the codebook, the encoded
+    corpus, and the stored norms come from snapshot-stamped persisted
+    tables (_ensure_pq_tables) -- the recurring query computes ONLY the
+    query-side subvectors + M x K LUT and scans codes, exactly the
+    serve-path cost profile PQ exists for. Every scoring expression is
+    the oracle tail's text verbatim (same quantized LUT fold, same ADC
+    integer sum, same guarded cosine), so values are hash-identical to
+    the in-session single-statement build."""
+    cent_t, enc_t, nrm_t = _ensure_pq_tables(spark, sf_dir)
     _view(spark, sf_dir, "embeddings")
-    cent = spark.sql(_pq_cent_sql(D.SPARK))
-    cent.localCheckpoint(eager=True).createOrReplaceTempView("pq_cent")
-    return spark.sql(_pq_ann_sql(D.SPARK, "SELECT m, code, j, c FROM pq_cent"))
+    v = V.to_double_array(D.SPARK, "embedding")
+    nv = V.norm(D.SPARK, "v", EMB_DIM)
+    m = D.int_div(D.SPARK, "idx", str(PQ_SUBDIM))
+    return spark.sql(
+        f"""
+        WITH q0 AS (
+            SELECT vec_id, {v} AS v FROM embeddings WHERE vec_id < {PQ_NQ}
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, {nv} AS qnv FROM q0),
+        qx0 AS (SELECT vec_id, posexplode(v) AS (idx, x) FROM q0),
+        qx AS (
+            SELECT vec_id AS q_id, cast({m} as bigint) AS m,
+                   cast(idx % {PQ_SUBDIM} as bigint) AS j, x AS qx
+            FROM qx0
+        ),
+        lut AS (
+            SELECT qx.q_id, qx.m, cent.code,
+                   cast(sum(cast(floor(qx.qx * cent.c * {PQ_SCALE}.0)
+                                 as bigint)) as bigint) AS lv
+            FROM qx JOIN {cent_t} cent ON cent.m = qx.m AND cent.j = qx.j
+            GROUP BY qx.q_id, qx.m, cent.code
+        ),
+        adc AS (
+            SELECT l.q_id, e.vec_id, cast(sum(l.lv) as bigint) AS s
+            FROM {enc_t} e JOIN lut l ON l.m = e.m AND l.code = e.code
+            WHERE e.vec_id <> l.q_id
+            GROUP BY l.q_id, e.vec_id
+        ),
+        scored AS (
+            SELECT a.q_id, a.vec_id,
+                   (case when n.nv = 0.0 or q.qnv = 0.0 then 0.0
+                         else (cast(a.s as double) / {PQ_SCALE}.0)
+                              / (n.nv * q.qnv) end) AS approx_cosine
+            FROM adc a
+            JOIN {nrm_t} n ON n.vec_id = a.vec_id
+            JOIN q ON q.q_id = a.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, approx_cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY approx_cosine DESC, vec_id ASC)
+                       AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, approx_cosine, cast(rnk as bigint) AS rnk
+        FROM ranked WHERE rnk <= {PQ_TOPK}
+        """
+    )
 
 
-def _pq_distortion_sql(d: str, cent_def: str | None = None) -> str:
-    """PQ codebook QA: per-subspace quantization error and code balance --
-    the audit a deployment runs after (re)training a codebook (the
-    ivf_cell_balance pattern one level down). Per subspace: mean chosen-
-    code quantized L2 (decimal-exact sum of the BIGINT fixed-point
-    distances -- the _qmean overflow lesson applies at corpus scale),
-    number of codes actually used (dead codes = wasted codebook capacity),
-    and the hottest code's share (skew = ADC join hot keys). All counts
-    exact; the two divisions are one IEEE step each."""
-    tail = f""",
+def _pq_distortion_tail() -> str:
+    """The distortion report downstream of an `enc(vec_id, m, code, qdist)`
+    relation -- shared VERBATIM by the single-statement oracle and the
+    persisted-table Spark path, so the two cannot drift."""
+    return f""",
         per_code AS (
             SELECT m, code, cast(count(*) as bigint) AS n_vecs
             FROM enc GROUP BY m, code
@@ -9817,17 +9911,33 @@ def _pq_distortion_sql(d: str, cent_def: str | None = None) -> str:
                d2.mean_qerr
         FROM bal b JOIN dist d2 ON d2.m = b.m
         ORDER BY b.m ASC"""
-    return _pq_body(d, cent_def if cent_def is not None else _pq_cent_sql(d), tail)
+
+
+def _pq_distortion_sql(d: str, cent_def: str | None = None) -> str:
+    """PQ codebook QA: per-subspace quantization error and code balance --
+    the audit a deployment runs after (re)training a codebook (the
+    ivf_cell_balance pattern one level down). Per subspace: mean chosen-
+    code quantized L2 (decimal-exact sum of the BIGINT fixed-point
+    distances -- the _qmean overflow lesson applies at corpus scale),
+    number of codes actually used (dead codes = wasted codebook capacity),
+    and the hottest code's share (skew = ADC join hot keys). All counts
+    exact; the two divisions are one IEEE step each."""
+    return _pq_body(
+        d,
+        cent_def if cent_def is not None else _pq_cent_sql(d),
+        _pq_distortion_tail(),
+    )
 
 
 def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codebook QA (see _pq_distortion_sql); codebook checkpointed once
-    (encode consumes it; re-inlining would re-run the training agg)."""
-    _view(spark, sf_dir, "embeddings")
-    cent = spark.sql(_pq_cent_sql(D.SPARK))
-    cent.localCheckpoint(eager=True).createOrReplaceTempView("pq_cent")
+    """PQ codebook QA (see _pq_distortion_sql). Round 10: reads the
+    persisted encoded corpus (_ensure_pq_tables) through the oracle's
+    verbatim report tail -- the audit is grid-sized aggregation over
+    stored codes, never a retrain."""
+    _cent_t, enc_t, _nrm_t = _ensure_pq_tables(spark, sf_dir)
     return spark.sql(
-        _pq_distortion_sql(D.SPARK, "SELECT m, code, j, c FROM pq_cent")
+        f"WITH enc AS (SELECT vec_id, m, code, qdist FROM {enc_t})"
+        + _pq_distortion_tail()
     )
 
 
@@ -16451,19 +16561,41 @@ def q_pc1_power_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the SQL chain because every accumulation is integer
     after the same floor quantization. State between steps is a 64x64
     matrix; the cluster only ever runs the single scan."""
-    import math as _math
+    import numpy as np
 
+    C = _pc1_collect_gram(spark, sf_dir)
+    if C is None:
+        return spark.sql(
+            "SELECT cast(1 as bigint) AS dim, 1.0 AS loading, 1.0 AS lam"
+        ).where("dim < 0")
+    v, lam = _pc1_numpy_chain(np, C)
+    rows = [(int(i), float(v[i]), lam) for i in range(EMB_DIM)]
+    return spark.createDataFrame(rows, "dim bigint, loading double, lam double")
+
+
+def _pc1_collect_gram(spark: SparkSession, sf_dir: str):
+    """Collect the gram cells into a 64x64 numpy matrix (None when the
+    corpus is empty)."""
     import numpy as np
 
     _view(spark, sf_dir, "embeddings")
     cells = spark.sql(_pc1_gram_sql(D.SPARK)).collect()
     if not cells:
-        return spark.sql(
-            "SELECT cast(1 as bigint) AS dim, 1.0 AS loading, 1.0 AS lam"
-        ).where("dim < 0")
+        return None
     C = np.zeros((EMB_DIM, EMB_DIM))
     for r in cells:
         C[r["i"]][r["j"]] = r["c"]
+    return C
+
+
+def _pc1_numpy_chain(np, C):
+    """(v, lam): the quantized squaring chain + normalization tail + the
+    Rayleigh quotient, replayed on a 64x64 base matrix -- the exact
+    driver-side mirror of the SQL text in _pc1_square_sql/_pc1_tail_sql
+    (integer folds after identical floor quantization, so the result is
+    bit-identical to the oracle's)."""
+    import math as _math
+
     M = C.copy()
     for _ in range(_PC1_SQUARINGS):
         wq = (
@@ -16484,8 +16616,289 @@ def q_pc1_power_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = w / nw if nw != 0.0 else np.zeros_like(w)
     y = np.floor(C * v[None, :] * _PC1_Q).astype(np.int64).sum(axis=1) / _PC1_Q
     lam = float(np.floor(v * y * _PC1_Q).astype(np.int64).sum()) / _PC1_Q
-    rows = [(int(i), float(v[i]), lam) for i in range(EMB_DIM)]
-    return spark.createDataFrame(rows, "dim bigint, loading double, lam double")
+    return v, lam
+
+
+def _pc1_chain_ctes(prefix: str, base: str, mat: str) -> tuple[str, str, str]:
+    """The squaring chain + tail as named CTE fragments over base matrix
+    CTE `base`: returns (cte_sql, v_name, lam_name). Shared by the pc1 and
+    pc_top2 oracles so the per-chain SQL text cannot drift from the numpy
+    replay."""
+    parts = []
+    prev = base
+    for k in range(1, _PC1_SQUARINGS + 1):
+        parts.append(
+            f"{prefix}g{k} AS{mat} ({_pc1_square_sql(f'SELECT i, j, c FROM {prev}')})"
+        )
+        prev = f"{prefix}g{k}"
+    nrm = (
+        f"sqrt(cast(sum(cast(floor(w * w * {_PC1_QN!r}) as decimal(38,0)))"
+        f" as double) / {_PC1_QN!r})"
+    )
+    parts.append(
+        f"""{prefix}w AS{mat} (
+            SELECT i AS dim,
+                   cast(cast(sum(cast(floor(c * 0.125 * {_PC1_Q!r}) as bigint))
+                        as double) / {_PC1_Q!r} as double) AS w
+            FROM {prev} GROUP BY i
+        )"""
+    )
+    parts.append(f"{prefix}nr AS ( SELECT {nrm} AS nw FROM {prefix}w )")
+    parts.append(
+        f"""{prefix}v AS{mat} (
+            SELECT dim, coalesce(w / nullif(nr.nw, 0.0), 0.0) AS v
+            FROM {prefix}w CROSS JOIN {prefix}nr nr
+        )"""
+    )
+    parts.append(
+        f"""{prefix}y AS (
+            SELECT g.i AS dim,
+                   cast(cast(sum(cast(floor(g.c * v.v * {_PC1_Q!r}) as bigint))
+                        as double) / {_PC1_Q!r} as double) AS y
+            FROM {base} g JOIN {prefix}v v ON v.dim = g.j
+            GROUP BY g.i
+        )"""
+    )
+    parts.append(
+        f"""{prefix}lam AS (
+            SELECT cast(cast(sum(cast(floor(v.v * y.y * {_PC1_Q!r}) as bigint))
+                        as double) / {_PC1_Q!r} as double) AS lam
+            FROM {prefix}v v JOIN {prefix}y y ON y.dim = v.dim
+        )"""
+    )
+    return ",".join(parts), f"{prefix}v", f"{prefix}lam"
+
+
+def _pc_top2_sql(d: str) -> str:
+    """TOP-2 SPECTRAL STRUCTURE of the embedding second-moment operator:
+    pc1 via the gram + repeated-squaring chain, then HOTELLING DEFLATION
+    (C2 = C - lam1 * v1 v1') and the same chain again for pc2/lam2 -- the
+    two-component dataset-card view (is the corpus's variance
+    one-dimensional or spread?) that also hands a whitening/visualization
+    basis to downstream tooling. Deflation products are ordered
+    ((lam*v_i)*v_j) identically in SQL and the numpy replay, so the whole
+    double-chain stays bit-identical cross-engine.
+
+    Scale shape: the SAME single corpus pass as pc1_power_iterated (the
+    gram); both chains and the deflation touch only 64x64 relations."""
+    mat = " MATERIALIZED" if d == D.DUCKDB else ""
+    a_ctes, a_v, a_lam = _pc1_chain_ctes("a_", "g0", mat)
+    b_ctes, b_v, b_lam = _pc1_chain_ctes("b_", "d0", mat)
+    return f"""
+        WITH g0 AS{mat} ({_pc1_gram_sql(d)}),
+        {a_ctes},
+        d0 AS{mat} (
+            SELECT g.i, g.j, g.c - (l.lam * vi.v) * vj.v AS c
+            FROM g0 g
+            JOIN {a_v} vi ON vi.dim = g.i
+            JOIN {a_v} vj ON vj.dim = g.j
+            CROSS JOIN {a_lam} l
+        ),
+        {b_ctes}
+        SELECT va.dim, va.v AS pc1, vb.v AS pc2, la.lam AS lam1,
+               lb.lam AS lam2
+        FROM {a_v} va
+        JOIN {b_v} vb ON vb.dim = va.dim
+        CROSS JOIN {a_lam} la CROSS JOIN {b_lam} lb
+        ORDER BY va.dim
+    """
+
+
+def q_pc_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal directions + eigenvalue estimates via gram,
+    repeated squaring, and Hotelling deflation (see _pc_top2_sql). Spark
+    side: one corpus pass, then both chains replayed driver-side with the
+    shared quantized numpy fold."""
+    import numpy as np
+
+    C = _pc1_collect_gram(spark, sf_dir)
+    if C is None:
+        return spark.sql(
+            "SELECT cast(1 as bigint) AS dim, 1.0 AS pc1, 1.0 AS pc2,"
+            " 1.0 AS lam1, 1.0 AS lam2"
+        ).where("dim < 0")
+    v1, lam1 = _pc1_numpy_chain(np, C)
+    C2 = C - (lam1 * v1)[:, None] * v1[None, :]
+    v2, lam2 = _pc1_numpy_chain(np, C2)
+    rows = [
+        (int(i), float(v1[i]), float(v2[i]), lam1, lam2)
+        for i in range(EMB_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim bigint, pc1 double, pc2 double, lam1 double, lam2 double"
+    )
+
+
+# =========================================================================
+# Round-10 wave 12: word2vec/NCE negative-sampling table prep, uplift
+# (Qini) experimentation curve.
+# =========================================================================
+
+NS_MIN_F = 5  # vocabulary floor: tokens rarer than this get no slots
+NS_TABLE = 1 << 20  # total sampling-table slots to allocate
+_NS_WQ = float(1 << 30)  # weight quantum (relative to the max weight)
+
+
+def _negative_sampling_sql(d: str) -> str:
+    """WORD2VEC/NCE NEGATIVE-SAMPLING TABLE: allocate {NS_TABLE} sampling
+    slots across the vocabulary proportionally to unigram_count^(3/4)
+    (Mikolov et al. 2013's smoothing -- flattens the head, lifts the
+    tail), as EXACT INTEGERS via largest-remainder apportionment. This is
+    the table a skip-gram/NCE trainer mmaps; building it distributed and
+    deterministic is the prep step word-embedding training needs at
+    corpus scale.
+
+    The 3/4 power WITHOUT pow()/exp() (libm pow is not correctly rounded
+    and differs across engines): f^(3/4) = sqrt(sqrt(f^3)) -- two sqrt
+    calls, each IEEE-correctly-rounded, on the deterministic double
+    product f*f*f. Weights are then floor-quantized RELATIVE TO THE MAX
+    weight at 2^-30 (wq <= 2^30, so slot products stay far inside BIGINT
+    at any corpus size -- no absolute-magnitude overflow cliff), summed
+    exactly, and apportioned: base_i = (T * wq_i) div W, then the T -
+    sum(base) leftover slots go to the largest remainders (token ASC
+    tiebreak). sum(n_slots) == T EXACTLY, always.
+
+    Scale shape: one tokenize pass -> token hash-agg (vocab-bounded from
+    there on); one scalar max; the remainder ranking is a single window
+    over the VOCAB-sized relation (the ks_sources cost class, never
+    corpus-sized)."""
+    toks = TX.tokenize(d, TEXT)
+    explode_t = (
+        "SELECT explode(toks) AS tok FROM tokd"
+        if d == D.SPARK
+        else "SELECT unnest(toks) AS tok FROM tokd"
+    )
+    base = D.int_div(d, f"({NS_TABLE} * wq)", "W")
+    return f"""
+        WITH tokd AS (SELECT {toks} AS toks FROM documents),
+        tf AS (
+            SELECT tok, cast(count(*) as bigint) AS f
+            FROM ({explode_t}) e GROUP BY tok
+        ),
+        vocab AS (
+            SELECT tok, f,
+                   sqrt(sqrt(cast(f as double) * cast(f as double)
+                             * cast(f as double))) AS w
+            FROM tf WHERE tok <> '' AND f >= {NS_MIN_F}
+        ),
+        mx AS (SELECT max(w) AS wmax FROM vocab),
+        wq AS (
+            SELECT tok, f,
+                   cast(floor((w / m.wmax) * {_NS_WQ!r}) as bigint) AS wq
+            FROM vocab CROSS JOIN mx m
+        ),
+        tot AS (SELECT cast(sum(wq) as bigint) AS W,
+                       cast(count(*) as bigint) AS n_vocab
+                FROM wq),
+        alloc AS (
+            SELECT w2.tok, w2.f, w2.wq,
+                   cast({base} as bigint) AS base,
+                   cast(({NS_TABLE} * wq) % W as bigint) AS rem
+            FROM wq w2 CROSS JOIN tot t
+        ),
+        short AS (
+            SELECT cast({NS_TABLE} - sum(base) as bigint) AS leftover
+            FROM alloc
+        ),
+        ranked AS (
+            SELECT tok, f, base, rem,
+                   row_number() OVER (ORDER BY rem DESC, tok ASC) AS rk
+            FROM alloc
+        )
+        SELECT tok, f,
+               cast(base + case when rk <= s.leftover then 1 else 0 end
+                    as bigint) AS n_slots
+        FROM ranked CROSS JOIN short s
+        ORDER BY n_slots DESC, tok ASC
+    """
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer negative-sampling table over the corpus vocabulary
+    (see _negative_sampling_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_negative_sampling_sql(D.SPARK))
+
+
+QINI_DECILES = 10
+
+
+def _qini_uplift_sql(d: str) -> str:
+    """QINI UPLIFT CURVE -- the experimentation-family member that ranks
+    USERS by a targeting score and asks "how much extra conversion do the
+    top k% of treated users show over controls?" (Radcliffe's Qini). The
+    srm_check hash split (user_id parity) plays treatment assignment; the
+    targeting score is the user's activity (event count -- the
+    popularity-baseline convention rec_eval_topk uses); outcome is
+    any-purchase. Per score decile, cumulatively: treated/control sizes,
+    conversions, and the Qini value
+    q(k) = cum_conv_t - cum_conv_c * (cum_n_t / cum_n_c) -- the expected
+    extra conversions among the treated top-k vs a same-size control. A
+    targeting score with real signal gives a concave curve; parity
+    assignment should hug zero -- which makes it the null-calibration
+    fixture (the curve IS the A/A check here).
+
+    Parity: per-user counts exact; deciles come from ntile over the
+    deterministic total order (activity DESC, user_id ASC); every
+    cumulative is an exact BIGINT window sum; the one division per row is
+    guarded (empty control prefix reads 0). Scale shape: events collapse
+    to a user-sized relation; ONE window over it (user-bounded,
+    SinglePartition -- the ks_sources class); output is {QINI_DECILES}
+    rows."""
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   cast(count(*) as bigint) AS activity,
+                   cast(max(case when event_type = 'purchase'
+                                 then 1 else 0 end) as bigint) AS conv,
+                   cast(user_id % 2 as bigint) AS grp
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT user_id, activity, conv, grp,
+                   ntile({QINI_DECILES}) OVER (ORDER BY activity DESC,
+                                               user_id ASC) AS decile
+            FROM users
+        ),
+        dec AS (
+            SELECT cast(decile as bigint) AS decile,
+                   cast(sum(grp) as bigint) AS n_t,
+                   cast(sum(1 - grp) as bigint) AS n_c,
+                   cast(sum(conv * grp) as bigint) AS conv_t,
+                   cast(sum(conv * (1 - grp)) as bigint) AS conv_c
+            FROM ranked GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile,
+                   cast(sum(n_t) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS cn_t,
+                   cast(sum(n_c) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS cn_c,
+                   cast(sum(conv_t) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS cconv_t,
+                   cast(sum(conv_c) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS cconv_c
+            FROM dec
+        )
+        SELECT decile, cn_t, cn_c, cconv_t, cconv_c,
+               coalesce(cast(cconv_t as double)
+                        - cast(cconv_c as double)
+                          * (cast(cn_t as double)
+                             / cast(nullif(cn_c, 0) as double)), 0.0) AS qini
+        FROM cum
+        ORDER BY decile
+    """
+
+
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative Qini uplift by activity decile under the parity A/A
+    split (see _qini_uplift_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_qini_uplift_sql(D.SPARK))
 
 
 # =========================================================================
@@ -16514,6 +16927,12 @@ _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
     ),
     "cluster_label_purity": (q_cluster_label_purity, _cluster_label_purity_sql),
     "pc1_power_iterated": (q_pc1_power_iterated, _pc1_power_iterated_sql),
+    "negative_sampling_table": (
+        q_negative_sampling_table,
+        _negative_sampling_sql,
+    ),
+    "qini_uplift": (q_qini_uplift, _qini_uplift_sql),
+    "pc_top2": (q_pc_top2, _pc_top2_sql),
     # --- round-9 wave 10 ---
     "seasonal_decompose": (q_seasonal_decompose, _seasonal_decompose_sql),
     "trending_terms": (q_trending_terms, _trending_terms_sql),

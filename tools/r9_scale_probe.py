@@ -114,6 +114,18 @@ def main() -> None:
         res["ratio"] = round(res[f"{mult}x"]["sec"] / max(res["1x"]["sec"], 1e-9), 1)
         print(json.dumps({name: res}), flush=True)
 
+    # drop the snapshot-stamped index tables built for the throwaway
+    # inflated corpus (keyed to the tmp dir's basename) -- same hygiene as
+    # degenerate_probe
+    from sentiment_analysis_data_pipeline_spark.sources.tables import (
+        drop_table_with_files,
+    )
+
+    tag = "".join(c if c.isalnum() else "_" for c in out.rstrip("/").rsplit("/", 1)[-1])
+    for t in spark.catalog.listTables():
+        if t.name.endswith(tag.lower()):
+            drop_table_with_files(spark, t.name)
+
 
 if __name__ == "__main__":
     main()
