@@ -96,3 +96,38 @@ def test_pc_top2_orthogonal_and_ordered(spark):
     assert abs(float(v2 @ evecs[:, -2])) > 0.999
     assert abs(lam1 - evals[-1]) / evals[-1] < 1e-3
     assert abs(lam2 - evals[-2]) / evals[-2] < 1e-3
+
+
+def test_effective_rank_against_numpy_spectrum(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    r = Q.q_embedding_effective_rank(spark, SF).collect()[0]
+    X = np.array(pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist())
+    evals = np.linalg.eigvalsh(X.T @ X / len(X))
+    assert abs(r["trace"] - evals.sum()) / evals.sum() < 1e-6
+    ref_er = evals.sum() ** 2 / (evals**2).sum()
+    assert abs(r["eff_rank"] - ref_er) / ref_er < 1e-4
+    assert 1.0 <= r["eff_rank"] <= Q.EMB_DIM
+    assert abs(r["lam1"] - evals[-1]) / evals[-1] < 1e-3
+    assert 0.0 < r["top_share"] <= 1.0
+
+
+def test_k_anonymity_events_accounting(spark):
+    rows = Q.q_k_anonymity_events(spark, SF).collect()
+    assert [r["k"] for r in rows] == list(Q.K_ANON_LEVELS)
+    Q._events_view(spark, SF)
+    n = spark.table("events").count()
+    prev = -1
+    for r in rows:
+        assert r["n_rows"] == n
+        assert 0 <= r["rows_below_k"] <= n
+        assert r["rows_below_k"] >= prev  # monotone in k
+        assert r["share_below_k"] == r["rows_below_k"] / n
+        assert r["k_anonymity"] >= 1
+        prev = r["rows_below_k"]
+    # the dataset's k-anonymity is consistent with the below-k counts:
+    # any k <= k_anonymity has zero re-identifiable rows
+    for r in rows:
+        if r["k"] <= r["k_anonymity"]:
+            assert r["rows_below_k"] == 0
