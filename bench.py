@@ -237,6 +237,18 @@ BENCH_QUERIES = [
     "shapley_attribution",
     "mad_anomalies",
     "retention_decay_fit",
+    # round-10 wave 11/12 additions
+    "krippendorff_alpha",
+    "source_quality_mi",
+    "keep_policy_quality",
+    "dedup_evidence_clusters",
+    "cluster_label_purity",
+    "pc1_power_iterated",
+    "pc_top2",
+    "negative_sampling_table",
+    "qini_uplift",
+    "embedding_effective_rank",
+    "k_anonymity_events",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is
