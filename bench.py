@@ -297,6 +297,57 @@ FINAL_LINE_QUERIES = [
 SPREAD_RATIO_BOUND = 1.5
 SPREAD_ABS_FLOOR_SEC = 0.25
 
+# Golden-minimum board (round 11, verdict item 3): one UNCONTENDED run's
+# per-query minimum samples, anchor-stamped, committed as BENCH_GOLDEN.json
+# (tools/make_golden.py stamps it from a BENCH_DETAIL.json). Every bench run
+# then decides regressions MECHANICALLY -- current per-query MIN sample vs
+# golden min scaled by the anchor ratio (environment factor) -- instead of
+# arguing about 2-8x sample spreads on a contended box (43 unstable flags in
+# r10 made every cross-round comparison an anchor argument). min-vs-min is
+# the noise-robust compare: a contended sample inflates medians long before
+# it inflates the best-of-5.
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_GOLDEN.json"
+)
+GOLDEN_RATIO_BOUND = 2.0
+
+
+def _load_golden(sf_val) -> dict | None:
+    """BENCH_GOLDEN.json if present AND stamped for this scale factor."""
+    try:
+        with open(GOLDEN_PATH) as f:
+            g = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if g.get("sf") != sf_val or not g.get("min_sec") or not g.get("anchor_sec"):
+        return None
+    return g
+
+
+def vs_golden(
+    mins: dict[str, float], run_anchor: float, golden: dict
+) -> tuple[dict[str, float], list[str]]:
+    """Per-query ratio of this run's min sample to the anchor-scaled golden
+    minimum, plus the names that mechanically count as regressions
+    (ratio > GOLDEN_RATIO_BOUND and absolute excess > SPREAD_ABS_FLOOR_SEC
+    -- the same floor the retry rule uses, so a 0.1 -> 0.25 s blip on a
+    tiny query can't flag). The anchor ratio scales the allowance when the
+    current environment is SLOWER than the golden run's; a faster current
+    environment never shrinks it (scale floored at 1.0) -- golden is a
+    floor, not a moving target."""
+    scale = max(1.0, run_anchor / golden["anchor_sec"])
+    ratios: dict[str, float] = {}
+    regressions: list[str] = []
+    for name, m in sorted(mins.items()):
+        g = golden["min_sec"].get(name)
+        if not g or g <= 0:
+            continue  # new query since the golden run -- next stamp covers it
+        allowed = g * scale
+        ratios[name] = round(m / allowed, 2)
+        if m / allowed > GOLDEN_RATIO_BOUND and m - allowed > SPREAD_ABS_FLOOR_SEC:
+            regressions.append(name)
+    return ratios, regressions
+
 
 def drift_anchor(spark) -> float:
     """Cross-run drift guard (round 7): median of 3 runs of a FIXED,
@@ -419,6 +470,13 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    golden = _load_golden(sf_val)
+    regressions: list[str] | None = None
+    golden_ratios: dict[str, float] = {}
+    if golden is not None:
+        run_anchor = min(anchor, anchor_end)
+        mins = {n: s[0] for n, s in spread.items()}
+        golden_ratios, regressions = vs_golden(mins, run_anchor, golden)
     detail = {
         "rows": rows,
         "spread": spread,
@@ -428,6 +486,9 @@ def main() -> None:
         "spread_ratio_bound": SPREAD_RATIO_BOUND,
         "anchor_sec": anchor,
         "anchor_end_sec": anchor_end,
+        "vs_golden": golden_ratios,
+        "regressions": regressions if regressions is not None else [],
+        "golden_anchor_sec": golden["anchor_sec"] if golden else None,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -438,7 +499,11 @@ def main() -> None:
     # Non-final line: full detail for humans/logs (driver ignores it).
     print(json.dumps({"detail": detail}))
 
-    print(final_line(timings, sf_val, runs, anchor, unstable, anchor_end))
+    print(
+        final_line(
+            timings, sf_val, runs, anchor, unstable, anchor_end, regressions
+        )
+    )
 
 
 def build_result(
@@ -448,6 +513,7 @@ def build_result(
     anchor: float | None = None,
     unstable: list[str] | None = None,
     anchor_end: float | None = None,
+    regressions: list[str] | None = None,
 ) -> dict:
     """The driver-parsed result dict -- the ONE place its shape is defined.
 
@@ -479,6 +545,11 @@ def build_result(
         out["anchor_end"] = anchor_end
     if unstable is not None:
         out["unstable"] = len(unstable)
+    if regressions is not None:
+        # Mechanical verdict vs the committed golden board (count only --
+        # names live in BENCH_DETAIL.json's "regressions"): 0 here means
+        # no query exceeded 2x its anchor-scaled uncontended minimum.
+        out["regressions"] = len(regressions)
     return out
 
 
@@ -489,6 +560,7 @@ def final_line(
     anchor: float | None = None,
     unstable: list[str] | None = None,
     anchor_end: float | None = None,
+    regressions: list[str] | None = None,
 ) -> str:
     """Build + selfcheck the single driver-parsed JSON line.
 
@@ -496,7 +568,9 @@ def final_line(
     -capture window. Trim nothing silently -- fail loudly so the proof chain
     can't quietly break again (round 4's BENCH record was lost this way).
     """
-    result = build_result(timings, sf_val, runs, anchor, unstable, anchor_end)
+    result = build_result(
+        timings, sf_val, runs, anchor, unstable, anchor_end, regressions
+    )
     line = json.dumps(result, separators=(",", ":"))
     assert json.loads(line)["value"] == result["value"]
     assert len(line) < LINE_BUDGET, f"final bench line {len(line)}B >= {LINE_BUDGET}B"

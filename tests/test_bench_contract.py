@@ -70,6 +70,42 @@ def test_flagship_subset_is_timed_and_registered():
     assert not missing, f"final-line names not in the timed set: {missing}"
 
 
+def test_vs_golden_mechanical_verdict():
+    golden = {
+        "sf": 0.1,
+        "anchor_sec": 0.5,
+        "min_sec": {"a": 1.0, "b": 2.0, "tiny": 0.1, "gone": 0.0},
+    }
+    # Run anchor 1.0 = environment 2x slower than golden -> allowance doubles.
+    mins = {
+        "a": 1.9,    # 1.9 < 1.0*2*2 -> fine (ratio 0.95)
+        "b": 9.0,    # 9.0 > 2.0*2*2 -> regression (ratio 2.25)
+        "tiny": 0.5, # ratio 2.5 but excess 0.3-0.2... above floor? 0.5-0.2=0.3>0.25 -> flags
+        "new": 3.0,  # not in golden -> skipped
+    }
+    ratios, regressions = bench.vs_golden(mins, 1.0, golden)
+    assert ratios["a"] == 0.95
+    assert ratios["b"] == 2.25
+    assert "new" not in ratios and "gone" not in ratios
+    assert regressions == ["b", "tiny"]
+    # A FASTER current environment must not shrink the allowance (floor 1.0):
+    ratios2, reg2 = bench.vs_golden({"b": 4.5}, 0.25, golden)
+    assert ratios2["b"] == 2.25 and reg2 == ["b"]
+    # Tiny absolute excess below the floor never flags even at high ratio.
+    _, reg3 = bench.vs_golden({"tiny": 0.3}, 1.0, golden)
+    assert reg3 == []
+
+
+def test_final_line_carries_regression_count():
+    today = {n: 1.0 for n in bench.BENCH_QUERIES}
+    parsed = json.loads(
+        bench.final_line(today, 0.1, 5, 0.7, ["x"], 0.8, regressions=["b", "c"])
+    )
+    assert parsed["regressions"] == 2
+    line = bench.final_line(today, 0.1, 5, 0.7, ["x"], 0.8, regressions=["b"])
+    assert len(line) < bench.LINE_BUDGET
+
+
 def test_headline_names_exist_in_registry():
     from sentiment_analysis_data_pipeline_spark.queries import spark_queries
 
