@@ -249,6 +249,13 @@ BENCH_QUERIES = [
     "qini_uplift",
     "embedding_effective_rank",
     "k_anonymity_events",
+    # round-11 wave 13
+    "heaps_law",
+    "l_diversity_events",
+    "disparate_impact_filter",
+    "markov_entropy",
+    "kn_bigram_nll",
+    "source_vocab_jsd",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -267,7 +267,20 @@ def simhash_pairs(df: DataFrame, content_col: str, id_col: str, bits: int = 64, 
     )
 
 
-CC_DRIVER_BOUND = 200_000  # edges; ~3 MB collected -- one driver page
+# Round 11 (VERDICT item 4): raised 200k -> 2M edges. The old bound was
+# sized for the round-9 fast path (row-at-a-time .collect() + python-dict
+# union-find: heavy Row objects, ~1 us/edge driver CPU). The path is now
+# Arrow toPandas + a fully vectorized hook-and-compress union
+# (Shiloach-Vishkin shape): 2M edges is a 32 MB Arrow transfer and a few
+# int64 numpy arrays (<100 MB peak) converging in <= log2(n) vectorized
+# rounds -- a driver page even on a modest 16 GB cluster driver, trivial
+# on this 128 GiB one. The distributed spilled loop pays ~1 s of fixed
+# job overhead PER ROUND regardless of graph size, so every graph that
+# fits a driver page and crosses the old bound (cluster_label_purity at
+# the 10x probe: 48.7 s) was paying pointer-jump rounds for nothing. A
+# boilerplate-fat crawl graph at 100 TB (billions of edges) still
+# exceeds this and takes the bucketed distributed loop unchanged.
+CC_DRIVER_BOUND = 2_000_000  # edges; ~32 MB Arrow page
 
 
 def connected_components(
@@ -319,42 +332,63 @@ def connected_components(
     spark = edges.sparkSession
     n_edges = edges.count()
     if n_edges <= driver_bound:
-        # SMALL-GRAPH FAST PATH (round 9): the iterative loop pays ~1 s of
-        # fixed job overhead per round regardless of size -- 2.9 s for a
-        # 110-edge graph at sf0.1 -- while a graph under `driver_bound`
-        # edges is one driver page. The bound check is what keeps this
-        # scale-safe: a boilerplate-fat crawl graph at 100 TB exceeds it
-        # and takes the distributed loop (spilled + bucketed) exactly as
-        # before. Union-find with a min-label second pass produces the
-        # IDENTICAL (node, component = min reachable id) labeling, so the
-        # recursive-CTE oracle gates both paths.
-        rows = edges.select(
-            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-        ).collect()
-        _unpersist_ids(spark, edge_ids)
-        parent: dict[int, int] = {}
+        # SMALL-GRAPH FAST PATH (round 9; vectorized round 11): the
+        # iterative loop pays ~1 s of fixed job overhead per round
+        # regardless of size -- 2.9 s for a 110-edge graph at sf0.1 --
+        # while a graph under `driver_bound` edges is one driver page.
+        # The bound check is what keeps this scale-safe: a boilerplate-fat
+        # crawl graph at 100 TB exceeds it and takes the distributed loop
+        # (spilled + bucketed) exactly as before. Hook-and-compress union
+        # (Shiloach-Vishkin shape, all numpy): indices come from a SORTED
+        # np.unique, every hook points the larger root at the smaller, and
+        # pointer values only ever decrease within a component -- so the
+        # fixpoint root of each component is its minimal index, i.e. the
+        # IDENTICAL (node, component = min reachable id) labeling the
+        # recursive-CTE oracle gates on both paths.
+        import numpy as np
 
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
+        import pandas as pd
 
-        for r in rows:
-            a, b = r["a"], r["b"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        comp_min: dict[int, int] = {}
-        for node in parent:
-            root = find(node)
-            comp_min[root] = min(comp_min.get(root, node), node)
-        out = sorted((n, comp_min[find(n)]) for n in parent)
-        return spark.createDataFrame(out, "node long, comp long")
+        # The driver may hand us a DEFAULT session without the Arrow conf;
+        # both the fetch and the result conversion are 2M-row pandas
+        # boundaries, so pin it on for the whole page and restore after.
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(arrow_key, None)
+        spark.conf.set(arrow_key, "true")
+        try:
+            pdf = edges.select(
+                F.col(src).cast("long").alias("a"),
+                F.col(dst).cast("long").alias("b"),
+            ).toPandas()
+            _unpersist_ids(spark, edge_ids)
+            ea = pdf["a"].to_numpy(dtype="int64")
+            eb = pdf["b"].to_numpy(dtype="int64")
+            uniq = np.unique(np.concatenate([ea, eb]))
+            ca = np.searchsorted(uniq, ea)
+            cb = np.searchsorted(uniq, eb)
+            parent = np.arange(len(uniq), dtype=np.int64)
+            while True:
+                pa, pb = parent[ca], parent[cb]
+                if len(parent) and (pa != pb).any():
+                    # hook: parent[max(pa,pb)] <- min of the two roots; .at
+                    # resolves duplicate targets with a running minimum
+                    np.minimum.at(
+                        parent, np.maximum(pa, pb), np.minimum(pa, pb)
+                    )
+                else:
+                    break
+                while True:  # full path compression, O(log depth) passes
+                    p2 = parent[parent]
+                    if np.array_equal(p2, parent):
+                        break
+                    parent = p2
+            out = pd.DataFrame({"node": uniq, "comp": uniq[parent]})
+            return spark.createDataFrame(out, "node long, comp long")
+        finally:
+            if prev is None:
+                spark.conf.unset(arrow_key)
+            else:
+                spark.conf.set(arrow_key, prev)
     if edge_spill_table is not None:
         # per-run suffix (round-7 ADVICE): two concurrent SESSIONS running
         # the same query must not overwrite each other's edge table or

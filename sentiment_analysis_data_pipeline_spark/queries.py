@@ -10125,6 +10125,17 @@ WMH_K = 32  # signature width (31*h2 <= 31*2^56 < 2^61: BIGINT-safe)
 WMH_BANDS, WMH_ROWS = 8, 4  # S-curve midpoint (1/8)^(1/4) ~ 0.595
 WMH_THRESHOLD = 0.7  # exact weighted-Jaccard keep threshold
 WMH_PREMATCH = 22  # signature-match prefilter: >= 22/32 components equal
+# Round 11 (VERDICT item 5): per-anchor pair-emit cap. Inside a dup cluster
+# of n docs the true pair set is n(n-1)/2 -- on a real crawl's boilerplate
+# clusters (10^5+ docs) that's quadratic OUTPUT for no downstream value:
+# dedup_keep consumes COMPONENTS, and each doc's top-{cap} strongest
+# neighbors keep every cluster connected (a chain through nearest
+# neighbors spans it). Each anchor doc emits at most WMH_PAIR_CAP pairs
+# (strongest weighted-Jaccard first, id_b tiebreak); the suppression is
+# ACCOUNTED, not silent -- every surviving row carries pairs_suppressed_a,
+# the count of qualifying pairs its anchor dropped (lsh_band_sweep's
+# hub-key-cap precedent). The 10x dup probe: 271,200 -> bounded emit.
+WMH_PAIR_CAP = 5
 
 
 def _wmh_tf_sql(d: str) -> str:
@@ -10269,14 +10280,34 @@ def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
             JOIN tfc tb ON tb.doc = p.id_b AND tb.tok = ta.tok
             GROUP BY p.id_a, p.id_b
         )
-        SELECT i.id_a, i.id_b,
-               cast(i.minsum as double)
-                   / cast(na.tot + nb.tot - i.minsum as double) AS wjaccard
-        FROM inter i
-        JOIN totals na ON na.doc = i.id_a
-        JOIN totals nb ON nb.doc = i.id_b
-        WHERE cast(i.minsum as double)
-              / cast(na.tot + nb.tot - i.minsum as double) >= {WMH_THRESHOLD}
+        ,
+        scored AS (
+            SELECT i.id_a, i.id_b,
+                   cast(i.minsum as double)
+                       / cast(na.tot + nb.tot - i.minsum as double) AS wjaccard
+            FROM inter i
+            JOIN totals na ON na.doc = i.id_a
+            JOIN totals nb ON nb.doc = i.id_b
+            WHERE cast(i.minsum as double)
+                  / cast(na.tot + nb.tot - i.minsum as double) >= {WMH_THRESHOLD}
+        ),
+        ranked AS (
+            -- per-anchor emit cap (WMH_PAIR_CAP): both windows partition by
+            -- id_a, so no global window / single-partition shuffle; the
+            -- wjaccard sort key is one IEEE division of exact integers --
+            -- bit-identical across engines, id_b breaks exact ties.
+            SELECT id_a, id_b, wjaccard,
+                   row_number() OVER (
+                       PARTITION BY id_a ORDER BY wjaccard DESC, id_b ASC
+                   ) AS rk,
+                   cast(count(*) OVER (PARTITION BY id_a) as bigint) AS deg_a
+            FROM scored
+        )
+        SELECT id_a, id_b, wjaccard,
+               deg_a - least(deg_a, cast({WMH_PAIR_CAP} as bigint))
+                   AS pairs_suppressed_a
+        FROM ranked
+        WHERE rk <= {WMH_PAIR_CAP}
     """
 
 
@@ -17070,6 +17101,533 @@ def q_k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 wave 13: corpus-growth law, release privacy (l-diversity),
+# curation fairness, event-stream predictability, Kneser-Ney LM eval,
+# per-source lexical divergence.
+# =========================================================================
+
+_HEAPS_CHECKPOINTS = 20  # prefix checkpoints across the doc_id range
+_HEAPS_Q = 1 << 20
+
+
+def _heaps_law_sql(d: str) -> str:
+    """HEAPS'-LAW FIT of vocabulary growth, V(n) ~= K * n^beta: how fast
+    does the corpus keep yielding NEW tokens as it grows? The planning
+    number behind tokenizer-vocab sizing and dedup ROI forecasting -- a
+    crawl whose beta stays ~0.5-0.6 is still yielding novelty; beta
+    collapsing toward 0 means additional data is lexically redundant
+    (Heaps 1978; the zipf_slope sibling on the growth axis).
+
+    Prefix structure WITHOUT a global window: V(c) needs 'distinct tokens
+    in the first c docs' for growing prefixes -- a cumulative-distinct,
+    which as a running window would shuffle the token stream to one
+    partition. Instead: first_doc(t) = min(doc_id) per token (one
+    map-side-combining agg), and a {_HEAPS_CHECKPOINTS}-row checkpoint
+    relation c_i spanning the doc_id range; V(c) = count of tokens with
+    first_doc <= c and N(c) = sum of doc token counts with doc_id <= c
+    are two grouped inequality joins of a tiny relation against
+    vocab-/doc-sized aggregates (the k_anonymity levels shape). The OLS
+    fit of ln V against ln N runs over <= {_HEAPS_CHECKPOINTS} points.
+
+    Exactness: checkpoint values are exact integer arithmetic; ln() runs
+    on exact-integer-derived doubles and its OUTPUT is floor-quantized to
+    2^-20 before the moment sums (the zipf_slope discipline); the guarded
+    CASE keeps a degenerate corpus (all checkpoints equal -> zero
+    x-variance) at slope 0 instead of an ANSI divide-by-zero."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    q = f"{float(_HEAPS_Q)!r}"
+    idx = " UNION ALL ".join(
+        f"SELECT cast({i} as bigint) AS i" for i in range(1, _HEAPS_CHECKPOINTS + 1)
+    )
+    cp = D.int_div(d, f"((r.dmax - r.dmin) * i.i)", str(_HEAPS_CHECKPOINTS))
+    x = f"cast(floor(ln(cast(ntoks as double)) * {q}) as bigint)"
+    y = f"cast(floor(ln(cast(vocab as double)) * {q}) as bigint)"
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT doc_id, {ex} AS t FROM tokd),
+        fdoc AS (SELECT t, cast(min(doc_id) as bigint) AS fd FROM ex GROUP BY t),
+        dtok AS (
+            SELECT doc_id, cast(count(*) as bigint) AS ntok
+            FROM ex GROUP BY doc_id
+        ),
+        rng AS (SELECT cast(min(doc_id) as bigint) AS dmin,
+                       cast(max(doc_id) as bigint) AS dmax FROM dtok),
+        idx AS ({idx}),
+        cps AS (
+            SELECT DISTINCT r.dmin + {cp} AS cp
+            FROM rng r CROSS JOIN idx i
+        ),
+        vsz AS (
+            SELECT c.cp, cast(count(*) as bigint) AS vocab
+            FROM cps c JOIN fdoc f ON f.fd <= c.cp GROUP BY c.cp
+        ),
+        nsz AS (
+            SELECT c.cp, cast(sum(t.ntok) as bigint) AS ntoks
+            FROM cps c JOIN dtok t ON t.doc_id <= c.cp GROUP BY c.cp
+        ),
+        pts AS (
+            SELECT {x} AS x, {y} AS y
+            FROM nsz n JOIN vsz v ON v.cp = n.cp
+            WHERE n.ntoks > 0 AND v.vocab > 0
+        ),
+        moments AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   cast(coalesce(sum(x), 0) as bigint) AS sx,
+                   cast(coalesce(sum(y), 0) as bigint) AS sy,
+                   cast(coalesce(sum(x * y), 0) as bigint) AS sxy,
+                   cast(coalesce(sum(x * x), 0) as bigint) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_points,
+               case when n * sxx - sx * sx = 0 then cast(0 as double)
+                    else cast(n * sxy - sx * sy as double)
+                         / cast(n * sxx - sx * sx as double) end AS beta,
+               case when n = 0 then cast(0 as double)
+                    when n * sxx - sx * sx = 0
+                        then cast(sy as double) / (cast(n as double) * {q})
+                    else (cast(sy as double)
+                          - (cast(n * sxy - sx * sy as double)
+                             / cast(n * sxx - sx * sx as double))
+                            * cast(sx as double))
+                         / (cast(n as double) * {q}) end AS ln_k
+        FROM moments
+    """
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent over doc-order prefixes (see
+    _heaps_law_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_heaps_law_sql(D.SPARK))
+
+
+L_DIV_LEVELS = (2, 3, 5, 10)
+
+
+def _l_diversity_events_sql(d: str) -> str:
+    """L-DIVERSITY AUDIT of the event stream -- the step BEYOND
+    k_anonymity_events (Machanavajjhala et al. 2007): a QI class can be
+    large (k-anonymous) yet have every row belong to ONE user, so the
+    sensitive attribute still leaks by homogeneity. Per QI class (same
+    (event_type, hour-of-week, value-band) tuple as the k-audit), the
+    diversity = count(DISTINCT user_id); per l in {L_DIV_LEVELS}, report
+    rows sitting in classes with diversity < l and the dataset's overall
+    minimum diversity. Exact integers; one division per output row.
+
+    Scale shape: one two-phase hash-agg (distinct-user within class, then
+    class rollup) collapses the stream; the join against the l-levels
+    relation is grid-sized x 4."""
+    us = _ts_us(d)
+    how = D.int_div(d, f"({us})", str(3600_000_000))
+    return f"""
+        WITH qi AS (
+            SELECT event_type,
+                   cast({how} % 168 as bigint) AS hour_of_week,
+                   cast(floor(coalesce(value, 0.0)
+                              / {K_ANON_VALUE_BAND}.0) as bigint) AS v_band,
+                   user_id
+            FROM events
+        ),
+        classes AS (
+            SELECT event_type, hour_of_week, v_band,
+                   cast(count(*) as bigint) AS sz,
+                   cast(count(DISTINCT user_id) as bigint) AS ndiv
+            FROM qi GROUP BY event_type, hour_of_week, v_band
+        ),
+        tot AS (SELECT cast(sum(sz) as bigint) AS n_rows,
+                       cast(min(ndiv) as bigint) AS l_diversity
+                FROM classes),
+        levels AS (
+            {" UNION ALL ".join(f"SELECT cast({k} as bigint) AS l" for k in L_DIV_LEVELS)}
+        )
+        SELECT lv.l, t.n_rows, t.l_diversity,
+               cast(coalesce(sum(case when c.ndiv < lv.l then c.sz end), 0)
+                    as bigint) AS rows_below_l,
+               cast(coalesce(sum(case when c.ndiv < lv.l then c.sz end), 0)
+                    as double) / cast(t.n_rows as double) AS share_below_l
+        FROM levels lv
+        CROSS JOIN tot t
+        LEFT JOIN classes c ON c.ndiv < lv.l
+        GROUP BY lv.l, t.n_rows, t.l_diversity
+        ORDER BY lv.l
+    """
+
+
+def q_l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of events under the k-anonymity QI, sensitive
+    attribute = user_id (see _l_diversity_events_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_l_diversity_events_sql(D.SPARK))
+
+
+_DI_MIN_GROUP = 20  # groups below this size don't set the reference rate
+
+
+def _disparate_impact_sql(d: str) -> str:
+    """DISPARATE-IMPACT AUDIT of the curation filter: does the keep gate
+    (the exact `kept` predicate of filter_reasons / the curation pipeline)
+    drop some SOURCES disproportionately? Per source: docs, keeps, keep
+    rate, the impact ratio against the best-kept reference source (the
+    EEOC four-fifths framing, Feldman et al. 2015), and the fails_80pct
+    flag. A training-data release runs this so a filter tuned on one
+    distribution doesn't silently gut a minority slice of the mix.
+
+    Reference rate = max keep rate among sources with >= {_DI_MIN_GROUP}
+    docs (a 2-doc source must not set the bar); the 1-row reference
+    cross-joins back (no window over an unbounded relation). Counts are
+    exact integers; each rate is one division; the ratio divides two
+    identical doubles."""
+    toks = TX.tokenize(d, "text")
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    wc = TX.word_count(d, "text")
+    q = TX.quality_score(d, "text")
+    pred = TX.lang_id(d, "toks")
+    return f"""
+        WITH base AS (SELECT doc_id, source, {TEXT} AS text FROM documents),
+        tokd AS (SELECT doc_id, source, text, {toks} AS toks FROM base),
+        exd AS (SELECT doc_id, {ex} AS t FROM tokd),
+        tc AS (SELECT doc_id, t, cast(count(*) as bigint) AS c FROM exd GROUP BY doc_id, t),
+        rep AS (
+            SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+                   cast(max(c) as bigint) AS top_count
+            FROM tc GROUP BY doc_id
+        ),
+        kept AS (
+            SELECT f.source,
+                   case when f.wc >= 10
+                        AND NOT (coalesce(r.n_tokens, 0) > 0
+                                 AND cast(r.top_count as double)
+                                     / cast(r.n_tokens as double) > 0.2)
+                        AND f.q >= 0.5 AND f.pred = 'en'
+                   then 1 else 0 end AS keep
+            FROM (SELECT doc_id, source, {wc} AS wc, {q} AS q, {pred} AS pred
+                  FROM tokd) f
+            LEFT JOIN rep r ON r.doc_id = f.doc_id
+        ),
+        grp AS (
+            SELECT source, cast(count(*) as bigint) AS n_docs,
+                   cast(sum(keep) as bigint) AS n_kept
+            FROM kept GROUP BY source
+        ),
+        ref AS (
+            SELECT max(cast(n_kept as double) / cast(n_docs as double))
+                       AS ref_rate
+            FROM grp WHERE n_docs >= {_DI_MIN_GROUP}
+        )
+        SELECT g.source, g.n_docs, g.n_kept,
+               cast(g.n_kept as double) / cast(g.n_docs as double) AS keep_rate,
+               case when r.ref_rate IS NULL OR r.ref_rate = 0.0
+                    then cast(1 as double)
+                    else (cast(g.n_kept as double) / cast(g.n_docs as double))
+                         / r.ref_rate end AS impact_ratio,
+               (r.ref_rate IS NOT NULL AND r.ref_rate > 0.0
+                AND (cast(g.n_kept as double) / cast(g.n_docs as double))
+                    / r.ref_rate < 0.8) AS fails_80pct
+        FROM grp g CROSS JOIN ref r
+        ORDER BY g.source
+    """
+
+
+def q_disparate_impact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-fifths-rule disparate-impact audit of the curation keep gate,
+    by source (see _disparate_impact_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_disparate_impact_sql(D.SPARK))
+
+
+_MKV_Q = 1 << 20
+
+
+def _markov_entropy_sql(d: str) -> str:
+    """FIRST-ORDER MARKOV ENTROPY RATE of the event stream: per state s
+    (event_type), the conditional next-event entropy H(next | s) =
+    sum_t P(t|s) log2(1/P(t|s)) over the empirical per-user transition
+    counts, plus the stream's overall entropy rate sum_s pi(s) H(s). The
+    predictability audit of behavioral training data: near-zero rate means
+    the stream is template/bot traffic (sequences carry no information);
+    rate near log2(n_states) means transitions are uninformative noise --
+    either way the sequence-model value of the slice is known BEFORE
+    training on it (the sessionize/event_transitions sibling on the
+    information axis).
+
+    Exactness: transitions order per user by (ts, event_id) -- a total
+    order both engines share; each log2 runs on one division of exact
+    counts and its OUTPUT is floor-quantized to 2^-20; every accumulation
+    is an exact BIGINT sum (c_st * qlog products stay far under 2^63);
+    the final divisions happen once per output row.
+
+    Scale shape: the lead() window partitions by user_id (bounded per-user
+    state, no global sort); transition counts collapse map-side to a
+    (states x states)-sized relation; everything downstream is grid-sized."""
+    us = _ts_us(d)
+    q = f"{float(_MKV_Q)!r}"
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS s, {us} AS tus, event_id,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY {us} ASC, event_id ASC
+                   ) AS t
+            FROM events
+        ),
+        trans AS (
+            SELECT s, t, cast(count(*) as bigint) AS c_st
+            FROM seq WHERE t IS NOT NULL GROUP BY s, t
+        ),
+        bys AS (SELECT s, cast(sum(c_st) as bigint) AS c_s FROM trans GROUP BY s),
+        terms AS (
+            SELECT tr.s, tr.c_st, b.c_s,
+                   cast(floor(log2(cast(b.c_s as double)
+                                   / cast(tr.c_st as double)) * {q}) as bigint)
+                       AS qlog
+            FROM trans tr JOIN bys b ON b.s = tr.s
+        ),
+        hs AS (
+            SELECT s, cast(max(c_s) as bigint) AS c_s,
+                   cast(sum(c_st * qlog) as bigint) AS hterm
+            FROM terms GROUP BY s
+        ),
+        tot AS (
+            SELECT cast(sum(c_s) as bigint) AS n_trans,
+                   cast(sum(hterm) as bigint) AS rate_term
+            FROM hs
+        )
+        SELECT h.s AS state, h.c_s AS n_transitions,
+               cast(h.c_s as double) / cast(t.n_trans as double) AS pi,
+               cast(h.hterm as double) / (cast(h.c_s as double) * {q})
+                   AS cond_entropy_bits,
+               cast(t.rate_term as double) / (cast(t.n_trans as double) * {q})
+                   AS entropy_rate_bits
+        FROM hs h CROSS JOIN tot t
+        ORDER BY h.s
+    """
+
+
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy + overall Markov entropy rate of the
+    event stream (see _markov_entropy_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_markov_entropy_sql(D.SPARK))
+
+
+_KN_D_NUM, _KN_D_DEN = 3, 4  # absolute discount D = 0.75, exact in binary
+
+
+def _kn_bigram_nll_sql(d: str) -> str:
+    """INTERPOLATED KNESER-NEY held-out bigram NLL -- the standard against
+    which heldout_bigram_nll's Stupid Backoff is the cheap baseline
+    (Kneser & Ney 1995; Chen & Goodman 1999 empirics). Same doc_id % 5
+    train/eval split, same per-doc output shape, so the two queries diff
+    directly: P(w|v) = max(c(vw) - D, 0)/c(v) + (D * N1+(v.)/c(v)) *
+    Pcont(w), with the continuation distribution Pcont(w) =
+    (N1+(.w) + 1)/(N1+(..) + V) add-one-smoothed so unseen eval vocabulary
+    stays finite, and unseen CONTEXTS backing off to Pcont(w) directly.
+    What KN fixes over raw counts: a word appearing often but only after
+    one context ('Francisco') gets a LOW continuation probability -- the
+    novel-context generalization raw frequency overstates.
+
+    Exactness: D = {_KN_D_NUM}/{_KN_D_DEN} is a dyadic rational (exact
+    double); every term of P is IEEE arithmetic on exact-integer-derived
+    doubles (identical in both engines); ln(P)'s OUTPUT floor-quantizes to
+    2^-20 before the exact per-doc integer sum (the _bigram_nll_body
+    discipline).
+
+    Scale shape: four vocabulary-sized aggregates with map-side combine
+    (bigram counts, context totals+fanouts, continuation fanouts, one
+    global distinct-bigram count); eval scoring is left joins on token
+    keys; per-doc aggregate partial-combines."""
+    q = f"{float(_BGLM_Q)!r}"
+    dd = f"(cast({_KN_D_NUM} as double) / cast({_KN_D_DEN} as double))"
+    if d == D.SPARK:
+        w1 = "element_at(split(bg, '_'), 1)"
+        w2 = "element_at(split(bg, '_'), 2)"
+    else:
+        w1 = "split_part(bg, '_', 1)"
+        w2 = "split_part(bg, '_', 2)"
+    bgs = TX.ngrams(d, "toks", 2)
+    ex_b = "explode(bgs)" if d == D.SPARK else "unnest(bgs)"
+    ex_t = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    # greatest(..., 1): an EMPTY train split (possible on a degenerate
+    # 2-doc corpus whose only training doc has no tokens) must yield a
+    # finite uniform-ish P, not a double Inf that ANSI-throws at the
+    # floor()->bigint cast
+    pcont = (
+        "(cast(coalesce(cw.n1p_w, 0) + 1 as double)"
+        " / cast(greatest(g.n1p_all + g.v, cast(1 as bigint)) as double))"
+    )
+    p_seen = (
+        f"(cast(case when tbg.c_ab * {_KN_D_DEN} > {_KN_D_NUM}"
+        f"           then tbg.c_ab * {_KN_D_DEN} - {_KN_D_NUM} else 0 end as double)"
+        f" / cast(cv.c_v * {_KN_D_DEN} as double)"
+        f" + ({dd} * cast(cv.n1p_v as double) / cast(cv.c_v as double)) * {pcont})"
+    )
+    return f"""
+        WITH tokd AS (SELECT doc_id, toks FROM kn_tokd),
+        train AS (SELECT toks FROM tokd WHERE doc_id % {_BGLM_EVAL_MOD} <> 0),
+        tbg AS (
+            SELECT bg, cast(count(*) as bigint) AS c_ab
+            FROM (SELECT {ex_b} AS bg FROM (SELECT {bgs} AS bgs FROM train) g) u
+            GROUP BY bg
+        ),
+        ctx AS (
+            SELECT {w1} AS v, cast(sum(c_ab) as bigint) AS c_v,
+                   cast(count(*) as bigint) AS n1p_v
+            FROM tbg GROUP BY {w1}
+        ),
+        cont AS (
+            SELECT {w2} AS w, cast(count(*) as bigint) AS n1p_w
+            FROM tbg GROUP BY {w2}
+        ),
+        tuni AS (
+            SELECT t FROM (SELECT {ex_t} AS t FROM train) u GROUP BY t
+        ),
+        gstats AS (
+            SELECT (SELECT cast(count(*) as bigint) FROM tbg) AS n1p_all,
+                   (SELECT cast(count(*) as bigint) FROM tuni) AS v
+        ),
+        ebg AS (
+            SELECT doc_id, bg, cast(count(*) as bigint) AS tf
+            FROM (SELECT doc_id, {ex_b} AS bg
+                  FROM (SELECT doc_id, {bgs} AS bgs FROM tokd
+                        WHERE doc_id % {_BGLM_EVAL_MOD} = 0) g) u
+            GROUP BY doc_id, bg
+        ),
+        scored AS (
+            SELECT e.doc_id, e.tf,
+                   cast(floor(-ln(
+                       case when cv.c_v IS NOT NULL AND tbg.c_ab IS NOT NULL
+                            then {p_seen}
+                            when cv.c_v IS NOT NULL
+                            then ({dd} * cast(cv.n1p_v as double)
+                                  / cast(cv.c_v as double)) * {pcont}
+                            else {pcont} end) * {q}) as bigint) AS nq,
+                   case when tbg.c_ab IS NULL then 1 else 0 end AS backed
+            FROM ebg e
+            LEFT JOIN tbg ON tbg.bg = e.bg
+            LEFT JOIN ctx cv ON cv.v = {w1.replace("bg", "e.bg")}
+            LEFT JOIN cont cw ON cw.w = {w2.replace("bg", "e.bg")}
+            CROSS JOIN gstats g
+        ),
+        agg AS (
+            SELECT doc_id,
+                   cast(sum(tf) as bigint) AS n_bigrams,
+                   cast(sum(tf * nq) as bigint) AS snq,
+                   cast(sum(tf * backed) as bigint) AS n_backoff
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               cast(snq as double) / (cast(n_bigrams as double) * {q}) AS kn_nll,
+               cast(n_backoff as double) / cast(n_bigrams as double)
+                   AS backoff_rate
+        FROM agg
+    """
+
+
+def q_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney held-out bigram NLL per eval doc (see _kn_bigram_nll_sql).
+    The token relation is materialized once (localCheckpoint) -- the train
+    aggregates and eval scoring would each re-tokenize under Catalyst CTE
+    inlining (the heldout_bigram_nll precedent)."""
+    _view(spark, sf_dir, "documents")
+    toks = TX.tokenize(D.SPARK, TEXT)
+    tokd = spark.sql(f"SELECT doc_id, {toks} AS toks FROM documents")
+    tokd.localCheckpoint(eager=True).createOrReplaceTempView("kn_tokd")
+    return spark.sql(_kn_bigram_nll_sql(D.SPARK))
+
+
+def _kn_bigram_nll_oracle(d: str) -> str:
+    toks = TX.tokenize(d, TEXT)
+    inner = _kn_bigram_nll_sql(d)
+    return inner.replace(
+        "WITH tokd AS (SELECT doc_id, toks FROM kn_tokd),",
+        f"WITH kn_tokd AS (SELECT doc_id, {toks} AS toks FROM documents),\n"
+        "        tokd AS (SELECT doc_id, toks FROM kn_tokd),",
+    )
+
+
+_JSD_Q = 1 << 20
+
+
+def _source_vocab_jsd_sql(d: str) -> str:
+    """PER-SOURCE LEXICAL DIVERGENCE: Jensen-Shannon divergence (in bits,
+    [0,1]) between each source's unigram distribution p and the corpus
+    mixture m -- the mixture-planning audit that says WHICH slices make
+    the corpus lexically diverse vs redundant (Lin 1991; the
+    source_quality_mi sibling on the vocabulary axis). JSD is symmetric
+    and finite even where supports differ -- exactly why it, and not KL,
+    is the standard corpus-comparison divergence.
+
+    The zero-support closed form keeps the relation per-source-vocab-sized
+    (never |vocab| x |sources|): for tokens ABSENT from source s, p = 0
+    and the m-side integrand is m * log2(m / (m/2)) = m exactly -- so that
+    whole tail collapses to (1 - covered_mass_s), the corpus mass of
+    tokens the source never uses, computed from the same join.
+
+    Exactness: p, m, and the midpoint a = (p+m)/2 are IEEE arithmetic on
+    exact-integer-derived doubles; each log2 OUTPUT floor-quantizes to
+    2^-20; the two KL partial sums multiply the quantized log by the
+    INTEGER tf and sum in decimal(38,0); covered mass is an exact integer
+    ratio. Final assembly is a handful of divisions per source row."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    q = f"{float(_JSD_Q)!r}"
+    # per-(source, token): p = tf_s/n_s, m = tf/n, a = (p + m)/2
+    p = "(cast(st.tf_s as double) / cast(ss.n_s as double))"
+    m = "(cast(ct.tf as double) / cast(g.n as double))"
+    a = f"(({p} + {m}) / 2.0)"
+    qlp = f"cast(floor(log2({p} / {a}) * {q}) as bigint)"
+    qlm = f"cast(floor(log2({m} / {a}) * {q}) as bigint)"
+    return f"""
+        WITH ex AS (
+            SELECT source, {ex} AS t
+            FROM (SELECT source, {toks} AS toks FROM documents) tk
+        ),
+        st AS (
+            SELECT source, t, cast(count(*) as bigint) AS tf_s
+            FROM ex GROUP BY source, t
+        ),
+        ct AS (SELECT t, cast(sum(tf_s) as bigint) AS tf FROM st GROUP BY t),
+        ss AS (SELECT source, cast(sum(tf_s) as bigint) AS n_s FROM st GROUP BY source),
+        g AS (SELECT cast(sum(tf) as bigint) AS n FROM ct),
+        terms AS (
+            SELECT st.source,
+                   cast(st.tf_s as bigint) AS tf_s, cast(ct.tf as bigint) AS tf,
+                   {qlp} AS qlp, {qlm} AS qlm
+            FROM st
+            JOIN ct ON ct.t = st.t
+            JOIN ss ON ss.source = st.source
+            CROSS JOIN g
+        ),
+        sums AS (
+            SELECT source,
+                   cast(sum(cast(tf_s AS decimal(38,0))
+                            * cast(qlp AS decimal(38,0))) as decimal(38,0)) AS klp,
+                   cast(sum(cast(tf AS decimal(38,0))
+                            * cast(qlm AS decimal(38,0))) as decimal(38,0)) AS klm,
+                   cast(sum(tf) as bigint) AS covered
+            FROM terms GROUP BY source
+        )
+        SELECT s.source, ss.n_s AS n_tokens,
+               cast(0.5 * (cast(s.klp as double) / (cast(ss.n_s as double) * {q}))
+                    + 0.5 * (cast(s.klm as double) / (cast(g.n as double) * {q})
+                             + (1.0 - cast(s.covered as double)
+                                      / cast(g.n as double)))
+                    as double) AS jsd_bits
+        FROM sums s
+        JOIN ss ON ss.source = s.source
+        CROSS JOIN g
+        ORDER BY s.source
+    """
+
+
+def q_source_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the corpus mixture (see _source_vocab_jsd_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_source_vocab_jsd_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -17085,6 +17643,16 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-11 wave 13 ---
+    "heaps_law": (q_heaps_law, _heaps_law_sql),
+    "l_diversity_events": (q_l_diversity_events, _l_diversity_events_sql),
+    "disparate_impact_filter": (
+        q_disparate_impact_filter,
+        _disparate_impact_sql,
+    ),
+    "markov_entropy": (q_markov_entropy, _markov_entropy_sql),
+    "kn_bigram_nll": (q_kn_bigram_nll, _kn_bigram_nll_oracle),
+    "source_vocab_jsd": (q_source_vocab_jsd, _source_vocab_jsd_sql),
     # --- round-10 wave 11 ---
     "krippendorff_alpha": (q_krippendorff_alpha, _krippendorff_alpha_sql),
     "source_quality_mi": (q_source_quality_mi, _source_quality_mi_sql),

@@ -42,3 +42,35 @@ def test_semantic_clusters_unchanged_by_persisted_read(spark):
     comp = connected_components(live_edges, edge_spill_table="cc_edges_sem_t11")
     via_live = {(r["node"], r["comp"]) for r in comp.collect()}
     assert via_persisted == via_live
+
+
+def test_wminhash_pair_cap_bounds_cluster_output(spark):
+    """VERDICT r10 item 5: a dup cluster of n docs must emit <= WMH_PAIR_CAP
+    pairs per anchor (not n(n-1)/2 total), with the suppression ACCOUNTED in
+    pairs_suppressed_a. 12 near-identical docs (tiny distinct suffixes keep
+    ids distinct but J_w ~ 1): uncapped emit would be 66 pairs; anchor 0
+    qualifies against all 11 others, so it must emit exactly WMH_PAIR_CAP
+    rows each carrying pairs_suppressed_a = 11 - cap."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    ) * 3
+    rows = [(i, base, "en", "s", 1) for i in range(12)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(Q._wminhash_sql(Q.D.SPARK)).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["id_a"], []).append(r)
+    assert by_anchor, "cluster produced no pairs -- fixture regression"
+    for anchor, emitted in by_anchor.items():
+        assert len(emitted) <= Q.WMH_PAIR_CAP
+    # anchor 0 qualifies vs all 11 others (identical bags, J_w = 1.0)
+    a0 = by_anchor[0]
+    assert len(a0) == Q.WMH_PAIR_CAP
+    assert all(r["pairs_suppressed_a"] == 11 - Q.WMH_PAIR_CAP for r in a0)
+    # total emit is per-anchor-linear, not quadratic
+    assert len(out) <= 12 * Q.WMH_PAIR_CAP < 66
