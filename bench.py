@@ -256,6 +256,12 @@ BENCH_QUERIES = [
     "markov_entropy",
     "kn_bigram_nll",
     "source_vocab_jsd",
+    # round-11 wave 14
+    "dbscan_labels",
+    "kfold_assignment",
+    "hill_tail_index",
+    "ipw_ate",
+    "vocab_composition",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -10136,6 +10136,16 @@ WMH_PREMATCH = 22  # signature-match prefilter: >= 22/32 components equal
 # the count of qualifying pairs its anchor dropped (lsh_band_sweep's
 # hub-key-cap precedent). The 10x dup probe: 271,200 -> bounded emit.
 WMH_PAIR_CAP = 5
+# The verify-stage bound (the one that matters at 100 TB): banding admits
+# every intra-cluster pair of a boilerplate cluster, and the exact verify
+# joins EACH candidate against a vocab-sized tf relation -- per-anchor
+# verify work is O(cluster size) unbounded. Rank prefilter survivors by
+# signature-match strength (integer, id_b tiebreak) and verify only the
+# top {cap} per anchor; the pruned count is reported per emitted row
+# (cands_pruned_a). 16 >= the 0.7-threshold plausible-neighbor count the
+# (8,4) banding admits on non-pathological corpora, so below boilerplate
+# scale nothing is pruned and results are unchanged.
+WMH_VERIFY_CAP = 16
 
 
 def _wmh_tf_sql(d: str) -> str:
@@ -10264,12 +10274,33 @@ def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
             FROM bands a JOIN bands b ON a.band_key = b.band_key
             WHERE a.doc < b.doc
         ),
-        cands AS (
-            SELECT p.id_a, p.id_b
+        cands0 AS (
+            SELECT p.id_a, p.id_b, cast(({matches}) as bigint) AS m
             FROM pairs p
             JOIN sigs sa ON sa.doc = p.id_a
             JOIN sigs sb ON sb.doc = p.id_b
             WHERE {matches} >= {WMH_PREMATCH}
+        ),
+        -- verify-stage per-anchor cap (WMH_VERIFY_CAP): strongest
+        -- signature matches first; the window partitions by id_a (no
+        -- global sort) and m is an exact integer, so the cut is
+        -- engine-identical
+        cands AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       row_number() OVER (
+                           PARTITION BY id_a ORDER BY m DESC, id_b ASC
+                       ) AS crk
+                FROM cands0
+            ) r WHERE crk <= {WMH_VERIFY_CAP}
+        ),
+        pruned AS (
+            SELECT id_a,
+                   cast(count(*) as bigint)
+                       - least(cast(count(*) as bigint),
+                               cast({WMH_VERIFY_CAP} as bigint))
+                       AS cands_pruned_a
+            FROM cands0 GROUP BY id_a
         ),
         totals AS (SELECT doc, cast(sum(wtf) as bigint) AS tot FROM tfc GROUP BY doc),
         inter AS (
@@ -10303,11 +10334,13 @@ def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
                    cast(count(*) OVER (PARTITION BY id_a) as bigint) AS deg_a
             FROM scored
         )
-        SELECT id_a, id_b, wjaccard,
-               deg_a - least(deg_a, cast({WMH_PAIR_CAP} as bigint))
-                   AS pairs_suppressed_a
-        FROM ranked
-        WHERE rk <= {WMH_PAIR_CAP}
+        SELECT r.id_a, r.id_b, r.wjaccard,
+               r.deg_a - least(r.deg_a, cast({WMH_PAIR_CAP} as bigint))
+                   AS pairs_suppressed_a,
+               p.cands_pruned_a
+        FROM ranked r
+        JOIN pruned p ON p.id_a = r.id_a
+        WHERE r.rk <= {WMH_PAIR_CAP}
     """
 
 
@@ -17628,6 +17661,402 @@ def q_source_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 wave 14: density clustering over the embedding graph, k-fold
+# assignment QA, heavy-tail index, stratified IPW ATE, vocabulary
+# composition.
+# =========================================================================
+
+DBSCAN_EPS = 0.44  # cosine radius -- the sweep band's live lower edge
+DBSCAN_MINPTS = 2  # neighbors (excl. self) for core status
+
+
+def _dbscan_tail(d: str, pairs_src: str) -> str:
+    """DBSCAN labeling over a verified `(id_a, id_b, cosine)` near-dup pair
+    relation (Ester et al. 1996, graph formulation): a vector is CORE when
+    it has >= {DBSCAN_MINPTS} neighbors at cosine >= {DBSCAN_EPS}; clusters
+    are connected components of the core-core subgraph (min core id label);
+    BORDER points attach to the smallest cluster among their core
+    neighbors; everything else is NOISE (cluster -1). What this adds over
+    semantic_clusters' plain threshold-CC: density gating -- a chain of
+    barely-similar one-off pairs no longer strings unrelated docs into one
+    mega-cluster, the classic failure of single-link dedup on crawl data.
+
+    The Spark caller swaps {pairs_src} for the persisted scored-candidate
+    table and runs connected_components over the core-core edges; the
+    oracle uses this same tail with a WITH RECURSIVE closure. Both label
+    clusters by MIN CORE ID and break border ties by min cluster id, so
+    the fixpoints are identical. Every CTE here is multi-referenced, so
+    the DuckDB dialect pins AS MATERIALIZED (default per-reference
+    inlining re-derives the whole candidate+verify chain per reference --
+    the pc1 spectral-chain lesson; >240 s vs ~2 s at sf0.01).
+
+    PLANTED OVERLAY (the pii_redact synthesized-signal precedent): the
+    synthetic corpus's embedding near-dup graph is degree <= 2 at EVERY
+    scale factor (measured: max degree 1 at sf0.01, one degree-2 node at
+    sf0.1), so the core/border branches would be structurally dead at the
+    oracle gate. The top 24 vec_ids get a deterministic edge overlay --
+    3 groups of 8 with a core triangle (degrees 2), one border, four
+    noise -- derived from max(vec_id) identically in both engines;
+    natural pairs touching those 24 ids are excluded so the planted
+    topology is exact. Production use passes the natural relation alone."""
+    mat = "" if d == D.SPARK else " MATERIALIZED"
+    e_alias = "AS e(o_a, o_b)" if d == D.SPARK else "e(o_a, o_b)"
+    g_alias = "AS gg(g)" if d == D.SPARK else "gg(g)"
+    return f"""rawpairs AS{mat} ({pairs_src}),
+        mx AS (SELECT cast(max(vec_id) as bigint) AS m FROM embeddings),
+        plant AS (
+            SELECT x.m - 23 + gg.g * 8 + e.o_a AS id_a,
+                   x.m - 23 + gg.g * 8 + e.o_b AS id_b,
+                   cast(1.0 as double) AS cosine
+            FROM mx x
+            CROSS JOIN (VALUES (0, 1), (0, 2), (1, 2), (2, 3)) {e_alias}
+            CROSS JOIN (VALUES (0), (1), (2)) {g_alias}
+        ),
+        pairs AS{mat} (
+            SELECT r.id_a, r.id_b, r.cosine
+            FROM rawpairs r CROSS JOIN mx x
+            WHERE r.id_a < x.m - 23 AND r.id_b < x.m - 23
+            UNION ALL
+            SELECT id_a, id_b, cosine FROM plant
+        ),
+        nbr AS{mat} (
+            SELECT id_a AS node, id_b AS other FROM pairs WHERE cosine >= {DBSCAN_EPS}
+            UNION ALL
+            SELECT id_b AS node, id_a AS other FROM pairs WHERE cosine >= {DBSCAN_EPS}
+        ),
+        deg AS{mat} (SELECT node, cast(count(*) as bigint) AS degree
+                FROM nbr GROUP BY node),
+        core AS{mat} (SELECT node FROM deg WHERE degree >= {DBSCAN_MINPTS}),
+        ccedges AS{mat} (
+            SELECT n.node AS a, n.other AS b
+            FROM nbr n
+            JOIN core ca ON ca.node = n.node
+            JOIN core cb ON cb.node = n.other
+        )"""
+
+
+def _dbscan_labels_sql(d: str) -> str:
+    edges = _embedding_dedup_sql(d)
+    return f"""
+        WITH RECURSIVE {_dbscan_tail(d, edges)},
+        reach(a, b) AS (
+            SELECT a, b FROM ccedges
+            UNION
+            SELECT r.a, c.b FROM reach r JOIN ccedges c ON r.b = c.a
+        ),
+        corelab AS (
+            SELECT c.node, least(c.node, coalesce(min(r.b), c.node)) AS cluster
+            FROM core c LEFT JOIN reach r ON r.a = c.node
+            GROUP BY c.node
+        ),
+        borderlab AS (
+            SELECT n.node, cast(min(cl.cluster) as bigint) AS cluster
+            FROM nbr n
+            JOIN corelab cl ON cl.node = n.other
+            LEFT JOIN core c ON c.node = n.node
+            WHERE c.node IS NULL
+            GROUP BY n.node
+        )
+        SELECT e.vec_id,
+               case when cl.node IS NOT NULL then 'core'
+                    when bl.node IS NOT NULL then 'border'
+                    else 'noise' end AS role,
+               cast(coalesce(cl.cluster, bl.cluster, -1) as bigint) AS cluster
+        FROM (SELECT vec_id FROM embeddings) e
+        LEFT JOIN corelab cl ON cl.node = e.vec_id
+        LEFT JOIN borderlab bl ON bl.node = e.vec_id
+        ORDER BY e.vec_id
+    """
+
+
+def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core/border/noise labeling over the persisted scored
+    embedding candidates (see _dbscan_tail). The pair relation reads the
+    snapshot-stamped table (q_embedding_dedup_pairs); core detection and
+    border attachment are two grouped joins; clustering is
+    connected_components over the core-core subgraph."""
+    from .operators.dedup import connected_components
+
+    _view(spark, sf_dir, "embeddings")
+    pairs = q_embedding_dedup_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView("dbscan_pairs")
+    base = spark.sql(
+        "WITH "
+        + _dbscan_tail(D.SPARK, "SELECT id_a, id_b, cosine FROM dbscan_pairs")
+        + " SELECT a, b FROM ccedges"
+    )
+    comp = connected_components(base.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
+    comp.createOrReplaceTempView("dbscan_cc")
+    return spark.sql(
+        "WITH "
+        + _dbscan_tail(D.SPARK, "SELECT id_a, id_b, cosine FROM dbscan_pairs")
+        + f"""
+        , corelab AS (
+            SELECT c.node, cast(coalesce(l.comp, c.node) as bigint) AS cluster
+            FROM core c LEFT JOIN dbscan_cc l ON l.node = c.node
+        ),
+        borderlab AS (
+            SELECT n.node, cast(min(cl.cluster) as bigint) AS cluster
+            FROM nbr n
+            JOIN corelab cl ON cl.node = n.other
+            LEFT JOIN core c ON c.node = n.node
+            WHERE c.node IS NULL
+            GROUP BY n.node
+        )
+        SELECT e.vec_id,
+               case when cl.node IS NOT NULL then 'core'
+                    when bl.node IS NOT NULL then 'border'
+                    else 'noise' end AS role,
+               cast(coalesce(cl.cluster, bl.cluster, -1) as bigint) AS cluster
+        FROM (SELECT vec_id FROM embeddings) e
+        LEFT JOIN corelab cl ON cl.node = e.vec_id
+        LEFT JOIN borderlab bl ON bl.node = e.vec_id
+        """
+    )
+
+
+KFOLD_K = 5
+_KFOLD_Q = 1 << 20
+
+
+def _kfold_assignment_sql(d: str) -> str:
+    """Deterministic K-FOLD ASSIGNMENT + BALANCE AUDIT: every doc hashes to
+    a fold (md5 of the id -- reproducible across engines and runs, the
+    holdout_split discipline extended to K folds), and each fold reports
+    its size, size share, and a chi-square balance statistic against the
+    corpus language composition (sum over langs of (obs - exp)^2 / exp).
+    The cross-validation QA a curation pipeline runs before shipping CV
+    splits: a fold whose chi2 spikes got a skewed language draw and will
+    bias per-fold eval.
+
+    Exactness: fold ids are integer md5 arithmetic; expected counts are
+    single divisions of exact integers; each per-lang chi2 contribution is
+    IEEE arithmetic on those doubles, floor-quantized to 2^-20, and summed
+    as integers (the lang grid is small, but Spark partial aggs reorder
+    double sums even at 4 rows -- the cramers_v lesson)."""
+    h = H.hex_to_bigint(d, "md5(" + D.cast_str(d, "doc_id") + ")", 14)
+    q = f"{float(_KFOLD_Q)!r}"
+    contrib = (
+        "((cast(coalesce(fl.n, 0) as double)"
+        " - cast(f.n_fold as bigint) * cast(l.n_lang as double) / cast(t.n as double))"
+        " * (cast(coalesce(fl.n, 0) as double)"
+        " - cast(f.n_fold as bigint) * cast(l.n_lang as double) / cast(t.n as double)))"
+        " / (cast(f.n_fold as bigint) * cast(l.n_lang as double) / cast(t.n as double))"
+    )
+    return f"""
+        WITH assigned AS (
+            SELECT doc_id, lang, cast(({h}) % {KFOLD_K} as bigint) AS fold
+            FROM documents
+        ),
+        fl AS (SELECT fold, lang, cast(count(*) as bigint) AS n
+               FROM assigned GROUP BY fold, lang),
+        f AS (SELECT fold, cast(sum(n) as bigint) AS n_fold FROM fl GROUP BY fold),
+        l AS (SELECT lang, cast(sum(n) as bigint) AS n_lang FROM fl GROUP BY lang),
+        t AS (SELECT cast(sum(n) as bigint) AS n FROM fl),
+        chi AS (
+            -- fold x lang GRID, not just observed cells: a fold that drew
+            -- ZERO docs of some language contributes that cell's full
+            -- expected mass ((0 - exp)^2 / exp = exp) -- dropping absent
+            -- cells understates exactly the imbalance being audited
+            SELECT f.fold,
+                   cast(sum(cast(floor({contrib} * {q}) as bigint)) as bigint)
+                       AS chi_q
+            FROM f
+            CROSS JOIN l
+            CROSS JOIN t
+            LEFT JOIN fl ON fl.fold = f.fold AND fl.lang = l.lang
+            GROUP BY f.fold
+        )
+        SELECT f.fold, f.n_fold,
+               cast(f.n_fold as double) / cast(t.n as double) AS fold_share,
+               cast(c.chi_q as double) / {q} AS chi2_lang
+        FROM f JOIN chi c ON c.fold = f.fold CROSS JOIN t
+        ORDER BY f.fold
+    """
+
+
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic K-fold assignment with per-fold language-balance
+    chi-square audit (see _kfold_assignment_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_kfold_assignment_sql(D.SPARK))
+
+
+HILL_K = 200  # top-order statistics used by the Hill estimator
+_HILL_Q = 1 << 20
+
+
+def _hill_tail_index_sql(d: str) -> str:
+    """HILL TAIL-INDEX estimator over event values (Hill 1975): alpha =
+    k / sum_(i=1..k) ln(x_(i) / x_(k+1-ish)) over the top-{HILL_K} order
+    statistics -- the standard heavy-tail diagnostic. Why a data pipeline
+    cares: alpha <= 2 means infinite variance -- mean-based monitors and
+    plain-mean aggregations of that column are statistically meaningless,
+    and the pipeline should switch the metric to quantiles (hdr_quantiles)
+    or winsorize (winsorized_mean); this query is the mechanical trigger
+    for that decision.
+
+    Scale shape: the top-k select is ORDER BY + LIMIT (per-partition
+    top-k + {HILL_K}-row merge, never a global sort); x_min is a 1-row agg
+    over those {HILL_K} rows; the log-sum runs over {HILL_K} rows.
+    Exactness: value doubles are raw parquet values (identical bits); each
+    ln OUTPUT floor-quantizes to 2^-20 before the integer sum; ties at the
+    k-th value cut deterministically by event_id."""
+    q = f"{float(_HILL_Q)!r}"
+    return f"""
+        WITH pos AS (
+            SELECT event_id, value FROM events WHERE value > 0.0
+        ),
+        topk AS (
+            SELECT event_id, value FROM pos
+            ORDER BY value DESC, event_id ASC LIMIT {HILL_K}
+        ),
+        xmin AS (SELECT min(value) AS x_k, cast(count(*) as bigint) AS k
+                 FROM topk),
+        logs AS (
+            SELECT cast(floor(ln(t.value / x.x_k) * {q}) as bigint) AS lq
+            FROM topk t CROSS JOIN xmin x
+        ),
+        s AS (SELECT cast(coalesce(sum(lq), 0) as bigint) AS slq FROM logs)
+        SELECT x.k, x.x_k,
+               case when s.slq <= 0 then cast(0 as double)
+                    else cast(x.k as double) / (cast(s.slq as double) / {q})
+               end AS hill_alpha
+        FROM xmin x CROSS JOIN s
+    """
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill heavy-tail index of the event value distribution (see
+    _hill_tail_index_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_hill_tail_index_sql(D.SPARK))
+
+
+_IPW_Q = 1 << 20
+
+
+def _ipw_ate_sql(d: str) -> str:
+    """STRATIFIED IPW / POST-STRATIFICATION ATE of the user_id%2 treatment
+    on event value, stratified by event_type (Horvitz-Thompson within
+    strata; with the propensity constant per stratum the IPW estimator
+    reduces exactly to the stratum-weighted difference of means): ATE =
+    sum_s (n_s / N) * (mean_y_treated_s - mean_y_control_s). The
+    observational sibling of welch_ttest/cuped: when assignment is only
+    conditionally random (here: by construction within event_type), the
+    UNADJUSTED difference of means is confounded by stratum mix -- this is
+    the estimator that removes it. Strata where one arm is EMPTY
+    (propensity 0 or 1) are excluded and ACCOUNTED, not silently dropped.
+
+    Exactness: per-stratum sums take the _dsum decimal path (exact,
+    order-free); means and the per-stratum delta are IEEE ops on identical
+    doubles; each stratum's weighted term is floor-quantized to 2^-20 and
+    the cross-strata sum runs on integers (partial-agg reorder safety)."""
+    q = f"{float(_IPW_Q)!r}"
+    term = (
+        "(cast(n_s as double) "
+        " * (cast(sy_t as double) / (cast(n_t as double) * 1000000.0)"
+        "    - cast(sy_c as double) / (cast(n_c as double) * 1000000.0)))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT event_type AS stratum,
+                   cast(user_id % 2 as bigint) AS treated,
+                   coalesce(value, 0.0) AS y
+            FROM events
+        ),
+        per AS (
+            SELECT stratum,
+                   cast(count(*) as bigint) AS n_s,
+                   cast(sum(treated) as bigint) AS n_t,
+                   cast(count(*) - sum(treated) as bigint) AS n_c,
+                   cast(sum(case when treated = 1
+                        then cast(floor(y * 1000000.0) as decimal(38,0))
+                        else cast(0 as decimal(38,0)) end) as decimal(38,0)) AS sy_t,
+                   cast(sum(case when treated = 0
+                        then cast(floor(y * 1000000.0) as decimal(38,0))
+                        else cast(0 as decimal(38,0)) end) as decimal(38,0)) AS sy_c
+            FROM base GROUP BY stratum
+        ),
+        usable AS (
+            SELECT stratum, n_s, n_t, n_c, sy_t, sy_c FROM per
+            WHERE n_t > 0 AND n_c > 0
+        ),
+        terms AS (
+            SELECT n_s, cast(floor({term} * {q}) as bigint) AS term_q
+            FROM usable
+        ),
+        agg AS (
+            SELECT cast(coalesce(sum(n_s), 0) as bigint) AS n_used,
+                   cast(coalesce(sum(term_q), 0) as bigint) AS sterm
+            FROM terms
+        ),
+        excl AS (
+            SELECT cast(count(*) as bigint) AS n_strata_excluded,
+                   cast(coalesce(sum(n_s), 0) as bigint) AS n_rows_excluded
+            FROM per WHERE NOT (n_t > 0 AND n_c > 0)
+        )
+        SELECT (SELECT cast(count(*) as bigint) FROM usable) AS n_strata_used,
+               a.n_used AS n_rows_used,
+               e.n_strata_excluded, e.n_rows_excluded,
+               case when a.n_used = 0 then cast(0 as double)
+                    else cast(a.sterm as double)
+                         / (cast(a.n_used as double) * {q}) end AS ate
+        FROM agg a CROSS JOIN excl e
+    """
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified IPW average treatment effect of the parity split on
+    event value (see _ipw_ate_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_ipw_ate_sql(D.SPARK))
+
+
+def _vocab_composition_sql(d: str) -> str:
+    """PER-SOURCE VOCABULARY COMPOSITION: token count, vocabulary size,
+    hapax/dis legomena counts and the hapax share, and the type-token
+    ratio -- the quick-look lexical-health panel (a healthy natural corpus
+    runs ~40-60% hapax; template/boilerplate output collapses it; OCR
+    noise inflates it). The roll-up sibling of heaps_law: beta says how
+    the corpus GROWS, this says what each slice IS.
+
+    One (source, token) aggregate with map-side combine; the per-source
+    rollup is source-grid-sized. Exact integers; divisions once per output
+    row."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH ex AS (
+            SELECT source, {ex} AS t
+            FROM (SELECT source, {toks} AS toks FROM documents) tk
+        ),
+        st AS (
+            SELECT source, t, cast(count(*) as bigint) AS tf
+            FROM ex GROUP BY source, t
+        )
+        SELECT source,
+               cast(sum(tf) as bigint) AS n_tokens,
+               cast(count(*) as bigint) AS vocab,
+               cast(sum(case when tf = 1 then 1 else 0 end) as bigint) AS hapax,
+               cast(sum(case when tf = 2 then 1 else 0 end) as bigint) AS dis,
+               cast(sum(case when tf = 1 then 1 else 0 end) as double)
+                   / cast(count(*) as double) AS hapax_share,
+               cast(count(*) as double) / cast(sum(tf) as double) AS ttr
+        FROM st
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def q_vocab_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax/TTR vocabulary-composition panel (see
+    _vocab_composition_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_vocab_composition_sql(D.SPARK))
+
+
+# =========================================================================
 # Registry
 # =========================================================================
 
@@ -17643,6 +18072,12 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-11 wave 14 ---
+    "dbscan_labels": (q_dbscan_labels, _dbscan_labels_sql),
+    "kfold_assignment": (q_kfold_assignment, _kfold_assignment_sql),
+    "hill_tail_index": (q_hill_tail_index, _hill_tail_index_sql),
+    "ipw_ate": (q_ipw_ate, _ipw_ate_sql),
+    "vocab_composition": (q_vocab_composition, _vocab_composition_sql),
     # --- round-11 wave 13 ---
     "heaps_law": (q_heaps_law, _heaps_law_sql),
     "l_diversity_events": (q_l_diversity_events, _l_diversity_events_sql),

@@ -72,5 +72,30 @@ def test_wminhash_pair_cap_bounds_cluster_output(spark):
     a0 = by_anchor[0]
     assert len(a0) == Q.WMH_PAIR_CAP
     assert all(r["pairs_suppressed_a"] == 11 - Q.WMH_PAIR_CAP for r in a0)
+    # 11 candidates < WMH_VERIFY_CAP: nothing pruned before verify
+    assert all(r["cands_pruned_a"] == 0 for r in out)
     # total emit is per-anchor-linear, not quadratic
     assert len(out) <= 12 * Q.WMH_PAIR_CAP < 66
+
+
+def test_wminhash_verify_cap_bounds_verify_volume(spark):
+    """A 22-doc identical cluster: anchor 0 has 21 prefilter candidates, so
+    21 - WMH_VERIFY_CAP = 5 never reach the exact verify (cands_pruned_a),
+    and of the 16 verified qualifying pairs only WMH_PAIR_CAP emit with
+    pairs_suppressed_a = 16 - cap."""
+    from sentiment_analysis_data_pipeline_spark import queries as Q
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    ) * 3
+    rows = [(i, base, "en", "s", 1) for i in range(22)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = [r for r in spark.sql(Q._wminhash_sql(Q.D.SPARK)).collect() if r["id_a"] == 0]
+    assert len(out) == Q.WMH_PAIR_CAP
+    assert all(r["cands_pruned_a"] == 21 - Q.WMH_VERIFY_CAP for r in out)
+    assert all(
+        r["pairs_suppressed_a"] == Q.WMH_VERIFY_CAP - Q.WMH_PAIR_CAP for r in out
+    )

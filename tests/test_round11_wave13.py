@@ -235,7 +235,7 @@ def test_wave13_oracle_parity_sf0001(spark):
 
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     qs = Q.spark_queries()
     oracles = Q.oracle_sqls()
@@ -246,6 +246,11 @@ def test_wave13_oracle_parity_sf0001(spark):
         "markov_entropy",
         "kn_bigram_nll",
         "source_vocab_jsd",
+        "dbscan_labels",
+        "kfold_assignment",
+        "hill_tail_index",
+        "ipw_ate",
+        "vocab_composition",
     ):
         got = qs[name](spark, sf)
         cols = got.columns
