@@ -10142,9 +10142,12 @@ WMH_PAIR_CAP = 5
 # verify work is O(cluster size) unbounded. Rank prefilter survivors by
 # signature-match strength (integer, id_b tiebreak) and verify only the
 # top {cap} per anchor; the pruned count is reported per emitted row
-# (cands_pruned_a). 16 >= the 0.7-threshold plausible-neighbor count the
-# (8,4) banding admits on non-pathological corpora, so below boilerplate
-# scale nothing is pruned and results are unchanged.
+# (cands_pruned_a). The cap engages wherever an anchor's prefilter
+# survivors exceed 16 -- at sf0.1 that prunes part of the 0.4-0.5
+# background band (emit 461 -> 366; the dropped rows are the WEAKEST
+# signature matches by construction), and on a boilerplate cluster it is
+# the bound that keeps per-anchor verify work O(16 x vocab) instead of
+# O(cluster x vocab).
 WMH_VERIFY_CAP = 16
 
 
