@@ -262,6 +262,12 @@ BENCH_QUERIES = [
     "hill_tail_index",
     "ipw_ate",
     "vocab_composition",
+    "chao1_richness",
+    "sttr_segments",
+    "wasserstein_sources",
+    "loo_source_influence",
+    "cem_att",
+    "rbo_rank_stability",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is
@@ -387,7 +393,22 @@ def drift_anchor(spark) -> float:
         "  FROM range(2000000)"
         ") GROUP BY tok ORDER BY c DESC, tok LIMIT 10"
     )
-    spark.sql(q).collect()  # warm
+    # Warm until steady-state, not a fixed once: one warm run is NOT enough
+    # for C2 JIT of this codegen path -- every recorded round shows the
+    # START anchor 3-6x the END anchor on an idle box (r10: 1.96/0.33;
+    # r11 driver: 1.08/0.42; r11 golden attempt: 2.05/0.36), which is
+    # cold-start, not environment, and it kept tripping make_golden's
+    # drift refusal. Warm until two consecutive runs agree within 20%
+    # (cap 8), THEN take the median of 3 -- both anchors now measure the
+    # same steady-state and their disagreement means real contention.
+    prev = None
+    for _ in range(8):
+        t0 = time.perf_counter()
+        spark.sql(q).collect()
+        dt = time.perf_counter() - t0
+        if prev is not None and max(prev, dt) / max(min(prev, dt), 1e-9) < 1.2:
+            break
+        prev = dt
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -18059,6 +18059,489 @@ def q_vocab_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_vocab_composition_sql(D.SPARK))
 
 
+def _chao1_richness_sql(d: str) -> str:
+    """CHAO1 VOCABULARY-RICHNESS ESTIMATE + Good-Turing sample coverage,
+    per source and for the whole corpus: how many token TYPES does each
+    slice really have, including the ones this sample never saw? Chao1
+    (Chao 1984, bias-corrected form) estimates unseen types from the
+    singleton/doubleton counts: V_hat = V + f1*(f1-1)/(2*(f2+1)); coverage
+    C = 1 - f1/N (Good 1953) says what probability mass the observed vocab
+    captures. The crawl-planning twin of [heaps_law] on the "how much is
+    left" axis, and the estimator layer over vocab_composition's raw
+    hapax/dis counts: a source whose chao1 is 3x its observed V is
+    lexically under-sampled; one at ~1.0x coverage is exhausted.
+
+    Exactness: V/f1/f2/N are exact BIGINT aggregates of exact term counts;
+    chao1 divides one exact integer product by another (f2+1 keeps the
+    classic estimator's division guarded with no CASE); coverage is one
+    guarded division. Scale shape: per-source term counts are ONE
+    map-side-combining hash-agg of the exploded stream; the corpus level
+    RE-AGGREGATES the per-source counts (never re-reads the corpus); output
+    is n_sources + 1 rows.
+
+    The synthetic corpus has a CLOSED ~31-type vocabulary, so corpus-level
+    f1 = f2 = 0 at every SF and the estimator's unseen-mass arm would never
+    be exercised by the driver gate (the fuzzy_join 0-row trap). Rare mass
+    is therefore SYNTHESIZED deterministically (the pii_redact/lang_mix
+    precedent): every 37th doc contributes a doc_id-derived singleton token
+    and every 41st doc one of a consecutive-pair-shared doubleton token, so
+    f1/f2 are live, hash-gated values in both engines."""
+    rare = (
+        f"case when doc_id % 37 = 0 "
+        f"then concat(' chaorare', {D.cast_str(d, 'doc_id')}) else '' end"
+    )
+    dbl = (
+        f"case when doc_id % 41 = 0 "
+        f"then concat(' chaodbl', {D.cast_str(d, D.int_div(d, 'doc_id', '82'))}) "
+        f"else '' end"
+    )
+    toks = TX.tokenize(d, f"concat({TEXT}, {rare}, {dbl})")
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH tokd AS (SELECT source, {toks} AS toks FROM documents),
+        ex AS (SELECT source, {ex} AS t FROM tokd),
+        sc AS (
+            SELECT source, t, cast(count(*) as bigint) AS c
+            FROM ex GROUP BY source, t
+        ),
+        cc AS (SELECT t, cast(sum(c) as bigint) AS c FROM sc GROUP BY t),
+        lev AS (
+            SELECT source,
+                   cast(count(*) as bigint) AS v_types,
+                   cast(sum(c) as bigint) AS n_tokens,
+                   cast(sum(case when c = 1 then 1 else 0 end) as bigint) AS f1,
+                   cast(sum(case when c = 2 then 1 else 0 end) as bigint) AS f2
+            FROM sc GROUP BY source
+            UNION ALL
+            SELECT '__corpus__' AS source,
+                   cast(count(*) as bigint) AS v_types,
+                   cast(sum(c) as bigint) AS n_tokens,
+                   cast(sum(case when c = 1 then 1 else 0 end) as bigint) AS f1,
+                   cast(sum(case when c = 2 then 1 else 0 end) as bigint) AS f2
+            FROM cc
+        )
+        SELECT source, v_types, n_tokens, f1, f2,
+               cast(v_types as double)
+                   + cast(f1 * (f1 - 1) as double)
+                     / cast(2 * (f2 + 1) as double) AS chao1,
+               case when n_tokens = 0 then cast(0 as double)
+                    else 1.0 - cast(f1 as double) / cast(n_tokens as double)
+               end AS coverage
+        FROM lev
+        ORDER BY source
+    """
+
+
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage per source
+    and corpus (see _chao1_richness_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_chao1_richness_sql(D.SPARK))
+
+
+_STTR_SEG = 25  # tokens per STTR segment (docs run 10-99 tokens at every SF)
+
+
+def _sttr_segments_sql(d: str) -> str:
+    """STANDARDIZED TYPE-TOKEN RATIO (STTR) per source: mean TTR over
+    non-overlapping {_STTR_SEG}-token segments of the source's concatenated
+    token stream (Kubat & Milicka 2013's fix for raw TTR's length bias --
+    vocab_composition's per-source `ttr` column falls mechanically as a
+    source grows; STTR compares lexical diversity at a FIXED window, so a
+    10x-bigger source is finally comparable to a small one). Mixture
+    planners read it as "repetitiveness at constant scale".
+
+    The stream is deterministic: docs ordered by doc_id within source,
+    tokens by position; global position = per-source prefix token offset
+    (a window over the DOC-sized relation, partitioned by source) + the
+    in-doc position from posexplode. Only COMPLETE segments count (the
+    partial tail would re-introduce the length bias being removed).
+
+    Exactness: segment type counts are exact integers; sttr is one division
+    of exact sums. Scale shape: one explode -> two bounded hash-aggs; the
+    offset window runs over n_docs rows partitioned by source, never over
+    the token stream."""
+    toks = TX.tokenize(d, TEXT)
+    if d == D.SPARK:
+        ex = "SELECT doc_id, source, posexplode(toks) AS (pos, t) FROM tokd"
+    else:
+        ex = (
+            "SELECT doc_id, source, generate_subscripts(toks, 1) - 1 AS pos, "
+            "unnest(toks) AS t FROM tokd"
+        )
+    seg = D.int_div(d, "(o.start_off + e.pos)", str(_STTR_SEG))
+    return f"""
+        WITH tokd AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+        ex AS ({ex}),
+        dlen AS (
+            SELECT doc_id, source, cast(count(*) as bigint) AS ntok
+            FROM ex GROUP BY doc_id, source
+        ),
+        off AS (
+            SELECT doc_id, source,
+                   cast(coalesce(sum(ntok) OVER (PARTITION BY source
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) as bigint) AS start_off
+            FROM dlen
+        ),
+        seg AS (
+            SELECT e.source, cast({seg} as bigint) AS s, e.t
+            FROM ex e JOIN off o ON o.doc_id = e.doc_id
+        ),
+        segagg AS (
+            SELECT source, s,
+                   cast(count(*) as bigint) AS sz,
+                   cast(count(DISTINCT t) as bigint) AS types
+            FROM seg GROUP BY source, s
+        )
+        SELECT source,
+               cast(sum(case when sz = {_STTR_SEG} then 1 else 0 end)
+                    as bigint) AS n_segments,
+               case when sum(case when sz = {_STTR_SEG} then 1 else 0 end) = 0
+                    then cast(0 as double)
+                    else cast(sum(case when sz = {_STTR_SEG} then types
+                                       else 0 end) as double)
+                         / (cast(sum(case when sz = {_STTR_SEG} then 1
+                                          else 0 end) as double)
+                            * {_STTR_SEG}.0)
+               end AS sttr
+        FROM segagg
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def q_sttr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-standardized type-token ratio over fixed token segments per
+    source (see _sttr_segments_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_sttr_segments_sql(D.SPARK))
+
+
+_W1_LEN_CAP = 512  # doc-length support cap (shared tail bucket)
+
+
+def _wasserstein_sources_sql(d: str) -> str:
+    """EXACT 1-D WASSERSTEIN (earth-mover) DISTANCE between each source's
+    doc-length distribution and the corpus's: W1 = integral |F_s - F_c| over
+    the length support (Vallender 1974). The transport-metric sibling of
+    [ks_sources]: KS reports the single worst CDF gap (a shape alarm), W1
+    reports the total probability mass x distance that must MOVE -- the
+    number a mixture rebalancer actually minimizes. Lengths cap at
+    {_W1_LEN_CAP} (shared tail bucket) so the support stays bounded.
+
+    Exactness: both CDFs are kept as integer cross-products --
+    |cum_s * N_c - cum_c * N_s| -- summed in decimal(38,0) (the _qmean
+    overflow discipline: at 1e11 docs the product passes BIGINT), weighted
+    by the exact integer gap to the next support point, with ONE double
+    division by N_s*N_c at the end. Scale shape: the corpus collapses to a
+    (source x <= {_W1_LEN_CAP}-bin) histogram in one map-side-combining agg;
+    the CDF windows run over the bounded spine relation (n_sources x bins),
+    never over the corpus."""
+    wc = TX.word_count(d, "text")
+    return f"""
+        WITH base AS (
+            SELECT source,
+                   cast(least(cast({wc} as bigint), {_W1_LEN_CAP}) as bigint)
+                       AS lb
+            FROM documents
+        ),
+        scnt AS (
+            SELECT source, lb, cast(count(*) as bigint) AS c
+            FROM base GROUP BY source, lb
+        ),
+        ccnt AS (SELECT lb, cast(sum(c) as bigint) AS c FROM scnt GROUP BY lb),
+        ns AS (SELECT source, cast(sum(c) as bigint) AS n FROM scnt
+               GROUP BY source),
+        nc AS (SELECT cast(sum(c) as bigint) AS n FROM ccnt),
+        bins AS (SELECT DISTINCT lb FROM ccnt),
+        spine AS (SELECT s.source, b.lb FROM ns s CROSS JOIN bins b),
+        cums AS (
+            SELECT sp.source, sp.lb,
+                   cast(sum(coalesce(sc.c, 0)) OVER (PARTITION BY sp.source
+                            ORDER BY sp.lb
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) as bigint) AS cum
+            FROM spine sp
+            LEFT JOIN scnt sc ON sc.source = sp.source AND sc.lb = sp.lb
+        ),
+        cumc AS (
+            SELECT lb,
+                   cast(sum(c) OVER (ORDER BY lb
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) as bigint) AS cum,
+                   cast(coalesce(lead(lb) OVER (ORDER BY lb) - lb, 0)
+                        as bigint) AS gap
+            FROM ccnt
+        )
+        SELECT s.source, ns.n AS n_docs,
+               cast(cast(sum(cast(abs(s.cum * nc.n - c.cum * ns.n)
+                                  as decimal(38,0)) * c.gap) as double)
+                    / (cast(ns.n as double) * cast(nc.n as double))
+                    as double) AS w1_tokens
+        FROM cums s
+        JOIN cumc c ON c.lb = s.lb
+        JOIN ns ON ns.source = s.source
+        CROSS JOIN nc
+        GROUP BY s.source, ns.n, nc.n
+        ORDER BY s.source
+    """
+
+
+def q_wasserstein_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D earth-mover distance of each source's doc-length
+    distribution vs the corpus (see _wasserstein_sources_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_wasserstein_sources_sql(D.SPARK))
+
+
+def _loo_source_influence_sql(d: str) -> str:
+    """LEAVE-ONE-SOURCE-OUT INFLUENCE on corpus mean quality: for each
+    source s, how much does dropping it move the corpus-wide mean quality
+    score? influence(s) = mean(corpus) - mean(corpus \\ s) -- positive
+    means the source PULLS THE AVERAGE UP (dropping it hurts). The
+    group-level data-valuation primitive (the exact, closed-form case of
+    leave-one-out influence; Koh & Liang 2017 approximates this per-row):
+    where [source_quality_mi] says how much source identity PREDICTS
+    quality, this says what each source DOES to the headline number a
+    curation gate thresholds on.
+
+    Closed form needs no re-scan per source: with T = sum q, N = n and
+    per-source (T_s, N_s), mean_-s = (T - T_s)/(N - N_s). Quality is
+    floor-quantized to 2^0-granular 1e-9 units per row and summed in
+    decimal(38,0) (the _qmean discipline), so every mean is one division of
+    exact integers; the influence subtracts two such deterministic doubles.
+    Scale shape: ONE corpus pass -> n_sources rows; the totals row
+    broadcast-joins back."""
+    q = TX.quality_score(d, "text")
+    return f"""
+        WITH base AS (
+            SELECT source,
+                   cast(floor(({q}) * 1000000000.0) as bigint) AS qq
+            FROM documents
+        ),
+        g AS (
+            SELECT source, cast(count(*) as bigint) AS n_s,
+                   cast(sum(cast(qq as decimal(38,0))) as decimal(38,0)) AS t_s
+            FROM base GROUP BY source
+        ),
+        tot AS (SELECT cast(sum(n_s) as bigint) AS n,
+                       cast(sum(t_s) as decimal(38,0)) AS t FROM g)
+        SELECT g.source, g.n_s AS n_docs,
+               cast(cast(g.t_s as double)
+                    / (cast(g.n_s as double) * 1000000000.0) as double)
+                   AS mean_quality,
+               case when tot.n - g.n_s = 0 then cast(0 as double)
+                    else cast(cast(tot.t - g.t_s as double)
+                         / (cast(tot.n - g.n_s as double) * 1000000000.0)
+                         as double)
+               end AS loo_mean,
+               case when tot.n - g.n_s = 0 then cast(0 as double)
+                    else cast(cast(tot.t as double)
+                              / (cast(tot.n as double) * 1000000000.0)
+                              - cast(tot.t - g.t_s as double)
+                                / (cast(tot.n - g.n_s as double)
+                                   * 1000000000.0) as double)
+               end AS influence
+        FROM g CROSS JOIN tot
+        ORDER BY g.source
+    """
+
+
+def q_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form leave-one-source-out delta on corpus mean quality (see
+    _loo_source_influence_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_loo_source_influence_sql(D.SPARK))
+
+
+_CEM_BIN = 2  # activity-coarsening width (Iacus et al.'s h)
+
+
+def _cem_att_sql(d: str) -> str:
+    """COARSENED EXACT MATCHING ATT (Iacus, King & Porro 2012): estimate the
+    average treatment effect on the treated by EXACT-matching treated and
+    control users within coarsened-covariate strata, discarding strata with
+    no overlap. Treatment = the srm_check/qini user-parity split (so this is
+    an A/A calibration fixture: ATT should hug 0); covariate = user activity
+    coarsened to width-{_CEM_BIN} bins; outcome = the user's total purchase
+    value. Where [ipw_ate] reweights by a modeled propensity, CEM conditions
+    on the raw covariate directly -- no model, no extreme weights, and
+    off-support strata are REPORTED (matched flag) rather than extrapolated.
+
+    Exactness: outcomes floor-quantize to 1e-6 units per row and sum in
+    decimal(38,0); stratum means are one division each; the pooled ATT
+    floor-quantizes each stratum's (deterministic-double) effect at 1e-9
+    before the n_t-weighted integer sum, so no cross-stratum double
+    accumulation order exists. Scale shape: events collapse to users, users
+    to strata -- two hash-aggs and a 1-row cross join; output is one row per
+    stratum."""
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   cast(count(*) as bigint) AS activity,
+                   cast(user_id % 2 as bigint) AS grp,
+                   cast(sum(case when event_type = 'purchase'
+                            then cast(floor(coalesce(value, 0.0) * 1000000.0)
+                                      as bigint) else 0 end) as bigint) AS ov
+            FROM events GROUP BY user_id
+        ),
+        strata AS (
+            SELECT {D.int_div(d, "activity", str(_CEM_BIN))} AS s,
+                   cast(sum(grp) as bigint) AS n_t,
+                   cast(sum(1 - grp) as bigint) AS n_c,
+                   cast(sum(cast(ov * grp as decimal(38,0))) as decimal(38,0))
+                       AS ov_t,
+                   cast(sum(cast(ov * (1 - grp) as decimal(38,0)))
+                        as decimal(38,0)) AS ov_c
+            FROM users GROUP BY {D.int_div(d, "activity", str(_CEM_BIN))}
+        ),
+        eff AS (
+            SELECT s, n_t, n_c, (n_t > 0 AND n_c > 0) AS matched,
+                   case when n_t = 0 then cast(0 as double)
+                        else cast(cast(ov_t as double)
+                             / (cast(n_t as double) * 1000000.0) as double)
+                   end AS mean_t,
+                   case when n_c = 0 then cast(0 as double)
+                        else cast(cast(ov_c as double)
+                             / (cast(n_c as double) * 1000000.0) as double)
+                   end AS mean_c
+            FROM strata
+        ),
+        terms AS (
+            SELECT s, n_t, n_c, matched, mean_t, mean_c,
+                   case when matched
+                        then cast(floor((mean_t - mean_c) * 1000000000.0)
+                                  as bigint) * n_t
+                        else cast(0 as bigint) end AS tq,
+                   case when matched then n_t else cast(0 as bigint) end
+                       AS wt
+            FROM eff
+        ),
+        att AS (
+            SELECT cast(sum(tq) as decimal(38,0)) AS tq_sum,
+                   cast(sum(wt) as bigint) AS n_matched_t
+            FROM terms
+        )
+        SELECT t.s AS stratum, t.n_t, t.n_c, t.matched, t.mean_t, t.mean_c,
+               case when t.matched then t.mean_t - t.mean_c
+                    else cast(0 as double) end AS effect,
+               a.n_matched_t,
+               case when a.n_matched_t = 0 then cast(0 as double)
+                    else cast(cast(a.tq_sum as double)
+                         / (cast(a.n_matched_t as double) * 1000000000.0)
+                         as double)
+               end AS att
+        FROM terms t CROSS JOIN att a
+        ORDER BY t.s
+    """
+
+
+def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching ATT under the parity A/A split (see
+    _cem_att_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_cem_att_sql(D.SPARK))
+
+
+_RBO_P = 0.9  # top-weightedness (Webber's p; ~65% of weight in top 10)
+_RBO_K = 10  # evaluation depth
+_RBO_YEARS = (1996, 1997)  # adjacent full TPC-H order years
+
+
+def _rbo_rank_stability_sql(d: str) -> str:
+    """RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between adjacent
+    years' top-{_RBO_K} revenue-NATION lists: how stable is the head of the
+    ranking year-over-year? Where [kendall_tau] weights every pairwise
+    inversion equally, RBO is TOP-WEIGHTED (geometric p={_RBO_P}) -- the
+    right metric when only the head is acted on (key-market lists, cache
+    admission, eval leaderboards). Reports per-depth overlap, agreement,
+    and the cumulative RBO_min lower bound. Ranked entity = the customer's
+    nation (a bounded 25-row universe, so adjacent-year overlap is
+    informative; customer-level heads in TPC-H churn completely and the
+    metric degenerates to 0).
+
+    Determinism/exactness: revenues sum exactly in decimal(18,6); ranks are
+    row_number over (revenue DESC, name ASC) -- a total order; the
+    (1-p)p^(d-1) weights enter as Python-repr double literals both engines
+    parse to the identical double; each depth's term is one fixed IEEE
+    expression floor-quantized at 1e-12 before the cumulative integer sum
+    (no cross-row double accumulation). Scale shape: orders broadcast-join
+    the customer dim's nation key, collapse to per-(year, nation) revenue
+    in one agg; the rank windows run over a <= 25-row relation; the depth
+    grid is {_RBO_K} rows; the pair join is <= {_RBO_K}x{_RBO_K}."""
+    ya, yb = _RBO_YEARS
+    grid = " UNION ALL ".join(
+        f"SELECT cast({dd} as bigint) AS depth, "
+        f"cast({(1.0 - _RBO_P) * _RBO_P ** (dd - 1)!r} as double) AS wt"
+        for dd in range(1, _RBO_K + 1)
+    )
+    return f"""
+        WITH rev AS (
+            SELECT cast(year(o.o_orderdate) as bigint) AS yr,
+                   n.n_name AS entity,
+                   cast(sum(cast(o.o_totalprice as decimal(18,6)))
+                        as decimal(18,6)) AS rev
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE cast(year(o.o_orderdate) as bigint) IN ({ya}, {yb})
+            GROUP BY cast(year(o.o_orderdate) as bigint), n.n_name
+        ),
+        ra AS (
+            SELECT entity, rk FROM (
+                SELECT entity,
+                       cast(row_number() OVER (ORDER BY rev DESC,
+                                               entity ASC) as bigint) AS rk
+                FROM rev WHERE yr = {ya}
+            ) x WHERE rk <= {_RBO_K}
+        ),
+        rb AS (
+            SELECT entity, rk FROM (
+                SELECT entity,
+                       cast(row_number() OVER (ORDER BY rev DESC,
+                                               entity ASC) as bigint) AS rk
+                FROM rev WHERE yr = {yb}
+            ) x WHERE rk <= {_RBO_K}
+        ),
+        pairs AS (
+            SELECT a.rk AS rka, b.rk AS rkb
+            FROM ra a JOIN rb b ON b.entity = a.entity
+        ),
+        grid AS ({grid}),
+        xd AS (
+            SELECT g.depth, g.wt,
+                   cast(count(p.rka) as bigint) AS overlap
+            FROM grid g
+            LEFT JOIN pairs p ON p.rka <= g.depth AND p.rkb <= g.depth
+            GROUP BY g.depth, g.wt
+        ),
+        terms AS (
+            SELECT depth, overlap,
+                   cast(overlap as double) / cast(depth as double)
+                       AS agreement,
+                   cast(floor(cast(overlap as double) * wt
+                              / cast(depth as double)
+                              * 1000000000000.0) as bigint) AS tq
+            FROM xd
+        )
+        SELECT depth, overlap, agreement,
+               cast(cast(sum(tq) OVER (ORDER BY depth
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    as double) / 1000000000000.0 as double) AS rbo_min
+        FROM terms
+        ORDER BY depth
+    """
+
+
+def q_rbo_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-weighted rank-biased overlap of adjacent years' top-k revenue
+    nations (see _rbo_rank_stability_sql)."""
+    _view(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_rbo_rank_stability_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -18075,6 +18558,16 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-11 wave 15 ---
+    "chao1_richness": (q_chao1_richness, _chao1_richness_sql),
+    "sttr_segments": (q_sttr_segments, _sttr_segments_sql),
+    "wasserstein_sources": (q_wasserstein_sources, _wasserstein_sources_sql),
+    "loo_source_influence": (
+        q_loo_source_influence,
+        _loo_source_influence_sql,
+    ),
+    "cem_att": (q_cem_att, _cem_att_sql),
+    "rbo_rank_stability": (q_rbo_rank_stability, _rbo_rank_stability_sql),
     # --- round-11 wave 14 ---
     "dbscan_labels": (q_dbscan_labels, _dbscan_labels_sql),
     "kfold_assignment": (q_kfold_assignment, _kfold_assignment_sql),
