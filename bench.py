@@ -268,6 +268,12 @@ BENCH_QUERIES = [
     "loo_source_influence",
     "cem_att",
     "rbo_rank_stability",
+    "graph_assortativity",
+    "term_dispersion",
+    "burrows_delta",
+    "embedding_isotropy",
+    "fano_burstiness",
+    "vocab_coverage",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -18059,6 +18059,27 @@ def q_vocab_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_vocab_composition_sql(D.SPARK))
 
 
+def _rare_mass_aug(d: str) -> str:
+    """Deterministic synthesized rare vocabulary mass over `documents.text`
+    (the pii_redact/lang_mix precedent): the synthetic corpus's ~31-type
+    vocabulary is CLOSED, so any operator whose signal lives in the Zipf
+    tail (singleton/doubleton counts, min-count exclusions) would run with
+    its positive branch dead at every SF. Every 37th doc appends a
+    doc_id-derived singleton token and every 41st doc one of a
+    consecutive-pair-shared doubleton token -- both engines derive the
+    identical tokens from doc_id alone."""
+    rare = (
+        f"case when doc_id % 37 = 0 "
+        f"then concat(' chaorare', {D.cast_str(d, 'doc_id')}) else '' end"
+    )
+    dbl = (
+        f"case when doc_id % 41 = 0 "
+        f"then concat(' chaodbl', {D.cast_str(d, D.int_div(d, 'doc_id', '82'))}) "
+        f"else '' end"
+    )
+    return f"concat({TEXT}, {rare}, {dbl})"
+
+
 def _chao1_richness_sql(d: str) -> str:
     """CHAO1 VOCABULARY-RICHNESS ESTIMATE + Good-Turing sample coverage,
     per source and for the whole corpus: how many token TYPES does each
@@ -18082,20 +18103,12 @@ def _chao1_richness_sql(d: str) -> str:
     The synthetic corpus has a CLOSED ~31-type vocabulary, so corpus-level
     f1 = f2 = 0 at every SF and the estimator's unseen-mass arm would never
     be exercised by the driver gate (the fuzzy_join 0-row trap). Rare mass
-    is therefore SYNTHESIZED deterministically (the pii_redact/lang_mix
-    precedent): every 37th doc contributes a doc_id-derived singleton token
-    and every 41st doc one of a consecutive-pair-shared doubleton token, so
-    f1/f2 are live, hash-gated values in both engines."""
-    rare = (
-        f"case when doc_id % 37 = 0 "
-        f"then concat(' chaorare', {D.cast_str(d, 'doc_id')}) else '' end"
-    )
-    dbl = (
-        f"case when doc_id % 41 = 0 "
-        f"then concat(' chaodbl', {D.cast_str(d, D.int_div(d, 'doc_id', '82'))}) "
-        f"else '' end"
-    )
-    toks = TX.tokenize(d, f"concat({TEXT}, {rare}, {dbl})")
+    is therefore SYNTHESIZED deterministically (_rare_mass_aug -- the
+    pii_redact/lang_mix precedent): every 37th doc contributes a
+    doc_id-derived singleton token and every 41st doc one of a
+    consecutive-pair-shared doubleton token, so f1/f2 are live, hash-gated
+    values in both engines."""
+    toks = TX.tokenize(d, _rare_mass_aug(d))
     ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
     return f"""
         WITH tokd AS (SELECT source, {toks} AS toks FROM documents),
@@ -18542,6 +18555,423 @@ def q_rbo_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_rbo_rank_stability_sql(D.SPARK))
 
 
+def _assortativity_core(d: str, edges_def: str) -> str:
+    """Degree-assortativity statement over a raw (id_a, id_b) pair relation
+    (canonicalized inside): Newman 2002's r = Pearson correlation of the
+    degree pairs across edges, computed over BOTH directions of each
+    undirected edge so the symmetric form applies:
+    r = (M*S_jk - S_j^2) / (M*S_j2 - S_j^2) with M = 2E directed edges,
+    S_j = sum deg(v), S_jk = sum deg(v)*deg(w), S_j2 = sum deg(v)^2."""
+    return f"""
+        WITH raw AS ({edges_def}),
+        edges AS (
+            SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+            FROM raw GROUP BY least(id_a, id_b), greatest(id_a, id_b)
+        ),
+        und AS (
+            SELECT a AS v, b AS w FROM edges
+            UNION ALL
+            SELECT b AS v, a AS w FROM edges
+        ),
+        deg AS (SELECT v, cast(count(*) as bigint) AS degree
+                FROM und GROUP BY v),
+        pairs AS (
+            SELECT dv.degree AS j, dw.degree AS k
+            FROM und u
+            JOIN deg dv ON dv.v = u.v
+            JOIN deg dw ON dw.v = u.w
+        ),
+        m AS (
+            SELECT cast(count(*) as bigint) AS mm,
+                   cast(sum(cast(j as decimal(38,0))) as decimal(38,0)) AS sj,
+                   cast(sum(cast(j as decimal(38,0))
+                            * cast(k as decimal(38,0))) as decimal(38,0))
+                       AS sjk,
+                   cast(sum(cast(j as decimal(38,0))
+                            * cast(j as decimal(38,0))) as decimal(38,0))
+                       AS sj2
+            FROM pairs
+        ),
+        ecnt AS (SELECT cast(count(*) as bigint) AS n_edges FROM edges),
+        ncnt AS (SELECT cast(count(*) as bigint) AS n_nodes FROM deg)
+        SELECT n.n_nodes, e.n_edges,
+               case when m.mm = 0
+                         OR m.mm * m.sj2 - m.sj * m.sj = 0
+                    then cast(0 as double)
+                    else cast(cast(m.mm * m.sjk - m.sj * m.sj as double)
+                         / cast(m.mm * m.sj2 - m.sj * m.sj as double)
+                         as double)
+               end AS assortativity
+        FROM m CROSS JOIN ecnt e CROSS JOIN ncnt n
+    """
+
+
+def _graph_assortativity_sql(d: str) -> str:
+    """DEGREE ASSORTATIVITY of the simhash near-dup graph (Newman 2002): do
+    high-degree nodes link to other high-degree nodes (r > 0, boilerplate
+    cliques agglomerating) or to leaves (r < 0, hub-and-spoke template
+    families)? The one-number structural complement to [dedup_graph_degrees]
+    (the histogram says how many hubs; r says how they WIRE) that predicts
+    whether hub-capping will shatter clusters (disassortative) or barely
+    dent them (assortative).
+
+    Exactness: degrees are exact integers; all three moment sums multiply
+    in decimal(38,0) (deg^2 summed over 2E directed edges passes BIGINT on
+    hub-heavy graphs); r is ONE double division, zero-variance guarded
+    (a regular graph has undefined r -> reported 0). Scale shape: the edge
+    relation is the sparse banded-LSH output (never all-pairs); two
+    degree-join lookups and one global agg; output is 1 row."""
+    return _assortativity_core(
+        d, f"SELECT id_a, id_b FROM ({_simhash_pairs_sql(d)}) sp"
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the simhash near-dup graph, edges read from
+    the snapshot-stamped persisted table (see _graph_assortativity_sql)."""
+    _simhash_edges(spark, sf_dir).createOrReplaceTempView("asrt_edges_raw")
+    return spark.sql(
+        _assortativity_core(D.SPARK, "SELECT id_a, id_b FROM asrt_edges_raw")
+    )
+
+
+_DP_TOP_TERMS = 50  # dispersion panel size
+
+
+def _term_dispersion_sql(d: str) -> str:
+    """GRIES' DEVIATION OF PROPORTIONS (DP, Gries 2008) for the top
+    {_DP_TOP_TERMS} corpus terms: is a frequent term spread evenly across
+    sources (DP ~ 0) or concentrated in a few (DP -> 1)? Raw frequency
+    conflates the two -- a term with 10k hits all inside one crawl slice is
+    a TOPIC artifact, not core vocabulary; dispersion is the standard
+    corpus-linguistics fix. DP(t) = 1/2 * sum_parts |v_p - s_p| where
+    v_p = share of t's occurrences in part p and s_p = part p's share of
+    all tokens. The per-term sibling of [source_vocab_jsd] (which scores
+    whole sources) and the static complement of [trending_terms] (which
+    disperses over time).
+
+    Exactness: |v_p - s_p| is kept as the integer cross-product
+    |c_tp * N - n_p * c_t| summed in decimal(38,0), with ONE double
+    division by (2 * c_t * N) per output row. Scale shape: term-part
+    counts are one map-side-combining hash-agg; the top-{_DP_TOP_TERMS}
+    selection is ORDER BY + LIMIT (TakeOrderedAndProject, never a global
+    sort); the spine is {_DP_TOP_TERMS} x n_sources, broadcast-sized."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH tokd AS (SELECT source, {toks} AS toks FROM documents),
+        ex AS (SELECT source, {ex} AS t FROM tokd),
+        tp AS (
+            SELECT source, t, cast(count(*) as bigint) AS c
+            FROM ex GROUP BY source, t
+        ),
+        tot_t AS (SELECT t, cast(sum(c) as bigint) AS ct FROM tp GROUP BY t),
+        top AS (SELECT t, ct FROM tot_t ORDER BY ct DESC, t LIMIT {_DP_TOP_TERMS}),
+        np AS (SELECT source, cast(sum(c) as bigint) AS n_p
+               FROM tp GROUP BY source),
+        ntot AS (SELECT cast(sum(n_p) as bigint) AS n FROM np),
+        spine AS (SELECT tt.t, tt.ct, p.source, p.n_p FROM top tt CROSS JOIN np p),
+        terms AS (
+            SELECT sp.t, sp.ct,
+                   abs(cast(coalesce(tp.c, 0) as decimal(38,0))
+                           * cast(nt.n as decimal(38,0))
+                       - cast(sp.n_p as decimal(38,0))
+                           * cast(sp.ct as decimal(38,0))) AS num
+            FROM spine sp
+            CROSS JOIN ntot nt
+            LEFT JOIN tp ON tp.source = sp.source AND tp.t = sp.t
+        ),
+        agg AS (
+            SELECT t, ct, cast(sum(num) as decimal(38,0)) AS num_sum
+            FROM terms GROUP BY t, ct
+        )
+        SELECT a.t AS term, a.ct AS corpus_count,
+               cast(cast(a.num_sum as double)
+                    / (2.0 * cast(a.ct as double) * cast(nt.n as double))
+                    as double) AS dp
+        FROM agg a CROSS JOIN ntot nt
+        ORDER BY a.t
+    """
+
+
+def q_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP dispersion across sources for the top corpus terms (see
+    _term_dispersion_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_term_dispersion_sql(D.SPARK))
+
+
+_BURROWS_Q = 1_000_000  # function-word frequency quantum (per-token 1e-6)
+
+
+def _burrows_delta_sql(d: str) -> str:
+    """BURROWS' DELTA stylistic distinctiveness per source (Burrows 2002,
+    Argamon 2008): z-score each source's FUNCTION-WORD frequency profile
+    (the {len(TX.STOPWORDS)}-word stopword list -- topic-independent style
+    carriers) against the across-source mean/stdev, and report each
+    source's mean |z| -- its Delta distance from the corpus centroid
+    profile. The stylometry-standard signal for "this slice was written /
+    generated DIFFERENTLY" (machine-generated or template text shows
+    function-word profiles far off the human baseline) that token-level
+    quality gates can't see.
+
+    Exactness: per-source frequencies floor-quantize to 1/{_BURROWS_Q}
+    via integer division (both dialects floor on non-negative operands);
+    mean/variance across sources stay integer
+    (z = (q*S - T) / sqrt(S*U - T^2), products in decimal(38,0)); |z| is
+    floor-quantized at 1e-9 before the per-source sum over the fixed word
+    panel, so no cross-row double accumulation. Scale shape: one exploded
+    hash-agg filtered to the function-word list (broadcast IN-list), a
+    (words x sources) spine, and two bounded aggs; output is one row per
+    source."""
+    toks = TX.tokenize(d, TEXT)
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    stop = D.str_literal_list(TX.STOPWORDS)
+    nw = len(TX.STOPWORDS)
+    q_expr = D.int_div(d, f"(coalesce(tp.c, 0) * {_BURROWS_Q})", "sp.n_s")
+    return f"""
+        WITH tokd AS (SELECT source, {toks} AS toks FROM documents),
+        ex AS (SELECT source, {ex} AS t FROM tokd),
+        ns AS (SELECT source, cast(count(*) as bigint) AS n_s
+               FROM ex GROUP BY source),
+        fw AS (
+            SELECT source, t, cast(count(*) as bigint) AS c
+            FROM ex WHERE t IN ({stop}) GROUP BY source, t
+        ),
+        words AS (SELECT DISTINCT t FROM fw),
+        spine AS (SELECT w.t, s.source, s.n_s FROM words w CROSS JOIN ns s),
+        q AS (
+            SELECT sp.t, sp.source,
+                   cast({q_expr} as bigint) AS qf
+            FROM spine sp
+            LEFT JOIN fw tp ON tp.source = sp.source AND tp.t = sp.t
+        ),
+        wstats AS (
+            SELECT t, cast(count(*) as bigint) AS s_cnt,
+                   cast(sum(cast(qf as decimal(38,0))) as decimal(38,0)) AS tw,
+                   cast(sum(cast(qf as decimal(38,0))
+                            * cast(qf as decimal(38,0))) as decimal(38,0)) AS uw
+            FROM q GROUP BY t
+        ),
+        z AS (
+            SELECT q.source,
+                   case when w.s_cnt * w.uw - w.tw * w.tw = 0
+                        then cast(0 as bigint)
+                        else cast(floor(abs(
+                                 cast(cast(q.qf as decimal(38,0)) * w.s_cnt
+                                      - w.tw as double)
+                                 / sqrt(cast(w.s_cnt * w.uw - w.tw * w.tw
+                                             as double)))
+                                 * 1000000000.0) as bigint)
+                   end AS zq
+            FROM q JOIN wstats w ON w.t = q.t
+        ),
+        wcnt AS (SELECT cast(count(*) as bigint) AS n_words FROM words)
+        SELECT z.source, n.n_s AS n_tokens, w.n_words,
+               case when w.n_words = 0 then cast(0 as double)
+                    else cast(cast(sum(z.zq) as double)
+                         / (cast(w.n_words as double) * 1000000000.0)
+                         as double)
+               end AS delta
+        FROM z
+        JOIN ns n ON n.source = z.source
+        CROSS JOIN wcnt w
+        GROUP BY z.source, n.n_s, w.n_words
+        ORDER BY z.source
+    """
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric function-word Delta distance from the corpus centroid
+    per source (see _burrows_delta_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_burrows_delta_sql(D.SPARK))
+
+
+def _embedding_isotropy_sql(d: str) -> str:
+    """EMBEDDING-SPACE ISOTROPY AUDIT: how directionally concentrated are
+    the embeddings? The squared norm of the mean NORMALIZED vector equals
+    the expected pairwise cosine E[cos(x,y)] (x != y, up to 1/n) -- the
+    anisotropy statistic of Ethayarajh 2019/Mu 2018: contextual-embedding
+    spaces collapse into a narrow cone, which silently inflates every
+    cosine threshold the dedup/ANN family uses. Reports mean norm,
+    zero-norm count, the mean-cosine estimate, and isotropy = 1 - that.
+
+    Exactness: per-dim means of x/||x|| go through the _qmean discipline
+    (floor-quantize 1e-9, decimal(38,0) sums, one division per dim); the
+    64 squared means floor-quantize at 1e-15 before the final integer sum.
+    sqrt is IEEE-correctly-rounded; the flat expanded dot keeps per-row
+    norms bit-identical cross-engine. Scale shape: ONE corpus pass
+    explodes to (dim, value), collapses to {EMB_DIM} rows, then a 1-row
+    fold -- the pc1 gram-matrix posture."""
+    v = V.to_double_array(d, "embedding")
+    nv = V.norm(d, "v", EMB_DIM)
+    if d == D.SPARK:
+        ex = "SELECT nv, posexplode(v) AS (idx, x) FROM nz"
+    else:
+        ex = (
+            "SELECT nv, generate_subscripts(v, 1) - 1 AS idx, "
+            "unnest(v) AS x FROM nz"
+        )
+    return f"""
+        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
+        n AS (SELECT vec_id, v, {nv} AS nv FROM emb),
+        nz AS (SELECT v, nv FROM n WHERE nv > 0.0),
+        zc AS (SELECT cast(count(*) as bigint) AS n_zero FROM n
+               WHERE NOT (nv > 0.0)),
+        nstat AS (
+            SELECT cast(count(*) as bigint) AS n_vec,
+                   {_qmean("nv", "mean_norm")}
+            FROM nz
+        ),
+        dims AS ({ex}),
+        mu AS (
+            SELECT idx, {_qmean("(x / nv)", "m")}
+            FROM dims GROUP BY idx
+        ),
+        musq AS (
+            SELECT cast(sum(cast(floor(m * m * 1000000000000000.0)
+                                 as bigint)) as bigint) AS msq
+            FROM mu
+        )
+        SELECT ns.n_vec AS n_vectors, z.n_zero AS n_zero_norm, ns.mean_norm,
+               cast(cast(q.msq as double) / 1000000000000000.0 as double)
+                   AS mean_cos_estimate,
+               cast(1.0 - cast(q.msq as double) / 1000000000000000.0
+                    as double) AS isotropy
+        FROM nstat ns CROSS JOIN zc z CROSS JOIN musq q
+    """
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy / expected-pairwise-cosine audit of the embedding space
+    (see _embedding_isotropy_sql)."""
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_embedding_isotropy_sql(D.SPARK))
+
+
+def _fano_burstiness_sql(d: str) -> str:
+    """FANO FACTOR (index of dispersion) of hourly event counts per event
+    type: Var/Mean of the count process over the stream's global hour
+    range -- 1 for a Poisson process, >> 1 for bursty arrivals (flash
+    crowds, retry storms, batch replays), < 1 for pacing. The
+    distribution-level complement of [hourly_anomaly] (which flags WHICH
+    hours spike, while Fano says whether the process is bursty AT ALL) and
+    the "should monitors trust a mean rate" gate next to [hill_tail_index].
+
+    Empty hours count: with H = global max-min+1 hour slots and realized
+    counts c_i, Var/Mean = (H * sum c^2 - n^2) / (H * n) over the full
+    slot range WITHOUT materializing a slot spine -- zeros contribute
+    nothing to either sum. Exactness: integer products in decimal(38,0),
+    ONE guarded double division per row. Scale shape: the stream collapses
+    to (type, hour) counts map-side; the 1-row range broadcast-joins
+    back; output is one row per event type."""
+    us = _ts_us(d)
+    how = D.int_div(d, f"({us})", str(3600_000_000))
+    return f"""
+        WITH e AS (SELECT event_type, cast({how} as bigint) AS how
+                   FROM events),
+        c AS (
+            SELECT event_type, how, cast(count(*) as bigint) AS cnt
+            FROM e GROUP BY event_type, how
+        ),
+        rng AS (SELECT cast(max(how) - min(how) + 1 as bigint) AS h
+                FROM e),
+        t AS (
+            SELECT event_type,
+                   cast(sum(cnt) as bigint) AS n,
+                   cast(sum(cast(cnt as decimal(38,0))
+                            * cast(cnt as decimal(38,0))) as decimal(38,0))
+                       AS s2,
+                   cast(count(*) as bigint) AS n_active
+            FROM c GROUP BY event_type
+        )
+        SELECT t.event_type, t.n AS n_events, t.n_active AS n_active_hours,
+               r.h AS h_total,
+               case when t.n = 0 then cast(0 as double)
+                    else cast(cast(r.h * t.s2
+                              - cast(t.n as decimal(38,0))
+                                * cast(t.n as decimal(38,0)) as double)
+                         / cast(cast(r.h as decimal(38,0))
+                                * cast(t.n as decimal(38,0)) as double)
+                         as double)
+               end AS fano
+        FROM t CROSS JOIN rng r
+        ORDER BY t.event_type
+    """
+
+
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion of hourly event counts per type (see
+    _fano_burstiness_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_fano_burstiness_sql(D.SPARK))
+
+
+_COVERAGE_THRESHOLDS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def _vocab_coverage_sql(d: str) -> str:
+    """VOCABULARY COVERAGE CURVE: for each min-count threshold t, the vocab
+    size and the share of corpus token OCCURRENCES covered by types with
+    count >= t -- the tokenizer-planning curve that says what a count-
+    cutoff vocabulary actually buys ([vocab_topk] shows the head,
+    [heaps_law] the growth rate; this is the budget curve between them,
+    and the count-threshold framing needs NO global rank: coverage at
+    "vocab size k" would need a full sort, coverage at "count >= t" is a
+    grouped inequality join against the count-of-counts relation, the
+    k_anonymity levels shape).
+
+    Exactness: all masses are exact BIGINT sums; coverage is one division
+    per output row. Scale shape: term counts -> count-of-counts collapses
+    the vocab to O(distinct count values) rows (~sqrt-corpus scale); the
+    threshold grid is {len(_COVERAGE_THRESHOLDS)} rows. Tail mass comes
+    from _rare_mass_aug (the closed synthetic vocabulary would otherwise
+    sit at coverage 1.0 on every threshold -- no exclusion branch)."""
+    toks = TX.tokenize(d, _rare_mass_aug(d))
+    ex = "explode(toks)" if d == D.SPARK else "unnest(toks)"
+    grid = " UNION ALL ".join(
+        f"SELECT cast({t} as bigint) AS thr" for t in _COVERAGE_THRESHOLDS
+    )
+    return f"""
+        WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+        ex AS (SELECT {ex} AS t FROM tokd),
+        tc AS (SELECT t, cast(count(*) as bigint) AS c FROM ex GROUP BY t),
+        cc AS (
+            SELECT c, cast(count(*) as bigint) AS n_terms
+            FROM tc GROUP BY c
+        ),
+        ntot AS (SELECT cast(sum(c * n_terms) as bigint) AS n FROM cc),
+        grid AS ({grid})
+        SELECT g.thr AS min_count,
+               cast(coalesce(sum(cc.n_terms), 0) as bigint) AS vocab_size,
+               cast(coalesce(sum(cc.c * cc.n_terms), 0) as bigint)
+                   AS covered_tokens,
+               case when nt.n = 0 then cast(0 as double)
+                    else cast(cast(coalesce(sum(cc.c * cc.n_terms), 0)
+                                   as double)
+                         / cast(nt.n as double) as double)
+               end AS coverage
+        FROM grid g
+        CROSS JOIN ntot nt
+        LEFT JOIN cc ON cc.c >= g.thr
+        GROUP BY g.thr, nt.n
+        ORDER BY g.thr
+    """
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage vs min-count vocabulary threshold (see
+    _vocab_coverage_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_vocab_coverage_sql(D.SPARK))
+
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -18558,6 +18988,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-11 wave 16 ---
+    "graph_assortativity": (q_graph_assortativity, _graph_assortativity_sql),
+    "term_dispersion": (q_term_dispersion, _term_dispersion_sql),
+    "burrows_delta": (q_burrows_delta, _burrows_delta_sql),
+    "embedding_isotropy": (q_embedding_isotropy, _embedding_isotropy_sql),
+    "fano_burstiness": (q_fano_burstiness, _fano_burstiness_sql),
+    "vocab_coverage": (q_vocab_coverage, _vocab_coverage_sql),
     # --- round-11 wave 15 ---
     "chao1_richness": (q_chao1_richness, _chao1_richness_sql),
     "sttr_segments": (q_sttr_segments, _sttr_segments_sql),
