@@ -274,6 +274,11 @@ BENCH_QUERIES = [
     "embedding_isotropy",
     "fano_burstiness",
     "vocab_coverage",
+    "group_sequential",
+    "positivity_check",
+    "blocklist_rate",
+    "quality_signal_corr",
+    "tail_trend",
     # minhash_error deliberately NOT benched: its cost is the sweep's exact
     # co-count + per-candidate signature joins (SCALE.md); lsh_band_sweep
     # already tracks that family's number and one 5-6 s representative is

@@ -18967,6 +18967,410 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_vocab_coverage_sql(D.SPARK))
 
 
+_GS_LOOKS = 5
+# O'Brien-Fleming-shaped boundary (Wang-Tsiatis Delta=0): |z_k| >
+# C * sqrt(K/k) with C = 2.040 for K=5, two-sided alpha = 0.05 -- the
+# classic table values (4.562, 3.226, 2.634, 2.281, 2.040).
+_GS_C = 2.040
+
+
+def _group_sequential_sql(d: str) -> str:
+    """GROUP-SEQUENTIAL A/B MONITOR with an O'Brien-Fleming spending
+    boundary: {_GS_LOOKS} interim looks at equal fractions of the event
+    stream's hour range, each computing the two-proportion z between the
+    parity arms (the srm_check/qini split -- an A/A, so the curve is the
+    null-calibration fixture) and comparing |z| against the OBF bound
+    C*sqrt(K/k). The peeking-correctly counterpart of [sprt_ab]: SPRT is
+    fully sequential per-row, this is the batched K-look protocol a daily
+    experimentation pipeline actually runs, with early-stop severity
+    front-loaded (bound 4.56 at look 1, 2.04 at the final look).
+
+    Outcome = FIRST PURCHASE WITHIN 24 HOURS of the user's first event:
+    every synthetic user eventually purchases (any-purchase saturates to
+    conv = n at every SF -- a z identically 0 through the degenerate
+    guard), while 24h-conversion splits users ~50/50 (measured at all
+    three SFs), so the z is live and hash-gated.
+
+    Look boundaries split the ENROLLMENT window (the span of users' first
+    events) -- the information-fraction convention: splitting the full
+    calendar instead made every look identical here, because all users
+    enroll early and the panel saturated at look 1.
+
+    Exactness: look boundaries are integer hour arithmetic; per-look
+    cumulative counts come from an entry-look inequality join of the
+    user-sized relation against the {_GS_LOOKS}-row grid (the k_anonymity
+    levels shape -- no user x look blow-up, no window); z is one guarded
+    deterministic expression from exact integers; boundary literals parse
+    to identical doubles. Scale shape: events collapse to per-user firsts
+    map-side; everything after is grid-sized."""
+    us = _ts_us(d)
+    how = D.int_div(d, f"({us})", str(3600_000_000))
+    grid = " UNION ALL ".join(
+        f"SELECT cast({k} as bigint) AS look, "
+        f"cast({_GS_C * (_GS_LOOKS / k) ** 0.5!r} as double) AS obf_bound"
+        for k in range(1, _GS_LOOKS + 1)
+    )
+    bound = D.int_div(d, "((r.hmax - r.hmin + 1) * g.look)", str(_GS_LOOKS))
+    return f"""
+        WITH e AS (
+            SELECT user_id, cast({how} as bigint) AS how,
+                   case when event_type = 'purchase' then 1 else 0 end AS pur
+            FROM events
+        ),
+        u AS (
+            SELECT user_id, cast(user_id % 2 as bigint) AS grp,
+                   cast(min(how) as bigint) AS first_how,
+                   min(case when pur = 1 then how end) AS first_pur_how
+            FROM e GROUP BY user_id
+        ),
+        rng AS (SELECT cast(min(first_how) as bigint) AS hmin,
+                       cast(max(first_how) as bigint) AS hmax FROM u),
+        looks AS (
+            SELECT g.look, g.obf_bound,
+                   r.hmin + {bound} - 1 AS hour_bound
+            FROM ({grid}) g CROSS JOIN rng r
+        ),
+        cum AS (
+            SELECT l.look, l.obf_bound, l.hour_bound,
+                   cast(sum(u.grp) as bigint) AS n_t,
+                   cast(sum(1 - u.grp) as bigint) AS n_c,
+                   cast(sum(case when u.first_pur_how <= l.hour_bound
+                                 AND u.first_pur_how - u.first_how <= 24
+                                 then u.grp else 0 end) as bigint) AS conv_t,
+                   cast(sum(case when u.first_pur_how <= l.hour_bound
+                                 AND u.first_pur_how - u.first_how <= 24
+                                 then 1 - u.grp else 0 end) as bigint)
+                       AS conv_c
+            FROM looks l
+            JOIN u ON u.first_how <= l.hour_bound
+            GROUP BY l.look, l.obf_bound, l.hour_bound
+        )
+        SELECT look, hour_bound, n_t, n_c, conv_t, conv_c, obf_bound,
+               case when n_t = 0 OR n_c = 0
+                         OR (conv_t + conv_c) = 0
+                         OR (conv_t + conv_c) = (n_t + n_c)
+                    then cast(0 as double)
+                    else (cast(conv_t as double) / cast(n_t as double)
+                          - cast(conv_c as double) / cast(n_c as double))
+                         / sqrt((cast(conv_t + conv_c as double)
+                                 / cast(n_t + n_c as double))
+                                * (1.0 - cast(conv_t + conv_c as double)
+                                         / cast(n_t + n_c as double))
+                                * (1.0 / cast(n_t as double)
+                                   + 1.0 / cast(n_c as double)))
+               end AS z,
+               case when n_t = 0 OR n_c = 0
+                         OR (conv_t + conv_c) = 0
+                         OR (conv_t + conv_c) = (n_t + n_c)
+                    then false
+                    else abs((cast(conv_t as double) / cast(n_t as double)
+                              - cast(conv_c as double) / cast(n_c as double))
+                             / sqrt((cast(conv_t + conv_c as double)
+                                     / cast(n_t + n_c as double))
+                                    * (1.0 - cast(conv_t + conv_c as double)
+                                             / cast(n_t + n_c as double))
+                                    * (1.0 / cast(n_t as double)
+                                       + 1.0 / cast(n_c as double))))
+                         > obf_bound
+               end AS crossed
+        FROM cum
+        ORDER BY look
+    """
+
+
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-look O'Brien-Fleming monitor over the parity A/A split (see
+    _group_sequential_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_group_sequential_sql(D.SPARK))
+
+
+_POS_LO = 0.1  # positivity caliper (Crump et al. 2009's rule-of-thumb)
+_POS_HI = 0.9
+
+
+def _positivity_check_sql(d: str) -> str:
+    """POSITIVITY / OVERLAP AUDIT of the causal strata: per CEM stratum
+    (the [cem_att] coarsening), the empirical propensity e = n_t/n, the
+    Crump [{_POS_LO}, {_POS_HI}] extreme-propensity flag, the ATT control
+    weight w = n_t/n_c, and the Kish effective sample size of the
+    weighted control arm: ESS_c = (sum w)^2 / sum w^2. The diagnostic
+    that tells you whether [ipw_ate]/[cem_att] numbers rest on a few
+    over-weighted controls (ESS_c << n_c) or genuinely overlapping
+    support -- a causal readout without this panel is unreviewable.
+
+    Exactness: counts exact; e and w are one division each; the ESS
+    terms n_t^2/n_c floor-quantize at 1e-6 per stratum before the
+    integer sum (no cross-stratum double accumulation); ESS is one final
+    division. Scale shape: events -> users -> strata, two map-side
+    hash-aggs; the 1-row ESS total cross-joins back; output is one row
+    per stratum."""
+    return f"""
+        WITH users AS (
+            SELECT user_id,
+                   cast(count(*) as bigint) AS activity,
+                   cast(user_id % 2 as bigint) AS grp
+            FROM events GROUP BY user_id
+        ),
+        strata AS (
+            SELECT {D.int_div(d, "activity", str(_CEM_BIN))} AS s,
+                   cast(sum(grp) as bigint) AS n_t,
+                   cast(sum(1 - grp) as bigint) AS n_c
+            FROM users GROUP BY {D.int_div(d, "activity", str(_CEM_BIN))}
+        ),
+        flags AS (
+            SELECT s, n_t, n_c,
+                   cast(n_t as double) / cast(n_t + n_c as double) AS e,
+                   case when n_c = 0 then cast(0 as double)
+                        else cast(n_t as double) / cast(n_c as double)
+                   end AS w_att,
+                   case when n_c > 0
+                        then cast(floor((cast(n_t as double)
+                                         * cast(n_t as double)
+                                         / cast(n_c as double))
+                                        * 1000000.0) as bigint)
+                        else cast(0 as bigint) end AS ess_term,
+                   case when n_c > 0 then n_t else cast(0 as bigint) end
+                       AS w_sum
+            FROM strata
+        ),
+        tot AS (
+            SELECT cast(sum(w_sum) as bigint) AS t,
+                   cast(sum(ess_term) as decimal(38,0)) AS den
+            FROM flags
+        )
+        SELECT f.s AS stratum, f.n_t, f.n_c, f.e, f.w_att,
+               (f.e < {_POS_LO} OR f.e > {_POS_HI}
+                OR f.n_t = 0 OR f.n_c = 0) AS violates_positivity,
+               case when t.den = 0 then cast(0 as double)
+                    else cast(cast(t.t as double) * cast(t.t as double)
+                         * 1000000.0 / cast(t.den as double) as double)
+               end AS ess_control
+        FROM flags f CROSS JOIN tot t
+        ORDER BY f.s
+    """
+
+
+def q_positivity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-overlap / effective-sample-size audit of the CEM strata
+    (see _positivity_check_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_positivity_check_sql(D.SPARK))
+
+
+BLOCKLIST = ["casino", "lottery", "jackpot", "prize", "winner", "crypto"]
+
+
+def _blocklist_rate_sql(d: str) -> str:
+    """BLOCKLIST GATE AUDIT per source: documents containing any term from
+    the curation blocklist (spam/promo markers here; a production list
+    carries the unsafe-content lexicons), with per-source flagged counts,
+    rates, and total hit tokens. The first gate a pretraining curation
+    run applies -- and, like every gate, it needs the [disparate_impact]
+    -style per-source accounting so a list tuned on one slice doesn't
+    silently gut another.
+
+    The synthetic corpus contains no blocklist terms (the closed-vocab
+    situation _rare_mass_aug exists for), so contamination is SYNTHESIZED
+    deterministically: every 29th doc appends two blocklist tokens --
+    the positive branch is live and hash-gated at every SF.
+
+    Exactness: pure integer counts and one division per row. Scale shape:
+    a per-row higher-order-function filter (no explode, no join) into one
+    per-source hash-agg."""
+    aug = (
+        f"case when doc_id % 29 = 0 "
+        f"then concat({TEXT}, ' casino prize') else {TEXT} end"
+    )
+    toks = TX.tokenize(d, aug)
+    lst = D.arr_literal(d, BLOCKLIST)
+    hits = D.arr_size(
+        d, D.arr_filter(d, "toks", f"t -> {D.arr_contains(d, lst, 't')}")
+    )
+    return f"""
+        WITH tokd AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+        h AS (SELECT source, cast({hits} as bigint) AS nh FROM tokd)
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(case when nh > 0 then 1 else 0 end) as bigint)
+                   AS flagged_docs,
+               cast(sum(nh) as bigint) AS hit_tokens,
+               cast(sum(case when nh > 0 then 1 else 0 end) as double)
+                   / cast(count(*) as double) AS flag_rate
+        FROM h
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+def q_blocklist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-hit audit per source with synthesized deterministic
+    contamination (see _blocklist_rate_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_blocklist_rate_sql(D.SPARK))
+
+
+_QSC_Q = 1_000_000  # signal quantum
+
+
+def _quality_signal_corr_sql(d: str) -> str:
+    """QUALITY-SIGNAL CORRELATION PANEL: Pearson r between every pair of
+    the four per-doc curation signals (word count, punctuation ratio,
+    stopword ratio, composite quality score) in ONE corpus pass. The gate-
+    redundancy audit: two signals at r ~ 0.95 are one signal paying two
+    compute bills, and a composite dominated by a single input (here
+    quality_score vs its own length term, BY CONSTRUCTION -- dyadic
+    weights) shows up immediately. [value_correlations]' sibling on the
+    curation axis.
+
+    Exactness: each signal floor-quantizes to 1/{_QSC_Q} per doc; all 14
+    moments (4 sums, 4 square sums, 6 cross sums) accumulate as exact
+    decimal(38,0) integers in a single hash-agg; each r is one guarded
+    division over exact integer terms with sqrt applied last. Scale
+    shape: one scan, one 1-row aggregate, a 6-row UNION projection --
+    nothing downstream of the scan exceeds one row.
+
+    The synthetic text contains NO punctuation, so every punct_ratio pair
+    would sit at the guarded r = 0 on driver data (the dead-branch class
+    _rare_mass_aug exists for): every 23rd doc appends a deterministic
+    punctuation burst so all six panel pairs are live and hash-gated."""
+    aug = (
+        f"case when doc_id % 23 = 0 "
+        f"then concat(coalesce(text, ''), ' !?!;:,.') else coalesce(text, '') end"
+    )
+    wc = TX.word_count(d, aug)
+    pr = TX.punct_ratio(d, aug)
+    sr = TX.stopword_ratio(d, aug)
+    qs = TX.quality_score(d, aug)
+    names = {"1": "word_count", "2": "punct_ratio", "3": "stop_ratio", "4": "quality"}
+    pair_rows = []
+    for a, b in (("1", "2"), ("1", "3"), ("1", "4"),
+                 ("2", "3"), ("2", "4"), ("3", "4")):
+        num = f"(n * s{a}{b} - s{a} * s{b})"
+        va = f"(n * s{a}{a} - s{a} * s{a})"
+        vb = f"(n * s{b}{b} - s{b} * s{b})"
+        pair_rows.append(
+            f"SELECT '{names[a]}' AS sig_a, '{names[b]}' AS sig_b, "
+            f"case when {va} = 0 OR {vb} = 0 then cast(0 as double) "
+            f"else cast(cast({num} as double) "
+            f"/ (sqrt(cast({va} as double)) * sqrt(cast({vb} as double))) "
+            f"as double) end AS r FROM m"
+        )
+    sums = []
+    for i in ("1", "2", "3", "4"):
+        sums.append(
+            f"cast(sum(cast(q{i} as decimal(38,0))) as decimal(38,0)) AS s{i}"
+        )
+        sums.append(
+            f"cast(sum(cast(q{i} as decimal(38,0)) * cast(q{i} as decimal(38,0)))"
+            f" as decimal(38,0)) AS s{i}{i}"
+        )
+    for a, b in (("1", "2"), ("1", "3"), ("1", "4"),
+                 ("2", "3"), ("2", "4"), ("3", "4")):
+        sums.append(
+            f"cast(sum(cast(q{a} as decimal(38,0)) * cast(q{b} as decimal(38,0)))"
+            f" as decimal(38,0)) AS s{a}{b}"
+        )
+    union = " UNION ALL ".join(pair_rows)
+    return f"""
+        WITH sig AS (
+            SELECT cast(floor(cast({wc} as double) * {_QSC_Q}.0) as bigint)
+                       AS q1,
+                   cast(floor(({pr}) * {_QSC_Q}.0) as bigint) AS q2,
+                   cast(floor(({sr}) * {_QSC_Q}.0) as bigint) AS q3,
+                   cast(floor(({qs}) * {_QSC_Q}.0) as bigint) AS q4
+            FROM documents
+        ),
+        m AS (
+            SELECT cast(count(*) as decimal(38,0)) AS n, {', '.join(sums)}
+            FROM sig
+        )
+        {union}
+        ORDER BY sig_a, sig_b
+    """
+
+
+def q_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation panel over the four per-doc curation signals
+    (see _quality_signal_corr_sql)."""
+    _view(spark, sf_dir, "documents")
+    return spark.sql(_quality_signal_corr_sql(D.SPARK))
+
+
+def _tail_trend_sql(d: str) -> str:
+    """DAILY P90 TAIL TREND of event value: the exact 90th-percentile
+    value band per day (integer order statistic over a per-day band
+    histogram -- no percentile_cont, whose interpolation semantics the
+    two engines disagree on) and the OLS slope of that daily p90 series.
+    Mean trends ([ols_trend], [ewma_revenue]) miss exactly the failures
+    tails catch -- a p50-flat, p90-rising value stream is a concentration
+    shift; this is the [hill_tail_index] "watch quantiles, not means"
+    advice made operational.
+
+    Exactness: bands are floor-integer; p90_band = min band whose
+    cumulative count reaches ceil(9n/10) (exact integer threshold
+    arithmetic, the hdr_quantiles selection rule); the OLS moments over
+    the <= n_days points are exact integers; slope is one guarded
+    division. Scale shape: events collapse to (day, band) counts
+    map-side; the cumulative window runs partitioned BY DAY over the
+    bounded band relation; the regression folds <= n_days rows."""
+    us = _ts_us(d)
+    day = D.int_div(d, D.int_div(d, f"({us})", str(3600_000_000)), "24")
+    thresh = D.int_div(d, "(9 * dn.n + 9)", "10")
+    return f"""
+        WITH e AS (
+            SELECT cast({day} as bigint) AS day,
+                   cast(floor(coalesce(value, 0.0)) as bigint) AS band
+            FROM events
+        ),
+        db AS (
+            SELECT day, band, cast(count(*) as bigint) AS c
+            FROM e GROUP BY day, band
+        ),
+        dn AS (SELECT day, cast(sum(c) as bigint) AS n FROM db GROUP BY day),
+        cum AS (
+            SELECT day, band,
+                   cast(sum(c) OVER (PARTITION BY day ORDER BY band
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        as bigint) AS cc
+            FROM db
+        ),
+        p90 AS (
+            SELECT c.day, cast(min(c.band) as bigint) AS p90_band, dn.n
+            FROM cum c
+            JOIN dn ON dn.day = c.day
+            WHERE c.cc >= {thresh}
+            GROUP BY c.day, dn.n
+        ),
+        base AS (SELECT cast(min(day) as bigint) AS d0 FROM p90),
+        pts AS (
+            SELECT p.day - b.d0 AS x, p.p90_band AS y, p.day, p.n
+            FROM p90 p CROSS JOIN base b
+        ),
+        mom AS (
+            SELECT cast(count(*) as bigint) AS k,
+                   cast(sum(x) as bigint) AS sx,
+                   cast(sum(y) as bigint) AS sy,
+                   cast(sum(x * y) as bigint) AS sxy,
+                   cast(sum(x * x) as bigint) AS sxx
+            FROM pts
+        )
+        SELECT p.day, p.n AS n_events, p.y AS p90_band, m.k AS n_days,
+               case when m.k * m.sxx - m.sx * m.sx = 0 then cast(0 as double)
+                    else cast(m.k * m.sxy - m.sx * m.sy as double)
+                         / cast(m.k * m.sxx - m.sx * m.sx as double)
+               end AS p90_slope
+        FROM pts p CROSS JOIN mom m
+        ORDER BY p.day
+    """
+
+
+def q_tail_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily p90 band series + OLS tail slope (see _tail_trend_sql)."""
+    _events_view(spark, sf_dir)
+    return spark.sql(_tail_trend_sql(D.SPARK))
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -18988,6 +19392,12 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # and a builder slip can no longer silently cap proof coverage (round-3
 # verdict item 3). tools/selfcheck.py still runs ALL entries every round.
 _REGISTRY_BASE: dict[str, tuple[SparkQuery, Callable[[str], str] | None]] = {
+    # --- round-11 wave 17 ---
+    "group_sequential": (q_group_sequential, _group_sequential_sql),
+    "positivity_check": (q_positivity_check, _positivity_check_sql),
+    "blocklist_rate": (q_blocklist_rate, _blocklist_rate_sql),
+    "quality_signal_corr": (q_quality_signal_corr, _quality_signal_corr_sql),
+    "tail_trend": (q_tail_trend, _tail_trend_sql),
     # --- round-11 wave 16 ---
     "graph_assortativity": (q_graph_assortativity, _graph_assortativity_sql),
     "term_dispersion": (q_term_dispersion, _term_dispersion_sql),
