@@ -54,6 +54,12 @@ NAMES = [
     "fano_burstiness",
     "vocab_coverage",
     "graph_assortativity",
+    # wave 17 (events-driven monitors + doc-gate panels)
+    "group_sequential",
+    "positivity_check",
+    "blocklist_rate",
+    "quality_signal_corr",
+    "tail_trend",
 ]
 
 
