@@ -61,7 +61,7 @@ def _dsum(expr: str, alias: str, scale: int = 6) -> str:
     return f"cast(sum(cast({expr} as decimal(18,{scale}))) as double) as {alias}"
 
 
-def _events_view(spark: SparkSession, sf_dir: str) -> None:
+def _events_view(spark: SparkSession, sf_dir: str, hot: bool = False) -> None:
     """Register `events` with ts as epoch-nanos BIGINT (see module docstring).
 
     Handles either physical encoding of the driver's events.parquet:
@@ -89,6 +89,10 @@ def _events_view(spark: SparkSession, sf_dir: str) -> None:
         df = df.withColumn("ts", (F.expr("unix_micros(ts)") * F.lit(1000)).cast("long"))
     elif not isinstance(dt, LongType):
         raise TypeError(f"events.ts: unsupported parquet encoding {dt}")
+    if hot:  # per-row-compute-bound consumer: scatter the scan (size-gated)
+        from .sources.tables import scattered
+
+        df = scattered(spark, df, src_path=f"{sf_dir}/events.parquet")
     df.createOrReplaceTempView("events")
 
 
@@ -102,10 +106,28 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
     from .sources.tables import scattered
 
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        path = f"{sf_dir}/{n}.parquet"
+        df = spark.read.parquet(path)
         if n in _SCATTER_TABLES:
-            df = scattered(spark, df)
+            df = scattered(spark, df, src_path=path)
         df.createOrReplaceTempView(n)
+
+
+def _view_hot(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """_view, but scatter EVERY named table (size-gated -- see
+    sources.tables.scattered): for queries whose per-row projection work
+    (md5 canonicalization, basket self-join fan-out) dominates the scan,
+    where a single-row-group source file would otherwise pin the whole
+    compute to one core (guide §2.5 input skew). The agg-bound queries
+    keep plain _view -- for them the repartition shuffle costs more than
+    the single-pass aggregation saves (measured at sf0.1)."""
+    from .sources.tables import scattered
+
+    for n in names:
+        path = f"{sf_dir}/{n}.parquet"
+        scattered(
+            spark, spark.read.parquet(path), src_path=path
+        ).createOrReplaceTempView(n)
 
 
 def _ts_us(d: str) -> str:
@@ -3579,6 +3601,15 @@ def _dim_truncation_sql(d: str) -> str:
     not 4x), then one rank window per width over the same scored relation;
     recall joins are K-row-per-query relations. Counts are exact BIGINTs;
     recall is one exact int/int division per width."""
+    return f"""
+        WITH {_dim_trunc_scored_cte(d)},
+        {_dim_trunc_tail("scored", "q")}
+    """
+
+
+def _dim_trunc_scored_cte(d: str) -> str:
+    """`emb0/emb/q/scored` CTE chain: every prefix width's cosine in one
+    broadcast scoring pass (see _dim_truncation_sql)."""
     v = V.to_double_array(d, "embedding")
     hint = "/*+ BROADCAST(q) */ " if d == D.SPARK else ""
     norms = ", ".join(
@@ -3589,13 +3620,27 @@ def _dim_truncation_sql(d: str) -> str:
         f"else ({V.dot(d, 'e.v', 'q.v', m)}) / (e.nv{m} * q.nv{m}) end AS c{m}"
         for m in TRUNC_DIMS
     )
+    return f"""emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
+        emb AS (SELECT vec_id, v, {norms} FROM emb0),
+        q AS (SELECT vec_id AS qid, v,
+                     {', '.join(f'nv{m}' for m in TRUNC_DIMS)}
+              FROM emb WHERE {KNN_QUERY_PRED}),
+        scored AS (
+            SELECT {hint}q.qid, e.vec_id, {cosines}
+            FROM emb e JOIN q ON e.vec_id <> q.qid
+        )"""
+
+
+def _dim_trunc_tail(scored_src: str, q_src: str) -> str:
+    """Rank windows + recall arms over a `(qid, vec_id, c8..c64)` scored
+    relation (dialect-free). `q_src` supplies the query count."""
     ranked = ", ".join(
         f"""r{m} AS (
             SELECT qid, vec_id FROM (
                 SELECT qid, vec_id,
                        row_number() OVER (PARTITION BY qid
                                           ORDER BY c{m} DESC, vec_id) AS rk
-                FROM scored
+                FROM {scored_src}
             ) t WHERE rk <= {KNN_K}
         )"""
         for m in TRUNC_DIMS
@@ -3607,18 +3652,8 @@ def _dim_truncation_sql(d: str) -> str:
               ON f.qid = a.qid AND f.vec_id = a.vec_id"""
         for m in TRUNC_DIMS
     )
-    return f"""
-        WITH emb0 AS (SELECT vec_id, {v} AS v FROM embeddings),
-        emb AS (SELECT vec_id, v, {norms} FROM emb0),
-        q AS (SELECT vec_id AS qid, v,
-                     {', '.join(f'nv{m}' for m in TRUNC_DIMS)}
-              FROM emb WHERE {KNN_QUERY_PRED}),
-        scored AS (
-            SELECT {hint}q.qid, e.vec_id, {cosines}
-            FROM emb e JOIN q ON e.vec_id <> q.qid
-        ),
-        {ranked},
-        nq AS (SELECT cast(count(*) as bigint) AS n_queries FROM q),
+    return f"""{ranked},
+        nq AS (SELECT cast(count(*) as bigint) AS n_queries FROM {q_src}),
         hits AS ({arms})
         SELECT h.prefix_dim, n.n_queries,
                h.hits,
@@ -3632,9 +3667,51 @@ def _dim_truncation_sql(d: str) -> str:
 
 def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-dimension top-k recall vs full-dimension exact (see
-    _dim_truncation_sql)."""
+    _dim_truncation_sql). The Spark statement computes all four rank
+    windows in ONE window chain (same PARTITION BY qid -> one exchange,
+    four chained sorts), folds the per-arm hit counts into a single 1-row
+    aggregate -- sum(rk_m <= K AND rk_64 <= K) is exactly the old
+    |top5_m JOIN top5_64| since both sides rank the same deterministic
+    total order -- and unpivots it with stack(), which references the
+    aggregate ONCE. The old 4-window + 4-join form re-inlined the
+    broadcast scoring join per CTE reference (r11 before-plan: 76
+    Exchanges, the r64 arm derived 5 times; 2.8 s -> 1.1 s). coalesce(...,
+    0) keeps the empty-scored degenerate case emitting the same four
+    0-hit rows the join form's ungrouped count(*) produced. The DuckDB
+    oracle keeps the shared multi-CTE statement (it materializes
+    multi-referenced CTEs)."""
     _view(spark, sf_dir, "embeddings")
-    return spark.sql(_dim_truncation_sql(D.SPARK))
+    ranks = ", ".join(
+        f"row_number() OVER (PARTITION BY qid ORDER BY c{m} DESC, vec_id)"
+        f" AS rk{m}"
+        for m in TRUNC_DIMS
+    )
+    hcols = ", ".join(
+        f"cast(coalesce(sum(case when rk{m} <= {KNN_K}"
+        f" and rk{EMB_DIM} <= {KNN_K} then 1 else 0 end), 0) as bigint)"
+        f" AS h{m}"
+        for m in TRUNC_DIMS
+    )
+    stack_args = ", ".join(f"{m}, h{m}" for m in TRUNC_DIMS)
+    return spark.sql(f"""
+        WITH {_dim_trunc_scored_cte(D.SPARK)},
+        w AS (SELECT qid, vec_id, {ranks} FROM scored),
+        agg AS (SELECT {hcols} FROM w),
+        hits AS (
+            SELECT stack({len(TRUNC_DIMS)}, {stack_args})
+                   AS (prefix_dim, hits)
+            FROM agg
+        ),
+        nq AS (SELECT cast(count(*) as bigint) AS n_queries
+               FROM embeddings WHERE {KNN_QUERY_PRED})
+        SELECT h.prefix_dim, n.n_queries,
+               h.hits,
+               n.n_queries * {KNN_K} AS possible,
+               cast(h.hits as double) / cast(n.n_queries * {KNN_K} as double)
+                   AS recall
+        FROM hits h CROSS JOIN nq n
+        ORDER BY h.prefix_dim
+    """)
 
 
 def _vocab_topk_sql(d: str) -> str:
@@ -7925,12 +8002,19 @@ def _fleet_checksum_sql(d: str) -> str:
 
 
 def q_fleet_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-table migration checksums for the whole driver fleet."""
-    _view(
-        spark, sf_dir, "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings",
+    """Per-table migration checksums for the whole driver fleet.
+
+    r11 (guide §2.5): the md5-canonicalization projections are the cost
+    here, and every driver table is a single-row-group parquet file, so
+    each per-table checksum ran on ONE core of 32 (before-plan: 20
+    single-task scans, 3.4 s). The row-heavy tables go through the
+    size-gated scatter (3.4 -> ~2.1 s measured); the <= 10k-row dims stay
+    plain scans -- two extra stages per table buys nothing there."""
+    _view(spark, sf_dir, "region", "nation", "documents", "embeddings")
+    _view_hot(
+        spark, sf_dir, "customer", "supplier", "part", "orders", "lineitem"
     )
-    _events_view(spark, sf_dir)
+    _events_view(spark, sf_dir, hot=True)
     return spark.sql(_fleet_checksum_sql(D.SPARK))
 
 
@@ -10224,7 +10308,9 @@ def _wminhash_sigs_sql(d: str, tf_src: str) -> str:
     """
 
 
-def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
+def _wminhash_core(
+    d: str, tf_src: str, sigs_src: str, scatter: int | None = None
+) -> str:
     """Weighted (bag-of-words) MinHash near-dup pairs: exact weighted Jaccard
     J_w(A,B) = sum_t min(tf_A, tf_B) / sum_t max(tf_A, tf_B) over capped
     token frequencies, reported for pairs that survive the LSH candidate
@@ -10264,59 +10350,92 @@ def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
         if d == D.SPARK
         else "SELECT doc, unnest(band_arr) AS band_key FROM bandarr"
     )
-    matches = " + ".join(
-        f"(case when sa.m{i} = sb.m{i} then 1 else 0 end)" for i in range(WMH_K)
-    )
+    # r11 prefilter shape (guide §2.3/§2.5): the candidate relation at sf0.1
+    # is 1.85M pairs from 5k docs, and two measured pathologies made the
+    # prefilter the whole query's cost: (a) AQE coalesces the DISTINCT's
+    # tiny-by-bytes output to ONE partition, so the match-count join ran on
+    # one core of 32 (8.5 s for the stage); (b) probing the 33-column sigs
+    # relation twice materialized 64 BIGINT columns per candidate row
+    # before projecting the single match count. Fix: pin the post-DISTINCT
+    # layout to `scatter` partitions (Spark hint; a no-op comment for
+    # DuckDB, and at cluster scale the relation is large enough that AQE
+    # never collapses it -- the hint is the test-scale guard, sized from
+    # defaultParallelism by the caller, not a constant), and on Spark pack
+    # the signature into ONE array column so each join moves one value;
+    # the match count is the exact same integer via zip_with/aggregate
+    # (measured: cands0 stage 4.1 s -> 1.5 s). DuckDB keeps the 32-term
+    # CASE sum -- written once in an inner projection, filtered on the
+    # alias -- which is the identical integer.
+    hint = f"/*+ REPARTITION({scatter}) */ " if d == D.SPARK and scatter else ""
+    if d == D.SPARK:
+        sig_arr = "array(" + ", ".join(f"m{i}" for i in range(WMH_K)) + ")"
+        m_expr = (
+            "cast(aggregate(zip_with(sa.sig, sb.sig,"
+            " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+            " 0, (acc, e) -> acc + e) as bigint)"
+        )
+    else:
+        sig_arr = "[" + ", ".join(f"m{i}" for i in range(WMH_K)) + "]"
+        m_expr = "cast((" + " + ".join(
+            f"(case when sa.sig[{i + 1}] = sb.sig[{i + 1}] then 1 else 0 end)"
+            for i in range(WMH_K)
+        ) + ") as bigint)"
     return f"""
         WITH tfc AS ({tf_src}),
         sigs AS ({sigs_src}),
         bandarr AS (SELECT doc, {bands} AS band_arr FROM sigs),
         bands AS ({explode_bands}),
         pairs AS (
-            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            SELECT {hint}DISTINCT a.doc AS id_a, b.doc AS id_b
             FROM bands a JOIN bands b ON a.band_key = b.band_key
             WHERE a.doc < b.doc
         ),
+        siga AS (SELECT doc, {sig_arr} AS sig FROM sigs),
         cands0 AS (
-            SELECT p.id_a, p.id_b, cast(({matches}) as bigint) AS m
-            FROM pairs p
-            JOIN sigs sa ON sa.doc = p.id_a
-            JOIN sigs sb ON sb.doc = p.id_b
-            WHERE {matches} >= {WMH_PREMATCH}
+            SELECT id_a, id_b, m FROM (
+                SELECT p.id_a, p.id_b, {m_expr} AS m
+                FROM pairs p
+                JOIN siga sa ON sa.doc = p.id_a
+                JOIN siga sb ON sb.doc = p.id_b
+            ) pre WHERE m >= {WMH_PREMATCH}
         ),
         -- verify-stage per-anchor cap (WMH_VERIFY_CAP): strongest
         -- signature matches first; the window partitions by id_a (no
         -- global sort) and m is an exact integer, so the cut is
-        -- engine-identical
+        -- engine-identical. The pruned-candidate accounting rides the SAME
+        -- window partition (count(*) OVER, no ORDER BY -- one shuffle, no
+        -- second pass): a separate `pruned AS (SELECT ... FROM cands0
+        -- GROUP BY id_a)` branch re-inlined the ENTIRE band-join +
+        -- prefilter pipeline a second time and SMJ-joined it back
+        -- (r11 before-plan ops 63-87 duplicated ops 1-28; 8.3 s -> the
+        -- after-plan computes cands0 once). cands_pruned_a is the same
+        -- exact integer either way.
         cands AS (
-            SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, cands_pruned_a FROM (
                 SELECT id_a, id_b,
                        row_number() OVER (
                            PARTITION BY id_a ORDER BY m DESC, id_b ASC
-                       ) AS crk
+                       ) AS crk,
+                       cast(count(*) OVER (PARTITION BY id_a) as bigint)
+                           - least(cast(count(*) OVER (PARTITION BY id_a)
+                                        as bigint),
+                                   cast({WMH_VERIFY_CAP} as bigint))
+                           AS cands_pruned_a
                 FROM cands0
             ) r WHERE crk <= {WMH_VERIFY_CAP}
         ),
-        pruned AS (
-            SELECT id_a,
-                   cast(count(*) as bigint)
-                       - least(cast(count(*) as bigint),
-                               cast({WMH_VERIFY_CAP} as bigint))
-                       AS cands_pruned_a
-            FROM cands0 GROUP BY id_a
-        ),
         totals AS (SELECT doc, cast(sum(wtf) as bigint) AS tot FROM tfc GROUP BY doc),
         inter AS (
-            SELECT p.id_a, p.id_b,
+            SELECT p.id_a, p.id_b, p.cands_pruned_a,
                    cast(sum(least(ta.wtf, tb.wtf)) as bigint) AS minsum
             FROM cands p
             JOIN tfc ta ON ta.doc = p.id_a
             JOIN tfc tb ON tb.doc = p.id_b AND tb.tok = ta.tok
-            GROUP BY p.id_a, p.id_b
+            GROUP BY p.id_a, p.id_b, p.cands_pruned_a
         )
         ,
         scored AS (
-            SELECT i.id_a, i.id_b,
+            SELECT i.id_a, i.id_b, i.cands_pruned_a,
                    cast(i.minsum as double)
                        / cast(na.tot + nb.tot - i.minsum as double) AS wjaccard
             FROM inter i
@@ -10330,7 +10449,7 @@ def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
             -- id_a, so no global window / single-partition shuffle; the
             -- wjaccard sort key is one IEEE division of exact integers --
             -- bit-identical across engines, id_b breaks exact ties.
-            SELECT id_a, id_b, wjaccard,
+            SELECT id_a, id_b, wjaccard, cands_pruned_a,
                    row_number() OVER (
                        PARTITION BY id_a ORDER BY wjaccard DESC, id_b ASC
                    ) AS rk,
@@ -10340,9 +10459,8 @@ def _wminhash_core(d: str, tf_src: str, sigs_src: str) -> str:
         SELECT r.id_a, r.id_b, r.wjaccard,
                r.deg_a - least(r.deg_a, cast({WMH_PAIR_CAP} as bigint))
                    AS pairs_suppressed_a,
-               p.cands_pruned_a
+               r.cands_pruned_a
         FROM ranked r
-        JOIN pruned p ON p.id_a = r.id_a
         WHERE r.rk <= {WMH_PAIR_CAP}
     """
 
@@ -10393,6 +10511,7 @@ def q_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.SPARK,
             f"SELECT doc, tok, wtf FROM {tfc_t}",
             f"SELECT * FROM {sigs_t}",
+            scatter=spark.sparkContext.defaultParallelism,
         )
     )
 
@@ -11178,33 +11297,66 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers: list[tuple[int, int, list[float]]] = [
         (0, seed["vec_id"], [float(x) for x in seed["v"]])
     ]
+
+    # r11 (guide §1.2 per-task work): the rounds were dominated by Catalyst
+    # planning + codegen of O(k x 64) flat literal expressions (~1.6 s per
+    # round over a 1,000-row checkpoint). Two changes, both value-exact:
+    #   - centers enter as array LITERALS consumed by ONE generic
+    #     zip_with/aggregate fold whose generated code is identical across
+    #     rounds (janino cache hit), instead of a re-codegen'd flat chain.
+    #     The fold is 0.0 + t1 + ... + t64 over the same left-associated
+    #     terms (v[i]-c)*(v[i]-c) as l2sq_literal; 0.0 + t == t bitwise for
+    #     the non-negative squares, so every d2 is bit-identical.
+    #   - the running min-distance column is MATERIALIZED per round
+    #     (localCheckpoint) and each round folds in only the NEW center:
+    #     least(least(a,b),c) = least(a,b,c) exactly (min is associative,
+    #     inputs non-NaN). Round k plans an O(64) expression, not O(k*64).
+    def _d2(arr_sql: str) -> str:
+        return (
+            f"aggregate(zip_with(v, {arr_sql},"
+            " (x, y) -> (x - y) * (x - y)),"
+            " cast(0.0 as double), (acc, e) -> acc + e)"
+        )
+
+    def _arr(vec: list[float]) -> str:
+        return "array(" + ", ".join(repr(x) for x in vec) + ")"
+
+    dmin = spark.sql(
+        f"SELECT vec_id, v, {_d2(_arr(centers[0][2]))} AS dmin FROM kc_emb"
+    )
     for k in range(1, KCENTER_K):
-        dists = [V.l2sq_literal(D.SPARK, "v", c[2]) for c in centers]
-        dmin = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+        dmin.localCheckpoint(eager=True).createOrReplaceTempView("kc_dmin")
         not_c = " AND ".join(f"vec_id <> {c[1]}" for c in centers)
         # ORDER BY + LIMIT 1 compiles to TakeOrderedAndProject (per-partition
         # top-1, driver merge) -- an unpartitioned row_number window here
         # moved the whole corpus to ONE partition (WindowExec warning)
         rows = spark.sql(
-            f"""SELECT vec_id, v FROM kc_emb WHERE {not_c}
-                ORDER BY {dmin} DESC, vec_id ASC LIMIT 1"""
+            f"""SELECT vec_id, v FROM kc_dmin WHERE {not_c}
+                ORDER BY dmin DESC, vec_id ASC LIMIT 1"""
         ).collect()
         if not rows:  # fewer points than KCENTER_K: the corpus IS the coreset
             break
         row = rows[0]
         centers.append((k, row["vec_id"], [float(x) for x in row["v"]]))
-    scored = " UNION ALL ".join(
-        f"SELECT vec_id, {rank} AS center_rank, {vid} AS center_id,"
-        f" {V.l2sq_literal(D.SPARK, 'v', vec)} AS d2 FROM kc_emb"
-        for rank, vid, vec in centers
+        dmin = spark.sql(
+            f"""SELECT vec_id, v, least(dmin, {_d2(_arr(centers[-1][2]))})
+                    AS dmin FROM kc_dmin"""
+        )
+    cent_rows = ", ".join(
+        f"({rank}, {vid}, {_arr(vec)})" for rank, vid, vec in centers
     )
     return spark.sql(
         f"""
-        WITH assign AS (
-            SELECT vec_id, center_rank, center_id, d2,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2 ASC, center_id ASC) AS rn
-            FROM ({scored}) s
+        WITH cents AS (
+            SELECT * FROM VALUES {cent_rows} AS _c(center_rank, center_id, c)
+        ),
+        assign AS (
+            SELECT e.vec_id, ct.center_rank, ct.center_id,
+                   {_d2("ct.c").replace("zip_with(v,", "zip_with(e.v,")} AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_d2("ct.c").replace("zip_with(v,", "zip_with(e.v,")} ASC,
+                                               ct.center_id ASC) AS rn
+            FROM kc_emb e CROSS JOIN cents ct
         )
         SELECT center_rank, cast(center_id as bigint) AS center_id,
                cast(count(*) as bigint) AS n_assigned,
@@ -12771,10 +12923,65 @@ def _kcore_tail(d: str, edges_src: str) -> str:
     """
 
 
+def _kcore_tail_over(
+    d: str, edges_src: str, deg_src: str, core_src: str
+) -> str:
+    """_kcore_tail with the degree relation and core node set supplied by
+    the caller (the Spark path materializes both; see q_kcore_step)."""
+    return f"""
+        WITH edges AS ({edges_src}),
+        deg AS ({deg_src}),
+        core AS ({core_src}),
+        sizes AS (
+            SELECT cast((SELECT count(*) FROM edges) as bigint) AS n_edges,
+                   cast((SELECT count(*) FROM deg) as bigint) AS n_nodes
+        ),
+        kval AS (
+            SELECT n_edges, n_nodes,
+                   case when n_nodes = 0 then cast(0 as bigint)
+                        else {D.int_div(d, "(2 * n_edges + n_nodes - 1)", "n_nodes")}
+                   end AS k
+            FROM sizes
+        ),
+        surv AS (
+            SELECT e.id_a, e.id_b
+            FROM edges e
+            JOIN core ca ON ca.node = e.id_a
+            JOIN core cb ON cb.node = e.id_b
+        ),
+        deg2 AS (
+            SELECT node, cast(count(*) as bigint) AS degree
+            FROM (SELECT id_a AS node FROM surv
+                  UNION ALL SELECT id_b AS node FROM surv) u
+            GROUP BY node
+        ),
+        after AS (
+            SELECT cast((SELECT count(*) FROM surv) as bigint) AS n_surv_edges,
+                   cast((SELECT count(*) FROM core) as bigint) AS n_core_nodes,
+                   cast((SELECT count(*) FROM core c LEFT JOIN deg2 g
+                         ON g.node = c.node
+                         CROSS JOIN kval
+                         WHERE coalesce(g.degree, 0) < kval.k) as bigint)
+                       AS n_below_next
+        )
+        SELECT k.k, k.n_nodes, k.n_edges,
+               a.n_core_nodes, a.n_surv_edges, a.n_below_next
+        FROM kval k CROSS JOIN after a
+    """
+
+
 def q_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-core peel round on the co-purchase graph (see
     _kcore_step_sql). The edge relation is materialized once
-    (localCheckpoint) before the tail's scalar-count branches read it."""
+    (localCheckpoint) before the tail's scalar-count branches read it.
+
+    r11: the DEGREE relation and the CORE node set are materialized too.
+    The tail's five scalar-count branches walk deg/core/surv from seven
+    CTE references, and Catalyst re-inlining re-derived the degree
+    aggregate and the two core semi-joins per reference (before-plan: 141
+    Exchanges, 20 BNLJ, 4.1 s noop; after: each relation computed once,
+    every branch reads a checkpoint). Same oracle statement (DuckDB
+    materializes multi-referenced CTEs)."""
     _view(spark, sf_dir, "lineitem")
     edges = spark.sql(_KCORE_EDGES_SQL)
     ckpt = edges.localCheckpoint(eager=True)
@@ -12790,7 +12997,34 @@ def q_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(0 as bigint) AS n_surv_edges,"
             " cast(0 as bigint) AS n_below_next"
         )
-    return spark.sql(_kcore_tail(D.SPARK, "SELECT id_a, id_b FROM kcore_edges"))
+    deg = spark.sql(
+        """SELECT node, cast(count(*) as bigint) AS degree
+           FROM (SELECT id_a AS node, id_b AS other FROM kcore_edges
+                 UNION ALL
+                 SELECT id_b AS node, id_a AS other FROM kcore_edges) und
+           GROUP BY node"""
+    )
+    deg.localCheckpoint(eager=True).createOrReplaceTempView("kcore_deg")
+    core = spark.sql(
+        f"""SELECT d2.node FROM kcore_deg d2 CROSS JOIN (
+               SELECT case when n_nodes = 0 then cast(0 as bigint)
+                           else {D.int_div(D.SPARK, "(2 * n_edges + n_nodes - 1)", "n_nodes")}
+                      end AS k
+               FROM (SELECT cast((SELECT count(*) FROM kcore_edges) as bigint)
+                                AS n_edges,
+                            cast((SELECT count(*) FROM kcore_deg) as bigint)
+                                AS n_nodes) s) kv
+           WHERE d2.degree >= kv.k"""
+    )
+    core.localCheckpoint(eager=True).createOrReplaceTempView("kcore_core")
+    return spark.sql(
+        _kcore_tail_over(
+            D.SPARK,
+            "SELECT id_a, id_b FROM kcore_edges",
+            "SELECT node, degree FROM kcore_deg",
+            "SELECT node FROM kcore_core",
+        )
+    )
 
 
 # Association rules: minimum pair support and report size.
@@ -19234,14 +19468,15 @@ def _quality_signal_corr_sql(d: str) -> str:
     would sit at the guarded r = 0 on driver data (the dead-branch class
     _rare_mass_aug exists for): every 23rd doc appends a deterministic
     punctuation burst so all six panel pairs are live and hash-gated."""
-    aug = (
-        f"case when doc_id % 23 = 0 "
-        f"then concat(coalesce(text, ''), ' !?!;:,.') else coalesce(text, '') end"
-    )
-    wc = TX.word_count(d, aug)
-    pr = TX.punct_ratio(d, aug)
-    sr = TX.stopword_ratio(d, aug)
-    qs = TX.quality_score(d, aug)
+    return f"""
+        WITH {_qsc_moments_cte(d)}
+        {_qsc_pairs_tail("m")}
+    """
+
+
+def _qsc_pairs_tail(m_src: str) -> str:
+    """The 6-pair Pearson projection over a 1-row moment relation `m_src`
+    (dialect-free: plain arithmetic over the named moment columns)."""
     names = {"1": "word_count", "2": "punct_ratio", "3": "stop_ratio", "4": "quality"}
     pair_rows = []
     for a, b in (("1", "2"), ("1", "3"), ("1", "4"),
@@ -19254,8 +19489,23 @@ def _quality_signal_corr_sql(d: str) -> str:
             f"case when {va} = 0 OR {vb} = 0 then cast(0 as double) "
             f"else cast(cast({num} as double) "
             f"/ (sqrt(cast({va} as double)) * sqrt(cast({vb} as double))) "
-            f"as double) end AS r FROM m"
+            f"as double) end AS r FROM {m_src}"
         )
+    union = " UNION ALL ".join(pair_rows)
+    return f"""{union}
+        ORDER BY sig_a, sig_b"""
+
+
+def _qsc_moments_cte(d: str) -> str:
+    """The `sig` + 1-row `m` moment CTEs (see _quality_signal_corr_sql)."""
+    aug = (
+        f"case when doc_id % 23 = 0 "
+        f"then concat(coalesce(text, ''), ' !?!;:,.') else coalesce(text, '') end"
+    )
+    wc = TX.word_count(d, aug)
+    pr = TX.punct_ratio(d, aug)
+    sr = TX.stopword_ratio(d, aug)
+    qs = TX.quality_score(d, aug)
     sums = []
     for i in ("1", "2", "3", "4"):
         sums.append(
@@ -19271,9 +19521,7 @@ def _quality_signal_corr_sql(d: str) -> str:
             f"cast(sum(cast(q{a} as decimal(38,0)) * cast(q{b} as decimal(38,0)))"
             f" as decimal(38,0)) AS s{a}{b}"
         )
-    union = " UNION ALL ".join(pair_rows)
-    return f"""
-        WITH sig AS (
+    return f"""sig AS (
             SELECT cast(floor(cast({wc} as double) * {_QSC_Q}.0) as bigint)
                        AS q1,
                    cast(floor(({pr}) * {_QSC_Q}.0) as bigint) AS q2,
@@ -19284,17 +19532,21 @@ def _quality_signal_corr_sql(d: str) -> str:
         m AS (
             SELECT cast(count(*) as decimal(38,0)) AS n, {', '.join(sums)}
             FROM sig
-        )
-        {union}
-        ORDER BY sig_a, sig_b
-    """
+        )"""
 
 
 def q_quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation panel over the four per-doc curation signals
-    (see _quality_signal_corr_sql)."""
+    (see _quality_signal_corr_sql). The Spark path materializes the 1-row
+    moment aggregate `m` ONCE (localCheckpoint): the 6-pair UNION reads it
+    six times, and Catalyst CTE re-inlining re-ran the four-signal corpus
+    scan per pair (r11 before-plan: 12 document scans, 2.5 s; after: one
+    scan + six 1-row projections). DuckDB auto-materializes the
+    multi-referenced CTE, so the oracle statement is unchanged."""
     _view(spark, sf_dir, "documents")
-    return spark.sql(_quality_signal_corr_sql(D.SPARK))
+    m = spark.sql(f"WITH {_qsc_moments_cte(D.SPARK)} SELECT * FROM m")
+    m.localCheckpoint(eager=True).createOrReplaceTempView("qsc_m")
+    return spark.sql(_qsc_pairs_tail("qsc_m"))
 
 
 def _tail_trend_sql(d: str) -> str:

@@ -111,7 +111,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def scattered(spark: SparkSession, df: DataFrame) -> DataFrame:
+# A source parquet file at least this large yields multiple scan splits on
+# its own (spark.sql.files.maxPartitionBytes default), so the scatter
+# repartition would be a pure extra shuffle -- skip it. Parameterized for
+# cluster deployments where the split size is raised (guide §6).
+SCATTER_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCATTER_MAX_BYTES", str(128 * 1024 * 1024))
+)
+
+
+def scattered(
+    spark: SparkSession, df: DataFrame, src_path: str | None = None
+) -> DataFrame:
     """Spread a low-partition-count scan across the cluster before CPU-heavy
     per-row work.
 
@@ -122,7 +133,19 @@ def scattered(spark: SparkSession, df: DataFrame) -> DataFrame:
     and Nx cores on tokenization/hashing-bound plans. An EXPLICIT partition
     count is used because AQE's advisory coalescing would fold a few hundred
     KB right back into one partition.
+
+    When `src_path` is given, the repartition is SIZE-GATED (r11, guide
+    §2.5/§6): a file of >= SCATTER_MAX_BYTES already produces multiple scan
+    splits, and the round-robin shuffle would move every payload byte for
+    parallelism the scan has natively -- exactly the at-scale case where
+    scattering is wrong. One os.stat decides; no Spark job runs.
     """
+    if src_path is not None:
+        try:
+            if os.stat(src_path).st_size >= SCATTER_MAX_BYTES:
+                return df
+        except OSError:
+            pass
     # No partition-count probe: df.rdd materializes an RDD conversion that
     # costs more than the unconditional tiny-table shuffle it would avoid.
     return df.repartition(spark.sparkContext.defaultParallelism)
