@@ -1554,15 +1554,50 @@ def _ivf_cell_balance_sql(d: str) -> str:
 
 
 def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF population QA. Spark path materializes the nlist-row
+    `sizes` relation ONCE (localCheckpoint): the final projection reads it
+    beside `tot`, and Catalyst CTE re-inlining re-ran the whole centroid
+    + assignment pipeline per reference (r11 before-plan: 28 Exchanges;
+    after: one assignment pass + a 2-branch tail over nlist rows). DuckDB
+    auto-materializes the multi-referenced CTE; oracle unchanged."""
     _view(spark, sf_dir, "embeddings")
-    return spark.sql(_ivf_cell_balance_sql(D.SPARK))
+    sizes = spark.sql(
+        f"""WITH {_ivf_assign_ctes(D.SPARK)}
+        sizes AS (
+            SELECT cell, cast(count(*) as bigint) AS n_vectors
+            FROM assign GROUP BY cell
+        )
+        SELECT cell, n_vectors FROM sizes"""
+    )
+    sizes.localCheckpoint(eager=True).createOrReplaceTempView("ivf_sizes")
+    return spark.sql(
+        """
+        WITH sizes AS (SELECT cell, n_vectors FROM ivf_sizes),
+        tot AS (
+            SELECT cast(sum(n_vectors) as bigint) AS n,
+                   cast(count(*) as bigint) AS nlist
+            FROM sizes
+        )
+        SELECT s.cell, s.n_vectors,
+               cast(s.n_vectors as double) / cast(t.n as double) AS share,
+               cast(case when s.n_vectors * t.nlist >= 2 * t.n then 1 else 0 end as bigint)
+                   AS hot
+        FROM sizes s CROSS JOIN tot t
+        ORDER BY s.n_vectors DESC, s.cell ASC
+    """
+    )
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-file ANN (complements the hyperplane-LSH path): exact
     centroid codebook (decimal-sum exact, so the cells are deterministic at
     any parallelism), cell equi-join restricts candidates to ~1/nlist of the
-    corpus, exact cosine re-rank within the cell."""
+    corpus, exact cosine re-rank within the cell.
+
+    (r11 note: materializing `assign0` for the two consumers was tried and
+    measured SLOWER -- 1.85 -> 2.2 s: checkpointing 10k rows of 64-double
+    arrays costs more than re-deriving the cheap assignment pipeline --
+    so the single statement stays.)"""
     _view(spark, sf_dir, "embeddings")
     return spark.sql(_ivf_ann_sql(D.SPARK))
 
@@ -7867,9 +7902,45 @@ def _copurchase_pairs_sql(d: str) -> str:
     """
 
 
+# Spark-path basket pair generation (r11, guide §2.3/§2.4): ONE shuffle of
+# (l_orderkey, l_partkey) into per-order sorted distinct part arrays, pairs
+# exploded in place (i < j over the sorted array == a.part < b.part), no
+# post-join DISTINCT. The equi-self-join form shuffles lineitem TWICE and
+# then dedups the 1.8M-row join output; this form moves each input row once
+# and emits each per-order pair exactly once (measured on copurchase_pairs:
+# 2.2 -> 1.1 s at sf0.1; set-equality with the join form asserted). The
+# DuckDB oracle keeps the self-join statement -- same pair set by
+# construction, and the cross-engine gate pins it every round. Fan-out per
+# order stays basket-bounded (TPC-H <= 7 lines), identical to the join.
+_BASKET_PAIRS_SPARK = """
+        baskets AS (
+            SELECT l_orderkey,
+                   array_sort(array_distinct(collect_list(l_partkey))) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        pairs AS (
+            SELECT l_orderkey, pa AS part_a, pb AS part_b
+            FROM baskets
+            LATERAL VIEW posexplode(parts) ea AS i, pa
+            LATERAL VIEW explode(slice(parts, i + 2, size(parts))) eb AS pb
+        )
+"""
+
+
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchase pairs via the basket-explode plan (see
+    _BASKET_PAIRS_SPARK; oracle runs the equivalent self-join form)."""
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(_copurchase_pairs_sql(D.SPARK))
+    return spark.sql(
+        f"""
+        WITH {_BASKET_PAIRS_SPARK}
+        SELECT part_a, part_b, cast(count(*) as bigint) AS n_orders
+        FROM pairs
+        GROUP BY part_a, part_b
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT 50
+    """
+    )
 
 
 def _table_checksum_sql(d: str) -> str:
@@ -12983,7 +13054,14 @@ def q_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     every branch reads a checkpoint). Same oracle statement (DuckDB
     materializes multi-referenced CTEs)."""
     _view(spark, sf_dir, "lineitem")
-    edges = spark.sql(_KCORE_EDGES_SQL)
+    # edge build via the basket-explode plan (one lineitem shuffle, no
+    # post-join dedup of the 1.8M-row pair stream before the cross-order
+    # DISTINCT) -- same edge set as _KCORE_EDGES_SQL's self-join, which the
+    # oracle statement still runs
+    edges = spark.sql(
+        f"""WITH {_BASKET_PAIRS_SPARK}
+            SELECT DISTINCT part_a AS id_a, part_b AS id_b FROM pairs"""
+    )
     ckpt = edges.localCheckpoint(eager=True)
     ckpt.createOrReplaceTempView("kcore_edges")
     if not ckpt.take(1):
@@ -13093,9 +13171,51 @@ def _association_rules_sql(d: str) -> str:
 
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-lift association rules over co-purchase baskets (see
-    _association_rules_sql)."""
+    _association_rules_sql). Spark path sources the pair counts from the
+    basket-explode plan (_BASKET_PAIRS_SPARK -- one lineitem shuffle, no
+    post-join DISTINCT); supports/total and the rule tail are unchanged.
+    The oracle runs the self-join statement; same pair set by
+    construction."""
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(_association_rules_sql(D.SPARK))
+    return spark.sql(
+        f"""
+        WITH {_BASKET_PAIRS_SPARK},
+        pcount AS (
+            SELECT part_a, part_b, cast(count(*) as bigint) AS n_ab
+            FROM pairs GROUP BY part_a, part_b
+            HAVING count(*) >= {RULES_MIN_SUPPORT}
+        ),
+        item AS (
+            SELECT l_partkey, cast(count(DISTINCT l_orderkey) as bigint) AS n_i
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n FROM lineitem
+        ),
+        directed AS (
+            SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pcount
+            UNION ALL
+            SELECT part_b AS antecedent, part_a AS consequent, n_ab FROM pcount
+        ),
+        rules AS (
+            SELECT r.antecedent, r.consequent, r.n_ab,
+                   ia.n_i AS n_a, ic.n_i AS n_b, t.n
+            FROM directed r
+            JOIN item ia ON ia.l_partkey = r.antecedent
+            JOIN item ic ON ic.l_partkey = r.consequent
+            CROSS JOIN tot t
+        )
+        SELECT antecedent, consequent, n_ab AS support,
+               cast(n_ab as double) / cast(n_a as double) AS confidence,
+               cast(cast(n as decimal(19,0)) * cast(n_ab as decimal(19,0))
+                    as double)
+                   / cast(cast(n_a as decimal(19,0)) * cast(n_b as decimal(19,0))
+                          as double) AS lift
+        FROM rules
+        ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+        LIMIT {RULES_TOP}
+    """
+    )
 
 
 def _audio_loudness_sql(d: str) -> str:
@@ -19038,8 +19158,18 @@ def _embedding_isotropy_sql(d: str) -> str:
     norms bit-identical cross-engine. Scale shape: ONE corpus pass
     explodes to (dim, value), collapses to {EMB_DIM} rows, then a 1-row
     fold -- the pc1 gram-matrix posture."""
-    v = V.to_double_array(d, "embedding")
-    nv = V.norm(d, "v", EMB_DIM)
+    return f"""
+        WITH emb AS (SELECT vec_id, {V.to_double_array(d, "embedding")} AS v
+                     FROM embeddings),
+        n AS (SELECT vec_id, v, {V.norm(d, "v", EMB_DIM)} AS nv FROM emb),
+        {_isotropy_tail(d)}
+    """
+
+
+def _isotropy_tail(d: str) -> str:
+    """CTE tail of the isotropy audit over an `n(vec_id, v, nv)` relation
+    (see _embedding_isotropy_sql). Split out so the Spark path can
+    materialize `n` once."""
     if d == D.SPARK:
         ex = "SELECT nv, posexplode(v) AS (idx, x) FROM nz"
     else:
@@ -19048,8 +19178,6 @@ def _embedding_isotropy_sql(d: str) -> str:
             "unnest(v) AS x FROM nz"
         )
     return f"""
-        WITH emb AS (SELECT vec_id, {v} AS v FROM embeddings),
-        n AS (SELECT vec_id, v, {nv} AS nv FROM emb),
         nz AS (SELECT v, nv FROM n WHERE nv > 0.0),
         zc AS (SELECT cast(count(*) as bigint) AS n_zero FROM n
                WHERE NOT (nv > 0.0)),
@@ -19079,9 +19207,22 @@ def _embedding_isotropy_sql(d: str) -> str:
 
 def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anisotropy / expected-pairwise-cosine audit of the embedding space
-    (see _embedding_isotropy_sql)."""
+    (see _embedding_isotropy_sql). Spark path materializes the normed
+    relation `n` ONCE: four CTE branches (nz/zc/nstat/dims) re-derived the
+    64-term norm projection under Catalyst re-inlining (r11 before-plan:
+    14 Exchanges / 4 BNLJ over a 1,000-row table). DuckDB auto-
+    materializes the multi-referenced CTE; oracle unchanged."""
     _view(spark, sf_dir, "embeddings")
-    return spark.sql(_embedding_isotropy_sql(D.SPARK))
+    v = V.to_double_array(D.SPARK, "embedding")
+    n = spark.sql(
+        f"""SELECT vec_id, v, {V.norm(D.SPARK, "v", EMB_DIM)} AS nv
+            FROM (SELECT vec_id, {v} AS v FROM embeddings) emb"""
+    )
+    n.localCheckpoint(eager=True).createOrReplaceTempView("iso_n")
+    return spark.sql(
+        "WITH n AS (SELECT vec_id, v, nv FROM iso_n),\n"
+        + _isotropy_tail(D.SPARK)
+    )
 
 
 def _fano_burstiness_sql(d: str) -> str:
