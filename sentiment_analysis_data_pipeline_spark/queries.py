@@ -11520,7 +11520,11 @@ def _gini_block(d: str, label: str, table: str, key: str) -> str:
 
 def q_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini + exact percentile row counts per recurring join key (see
-    _key_gini_sql)."""
+    _key_gini_sql). (r11 note: materializing the ranked per-key count
+    relation once per key was tried and measured 3x SLOWER -- 1.5 ->
+    4.6 s: the union's re-inlined branches are independent subtrees the
+    scheduler runs CONCURRENTLY, while per-key checkpoints serialize into
+    three barrier jobs. The single statement stays.)"""
     _view(spark, sf_dir, "lineitem", "documents")
     _events_view(spark, sf_dir)
     return spark.sql(_key_gini_sql(D.SPARK))
