@@ -12193,8 +12193,22 @@ def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-split percentile pass it parallelizes at this size.)"""
     _view(spark, sf_dir, "lineitem")
     qs = ", ".join(repr(k / RANGE_PARTS) for k in range(1, RANGE_PARTS))
+    # r11: the exact-percentile pass runs over a SCATTERED copy of the scan
+    # (size-gated; own view name so the main statement keeps the plain scan,
+    # where scattering measured slower): percentile's update phase on the
+    # single-row-group file ran on one core -- 3.0 -> 2.1 s, and the
+    # per-partition count-map merge is additive, so the quantiles are
+    # value-identical (asserted against the unscattered pass).
+    from .sources.tables import scattered
+
+    scattered(
+        spark,
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        src_path=f"{sf_dir}/lineitem.parquet",
+    ).createOrReplaceTempView("rpb_lineitem_scat")
     arr = spark.sql(
-        f"SELECT percentile(l_extendedprice, array({qs})) AS arr FROM lineitem"
+        f"SELECT percentile(l_extendedprice, array({qs})) AS arr"
+        " FROM rpb_lineitem_scat"
     ).collect()[0]["arr"]
     lits = ", ".join(repr(float(x)) for x in arr)
     bucket = " + ".join(
@@ -13030,14 +13044,19 @@ def _kcore_tail_over(
                   UNION ALL SELECT id_b AS node FROM surv) u
             GROUP BY node
         ),
+        -- one aggregate yields all three post-peel counts (r11): core size
+        -- is the row count, the below-k count is a conditional sum, and
+        -- n_surv_edges = sum(survivor degrees) / 2 by the handshake lemma
+        -- (surv has no self-loops: id_a < id_b) -- replacing three scalar
+        -- subqueries that each re-walked core/surv/deg2.
         after AS (
-            SELECT cast((SELECT count(*) FROM surv) as bigint) AS n_surv_edges,
-                   cast((SELECT count(*) FROM core) as bigint) AS n_core_nodes,
-                   cast((SELECT count(*) FROM core c LEFT JOIN deg2 g
-                         ON g.node = c.node
-                         CROSS JOIN kval
-                         WHERE coalesce(g.degree, 0) < kval.k) as bigint)
-                       AS n_below_next
+            SELECT {D.int_div(d, "cast(sum(coalesce(g.degree, 0)) as bigint)", "2")}
+                       AS n_surv_edges,
+                   cast(count(*) as bigint) AS n_core_nodes,
+                   cast(sum(case when coalesce(g.degree, 0) < kval.k
+                            then 1 else 0 end) as bigint) AS n_below_next
+            FROM core c LEFT JOIN deg2 g ON g.node = c.node
+            CROSS JOIN kval
         )
         SELECT k.k, k.n_nodes, k.n_edges,
                a.n_core_nodes, a.n_surv_edges, a.n_below_next
