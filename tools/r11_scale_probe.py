@@ -108,6 +108,18 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{out}/orders.parquet")
     )
 
+    # lineitem rides orders' key remap (r11: the basket-pair family --
+    # copurchase/association_rules/kcore -- joins on l_orderkey): each copy
+    # is a fresh set of orders with the SAME basket compositions, so pair
+    # counts inflate linearly, never quadratically (parts stay un-remapped).
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    (
+        _inflate(li, mult)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("copy") * F.lit(max_okey))
+        .drop("copy")
+        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    )
+
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     max_vk = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     (
