@@ -409,17 +409,27 @@ def drift_anchor(spark) -> float:
     # START anchor 3-6x the END anchor on an idle box (r10: 1.96/0.33;
     # r11 driver: 1.08/0.42; r11 golden attempt: 2.05/0.36), which is
     # cold-start, not environment, and it kept tripping make_golden's
-    # drift refusal. Warm until two consecutive runs agree within 20%
-    # (cap 8), THEN take the median of 3 -- both anchors now measure the
-    # same steady-state and their disagreement means real contention.
-    prev = None
-    for _ in range(8):
+    # drift refusal. Warm until two consecutive runs agree within 20%,
+    # THEN take the median of 3 -- both anchors now measure the same
+    # steady-state and their disagreement means real contention.
+    # r11 tightening: three r11 runs showed the start anchor still 2.5-3x
+    # the end anchor (0.654/0.287, 0.798/0.318, 0.989/0.383) -- one
+    # consecutive pair agreeing within 20% happens on C2's intermediate
+    # plateaus long before the true steady state. Now require THREE
+    # consecutive runs inside a 10% band after at least 5 warm runs
+    # (cap 20). This changes NOTHING about query timing (the anchor is
+    # measured outside every sample); it only stops cold JIT from
+    # masquerading as environment drift in the anchor pair, which kept
+    # tripping make_golden's agreement rule.
+    window: list[float] = []
+    for i in range(20):
         t0 = time.perf_counter()
         spark.sql(q).collect()
-        dt = time.perf_counter() - t0
-        if prev is not None and max(prev, dt) / max(min(prev, dt), 1e-9) < 1.2:
-            break
-        prev = dt
+        window.append(time.perf_counter() - t0)
+        if i >= 4 and len(window) >= 3:
+            last3 = window[-3:]
+            if max(last3) / max(min(last3), 1e-9) < 1.1:
+                break
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
