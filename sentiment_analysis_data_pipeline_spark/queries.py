@@ -10304,6 +10304,14 @@ WMH_PAIR_CAP = 5
 # the bound that keeps per-anchor verify work O(16 x vocab) instead of
 # O(cluster x vocab).
 WMH_VERIFY_CAP = 16
+# Adaptive cluster-collapse gate (round 12): fraction of docs that must
+# share a signature with another doc before q_wminhash_pairs switches from
+# the original core to the cluster-collapsed form. Any value is VALUE-SAFE
+# (both branches are exact); it only trades the collapse machinery's
+# overhead (one bag-fingerprint pass + two tiny checkpoints) against the
+# ~quadratic within-cluster candidate enumeration it removes. 5%: below
+# that, cluster pairs are too few for the enumeration to dominate.
+WMH_COLLAPSE_MIN_DUP_FRAC = 0.05
 
 
 def _wmh_tf_sql(d: str) -> str:
@@ -10541,6 +10549,207 @@ def _wminhash_sql(d: str) -> str:
     return _wminhash_core(d, tf, _wminhash_sigs_sql(d, tf))
 
 
+def _wmh_gmap_sql(tf_src: str) -> str:
+    """(doc, rep): every doc mapped to the minimum doc id of its identical-
+    capped-bag group. The bag fingerprint is md5 over the sorted list of
+    per-entry md5(tok:wtf) hashes -- fixed-width entries, so no concat
+    ambiguity; hash-equality standing in for bag-equality is the same
+    posture the band keys already take (H.band_keys_from_members is md5 of
+    the band slice). One aggregate riding the doc-bucketed tfc scan + one
+    window over doc-count 2-column rows."""
+    return f"""
+        SELECT doc, min(doc) OVER (PARTITION BY fp) AS rep FROM (
+            SELECT doc, md5(concat_ws('|', sort_array(collect_list(
+                       md5(concat(tok, ':', cast(wtf as string))))))) AS fp
+            FROM ({tf_src}) tfp GROUP BY doc
+        ) bagfp
+    """
+
+
+def _wmh_rcands_sql(
+    sigs_src: str, gmap_src: str, scatter: int | None = None
+) -> str:
+    """(ra, rb, m): prefilter-surviving candidate pairs among bag-group
+    REPRESENTATIVES -- the unchanged band join + signature-match prefilter
+    of _wminhash_core, run over one doc per identical-bag group."""
+    bands = H.band_keys_from_members(D.SPARK, bands=WMH_BANDS, rows=WMH_ROWS)
+    hint = f"/*+ REPARTITION({scatter}) */ " if scatter else ""
+    sig_arr = "array(" + ", ".join(f"m{i}" for i in range(WMH_K)) + ")"
+    m_expr = (
+        "cast(aggregate(zip_with(sa.sig, sb.sig,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, e) -> acc + e) as bigint)"
+    )
+    return f"""
+        WITH gmap AS ({gmap_src}),
+        rsigs AS (
+            SELECT s.* FROM ({sigs_src}) s
+            JOIN gmap g ON g.doc = s.doc AND g.rep = s.doc
+        ),
+        bandarr AS (SELECT doc, {bands} AS band_arr FROM rsigs),
+        bands AS (SELECT doc, explode(band_arr) AS band_key FROM bandarr),
+        rpairs AS (
+            SELECT {hint}DISTINCT a.doc AS ra, b.doc AS rb
+            FROM bands a JOIN bands b ON a.band_key = b.band_key
+            WHERE a.doc < b.doc
+        ),
+        rsiga AS (SELECT doc, {sig_arr} AS sig FROM rsigs)
+        SELECT ra, rb, m FROM (
+            SELECT p.ra, p.rb, {m_expr} AS m
+            FROM rpairs p
+            JOIN rsiga sa ON sa.doc = p.ra
+            JOIN rsiga sb ON sb.doc = p.rb
+        ) pre WHERE m >= {WMH_PREMATCH}
+    """
+
+
+def _wminhash_collapsed_tail_sql(
+    tf_src: str, gmap_src: str, rcands_src: str
+) -> str:
+    """Everything downstream of the rep-candidate relation: rep-level exact
+    verify, expansion of group pairs back to doc pairs, and the UNCHANGED
+    verify-cap / threshold / emit-cap tail of _wminhash_core. Callers pass
+    gmap_src/rcands_src as either inline SQL (single-statement form, tests)
+    or tiny materialized temp views (q_wminhash_pairs -- gmap is referenced
+    3x and rcands 2x below; inline CTE re-inlining re-ran the whole
+    band+prefilter pipeline per reference, measured 2.7 -> 6.7 s at
+    sf0.1)."""
+    return f"""
+        WITH tfc AS ({tf_src}),
+        gmap AS ({gmap_src}),
+        rcands AS ({rcands_src}),
+        rtotals AS (
+            SELECT doc, cast(sum(wtf) as bigint) AS tot FROM tfc GROUP BY doc
+        ),
+        rinter AS (
+            SELECT p.ra, p.rb,
+                   cast(sum(least(ta.wtf, tb.wtf)) as bigint) AS minsum
+            FROM rcands p
+            JOIN tfc ta ON ta.doc = p.ra
+            JOIN tfc tb ON tb.doc = p.rb AND tb.tok = ta.tok
+            GROUP BY p.ra, p.rb
+        ),
+        rscored AS (
+            SELECT i.ra, i.rb,
+                   cast(i.minsum as double)
+                       / cast(na.tot + nb.tot - i.minsum as double) AS wj
+            FROM rinter i
+            JOIN rtotals na ON na.doc = i.ra
+            JOIN rtotals nb ON nb.doc = i.rb
+        ),
+        cands0 AS (
+            SELECT least(ma.doc, mb.doc) AS id_a,
+                   greatest(ma.doc, mb.doc) AS id_b,
+                   c.m, c.ra, c.rb
+            FROM rcands c
+            JOIN gmap ma ON ma.rep = c.ra
+            JOIN gmap mb ON mb.rep = c.rb
+            UNION ALL
+            SELECT a.doc AS id_a, b.doc AS id_b,
+                   cast({WMH_K} as bigint) AS m, a.rep AS ra, a.rep AS rb
+            FROM gmap a JOIN gmap b ON a.rep = b.rep AND a.doc < b.doc
+        ),
+        cands AS (
+            SELECT id_a, id_b, ra, rb, cands_pruned_a FROM (
+                SELECT id_a, id_b, ra, rb,
+                       row_number() OVER (
+                           PARTITION BY id_a ORDER BY m DESC, id_b ASC
+                       ) AS crk,
+                       cast(count(*) OVER (PARTITION BY id_a) as bigint)
+                           - least(cast(count(*) OVER (PARTITION BY id_a)
+                                        as bigint),
+                                   cast({WMH_VERIFY_CAP} as bigint))
+                           AS cands_pruned_a
+                FROM cands0
+            ) r WHERE crk <= {WMH_VERIFY_CAP}
+        ),
+        scored AS (
+            SELECT id_a, id_b, cands_pruned_a, cast(1.0 as double) AS wjaccard
+            FROM cands WHERE ra = rb
+            UNION ALL
+            SELECT c.id_a, c.id_b, c.cands_pruned_a, s.wj AS wjaccard
+            FROM cands c
+            JOIN rscored s ON s.ra = c.ra AND s.rb = c.rb
+            WHERE c.ra <> c.rb AND s.wj >= {WMH_THRESHOLD}
+        ),
+        ranked AS (
+            SELECT id_a, id_b, wjaccard, cands_pruned_a,
+                   row_number() OVER (
+                       PARTITION BY id_a ORDER BY wjaccard DESC, id_b ASC
+                   ) AS rk,
+                   cast(count(*) OVER (PARTITION BY id_a) as bigint) AS deg_a
+            FROM scored
+        )
+        SELECT r.id_a, r.id_b, r.wjaccard,
+               r.deg_a - least(r.deg_a, cast({WMH_PAIR_CAP} as bigint))
+                   AS pairs_suppressed_a,
+               r.cands_pruned_a
+        FROM ranked r
+        WHERE r.rk <= {WMH_PAIR_CAP}
+    """
+
+
+def _wminhash_core_collapsed(
+    tf_src: str, sigs_src: str, scatter: int | None = None
+) -> str:
+    """Cluster-collapsed weighted-MinHash pairs (Spark execution path only;
+    the DuckDB oracle keeps _wminhash_core's single-statement form, and the
+    two are VALUE-IDENTICAL -- see the equivalence argument below).
+
+    Round-10/11 verdicts: candidate enumeration inside duplicate clusters is
+    ~quadratic (the 10x dup-heavy scale probe measured 68x-69x, because a
+    10x-duplicated corpus deepens every dup cluster 10x and the band join +
+    prefilter + exact verify all enumerate every within-cluster pair). Fix
+    (guide §2.3/§2.4 -- decide with small rows, expand late): docs with
+    IDENTICAL capped tf bags are grouped by an exact bag fingerprint, the
+    full band/prefilter/verify pipeline runs over ONE representative per
+    bag-group (linear in DISTINCT bags, not docs), and group-pair results
+    are expanded back to doc pairs as 4-column tuples immediately before
+    the unchanged cap windows.
+
+    Equivalence, piece by piece (each is a pure function of the capped bag):
+    - signatures, band keys, and hence BAND-JOIN CANDIDACY are functions of
+      the bag, so (a, b) is a candidate iff (rep_a, rep_b) is; same-group
+      pairs share ALL band keys, so they are always candidates;
+    - the prefilter match count m is a function of the two signatures, so
+      m(a, b) = m(rep_a, rep_b); same-group pairs have m = 32 exactly;
+    - the exact verify (minsum, totals, wjaccard) is a function of the two
+      bags, so cross-group instances inherit the rep pair's wjaccard
+      bit-for-bit (one IEEE division of the same exact integers); a
+      same-group pair has minsum = tot, so wjaccard = tot/tot = 1.0 exactly
+      (>= threshold always, as in the uncollapsed form);
+    - rep pairs the verify's shared-token inner join would drop (no common
+      token) are dropped here by the same inner join at rep level, AFTER
+      the verify-cap window consumed their slots -- the original order;
+    - the verify-cap window, cands_pruned_a, the threshold, the emit-cap
+      window and pairs_suppressed_a then run UNCHANGED over the expanded
+      relation, which equals the original cands0 as a set with identical
+      (m, wjaccard) -- deterministic total order (id_b breaks ties), so
+      identical output rows.
+    The bag fingerprint is md5 over the sorted list of per-entry md5(tok:wtf)
+    hashes -- fixed-width entries, so no concat ambiguity; hash-equality
+    standing in for bag-equality is the same posture the band keys already
+    take (H.band_keys_from_members is md5 of the band slice).
+
+    Scale shape: the bag-fingerprint aggregate rides the doc-bucketed tfc
+    scan (no shuffle); the group map is one window over docs-many 3-column
+    rows; banding/prefilter/verify cost collapses from docs to distinct
+    bags; the residual within-cluster quadratic is the expansion join's
+    OUTPUT (4-column tuples straight into the capped window) -- the
+    ~100x-per-row heavier band-DISTINCT / signature-join / verify work no
+    longer multiplies with cluster depth. Measured on the 10x dup-heavy
+    probe: see OPTIMIZATION_r12.md.
+
+    This single-statement form is the REFERENCE shape (tests pin it against
+    _wminhash_core); q_wminhash_pairs materializes gmap/rcands as tiny
+    localCheckpoints instead, because plain CTE re-inlining re-ran the
+    whole bag aggregate and band+prefilter pipeline per reference
+    (measured 2.7 -> 6.7 s at sf0.1; plan scans 16 -> 72)."""
+    gmap = _wmh_gmap_sql(tf_src)
+    rcands = _wmh_rcands_sql(sigs_src, gmap, scatter)
+    return _wminhash_collapsed_tail_sql(tf_src, gmap, rcands)
+
+
 def _ensure_wmh_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Persist (once per corpus snapshot, fingerprint-stamped) the two
     relations every weighted-MinHash run consumes: the capped tf relation
@@ -10574,15 +10783,48 @@ def q_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped tf relation and the k=32 signatures are read from snapshot-
     stamped persisted tables (_ensure_wmh_index) -- the recurring run is
     banding + prefilter + exact verify over two bucketed scans, never the
-    8x multiset expansion. Oracle unchanged: the persisted sides must
-    agree value-for-value with the in-session single-statement build."""
+    8x multiset expansion.
+
+    Round 12 (r10/r11 verdicts: candidate enumeration inside dup clusters
+    is ~quadratic, 68-69x on the 10x dup-heavy probe): ADAPTIVE plan
+    choice, decided by one tiny aggregate over the doc-count-row persisted
+    sigs table. When >= WMH_COLLAPSE_MIN_DUP_FRAC of docs share a
+    signature with another doc (identical bags imply identical sigs, so
+    sig-dups are a superset witness of bag-dup clusters), run the CLUSTER-
+    COLLAPSED form: the identical-bag group map and the rep-level
+    band+prefilter relation are materialized once (localCheckpoint --
+    doc-count and prefiltered-pair-count rows; plain CTE re-inlining
+    re-ran both pipelines per reference, 2.7 -> 6.7 s at sf0.1), then the
+    tail expands group pairs back to doc pairs before the UNCHANGED cap
+    windows. Otherwise (the no-cluster case -- sf0.1 has 4,992 distinct
+    bags over 5,000 docs) run the original core: the probe costs one
+    33-column scan of doc-count rows, and no collapse machinery runs.
+    Both branches are VALUE-IDENTICAL (see _wminhash_core_collapsed's
+    equivalence argument); the oracle keeps the single-statement
+    _wminhash_core, so the DuckDB gate proves whichever branch ran."""
     tfc_t, sigs_t = _ensure_wmh_index(spark, sf_dir)
+    tf_src = f"SELECT doc, tok, wtf FROM {tfc_t}"
+    sigs_src = f"SELECT * FROM {sigs_t}"
+    scatter = spark.sparkContext.defaultParallelism
+    sig_cols = ", ".join(f"m{i}" for i in range(WMH_K))
+    stats = spark.sql(
+        f"SELECT count(*) AS n, count(DISTINCT {sig_cols}) AS ds FROM {sigs_t}"
+    ).collect()[0]
+    if stats["n"] - stats["ds"] < WMH_COLLAPSE_MIN_DUP_FRAC * stats["n"]:
+        return spark.sql(
+            _wminhash_core(D.SPARK, tf_src, sigs_src, scatter=scatter)
+        )
+    gmap = spark.sql(_wmh_gmap_sql(tf_src)).localCheckpoint()
+    gmap.createOrReplaceTempView("wmh_gmap_v")
+    rcands = spark.sql(
+        _wmh_rcands_sql(sigs_src, "SELECT doc, rep FROM wmh_gmap_v", scatter)
+    ).localCheckpoint()
+    rcands.createOrReplaceTempView("wmh_rcands_v")
     return spark.sql(
-        _wminhash_core(
-            D.SPARK,
-            f"SELECT doc, tok, wtf FROM {tfc_t}",
-            f"SELECT * FROM {sigs_t}",
-            scatter=spark.sparkContext.defaultParallelism,
+        _wminhash_collapsed_tail_sql(
+            tf_src,
+            "SELECT doc, rep FROM wmh_gmap_v",
+            "SELECT ra, rb, m FROM wmh_rcands_v",
         )
     )
 
@@ -11382,9 +11624,13 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     (localCheckpoint) and each round folds in only the NEW center:
     #     least(least(a,b),c) = least(a,b,c) exactly (min is associative,
     #     inputs non-NaN). Round k plans an O(64) expression, not O(k*64).
-    def _d2(arr_sql: str) -> str:
+    def _d2(arr_sql: str, vcol: str = "v") -> str:
+        # vcol parameterizes the vector column so the qualified final-assign
+        # form (e.v) is spelled directly instead of post-hoc string surgery
+        # on this body (round-11 ADVICE: a .replace() would silently break
+        # on any edit here).
         return (
-            f"aggregate(zip_with(v, {arr_sql},"
+            f"aggregate(zip_with({vcol}, {arr_sql},"
             " (x, y) -> (x - y) * (x - y)),"
             " cast(0.0 as double), (acc, e) -> acc + e)"
         )
@@ -11423,9 +11669,9 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         assign AS (
             SELECT e.vec_id, ct.center_rank, ct.center_id,
-                   {_d2("ct.c").replace("zip_with(v,", "zip_with(e.v,")} AS d2,
+                   {_d2("ct.c", vcol="e.v")} AS d2,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {_d2("ct.c").replace("zip_with(v,", "zip_with(e.v,")} ASC,
+                                      ORDER BY {_d2("ct.c", vcol="e.v")} ASC,
                                                ct.center_id ASC) AS rn
             FROM kc_emb e CROSS JOIN cents ct
         )
@@ -13016,7 +13262,16 @@ def _kcore_tail_over(
     d: str, edges_src: str, deg_src: str, core_src: str
 ) -> str:
     """_kcore_tail with the degree relation and core node set supplied by
-    the caller (the Spark path materializes both; see q_kcore_step)."""
+    the caller (the Spark path materializes both; see q_kcore_step).
+
+    Equivalence to the scalar-subquery form relies on `core` being
+    NONEMPTY whenever edges exist (else the single `after` aggregate
+    would yield NULL n_surv_edges/n_below_next where the old form gave
+    0): guaranteed because k = ceil(mean degree) <= max degree -- an
+    integer ceiling of a mean never exceeds the integer max -- so at
+    least the max-degree node always survives the peel; the empty-edges
+    case returns before this tail runs (round-11 ADVICE, pinned by
+    test_kcore_tail_core_nonempty_invariant)."""
     return f"""
         WITH edges AS ({edges_src}),
         deg AS ({deg_src}),
@@ -20188,12 +20443,37 @@ def _proven_names(
     return set(_proven_rounds(base))
 
 
+# Queries whose Spark plan was restructured by the last two optimization
+# rounds (r11 + r12). The driver's oracle gate samples only the first ~50
+# registry entries per round; staleness rotation alone drew just 2 of the 13
+# r11-touched queries in round 11 (round-11 verdict item 7), leaving the
+# equivalence claims of the rest resting on local selfchecks. Pinning the
+# optimization-touched set to the front guarantees each restructured query a
+# fresh driver correctness row while it is still the newest change.
+_REPROOF_PRIORITY = [
+    # r11-touched (round-11 verdict item 7)
+    "wminhash_pairs",
+    "kcenter_coreset",
+    "fleet_checksum",
+    "dim_truncation_recall",
+    "copurchase_pairs",
+    "association_rules",
+    "kcore_step",
+    "ivf_cell_balance",
+    "range_partition_bounds",
+    "quality_signal_corr",
+    "embedding_isotropy",
+]
+
+
 def _driver_order(
     base: dict[str, tuple[SparkQuery, Callable[[str], str] | None]],
 ) -> dict[str, tuple[SparkQuery, Callable[[str], str] | None]]:
-    """Never-proven names first (declared order), then proven names ordered
-    OLDEST green round first (declared order within a round). The driver
-    records correctness rows for the first ~50 entries only; with the whole
+    """Never-proven names first (declared order), then the optimization-
+    touched _REPROOF_PRIORITY set (their plans changed most recently, so
+    they need driver proof most), then proven names ordered OLDEST green
+    round first (declared order within a round). The driver records
+    correctness rows for the first ~50 entries only; with the whole
     registry ever-proven, a static proven-group order would re-submit the
     SAME 50 every round and the rest would never get a fresh driver row
     again (round-7 verdict item 4) -- staleness rotation re-proves the 50
@@ -20202,9 +20482,12 @@ def _driver_order(
     declared = {n: i for i, n in enumerate(base)}
     ordered = {n: v for n, v in base.items() if n not in proven}
     ordered.update(
+        (n, base[n]) for n in _REPROOF_PRIORITY if n in base and n not in ordered
+    )
+    ordered.update(
         (n, base[n])
         for n in sorted(proven, key=lambda n: (proven[n], declared[n]))
-        if n in base
+        if n in base and n not in ordered
     )
     return ordered
 
