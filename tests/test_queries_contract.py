@@ -19,36 +19,48 @@ def test_registry_order_unproven_first_then_stalest():
     """The driver proves only the first 50 REGISTRY entries per round; the
     mechanical ordering must float every never-proven name ahead of every
     proven one so proof coverage can't silently cap (round-3 verdict #3),
-    and within the proven group order by OLDEST latest-green round first so
-    each round re-proves the stalest entries instead of re-submitting the
-    same 50 forever (round-7 verdict #4)."""
+    then (round 12) the optimization-touched _REPROOF_PRIORITY block whose
+    plans changed most recently (round-11 verdict #7), and within the
+    remaining proven group order by OLDEST latest-green round first so each
+    round re-proves the stalest entries instead of re-submitting the same
+    50 forever (round-7 verdict #4)."""
     from sentiment_analysis_data_pipeline_spark.queries import (
         REGISTRY,
         _REGISTRY_BASE,
+        _REPROOF_PRIORITY,
         _proven_rounds,
     )
 
     assert set(REGISTRY) == set(_REGISTRY_BASE)
     proven = _proven_rounds(_REGISTRY_BASE)
     names = list(REGISTRY)
+    # tier 1: every unproven name precedes every proven one
     seen_proven = False
-    prev_round = 0
     for n in names:
         if n in proven:
             seen_proven = True
-            assert proven[n] >= prev_round, (
-                f"proven {n!r} (r{proven[n]}) listed after a fresher entry (r{prev_round})"
-            )
-            prev_round = proven[n]
         else:
             assert not seen_proven, f"unproven {n!r} listed after a proven entry"
-    # With the whole registry ever-proven (r01-r07 union), the driver's
-    # next 50-row window must hit the stalest proofs, not the newest.
+    # tier 2: the reproof-priority block heads the proven group, in its
+    # declared order
+    proven_names = [n for n in names if n in proven]
+    prio = [n for n in _REPROOF_PRIORITY if n in proven]
+    assert proven_names[: len(prio)] == prio
+    # tier 3: the rest is stalest-first
+    prev_round = 0
+    for n in proven_names[len(prio):]:
+        assert proven[n] >= prev_round, (
+            f"proven {n!r} (r{proven[n]}) listed after a fresher entry (r{prev_round})"
+        )
+        prev_round = proven[n]
+    # With the whole registry ever-proven, the driver's 50-row window must
+    # hit the priority block then the stalest proofs, never the newest.
     if len(proven) == len(names):
-        first50_rounds = [proven[n] for n in names[:50]]
-        assert max(first50_rounds) <= min(
-            proven[n] for n in names[50:]
-        ), "rotation failed: a fresher proof precedes a staler one across the 50-row window"
+        rest = [n for n in names if n not in _REPROOF_PRIORITY]
+        first_rounds = [proven[n] for n in rest[:40]]
+        assert max(first_rounds) <= min(
+            proven[n] for n in rest[40:]
+        ), "rotation failed: a fresher proof precedes a staler one across the window"
 
 
 def test_oracle_coverage():
